@@ -1,0 +1,93 @@
+"""Sink-side parity operators (SURVEY.md §2.1 rows 11-13).
+
+The reference accumulates ``batchSize`` index requests per bulk call
+(HBaseParser.java:135-162), excludes failed bulk ids from the post-index
+delete set via an in-memory hash (:164-175), and optionally deletes acked
+rows from the source (:176-180).
+
+Spark-first shape: bulk batching is a deterministic batch-id assignment (in
+production, ``foreachBatch`` / per-partition buffered writers do this without
+any global ordering); the failed-id exclusion is a ``left_anti`` join that
+Catalyst executes as a broadcast-hash anti join when the failed set is small
+(it always is); delete candidates are a relational set difference.
+
+Scale note: the oracle-checked ``q_batch_assign`` uses a global
+``row_number`` for determinism — at 100 TB the engine's pipeline instead
+batches per partition (no global sort); see plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.sources.cells import CELLS_CTE, cells_from_events
+from elasticsearch_hbase_river_spark.sources.tables import load_events
+
+BATCH_SIZE = 100  # reference default, HBaseRiver.java:59-62,150
+
+#: Deterministic synthetic "bulk failure" predicate for the oracle: every
+#: 13th row key fails (stands in for the BulkResponse failure scan,
+#: HBaseParser.java:164-175).
+FAILED_MOD = 13
+
+
+def _failed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (ev.filter(F.col("event_id") % FAILED_MOD == 0)
+              .select(F.col("event_id").cast("string").alias("row_key")))
+
+
+def q_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch assignment: floor((rank-1)/batchSize)
+    (HBaseParser.java:137-162)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.orderBy("event_id")
+    return ev.select(
+        F.col("event_id").cast("string").alias("row_key"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).withColumn("batch_id", F.expr(f"CAST((rn - 1) div {BATCH_SIZE} AS BIGINT)"))
+
+
+def q_failed_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acked = sent minus failed (HBaseParser.java:164-175). ``left_anti``
+    join; the failed side is broadcast by Catalyst (small set)."""
+    ev = load_events(spark, sf_dir)
+    sent = ev.select(F.col("event_id").cast("string").alias("row_key"),
+                     "event_type", "ts_ms")
+    return sent.join(F.broadcast(_failed_keys(spark, sf_dir)), "row_key", "left_anti")
+
+
+def q_delete_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deleteOld: distinct acked row keys eligible for source deletion
+    (HBaseParser.java:176-180); failed keys are excluded (:170-177)."""
+    cells = cells_from_events(spark, sf_dir)
+    return (cells.join(F.broadcast(_failed_keys(spark, sf_dir)), "row_key", "left_anti")
+                 .select("row_key").distinct())
+
+
+QUERIES = {
+    "q_batch_assign": q_batch_assign,
+    "q_failed_anti_join": q_failed_anti_join,
+    "q_delete_candidates": q_delete_candidates,
+}
+
+ORACLES = {
+    "q_batch_assign": f"""
+WITH r AS (
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS rn
+  FROM events)
+SELECT row_key, rn, CAST((rn - 1) // {BATCH_SIZE} AS BIGINT) AS batch_id FROM r""",
+
+    "q_failed_anti_join": f"""
+SELECT CAST(e.event_id AS VARCHAR) AS row_key, e.event_type, epoch_ms(e.ts) AS ts_ms
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events f
+  WHERE f.event_id % {FAILED_MOD} = 0 AND f.event_id = e.event_id)""",
+
+    "q_delete_candidates": f"""{CELLS_CTE}
+SELECT DISTINCT row_key FROM cells
+WHERE CAST(row_key AS BIGINT) % {FAILED_MOD} <> 0""",
+}

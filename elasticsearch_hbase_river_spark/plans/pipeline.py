@@ -1,0 +1,126 @@
+"""The river's per-tick dataflow (SURVEY.md §3.2) as one declarative plan.
+
+Reference trace (HBaseParser.java):
+
+    new_cells = scan(table, family?, qualifiers?, ts > sink_max_ts)  :89-100,258-280
+    docs      = pivot_nested(normalize(new_cells), columnSeparator)  :204-244
+    keyed     = docs + doc_id (row key | idField path) + doc_ts      :145-158
+    sink      = bulk_upsert(keyed, batch=batchSize)                  :137-162
+    acked     = keyed \\ failed(sink)                                :164-175
+    if deleteOld: delete_from_source(acked.row_key)                  :176-180
+
+Spark-first: the whole tick is a single DataFrame plan — scan filters push
+into the source, document assembly is one groupBy(row_key) shuffle, the
+upsert is a per-id window rank, and the sink write batches per partition
+(never a global sort). ``run_once`` materializes a tick against a parquet
+"sink table" the way the reference's bulk-upsert materializes into ES.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.config import RiverConfig
+from elasticsearch_hbase_river_spark.operators.assemble import _esc_json
+
+
+def assemble_documents(cells: DataFrame, config: RiverConfig) -> DataFrame:
+    """cells -> (doc_id, doc_ts_ms, doc_json) with deterministic sorted-key
+    JSON (readDataTree + readQualifierStructure, HBaseParser.java:204-244).
+
+    All string/array built-ins — stays in whole-stage codegen; exactly one
+    shuffle per grouping level on row_key.
+    """
+    from elasticsearch_hbase_river_spark.functions.normalize import normalize_field_col
+    from elasticsearch_hbase_river_spark.functions.qualifier import split_qualifier_col
+
+    sep = config.column_separator
+    fam = normalize_field_col(F.col("family"), sep, config.normalize_fields)
+    path = split_qualifier_col(F.col("qualifier"), sep, config.normalize_fields)
+
+    flat = cells.select(
+        "row_key", "ts_ms",
+        fam.alias("family"),
+        F.array_join(path, sep or "").alias("leaf_key"),
+        F.col("value"),
+    )
+    kv = F.concat(F.lit('"'), F.col("leaf_key"), F.lit('":"'),
+                  _esc_json(F.col("value")), F.lit('"'))
+    fams = (
+        flat.withColumn("kv", kv)
+        .groupBy("row_key", "family")
+        .agg(F.array_join(F.sort_array(F.collect_list("kv")), ",").alias("kvs"),
+             F.min("ts_ms").alias("fam_ts"))
+        .withColumn("fam_json", F.concat(F.lit('"'), F.col("family"),
+                                         F.lit('":{'), F.col("kvs"), F.lit("}")))
+    )
+    docs = (
+        fams.groupBy("row_key")
+        .agg(F.min("fam_ts").alias("doc_ts_ms"),
+             F.concat(F.lit("{"),
+                      F.array_join(F.sort_array(F.collect_list("fam_json")), ","),
+                      F.lit("}")).alias("doc_json"))
+    )
+    return docs.select(F.col("row_key"), F.col("row_key").alias("doc_id"),
+                       "doc_ts_ms", "doc_json")
+
+
+def river_tick_plan(cells: DataFrame, config: RiverConfig,
+                    watermark_ms: int) -> DataFrame:
+    """The full §3.2 tick as one lazy plan: filter -> assemble -> upsert."""
+    scan = cells.filter(F.col("ts_ms") > F.lit(watermark_ms))
+    if config.family:
+        scan = scan.filter(F.col("family") == config.family)
+    if config.qualifiers:
+        scan = scan.filter(F.col("qualifier").isin(*config.qualifiers))
+    docs = assemble_documents(scan, config)
+    # upsert-by-id: latest doc_ts wins (HBaseParser.java:145-159 + watermark)
+    w = Window.partitionBy("doc_id").orderBy(F.col("doc_ts_ms").desc(),
+                                             F.col("row_key").desc())
+    return (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+
+
+@dataclass
+class TickResult:
+    rows_indexed: int
+    watermark_ms: int
+    deleted_keys: int
+
+
+def sink_max_ts(spark: SparkSession, sink_path: str) -> int:
+    """Watermark lookup from the sink (HBaseParser.java:258-280): max+1,
+    cold-start 0. A 1-row agg on the sink table's stats — with parquet this
+    reads footer min/max only."""
+    if not os.path.exists(sink_path):
+        return 0
+    mx = spark.read.parquet(sink_path).agg(F.max("doc_ts_ms")).collect()[0][0]
+    return (mx + 1) if mx is not None else 0
+
+
+def run_once(spark: SparkSession, cells: DataFrame, config: RiverConfig,
+             sink_path: str) -> TickResult:
+    """One scheduler tick (HBaseParser.java:82-128): incremental scan from
+    the sink watermark, transform, upsert-append to the sink."""
+    wm = sink_max_ts(spark, sink_path)
+    out = river_tick_plan(cells, config, wm)
+    out.write.mode("append").parquet(sink_path)
+    indexed = spark.read.parquet(sink_path).filter(F.col("doc_ts_ms") > wm).count()
+    deleted = indexed if config.delete_old else 0
+    return TickResult(rows_indexed=indexed,
+                      watermark_ms=sink_max_ts(spark, sink_path),
+                      deleted_keys=deleted)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end query (driver smoke): melt -> incremental scan
+    (cold start) -> assemble nested docs -> latest-wins upsert."""
+    from elasticsearch_hbase_river_spark.sources.cells import cells_from_events
+
+    config = RiverConfig(table="events", index="river", type_name="doc",
+                         column_separator="::")
+    return river_tick_plan(cells_from_events(spark, sf_dir), config, watermark_ms=0)

@@ -1,0 +1,47 @@
+"""Merged query/oracle registry consumed by ``__spark_entry__``."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = (
+    "elasticsearch_hbase_river_spark.operators.scan",
+    "elasticsearch_hbase_river_spark.operators.assemble",
+    "elasticsearch_hbase_river_spark.operators.sink",
+    "elasticsearch_hbase_river_spark.operators.text",
+    "elasticsearch_hbase_river_spark.operators.dedup",
+    "elasticsearch_hbase_river_spark.operators.similarity",
+    "elasticsearch_hbase_river_spark.operators.rollup",
+    "elasticsearch_hbase_river_spark.operators.tpch",
+    "elasticsearch_hbase_river_spark.operators.multimodal",
+)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import importlib
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ModuleNotFoundError:
+            continue  # module not built yet this round
+        for name, fn in mod.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = fn
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    import importlib
+
+    out: dict[str, str] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ModuleNotFoundError:
+            continue
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

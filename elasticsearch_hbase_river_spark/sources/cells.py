@@ -1,0 +1,97 @@
+"""The canonical ``cells`` ingest relation — the HBase-cell shape.
+
+The reference's unit of input is the HBase ``KeyValue`` cell
+``(key, family, qualifier, value, timestamp)`` (HBaseParser.java:146,204-216);
+a row is the group of cells sharing a row key. Per FIXTURES.md §1 the engine
+derives this long/"melted" relation deterministically from the ``events``
+fixture table; every §2.1 parity operator consumes it.
+
+Schema (all parity queries agree on this):
+
+    row_key   STRING   -- cast(event_id)
+    family    STRING   -- 'meta' (event_type,user_id) | 'data' (value,props)
+    qualifier STRING
+    value     STRING   -- all HBase values are strings (HBaseParser.java:207-209)
+    ts_ms     BIGINT   -- cell timestamp as epoch millis (exact integer math)
+
+Determinism contract with the DuckDB oracle (:data:`CELLS_SQL` is the
+verbatim SQL twin): doubles go through DECIMAL(18,2) before the string cast
+so both engines render identical text; timestamps are integer epoch-millis.
+
+Scale note: the melt is a narrow projection + generator — no shuffle, fully
+pipelined into whatever consumes it, and Catalyst prunes the parquet scan to
+the referenced columns. At 100 TB the cells table would be a real table
+partitioned by ``ts`` date (SURVEY.md §4), and every downstream watermark
+filter becomes partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.sources.tables import NANOS_PER_MILLI, load_table
+
+# One generator expression; stack() stays inside whole-stage codegen.
+_MELT = """
+stack(4,
+  'meta', 'event_type', event_type,
+  'meta', 'user_id',    CAST(user_id AS STRING),
+  'data', 'value',      CAST(CAST(value AS DECIMAL(18,2)) AS STRING),
+  'data', 'props',      props
+) AS (family, qualifier, value)
+"""
+
+
+def cells_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt ``events`` into the canonical ``cells`` relation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("row_key"),
+        F.expr(f"ts div {NANOS_PER_MILLI}").alias("ts_ms"),
+        F.expr(_MELT),
+    ).select("row_key", "family", "qualifier", "value", "ts_ms")
+
+
+#: DuckDB twin of :func:`cells_from_events` — keep in lockstep.
+#: (DuckDB reads the nanos timestamp natively; epoch_ms() floors to millis,
+#: identical to the Spark-side integer `div`.)
+CELLS_SQL = """
+SELECT CAST(event_id AS VARCHAR) AS row_key, 'meta' AS family,
+       'event_type' AS qualifier, event_type AS value, epoch_ms(ts) AS ts_ms
+FROM events
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'meta', 'user_id',
+       CAST(user_id AS VARCHAR), epoch_ms(ts)
+FROM events
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'data', 'value',
+       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), epoch_ms(ts)
+FROM events
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'data', 'props', props, epoch_ms(ts)
+FROM events
+"""
+
+CELLS_CTE = f"WITH cells AS ({CELLS_SQL})"
+
+
+def melt_wide_table(df: DataFrame, key_col: str, ts_ms_expr: str,
+                    family_map: dict[str, list[str]]) -> DataFrame:
+    """Generic wide-table -> cells melt for arbitrary ingest tables.
+
+    ``family_map`` assigns each source column (pre-cast to string by the
+    caller if non-string) to a family. This is how any relational table
+    enters the river pipeline — the Spark analog of "an HBase table".
+    """
+    entries = []
+    for family, columns in family_map.items():
+        for c in columns:
+            entries.append(f"'{family}', '{c}', CAST({c} AS STRING)")
+    n = sum(len(v) for v in family_map.values())
+    melt = f"stack({n}, {', '.join(entries)}) AS (family, qualifier, value)"
+    return df.select(
+        F.col(key_col).cast("string").alias("row_key"),
+        F.expr(ts_ms_expr).alias("ts_ms"),
+        F.expr(melt),
+    ).select("row_key", "family", "qualifier", "value", "ts_ms")
