@@ -1,0 +1,225 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY.md §2.3,
+BASELINE.json north star: "text analysis ... designed for 100 TB scale").
+
+All ops are per-document map-side column algebra — built-in string/array/
+higher-order functions only, zero UDFs, zero shuffles except the final
+aggregation where one exists. At 100 TB these scale linearly with input
+splits; nothing here collects, sorts globally, or crosses rows (except
+``q_tokenize``'s token-frequency shuffle, which is partial-aggregated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+#: Tiny per-language lexicons for the n-gram/stopword language-ID heuristic.
+LEXICONS = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: BPE-ish piece pattern: letter runs, digit runs, single other non-space.
+PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    """# tokens that appear in ``words`` — higher-order filter, JVM-side."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"CAST(len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains([{lst}], t))) AS BIGINT)")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-relevant stats: char/token counts, distinct
+    tokens, average token length, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        roundn_col(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens)
+         .alias("avg_token_len"),
+        roundn_col(_count_in(toks, STOPWORDS) / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode -> partial-aggregated count. The one
+    shuffle in this module, keyed by token (high cardinality, no skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.explode(_toks()).alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: lexicon-hit scores per language, argmax with a
+    deterministic tiebreak (en > de > es > und)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    scores = {lang: _count_in(toks, words) for lang, words in LEXICONS.items()}
+    en, de, es = scores["en"], scores["de"], scores["es"]
+    predicted = (
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+         .when((de >= es) & (de > 0), "de")
+         .when(es > 0, "es")
+         .otherwise("und")
+    )
+    return docs.select(
+        "doc_id", "lang",
+        en.alias("en_score"), de.alias("de_score"), es.alias("es_score"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, low-stopword
+    bonus, lexical diversity — the usual pretraining-filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    stop_ratio = _count_in(toks, STOPWORDS) / n_tokens
+    score = (
+        F.lit(0.35) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.35) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.30) * (n_distinct / n_tokens)
+    )
+    return docs.select(
+        "doc_id",
+        roundn_col(score).alias("quality"),
+        (roundn_col(score) >= 0.5).alias("is_quality"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex pieces
+    (letter runs / digit runs / single punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(PIECE_RE), F.lit(0))
+    n_pieces = F.size(pieces).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_ws_tokens"),
+        n_pieces.alias("n_pieces"),
+        roundn_col(F.length("text") / n_pieces).alias("chars_per_piece"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint: md5 over the sorted distinct
+    token set — identical wording permutations collapse to one fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.sort_array(F.array_distinct(_toks())), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.size(F.array_distinct(_toks())).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_tokenize": q_tokenize,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_token_count": q_token_count,
+    "q_fingerprint": q_fingerprint,
+}
+
+_STOP_CNT = _sql_count_in(STOPWORDS)
+_EN = _sql_count_in(LEXICONS["en"])
+_DE = _sql_count_in(LEXICONS["de"])
+_ES = _sql_count_in(LEXICONS["es"])
+
+ORACLES = {
+    "q_text_stats": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+         {_STOP_CNT} AS stop_cnt
+  FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       n_tokens, n_distinct_tokens,
+       ROUNDN_ATL AS avg_token_len,
+       ROUNDN_SR AS stopword_ratio
+FROM t""",
+
+    "q_tokenize": """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token""",
+
+    "q_lang_id": f"""
+WITH s AS (
+  SELECT doc_id, lang, {_EN} AS en_score, {_DE} AS de_score, {_ES} AS es_score
+  FROM documents)
+SELECT doc_id, lang, en_score, de_score, es_score,
+       CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score > 0 THEN 'en'
+            WHEN de_score >= es_score AND de_score > 0 THEN 'de'
+            WHEN es_score > 0 THEN 'es'
+            ELSE 'und' END AS predicted_lang
+FROM s""",
+
+    "q_quality_score": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         {_STOP_CNT} AS stop_cnt
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         ROUNDN_Q AS quality
+  FROM t)
+SELECT doc_id, quality, quality >= 0.5 AS is_quality FROM s""",
+
+    "q_token_count": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(lower(text), '{PIECE_RE}')) AS BIGINT) AS n_pieces
+  FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       n_pieces,
+       ROUNDN_CPP AS chars_per_piece
+FROM t""",
+
+    "q_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents""",
+}
+
+_ATL = roundn_sql("length(replace(text, ' ', '')) / n_tokens")
+_SR = roundn_sql("stop_cnt / n_tokens")
+_Q = roundn_sql("0.35::DOUBLE * least(1.0::DOUBLE, n_tokens / 100.0::DOUBLE)"
+                " + 0.35::DOUBLE * (1.0::DOUBLE - stop_cnt / n_tokens)"
+                " + 0.30::DOUBLE * (n_distinct / n_tokens)")
+_CPP = roundn_sql("length(text) / n_pieces")
+
+for _k in list(ORACLES):
+    ORACLES[_k] = (ORACLES[_k].replace("ROUNDN_ATL", _ATL).replace("ROUNDN_SR", _SR)
+                   .replace("ROUNDN_Q", _Q).replace("ROUNDN_CPP", _CPP))
