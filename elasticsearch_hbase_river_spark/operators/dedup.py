@@ -1,0 +1,339 @@
+"""Deduplication operators for the training-data pipeline (SURVEY.md §2.3
+E1/E2 + BASELINE.json north star: exact, n-gram Jaccard, MinHash+LSH,
+SimHash).
+
+Because the fixture corpus contains no natural duplicates, each query first
+AUGMENTS the corpus deterministically (exact copies / truncated near-copies
+of every 50th document, offset ids) so the machinery demonstrably finds
+pairs; the augmentation is mirrored verbatim in the oracle SQL.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup: hash-groupBy — one shuffle on the content hash, partial-agg.
+- MinHash/LSH: signatures are per-doc map-side (higher-order functions over
+  the shingle array — the classic k independent permutations become k
+  keyed md5s); candidate generation shuffles on (band_idx, band_hash) —
+  never an all-pairs join; verification touches only candidate pairs.
+- SimHash: per-doc map-side signature; candidates via 4-bit band buckets,
+  then Hamming-distance verify with bit_count(xor).
+- adjacent-pair Jaccard: a 1-off self-join on the id (sort-merge/broadcast,
+  linear).
+
+All hash math uses md5 hex strings (lexicographic min == numeric min on
+fixed-width hex) so Spark and DuckDB agree bit-for-bit with zero custom
+hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+COPY_MOD = 50          # every 50th doc gets a synthetic duplicate
+COPY_OFFSET = 1_000_000
+TRUNCATE = 5           # near-dup copies drop the last 5 tokens
+N_HASHES = 8           # MinHash permutations
+N_BANDS = 4            # LSH bands (2 rows per band)
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """documents ∪ synthetic copies (exact, or truncated near-dups)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.col("text") if exact else F.array_join(
+            F.slice(F.split("text", " "), 1,
+                    F.greatest(F.size(F.split("text", " ")) - TRUNCATE, F.lit(1))),
+            " ").alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_AUG_SQL_EXACT = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {COPY_OFFSET}, text FROM documents WHERE doc_id % {COPY_MOD} = 0
+"""
+
+_AUG_SQL_NEAR = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {COPY_OFFSET},
+       array_to_string(
+         string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - {TRUNCATE}, 1)],
+         ' ')
+FROM documents WHERE doc_id % {COPY_MOD} = 0
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on md5(text), keep the
+    lowest doc_id per group (SURVEY.md §2.3 E1)."""
+    aug = _augmented_docs(spark, sf_dir, exact=True)
+    return (
+        aug.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .withColumn("is_dup_group", F.col("n_copies") > 1)
+    )
+
+
+# --- shingling ------------------------------------------------------------
+
+def _shingles(text: Column) -> Column:
+    """Distinct 3-word shingles (higher-order functions, map-side)."""
+    toks = F.split(text, " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array(text))
+    return F.array_distinct(grams)
+
+
+_SHINGLES_SQL = """
+list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+  THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+            || ' ' || string_split(text, ' ')[i+2])
+  ELSE [text] END)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on candidate pairs: each original vs
+    its truncated near-copy, plus adjacent-id background pairs. Set algebra
+    via array_intersect on the 3-gram shingle sets."""
+    aug = _augmented_docs(spark, sf_dir, exact=False)
+    sh = aug.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + COPY_OFFSET)
+        | ((F.col("b.doc_id") == F.col("a.doc_id") + 1)
+           & (F.col("a.doc_id") < COPY_OFFSET)
+           & (F.col("b.doc_id") < COPY_OFFSET)),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter / union
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        roundn_col(jac).alias("jaccard"),
+        (roundn_col(jac) >= 0.8).alias("is_near_dup"),
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    """k MinHash values: permutation j == md5 keyed by j; the min over the
+    doc's shingle set (array_min over a transform — map-side, no explode)."""
+    def mh(j: int) -> Column:
+        prefix = f"{j}|"
+        # NB: the lambda must take exactly one arg — F.transform passes
+        # (element, index) to two-arg lambdas.
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    return [mh(j).alias(f"mh{j}") for j in range(N_HASHES)]
+
+
+def _minhash_sql(j: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{j}|' || s)))"
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature + LSH band keys (2 rows/band)."""
+    aug = _augmented_docs(spark, sf_dir, exact=False)
+    sig = aug.select("doc_id", _shingles(F.col("text")).alias("sh")).select(
+        "doc_id", *_minhash_cols())
+    bands = [
+        F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands)
+
+
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: candidates from band-bucket
+    collisions (shuffle keyed on (band_idx, band_hash) — never all-pairs),
+    scored by the fraction of matching MinHashes."""
+    sig = q_minhash_signature(spark, sf_dir)
+    sig = sig.withColumn("mh", F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)]))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
+        .alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"),
+              (F.col("x.band_idx") == F.col("y.band_idx"))
+              & (F.col("x.band_hash") == F.col("y.band_hash"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    m = sig.select("doc_id", "mh")
+    scored = (
+        cand.join(m.alias("ma"), F.col("doc_a") == F.col("ma.doc_id"))
+        .join(m.alias("mb"), F.col("doc_b") == F.col("mb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.filter(F.zip_with(F.col("ma.mh"), F.col("mb.mh"),
+                                       lambda x, y: x == y),
+                            lambda eq: eq)).cast("long").alias("n_shared_minhash"),
+        )
+    )
+    return scored.withColumn(
+        "est_jaccard", roundn_col(F.col("n_shared_minhash") / F.lit(float(N_HASHES))))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 16-bit signature from per-token md5 hex
+    digits (majority vote per bit position), 4-bit band candidate buckets,
+    Hamming-distance verify via bit_count(xor)."""
+    aug = _augmented_docs(spark, sf_dir, exact=False)
+    # bit p (1..16): +1 if hex digit p of md5(token) >= 8 else -1; majority
+    simhash = F.expr("""
+      aggregate(
+        transform(sequence(1, 16), p ->
+          CASE WHEN aggregate(split(text, ' '), 0,
+                    (acc, t) -> acc + (CASE WHEN substr(md5(t), p, 1)
+                                            IN ('8','9','a','b','c','d','e','f')
+                                       THEN 1 ELSE -1 END)) > 0
+               THEN shiftleft(1, p - 1) ELSE 0 END),
+        0, (acc, x) -> acc + x)
+    """).cast("long")
+    sh = aug.select("doc_id", simhash.alias("simhash"))
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3), b -> (simhash div shiftleft(1, 4*b)) % 16)"
+        )).alias("band_idx", "band_val"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"),
+              (F.col("x.band_idx") == F.col("y.band_idx"))
+              & (F.col("x.band_val") == F.col("y.band_val"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("x.simhash").alias("sim_a"),
+                F.col("y.doc_id").alias("doc_b"), F.col("y.simhash").alias("sim_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("int(sim_a) ^ int(sim_b)")).cast("long")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= 3)
+                .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming"))
+
+
+QUERIES = {
+    "q_exact_dedup": q_exact_dedup,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_signature": q_minhash_signature,
+    "q_near_dedup": q_near_dedup,
+    "q_simhash_dedup": q_simhash_dedup,
+}
+
+
+_MH_COLS = ",\n         ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(N_HASHES))
+_BAND_COLS = ",\n       ".join(
+    f"md5(mh{2 * b} || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS))
+_SIG_CTE = f"""
+aug AS ({_AUG_SQL_NEAR}),
+shq AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM shq),
+sigb AS (
+  SELECT doc_id, {", ".join(f"mh{j}" for j in range(N_HASHES))},
+       {_BAND_COLS}
+  FROM sig)
+"""
+
+ORACLES = {
+    "q_exact_dedup": f"""
+WITH aug AS ({_AUG_SQL_EXACT})
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+       count(*) AS n_copies, count(*) > 1 AS is_dup_group
+FROM aug GROUP BY md5(text)""",
+
+    "q_ngram_jaccard": f"""
+WITH aug AS ({_AUG_SQL_NEAR}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh a JOIN sh b
+    ON b.doc_id = a.doc_id + {COPY_OFFSET}
+    OR (b.doc_id = a.doc_id + 1 AND a.doc_id < {COPY_OFFSET}
+        AND b.doc_id < {COPY_OFFSET}))
+SELECT doc_a, doc_b,
+       {roundn_sql('i / u')} AS jaccard,
+       {roundn_sql('i / u')} >= 0.8 AS is_near_dup
+FROM pairs""",
+
+    "q_minhash_signature": f"""
+WITH {_SIG_CTE}
+SELECT * FROM sigb""",
+
+    "q_near_dedup": f"""
+WITH {_SIG_CTE},
+m AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh FROM sig),
+bands AS (
+  SELECT doc_id, b.band_idx, b.band_hash
+  FROM sigb, LATERAL (
+    {" UNION ALL ".join(f"SELECT {b} AS band_idx, band{b} AS band_hash" for b in range(N_BANDS))}
+  ) b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(range(1, {N_HASHES + 1}),
+                              i -> ma.mh[i] = mb.mh[i])) AS BIGINT) AS n_shared_minhash
+  FROM cand
+  JOIN m ma ON cand.doc_a = ma.doc_id
+  JOIN m mb ON cand.doc_b = mb.doc_id)
+SELECT doc_a, doc_b, n_shared_minhash,
+       {roundn_sql(f'n_shared_minhash / {float(N_HASHES)}')} AS est_jaccard
+FROM scored""",
+
+    "q_simhash_dedup": f"""
+WITH aug AS ({_AUG_SQL_NEAR}),
+sh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 17), p ->
+           CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+                  CASE WHEN substr(md5(t), p, 1) IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END)) > 0
+                THEN 1 << (p - 1) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM aug),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash // (1 << (4 * b))) % 16 AS band_val
+  FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+                  y.doc_id AS doc_b, y.simhash AS sim_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, sim_a, sim_b,
+       CAST(bit_count(xor(sim_a::BIGINT, sim_b::BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a::BIGINT, sim_b::BIGINT)) <= 3""",
+}

@@ -1,0 +1,140 @@
+"""Multimodal-column operators (SURVEY.md §2.3 E9 + BASELINE.json north
+star: "multimodal columns ... designed for 100 TB scale").
+
+Pattern: media travel as opaque ``binary`` payload columns next to typed
+metadata; per-modality transforms (decode / feature-extract / resize /
+frame-sample) run as Arrow-batched ``mapInPandas`` so the JVM<->Python
+boundary is crossed per BATCH, never per row. The actual image/audio codecs
+are not available in this environment, so the decode step is a clearly
+marked deterministic stand-in behind ``_decode_payload`` (swap in PIL/ffmpeg
+there); everything Spark-side — schema, batch iteration, partitioning — is
+real and is what matters at 100 TB.
+
+``q_multimodal_schema`` is oracle-checked; ``q_media_decode`` is genuinely
+non-SQL-expressible (Pandas UDF) and gets the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, LongType, StringType, StructField, StructType,
+)
+
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+#: Set True when a real codec (PIL / torchaudio / pyav) is installed; the
+#: stub then raises instead of faking, so misuse is loud.
+STRICT_DECODE = False
+
+
+def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A unified multimodal relation: one row per asset with payload bytes +
+    typed metadata. Text payloads are real; image/audio rows reuse the same
+    bytes as stand-in payloads with distinct modality tags."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+    )
+    image = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+    )
+    return text.unionByName(image)
+
+
+def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/side-by-side demo: per-asset modality + payload byte length
+    over the union of text docs and embedding vectors (binary + vector
+    columns coexisting in one relation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    vec = emb.select(
+        F.col("vec_id").alias("asset_id"),
+        F.lit("embedding").alias("modality"),
+        (F.size("embedding") * 4).cast("long").alias("n_bytes"),  # float32
+    )
+    return text.unionByName(vec)
+
+
+_DECODE_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("modality", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_channels", LongType()),
+    StructField("decode_ok", BooleanType()),
+])
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pass over the multimodal frame via
+    ``mapInPandas`` (rows-only check — Pandas UDF is not SQL-expressible).
+
+    The batch fn is a CLOSURE (not a module-level function) so cloudpickle
+    ships it by value — Python workers do not have this package on their
+    sys.path when the driver loads it from a file path.
+    """
+    strict = STRICT_DECODE
+
+    def decode_payload(payload: bytes, modality: str) -> tuple[int, int, int]:
+        # STUB codec. Real systems plug PIL/ffmpeg here; this deterministic
+        # stand-in derives fake dimensions from the payload.
+        if strict:
+            raise NotImplementedError("no media codecs in this environment")
+        if not payload:
+            return (0, 0, 0)
+        w = 64 + payload[0] % 192
+        h = 64 + payload[-1] % 192
+        c = 3 if modality == "image" else 1
+        return (w, h, c)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-batched: one Python call per batch, never per row.
+        for pdf in batches:
+            dims = [decode_payload(p, m)
+                    for p, m in zip(pdf["payload"], pdf["modality"])]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_channels": [d[2] for d in dims],
+                "decode_ok": [d != (0, 0, 0) for d in dims],
+            })
+
+    return multimodal_frame(spark, sf_dir).mapInPandas(
+        decode_batches, schema=_DECODE_SCHEMA)
+
+
+QUERIES = {
+    "q_multimodal_schema": q_multimodal_schema,
+    "q_media_decode": q_media_decode,
+}
+
+ORACLES = {
+    "q_multimodal_schema": """
+SELECT doc_id AS asset_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+UNION ALL
+SELECT vec_id, 'embedding', CAST(len(embedding) * 4 AS BIGINT)
+FROM embeddings""",
+    # q_media_decode: intentionally no oracle — mapInPandas decode path.
+}

@@ -1,0 +1,143 @@
+"""Event-stream rollup operators (SURVEY.md §2.3 E6-E8).
+
+- ``q_event_rollup`` : hourly × event-type aggregate — groupBy on a derived
+  time bucket; partial-aggregated; at 100 TB the bucket aligns with date
+  partitioning so the shuffle is the only data movement.
+- ``q_sessionize``   : gap-based sessionization (30-min) — batch twin of
+  streaming ``session_window``: lag + running sum, one shuffle on user_id.
+- ``q_enrich_join``  : fact × dimensions star join — dimensions broadcast,
+  no fact shuffle before the aggregate.
+
+Money-typed aggregates go through DECIMAL(18,2) so the sums are exact and
+order-independent (double summation order is NOT deterministic across
+engines or even across Spark runs); the final cast to double is a single
+deterministic op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.sources.tables import load_events, load_table
+
+SESSION_GAP_MS = 30 * 60 * 1000
+NANOS_PER_HOUR = 3_600_000_000_000
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/distinct-users by (hour, event_type)."""
+    ev = load_events(spark, sf_dir)
+    hour_ms = F.expr(f"(ts div {NANOS_PER_HOUR}) * 3600000")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy(hour_ms.alias("hour_ms"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec).alias("sum_dec"),
+        )
+        .select(
+            "hour_ms", "event_type", "n_events", "n_users",
+            roundn_col(F.col("sum_dec").cast("double")).alias("sum_value"),
+            roundn_col(F.col("sum_dec").cast("double") / F.col("n_events"))
+                .alias("avg_value"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: new session when the gap to the previous
+    event exceeds 30 min; emit per-session envelope."""
+    ev = load_events(spark, sf_dir)
+    order = [F.col("ts_ms"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flag = F.when(
+        F.lag("ts_ms").over(w).isNull()
+        | ((F.col("ts_ms") - F.lag("ts_ms").over(w)) > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", flag)
+        .withColumn("session_idx", F.sum("new_sess").over(wrun).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts_ms").alias("session_start_ms"),
+             F.max("ts_ms").alias("session_end_ms"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dimension enrichment: orders × customer × nation, revenue by
+    nation. Dimensions explicitly broadcast (star-join shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_customers"),
+             F.sum(dec).alias("rev_dec"))
+        .select("n_name", "n_orders", "n_customers",
+                roundn_col(F.col("rev_dec").cast("double")).alias("revenue"))
+    )
+
+
+QUERIES = {
+    "q_event_rollup": q_event_rollup,
+    "q_sessionize": q_sessionize,
+    "q_enrich_join": q_enrich_join,
+}
+
+ORACLES = {
+    "q_event_rollup": f"""
+WITH g AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM events GROUP BY 1, 2)
+SELECT hour_ms, event_type, n_events, n_users,
+       {roundn_sql('sum_dec::DOUBLE')} AS sum_value,
+       {roundn_sql('sum_dec::DOUBLE / n_events')} AS avg_value
+FROM g""",
+
+    "q_sessionize": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+sessions AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+       min(ts_ms) AS session_start_ms,
+       max(ts_ms) AS session_end_ms,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_idx""",
+
+    "q_enrich_join": f"""
+WITH j AS (
+  SELECT n.n_name, o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT n_name, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       {roundn_sql('sum(p)::DOUBLE')} AS revenue
+FROM j GROUP BY n_name""",
+}

@@ -1,0 +1,219 @@
+"""Vector-similarity operators (SURVEY.md §2.3 E3 + BASELINE.json north
+star: "similarity search ... designed for 100 TB scale").
+
+- ``q_knn_cosine``      : brute-force top-k — query set broadcast against the
+                          corpus, dot products via higher-order functions
+                          (JVM-side, no Python), per-query window top-k.
+- ``q_embedding_dedup`` : cosine near-duplicate pairs with LABEL BLOCKING
+                          (the IVF idea applied to dedup): pairs form only
+                          inside a partition bucket — never an all-pairs
+                          cross join.
+- ``q_ann_ivf``         : two-stage approximate NN: coarse quantization
+                          (per-label centroids), probe the top-2 nearest
+                          cells, exact rerank inside probed cells only.
+
+Scale notes: queries/centroids are tiny → broadcast joins (verified in the
+plan); the corpus side streams map-side. Float math is cast to double
+element-wise before summation in BOTH engines, and every score is rounded
+with the deterministic primitive before ranking so rank ties can't diverge.
+Centroids are rounded to 4 decimals so the (order-sensitive) avg is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+N_QUERIES = 8      # query vectors: vec_id < 8
+TOP_K = 10
+DUP_MOD = 25       # q_embedding_dedup synthetic copies: every 25th vector
+DUP_OFFSET = 1_000_000
+N_PROBE = 2        # IVF cells probed
+IVF_TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right (portable fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, scan the corpus
+    once, rank per query. The baseline every ANN variant is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding",
+                        _norm(F.col("embedding")).alias("enorm"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    scored = (
+        corpus.join(F.broadcast(queries))            # 8 × N, map-side
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= TOP_K))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label: candidate pairs
+    form only within a block (the 100 TB-safe shape — block/bucket first,
+    compare within buckets). Synthetic exact copies guarantee hits."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    copies = emb.filter(F.col("vec_id") % DUP_MOD == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding", "label")
+    aug = emb.unionByName(copies)
+    sides = aug.select("vec_id", "label", "embedding",
+                       _norm(F.col("embedding")).alias("nrm"))
+    a, b = sides.alias("a"), sides.alias("b")
+    cos = roundn_col(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                     / (F.col("a.nrm") * F.col("b.nrm")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.col("a.label").alias("label"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-stage ANN: (1) coarse cells = per-label centroids
+    (posexplode -> per-dimension avg -> rebuilt, rounded for determinism);
+    (2) each query probes its N_PROBE nearest cells and reranks exactly
+    inside them. At scale: centroids broadcast; stage-2 join hits only
+    ~N_PROBE/N_CELLS of the corpus."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(roundn_col(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                         lambda s: s.cv).alias("centroid"))
+        .select("label", "centroid", _norm(F.col("centroid")).alias("cnorm"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    ccos = roundn_col(_dot(F.col("qe"), F.col("centroid"))
+                      / (F.col("qnorm") * F.col("cnorm")))
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("label"))
+    probed = (
+        queries.join(F.broadcast(cent))
+        .select("qid", "qe", "qnorm", "label", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= N_PROBE)
+        .select("qid", "qe", "qnorm", "label")
+    )
+    corpus = emb.select("vec_id", "label", "embedding",
+                        _norm(F.col("embedding")).alias("enorm"))
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+    )
+
+
+QUERIES = {
+    "q_knn_cosine": q_knn_cosine,
+    "q_embedding_dedup": q_embedding_dedup,
+    "q_ann_ivf": q_ann_ivf,
+}
+
+_COS = roundn_sql(f"{_dot_sql('qe', 'embedding')} / (qnorm * enorm)")
+
+ORACLES = {
+    "q_knn_cosine": f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS enorm FROM embeddings),
+scored AS (
+  SELECT qid, vec_id, {_COS} AS cosine
+  FROM q, c WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {TOP_K}""",
+
+    "q_embedding_dedup": f"""
+WITH aug AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET}, embedding, label
+  FROM embeddings WHERE vec_id % {DUP_MOD} = 0),
+s AS (SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS nrm FROM aug),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         {roundn_sql(_dot_sql('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)')} AS cosine
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT * FROM p WHERE cosine >= 0.95""",
+
+    "q_ann_ivf": f"""
+WITH dims AS (
+  SELECT label, i AS pos, {roundn_sql('avg(embedding[i]::DOUBLE)', 4)} AS cv
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i),
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+centn AS (
+  SELECT label, centroid, {_norm_sql('centroid')} AS cnorm FROM cent),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT qid, qe, qnorm, label,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           {roundn_sql(_dot_sql('qe', 'centroid') + ' / (qnorm * cnorm)')} DESC,
+           label) AS crank
+  FROM q, centn),
+probed AS (SELECT qid, qe, qnorm, label FROM probe WHERE crank <= {N_PROBE}),
+c AS (
+  SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS enorm
+  FROM embeddings),
+scored AS (
+  SELECT qid, vec_id, c.label AS label, {_COS} AS cosine
+  FROM c JOIN probed USING (label)
+  WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, label, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {IVF_TOP_K}""",
+}
