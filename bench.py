@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""BENCH harness: times the engine's headline queries at the bench scale
+factor and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Each query is materialized with the noop sink (full execution, no driver
+collect). AQE is on — this is the production-shaped config, not a tuned
+demo: shuffle partitions sized to cores, broadcast joins left to Catalyst
+plus explicit hints in the operators themselves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Headline set: scan-agg, window, join, string-heavy pivot, LSH dedup,
+#: vector search, Pandas-UDF decode — every engine subsystem represented.
+HEADLINE = (
+    "q_scan",
+    "q_doc_pivot",
+    "q_upsert_latest",
+    "q_batch_assign",
+    "q_event_rollup",
+    "q_sessionize",
+    "q_enrich_join",
+    "q_pricing_summary",
+    "q_top_orders",
+    "q_text_stats",
+    "q_tokenize",
+    "q_exact_dedup",
+    "q_near_dedup",
+    "q_simhash_dedup",
+    "q_knn_cosine",
+    "q_ann_ivf",
+    "q_media_decode",
+)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("river-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from elasticsearch_hbase_river_spark.registry import all_queries
+
+    queries = all_queries()
+
+    # Warm up the JVM / parquet footers once so q1 isn't charged for JIT.
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

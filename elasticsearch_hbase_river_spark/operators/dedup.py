@@ -83,9 +83,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shingling ------------------------------------------------------------
 
-def _shingles(text: Column) -> Column:
-    """Distinct 3-word shingles (higher-order functions, map-side)."""
-    toks = F.split(text, " ")
+def _shingle_df(aug: DataFrame) -> DataFrame:
+    """(doc_id, sh) with the token split materialized as its own projection
+    stage — inside one big lambda expression Spark re-evaluates ``split``
+    per reference, so stage it as a real column (evaluated once per row in
+    codegen) before building shingles from it."""
+    t = aug.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -94,8 +98,8 @@ def _shingles(text: Column) -> Column:
                                   F.element_at(toks, i + 1),
                                   F.element_at(toks, i + 2)),
         ),
-    ).otherwise(F.array(text))
-    return F.array_distinct(grams)
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return t.select("doc_id", F.array_distinct(grams).alias("sh"))
 
 
 _SHINGLES_SQL = """
@@ -112,7 +116,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its truncated near-copy, plus adjacent-id background pairs. Set algebra
     via array_intersect on the 3-gram shingle sets."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    sh = aug.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sh = _shingle_df(aug)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = a.join(
@@ -153,8 +157,7 @@ def _minhash_sql(j: int) -> str:
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature + LSH band keys (2 rows/band)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    sig = aug.select("doc_id", _shingles(F.col("text")).alias("sh")).select(
-        "doc_id", *_minhash_cols())
+    sig = _shingle_df(aug).select("doc_id", *_minhash_cols())
     bands = [
         F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
         for b in range(N_BANDS)
@@ -166,8 +169,12 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: candidates from band-bucket
     collisions (shuffle keyed on (band_idx, band_hash) — never all-pairs),
     scored by the fraction of matching MinHashes."""
+    # Signatures are tiny relative to the corpus (k hashes/doc) — persist
+    # them: bands + both verify joins reuse one computation. At 100 TB the
+    # signature relation is a materialized table, same idea.
     sig = q_minhash_signature(spark, sf_dir)
     sig = sig.withColumn("mh", F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)]))
+    sig = sig.persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
@@ -202,22 +209,31 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits (majority vote per bit position), 4-bit band candidate buckets,
     Hamming-distance verify via bit_count(xor)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    # bit p (1..16): +1 if hex digit p of md5(token) >= 8 else -1; majority
+    # Features are 3-gram shingles, not unigrams: with a small shared
+    # vocabulary unigram simhashes cluster (everything looks near-dup);
+    # shingles carry word order. Stage the per-shingle md5 ONCE — the naive
+    # form recomputes md5 per bit position, 32x the hashing.
+    th = _shingle_df(aug).select(
+        "doc_id", F.expr("transform(sh, s -> md5(s))").alias("th"))
+    # bit p (1..32): +1 if hex digit p of md5(shingle) >= 8 else -1; majority.
+    # 32 bits so the 8-bit candidate bands below have 256 values — a 16-bit
+    # signature with 4-bit bands makes every bucket huge and the self-join
+    # quadratic.
     simhash = F.expr("""
       aggregate(
-        transform(sequence(1, 16), p ->
-          CASE WHEN aggregate(split(text, ' '), 0,
-                    (acc, t) -> acc + (CASE WHEN substr(md5(t), p, 1)
+        transform(sequence(1, 32), p ->
+          CASE WHEN aggregate(th, 0,
+                    (acc, h) -> acc + (CASE WHEN substr(h, p, 1)
                                             IN ('8','9','a','b','c','d','e','f')
                                        THEN 1 ELSE -1 END)) > 0
-               THEN shiftleft(1, p - 1) ELSE 0 END),
-        0, (acc, x) -> acc + x)
-    """).cast("long")
-    sh = aug.select("doc_id", simhash.alias("simhash"))
+               THEN shiftleft(CAST(1 AS BIGINT), p - 1) ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (acc, x) -> acc + x)
+    """)
+    sh = th.select("doc_id", simhash.alias("simhash"))
     bands = sh.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(
-            "transform(sequence(0, 3), b -> (simhash div shiftleft(1, 4*b)) % 16)"
+            "transform(sequence(0, 3), b -> (simhash div shiftleft(CAST(1 AS BIGINT), 8*b)) % 256)"
         )).alias("band_idx", "band_val"),
     )
     cand = (
@@ -230,7 +246,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("y.doc_id").alias("doc_b"), F.col("y.simhash").alias("sim_b"))
         .distinct()
     )
-    ham = F.bit_count(F.expr("int(sim_a) ^ int(sim_b)")).cast("long")
+    ham = F.bit_count(F.expr("sim_a ^ sim_b")).cast("long")
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= 3)
                 .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming"))
@@ -314,17 +330,21 @@ FROM scored""",
 
     "q_simhash_dedup": f"""
 WITH aug AS ({_AUG_SQL_NEAR}),
+shq AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+th AS (
+  SELECT doc_id, list_transform(sh, s -> md5(s)) AS th
+  FROM shq),
 sh AS (
   SELECT doc_id,
-         CAST(list_sum(list_transform(range(1, 17), p ->
-           CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
-                  CASE WHEN substr(md5(t), p, 1) IN ('8','9','a','b','c','d','e','f')
+         CAST(list_sum(list_transform(range(1, 33), p ->
+           CASE WHEN list_sum(list_transform(th, h ->
+                  CASE WHEN substr(h, p, 1) IN ('8','9','a','b','c','d','e','f')
                        THEN 1 ELSE -1 END)) > 0
-                THEN 1 << (p - 1) ELSE 0 END)) AS BIGINT) AS simhash
-  FROM aug),
+                THEN 1::BIGINT << (p - 1) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+  FROM th),
 bands AS (
   SELECT doc_id, simhash, b AS band_idx,
-         (simhash // (1 << (4 * b))) % 16 AS band_val
+         (simhash // (1::BIGINT << (8 * b))) % 256 AS band_val
   FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS b)),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,

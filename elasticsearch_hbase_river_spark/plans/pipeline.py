@@ -48,6 +48,18 @@ def assemble_documents(cells: DataFrame, config: RiverConfig) -> DataFrame:
         F.array_join(path, sep or "").alias("leaf_key"),
         F.col("value"),
     )
+    # Cell-level last-write-wins: the newest version of each cell is the
+    # visible one (HBase returns maxVersions=1; readDataTree's map-put
+    # overwrite does the rest, HBaseParser.java:239,243). max(struct) is
+    # deterministic (ts, then value as tiebreak) and partial-aggregable —
+    # cheaper than a window at 100 TB.
+    flat = (
+        flat.groupBy("row_key", "family", "leaf_key")
+        .agg(F.max(F.struct("ts_ms", "value")).alias("latest"))
+        .select("row_key", "family", "leaf_key",
+                F.col("latest.ts_ms").alias("ts_ms"),
+                F.col("latest.value").alias("value"))
+    )
     kv = F.concat(F.lit('"'), F.col("leaf_key"), F.lit('":"'),
                   _esc_json(F.col("value")), F.lit('"'))
     fams = (

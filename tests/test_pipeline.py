@@ -1,0 +1,81 @@
+"""End-to-end river pipeline semantics (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.config import RiverConfig
+from elasticsearch_hbase_river_spark.plans.pipeline import (
+    flagship, river_tick_plan, run_once, sink_max_ts,
+)
+from elasticsearch_hbase_river_spark.sources.cells import cells_from_events
+
+
+@pytest.fixture()
+def cfg():
+    return RiverConfig(table="events", index="river", type_name="doc",
+                       column_separator="::", delete_old=True)
+
+
+def test_flagship_documents_are_valid_sorted_json(spark, sf_dir):
+    rows = flagship(spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.doc_json)  # escaping is correct
+        assert set(doc) <= {"data", "meta"}
+        assert list(doc) == sorted(doc)  # deterministic key order
+        assert r.doc_id == r.row_key
+
+
+def test_tick_is_incremental(spark, sf_dir, cfg, tmp_path):
+    cells = cells_from_events(spark, sf_dir)
+    sink = str(tmp_path / "sink")
+    r1 = run_once(spark, cells, cfg, sink)
+    assert r1.rows_indexed == 1000
+    assert r1.deleted_keys == 1000  # delete_old: acked rows eligible
+    r2 = run_once(spark, cells, cfg, sink)
+    assert r2.rows_indexed == 0  # watermark: nothing new
+    assert r2.watermark_ms == r1.watermark_ms
+    assert sink_max_ts(spark, sink) == r1.watermark_ms
+
+
+def test_tick_picks_up_new_cells(spark, sf_dir, cfg, tmp_path):
+    cells = cells_from_events(spark, sf_dir)
+    sink = str(tmp_path / "sink")
+    old = cells.filter(F.col("ts_ms") % 2 == 0)
+    new = cells.filter(F.col("ts_ms") % 2 == 1)
+    r1 = run_once(spark, old, cfg, sink)
+    # second tick sees the full table; only cells above the watermark load
+    r2 = run_once(spark, cells, cfg, sink)
+    expected_new = (new.filter(F.col("ts_ms") > r1.watermark_ms - 1)
+                    .select("row_key").distinct().count())
+    assert r2.rows_indexed == expected_new
+
+
+def test_family_and_qualifier_pushdown(spark, sf_dir):
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      family="meta", qualifiers=("event_type",))
+    out = river_tick_plan(cells_from_events(spark, sf_dir), cfg, 0)
+    docs = out.limit(5).collect()
+    for r in docs:
+        doc = json.loads(r.doc_json)
+        assert list(doc) == ["meta"]
+        assert list(doc["meta"]) == ["event_type"]
+
+
+def test_upsert_latest_wins(spark, sf_dir, cfg):
+    cells = cells_from_events(spark, sf_dir)
+    # duplicate every cell with a newer ts and marker value
+    newer = cells.withColumn("ts_ms", F.col("ts_ms") + 10_000) \
+                 .withColumn("value", F.lit("NEWER"))
+    out = river_tick_plan(cells.unionByName(newer), cfg, 0)
+    sample = out.limit(20).collect()
+    assert sample
+    for r in sample:
+        doc = json.loads(r.doc_json)
+        for fam in doc.values():
+            for v in fam.values():
+                assert v == "NEWER"
