@@ -48,6 +48,13 @@ def _augmented_docs(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
                     F.greatest(F.size(F.split("text", " ")) - TRUNCATE, F.lit(1))),
             " ").alias("text"),
     )
+    if not exact:
+        # Exchange barrier on the (tiny, 1/COPY_MOD) copies branch: without
+        # it CollapseProject inlines the split/slice/array_join text
+        # expression into every element_at inside the downstream shingle
+        # lambdas — O(shingles) re-evaluations per row, a >10x slowdown
+        # measured at sf0.1.
+        copies = copies.repartition("doc_id")
     return docs.unionByName(copies)
 
 
@@ -205,31 +212,38 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection: 16-bit signature from per-token md5 hex
-    digits (majority vote per bit position), 4-bit band candidate buckets,
+    """SimHash near-dup detection: 32-bit signature from per-shingle md5 hex
+    digits (majority vote per bit position), 8-bit band candidate buckets,
     Hamming-distance verify via bit_count(xor)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
     # Features are 3-gram shingles, not unigrams: with a small shared
     # vocabulary unigram simhashes cluster (everything looks near-dup);
-    # shingles carry word order. Stage the per-shingle md5 ONCE — the naive
-    # form recomputes md5 per bit position, 32x the hashing.
-    th = _shingle_df(aug).select(
-        "doc_id", F.expr("transform(sh, s -> md5(s))").alias("th"))
+    # shingles carry word order.
+    #
+    # Signature shape: explode shingles and majority-vote per bit position
+    # with 32 conditional SUMs in ONE hash aggregate. The nested
+    # higher-order-function form (aggregate over transform(sequence(1,32)))
+    # runs interpreted, outside whole-stage codegen — ~40x slower here.
+    # Explode + groupBy is also the 100 TB shape: md5 once per shingle,
+    # map-side partial aggregation, one shuffle keyed on doc_id.
+    hashed = (_shingle_df(aug)
+              .select("doc_id", F.explode("sh").alias("s"))
+              .select("doc_id", F.md5("s").alias("h")))
     # bit p (1..32): +1 if hex digit p of md5(shingle) >= 8 else -1; majority.
     # 32 bits so the 8-bit candidate bands below have 256 values — a 16-bit
     # signature with 4-bit bands makes every bucket huge and the self-join
     # quadratic.
-    simhash = F.expr("""
-      aggregate(
-        transform(sequence(1, 32), p ->
-          CASE WHEN aggregate(th, 0,
-                    (acc, h) -> acc + (CASE WHEN substr(h, p, 1)
-                                            IN ('8','9','a','b','c','d','e','f')
-                                       THEN 1 ELSE -1 END)) > 0
-               THEN shiftleft(CAST(1 AS BIGINT), p - 1) ELSE CAST(0 AS BIGINT) END),
-        CAST(0 AS BIGINT), (acc, x) -> acc + x)
-    """)
-    sh = th.select("doc_id", simhash.alias("simhash"))
+    hex_hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    votes = hashed.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", p, 1).isin(*hex_hi), 1).otherwise(-1))
+         .alias(f"v{p}") for p in range(1, 33)
+    ])
+    simhash = sum(
+        (F.when(F.col(f"v{p}") > 0, F.lit(1 << (p - 1)).cast("long"))
+          .otherwise(F.lit(0).cast("long")) for p in range(1, 33)),
+        start=F.lit(0).cast("long"),
+    )
+    sh = votes.select("doc_id", simhash.alias("simhash")).persist()
     bands = sh.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(

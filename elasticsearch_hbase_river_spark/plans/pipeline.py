@@ -77,8 +77,40 @@ def assemble_documents(cells: DataFrame, config: RiverConfig) -> DataFrame:
                       F.array_join(F.sort_array(F.collect_list("fam_json")), ","),
                       F.lit("}")).alias("doc_json"))
     )
-    return docs.select(F.col("row_key"), F.col("row_key").alias("doc_id"),
-                       "doc_ts_ms", "doc_json")
+    doc_id = _doc_id_col(config)
+    out = docs.select(F.col("row_key"), doc_id.alias("doc_id"),
+                      "doc_ts_ms", "doc_json")
+    if config.id_field:
+        # ES rejects index requests without an id; rows whose path lookup
+        # misses are dropped (the reference would fail the request,
+        # HBaseParser.java:150-159).
+        out = out.filter(F.col("doc_id").isNotNull())
+    return out
+
+
+def _doc_id_col(config: RiverConfig) -> F.Column:
+    """Document id: the row key when ``id_field`` is unset
+    (HBaseParser.java:150-153), else a separator-path lookup inside the
+    assembled document (findKeyInDataTree, HBaseParser.java:184-194).
+
+    The path's first component names the family, the rest the qualifier
+    path; components are normalized like the document's own keys so a
+    configured path matches what assembly produced (documented intent —
+    the reference matches raw path parts against normalized keys, which
+    only works for already-normalized configs)."""
+    from elasticsearch_hbase_river_spark.functions.normalize import normalize_field_py
+
+    if not config.id_field:
+        return F.col("row_key")
+    sep = config.column_separator
+    parts = config.id_field.split(sep) if sep else [config.id_field]
+    parts = [normalize_field_py(p, sep, config.normalize_fields) for p in parts]
+    if len(parts) < 2:
+        # A bare family names a subtree, not a scalar — findKeyInDataTree
+        # returns null for non-leaf nodes (HBaseParser.java:190-193).
+        return F.lit(None).cast("string")
+    family, leaf = parts[0], (sep or "").join(parts[1:])
+    return F.get_json_object("doc_json", f"$['{family}']['{leaf}']")
 
 
 def river_tick_plan(cells: DataFrame, config: RiverConfig,

@@ -19,9 +19,35 @@ TABLES = (
 NANOS_PER_MILLI = 1_000_000
 
 
+_INFER_FROM_GENERATE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Runtime confs the engine needs regardless of who built the session.
+
+    - ``nanosAsLong``: see module docstring.
+    - exclude ``InferFiltersFromGenerate``: the rule infers ``size(g) > 0``
+      below every ``explode``, and predicate pushdown then substitutes the
+      generator's full expression into that filter — for computed arrays
+      (shingles, minhash bands) the whole higher-order-function expression
+      is re-evaluated per input row, measured 8x slower at sf0.1
+      (SPARK-36715 pathology). ``explode`` already drops empty/null arrays,
+      so excluding the rule is semantics-preserving.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _INFER_FROM_GENERATE)
+    elif _INFER_FROM_GENERATE not in current:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       f"{current},{_INFER_FROM_GENERATE}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; column pruning/pushdown stays with Catalyst."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _tune_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

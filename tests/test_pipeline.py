@@ -66,6 +66,37 @@ def test_family_and_qualifier_pushdown(spark, sf_dir):
         assert list(doc["meta"]) == ["event_type"]
 
 
+def test_id_field_path_extraction(spark, sf_dir):
+    """idField config routes doc_id through the separator-path lookup
+    (findKeyInDataTree parity) instead of the row key."""
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator="::", id_field="meta::user_id")
+    out = river_tick_plan(cells_from_events(spark, sf_dir), cfg, 0)
+    rows = out.limit(20).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.doc_json)
+        assert r.doc_id == doc["meta"]["user_id"]
+        assert r.doc_id != r.row_key or doc["meta"]["user_id"] == r.row_key
+
+
+def test_id_field_normalizes_path_components(spark, sf_dir):
+    """A dirty configured path ('Meta::User_ID!') matches the normalized
+    document keys."""
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator="::", id_field="Meta::User_ID!")
+    out = river_tick_plan(cells_from_events(spark, sf_dir), cfg, 0)
+    r = out.limit(1).collect()[0]
+    assert r.doc_id == json.loads(r.doc_json)["meta"]["user_id"]
+
+
+def test_id_field_missing_path_drops_rows(spark, sf_dir):
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator="::", id_field="meta::nonexistent")
+    out = river_tick_plan(cells_from_events(spark, sf_dir), cfg, 0)
+    assert out.count() == 0
+
+
 def test_upsert_latest_wins(spark, sf_dir, cfg):
     cells = cells_from_events(spark, sf_dir)
     # duplicate every cell with a newer ts and marker value
