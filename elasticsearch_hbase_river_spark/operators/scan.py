@@ -53,8 +53,10 @@ def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC delta scan: only cells newer than the stored watermark
-    (scanner.setMinTimestamp, HBaseParser.java:272)."""
-    return cells_from_events(spark, sf_dir).filter(F.col("ts_ms") > F.lit(WATERMARK_MS))
+    (scanner.setMinTimestamp, HBaseParser.java:272). The predicate is
+    applied to the raw ``ts`` inside the source so it reaches the parquet
+    scan (PushedFilters) instead of filtering post-melt."""
+    return cells_from_events(spark, sf_dir, min_ts_ms_exclusive=WATERMARK_MS)
 
 
 QUERIES = {

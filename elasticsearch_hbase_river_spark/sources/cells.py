@@ -43,9 +43,22 @@ stack(4,
 """
 
 
-def cells_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Melt ``events`` into the canonical ``cells`` relation."""
+def cells_from_events(spark: SparkSession, sf_dir: str,
+                      min_ts_ms_exclusive: int | None = None) -> DataFrame:
+    """Melt ``events`` into the canonical ``cells`` relation.
+
+    ``min_ts_ms_exclusive`` is the incremental-scan watermark
+    (scanner.setMinTimestamp, HBaseParser.java:272). It is applied to the
+    RAW ``ts`` column before the melt — a filter on the derived ``ts_ms``
+    (``ts div 1e6``) cannot be pushed into the parquet scan, so at scale it
+    would read every row group; the equivalent raw predicate
+    ``ts >= (wm+1) * 1e6`` pushes down (and prunes partitions on a
+    date-partitioned cells table)."""
     ev = load_table(spark, sf_dir, "events")
+    if min_ts_ms_exclusive is not None:
+        # ts div 1e6 > wm  <=>  ts >= (wm+1) * 1e6   (non-negative ts)
+        ev = ev.filter(
+            F.col("ts") >= (min_ts_ms_exclusive + 1) * NANOS_PER_MILLI)
     return ev.select(
         F.col("event_id").cast("string").alias("row_key"),
         F.expr(f"ts div {NANOS_PER_MILLI}").alias("ts_ms"),

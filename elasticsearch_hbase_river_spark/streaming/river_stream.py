@@ -113,3 +113,91 @@ def streaming_event_rollup(spark: SparkSession, source_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cells"))
         .select(F.col("window.start").alias("hour_start"), "family", "n_cells")
     )
+
+
+def streaming_sessionize(spark: SparkSession, source_dir: str,
+                         gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of q_sessionize: gap-based sessions per row key via
+    ``session_window`` — state is one open window per key, closed and
+    emitted when the watermark passes the gap. The batch twin computes the
+    same sessions with lag()+running-sum; at 100 TB the streaming form
+    never re-scans history."""
+    cells = read_cells_stream(spark, source_dir)
+    return (
+        cells.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("session"), "row_key")
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .select("row_key", F.col("session.start").alias("session_start"),
+                F.col("session.end").alias("session_end"),
+                "n_cells", "first_ts", "last_ts")
+    )
+
+
+def streaming_exact_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Stateful streaming exact dedup: first occurrence of each
+    (row_key, qualifier, value-hash) wins; duplicates arriving within the
+    watermark horizon are dropped. ``dropDuplicatesWithinWatermark`` bounds
+    the dedup state (a plain dropDuplicates on a stream retains ALL keys
+    forever — unusable at 100 TB)."""
+    cells = read_cells_stream(spark, source_dir)
+    return (
+        cells.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withColumn("content_hash", F.md5(F.concat_ws("\x00", "row_key",
+                                                      "family", "qualifier",
+                                                      "value")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+_LATEST_STATE_SCHEMA = "row_key STRING, ts_ms LONG, n_versions LONG"
+_LATEST_OUT_SCHEMA = ("row_key STRING, latest_ts_ms LONG, n_versions LONG, "
+                      "batch_rows LONG")
+
+
+def streaming_latest_version(spark: SparkSession, source_dir: str,
+                             files_per_trigger: int = 16) -> DataFrame:
+    """The upsert/latest-version-wins operator as TRUE streaming state via
+    ``applyInPandasWithState``: per row key, keep (latest ts, version count)
+    across micro-batches and emit the running latest on every update.
+
+    This is the custom-stateful-operator pattern (SURVEY.md §2.1 row 14 in
+    streaming form): state lives in the state store, partitioned by key —
+    the 100 TB shape is exactly this, one state row per live key.
+
+    State update is a closure so cloudpickle ships it by value (workers
+    don't have the package importable when loaded from a file path).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # local import: runs on Python workers
+
+        (row_key,) = key
+        if state.exists:
+            _, latest, versions = state.get
+        else:
+            latest, versions = None, 0
+        rows = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            batch_max = int(pdf["ts_ms"].max())
+            versions += len(pdf)
+            latest = batch_max if latest is None else max(latest, batch_max)
+        state.update((row_key, int(latest), int(versions)))
+        yield pd.DataFrame({"row_key": [row_key], "latest_ts_ms": [int(latest)],
+                            "n_versions": [int(versions)], "batch_rows": [rows]})
+
+    cells = read_cells_stream(spark, source_dir, files_per_trigger)
+    return (
+        cells.groupBy("row_key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_LATEST_OUT_SCHEMA,
+            stateStructType=_LATEST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,74 @@
+"""Plan-shape assertions: the physical-plan properties that make the
+operators survive 100 TB (SURVEY.md §4). Correctness is the oracle's job;
+these tests pin HOW each query executes — pushdown reaching the scan,
+small sides broadcast, no accidental cartesian products — so a regression
+shows up as a failed test, not a 10x bench slowdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_hbase_river_spark.operators.scan import q_incremental_scan
+from elasticsearch_hbase_river_spark.operators.rollup import q_enrich_join
+from elasticsearch_hbase_river_spark.operators.similarity import (
+    q_ann_ivf, q_knn_cosine,
+)
+from elasticsearch_hbase_river_spark.operators.tpch import q_top_orders
+from elasticsearch_hbase_river_spark.operators.dedup import q_near_dedup
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_scan_pushes_ts_predicate(spark, sf_dir):
+    plan = _plan(q_incremental_scan(spark, sf_dir))
+    # the watermark predicate must reach the parquet reader on the RAW ts
+    # column — not sit above the melt as a ts_ms filter
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+
+
+def test_enrich_join_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(q_enrich_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_orders_broadcasts_customer_filter(spark, sf_dir):
+    plan = _plan(q_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_broadcasts_query_side_only(spark, sf_dir):
+    plan = _plan(q_knn_cosine(spark, sf_dir))
+    # the 8-query side is broadcast against the corpus; a shuffled cartesian
+    # product here would be catastrophic at scale
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
+    plan = _plan(q_ann_ivf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_near_dedup_joins_on_band_keys(spark, sf_dir):
+    """LSH candidate generation must join on (band_idx, band_hash) — an
+    equi-join — never an all-pairs comparison."""
+    plan = _plan(q_near_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q_incremental_scan projects 3 source columns; the parquet ReadSchema
+    must not include the unreferenced ones (value/props stay pruned when
+    untouched)."""
+    df = q_incremental_scan(spark, sf_dir).select("row_key", "ts_ms")
+    plan = _plan(df)
+    start = plan.index("ReadSchema")
+    read_schema = plan[start:start + 200]
+    assert "event_id" in read_schema and "ts" in read_schema

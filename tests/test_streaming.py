@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 from elasticsearch_hbase_river_spark.config import RiverConfig
 from elasticsearch_hbase_river_spark.sources.cells import cells_from_events
 from elasticsearch_hbase_river_spark.streaming.river_stream import (
-    start_river_stream, streaming_event_rollup,
+    start_river_stream, streaming_event_rollup, streaming_exact_dedup,
+    streaming_latest_version, streaming_sessionize,
 )
 
 
@@ -38,6 +39,57 @@ def test_stream_drains_and_upserts(spark, sf_dir, tmp_path):
     q2 = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == out.count()
+
+
+def test_streaming_sessionize(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src_sess")
+    _write_cells(spark, sf_dir, src)
+    df = streaming_sessionize(spark, src)
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("sess_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table("sess_t").columns == [
+        "row_key", "session_start", "session_end",
+        "n_cells", "first_ts", "last_ts"]
+
+
+def test_streaming_exact_dedup_drops_duplicate_cells(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src_dd")
+    cells = cells_from_events(spark, sf_dir)
+    # duplicate the whole relation: every cell appears twice in the stream
+    cells.unionByName(cells).repartition(4).write.mode("overwrite").parquet(src)
+    out = streaming_exact_dedup(spark, src)
+    q = (out.writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_t")
+    n_unique = cells.select("row_key", "family", "qualifier", "value") \
+                    .distinct().count()
+    assert got.count() == n_unique
+    assert got.select("content_hash").distinct().count() == n_unique
+
+
+def test_streaming_latest_version_state(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src_state")
+    # 4 source files, 1 per trigger: 4 micro-batches, so per-key state is
+    # genuinely read back and updated across batches
+    _write_cells(spark, sf_dir, src)
+    out = streaming_latest_version(spark, src, files_per_trigger=1)
+    q = (out.writeStream.format("memory").queryName("state_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("state_t")
+    cells = cells_from_events(spark, sf_dir)
+    per_key = got.groupBy("row_key").agg(
+        F.max("latest_ts_ms").alias("latest_ts_ms"),
+        F.max("n_versions").alias("n_versions"))
+    expect = cells.groupBy("row_key").agg(
+        F.max("ts_ms").alias("e_ts"), F.count(F.lit(1)).alias("e_n"))
+    joined = per_key.join(expect, "row_key")
+    assert joined.count() == 1000
+    assert joined.filter((F.col("latest_ts_ms") != F.col("e_ts"))
+                         | (F.col("n_versions") != F.col("e_n"))).count() == 0
 
 
 def test_streaming_rollup_plan_is_streaming(spark, sf_dir, tmp_path):
