@@ -34,6 +34,10 @@ HEADLINE = (
     "q_event_rollup",
     "q_sessionize",
     "q_enrich_join",
+    "q_asof_join",
+    "q_rollup_cube",
+    "q_train_split",
+    "q_group_topk",
     "q_pricing_summary",
     "q_top_orders",
     "q_text_stats",

@@ -89,10 +89,54 @@ def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (events self-attribution): for each event, the user's most
+    recent PRIOR purchase event — the temporal join every training-data
+    pipeline needs (label attribution, point-in-time features).
+
+    Spark-first shape: NOT a range join (which explodes into an inequality
+    join) but a single window pass — partition by user, order by time,
+    ``last(purchase_marker, ignoreNulls)`` over the preceding frame. One
+    shuffle on user_id, linear work, no candidate blow-up at 100 TB."""
+    ev = load_events(spark, sf_dir)
+    order = [F.col("ts_ms"), F.col("event_id")]
+    w = (Window.partitionBy("user_id").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts_ms"))
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return ev.select(
+        "event_id", "user_id", "ts_ms", "event_type",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts_ms"),
+        F.last(purchase_id, ignorenulls=True).over(w).alias("last_purchase_id"),
+    )
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregate: ROLLUP(event_type, day) with subtotal and
+    grand-total rows — absent from the reference (SURVEY.md §2.2) but a
+    standard OLAP surface. Spark computes all grouping sets in one pass
+    (partial-agg per set); grouping_id disambiguates NULL-valued keys."""
+    ev = load_events(spark, sf_dir)
+    day_ms = F.expr("(ts_ms div 86400000) * 86400000")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.withColumn("day_ms", day_ms)
+        .rollup("event_type", "day_ms")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec).alias("sum_dec"),
+             F.grouping_id().cast("long").alias("gid"))
+        .select("event_type", "day_ms", "n_events",
+                roundn_col(F.col("sum_dec").cast("double")).alias("sum_value"),
+                "gid")
+    )
+
+
 QUERIES = {
     "q_event_rollup": q_event_rollup,
     "q_sessionize": q_sessionize,
     "q_enrich_join": q_enrich_join,
+    "q_asof_join": q_asof_join,
+    "q_rollup_cube": q_rollup_cube,
 }
 
 ORACLES = {
@@ -129,6 +173,26 @@ SELECT user_id, session_idx,
        max(ts_ms) AS session_end_ms,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, session_idx""",
+
+    "q_asof_join": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END
+                  IGNORE NULLS) OVER w AS last_purchase_ts_ms,
+       last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS) OVER w AS last_purchase_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""",
+
+    "q_rollup_cube": f"""
+WITH e AS (
+  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         CAST(value AS DECIMAL(18,2)) AS dec_v
+  FROM events)
+SELECT event_type, day_ms, count(*) AS n_events,
+       {roundn_sql('sum(dec_v)::DOUBLE')} AS sum_value,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day_ms) AS BIGINT) AS gid
+FROM e GROUP BY ROLLUP(event_type, day_ms)""",
 
     "q_enrich_join": f"""
 WITH j AS (

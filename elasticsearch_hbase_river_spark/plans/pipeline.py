@@ -150,9 +150,11 @@ def run_once(spark: SparkSession, cells: DataFrame, config: RiverConfig,
              sink_path: str) -> TickResult:
     """One scheduler tick (HBaseParser.java:82-128): incremental scan from
     the sink watermark, transform, upsert-append to the sink."""
+    from elasticsearch_hbase_river_spark.operators.bulk_sink import write_bulk
+
     wm = sink_max_ts(spark, sink_path)
     out = river_tick_plan(cells, config, wm)
-    out.write.mode("append").parquet(sink_path)
+    write_bulk(out, sink_path, config.batch_size)
     indexed = spark.read.parquet(sink_path).filter(F.col("doc_ts_ms") > wm).count()
     deleted = indexed if config.delete_old else 0
     return TickResult(rows_indexed=indexed,

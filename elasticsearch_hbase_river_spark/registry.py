@@ -16,6 +16,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.rollup",
     "elasticsearch_hbase_river_spark.operators.tpch",
     "elasticsearch_hbase_river_spark.operators.multimodal",
+    "elasticsearch_hbase_river_spark.operators.curation",
 )
 
 

@@ -76,9 +76,11 @@ def start_river_stream(
         # foreachBatch = the bulk writer (HBaseParser.java:135-162). Within
         # a micro-batch, latest-wins per doc id; across batches, append +
         # read-time latest-wins (a real system MERGEs into Delta/Iceberg).
+        from elasticsearch_hbase_river_spark.operators.bulk_sink import write_bulk
+
         docs = assemble_documents(batch_df, config)
-        (docs.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(sink_dir))
+        write_bulk(docs.withColumn("batch_id", F.lit(batch_id)),
+                   sink_dir, config.batch_size)
 
     writer = (
         assemble_and_stream(cells, config)

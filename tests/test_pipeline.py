@@ -97,6 +97,49 @@ def test_id_field_missing_path_drops_rows(spark, sf_dir):
     assert out.count() == 0
 
 
+def test_bulk_write_respects_batch_size(spark, sf_dir, cfg, tmp_path):
+    """batchSize parity: each sink file holds at most batch_size rows (the
+    bulk-request analog, HBaseRiver.java:59-62)."""
+    import glob
+
+    cells = cells_from_events(spark, sf_dir)
+    sink = str(tmp_path / "sink_bulk")
+    small = RiverConfig(table="events", index="river", type_name="doc",
+                        column_separator="::", batch_size=100)
+    run_once(spark, cells, small, sink)
+    files = glob.glob(sink + "/*.parquet")
+    assert files
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 100
+
+
+def test_dead_letter_channel(spark, sf_dir, cfg, tmp_path):
+    """Failure channel: rejected rows land in the dead-letter table with a
+    reason; acked excludes them (failed-key exclusion parity)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hbase_river_spark.operators.bulk_sink import (
+        write_with_dead_letter,
+    )
+
+    docs = river_tick_plan(cells_from_events(spark, sf_dir), cfg, 0)
+    sink = str(tmp_path / "sink_dl")
+    dlq = str(tmp_path / "dlq")
+    res = write_with_dead_letter(
+        docs, sink, dlq,
+        reject_when=F.col("doc_id").endswith("7"),
+        reason="synthetic bulk failure")
+    assert res.rows_acked + res.rows_failed == 1000
+    assert res.rows_failed == 100  # ids 7, 17, ..., 997
+    dead = spark.read.parquet(dlq)
+    assert dead.count() == 100
+    assert dead.filter(F.col("reject_reason") != "synthetic bulk failure").count() == 0
+    acked = spark.read.parquet(sink)
+    assert acked.count() == 900
+    assert acked.filter(F.col("doc_id").endswith("7")).count() == 0
+
+
 def test_upsert_latest_wins(spark, sf_dir, cfg):
     cells = cells_from_events(spark, sf_dir)
     # duplicate every cell with a newer ts and marker value
