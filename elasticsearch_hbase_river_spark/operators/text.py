@@ -137,7 +137,57 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP = 100
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by document frequency and total
+    count. The canonical explode -> partial-agg shuffle: counts combine
+    map-side, so the shuffle carries one row per distinct token per
+    partition — not one per occurrence. Deterministic tiebreak on the
+    token itself."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(_toks()).alias("token"))
+               .groupBy("token")
+               .agg(F.count(F.lit(1)).alias("n_total"),
+                    F.countDistinct("doc_id").alias("n_docs")))
+    w = Window.orderBy(F.col("n_total").desc(), F.col("token"))
+    return (tok.withColumn("rank", F.row_number().over(w).cast("long"))
+               .filter(F.col("rank") <= VOCAB_TOP))
+
+
+TFIDF_TOP = 3
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf = count/doc_len, idf =
+    ln(N/df). Two partial-agg shuffles (term counts per doc, df per term)
+    plus a broadcast of the (small) df relation back onto the term rows;
+    the per-doc rank shuffles on doc_id only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # 1-row scalar; at scale read from table stats
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"),
+                      F.size(_toks()).alias("doc_len"))
+    tf = (tok.groupBy("doc_id", "token")
+             .agg(F.count(F.lit(1)).alias("n"), F.first("doc_len").alias("doc_len")))
+    df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(df_rel), "token")
+                .withColumn("tfidf", roundn_col(
+                    (F.col("n") / F.col("doc_len"))
+                    * F.log(F.lit(float(n_docs)) / F.col("df")))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= TFIDF_TOP)
+                  .select("doc_id", "token", "tfidf", "rank"))
+
+
 QUERIES = {
+    "q_vocab": q_vocab,
+    "q_tfidf": q_tfidf,
     "q_text_stats": q_text_stats,
     "q_tokenize": q_tokenize,
     "q_lang_id": q_lang_id,
@@ -152,6 +202,38 @@ _DE = _sql_count_in(LEXICONS["de"])
 _ES = _sql_count_in(LEXICONS["es"])
 
 ORACLES = {
+    "q_tfidf": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         len(string_split(text, ' ')) AS doc_len
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS n, any_value(doc_len) AS doc_len
+  FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         {roundn_sql('(tf.n::DOUBLE / tf.doc_len) * ln((SELECT count(*) FROM documents)::DOUBLE / dfr.df)')} AS tfidf
+  FROM tf JOIN dfr USING (token)),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {TFIDF_TOP}""",
+
+    "q_vocab": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+agg AS (
+  SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, n_total, n_docs,
+         CAST(row_number() OVER (ORDER BY n_total DESC, token) AS BIGINT) AS rank
+  FROM agg)
+SELECT * FROM ranked WHERE rank <= {VOCAB_TOP}""",
+
     "q_text_stats": f"""
 WITH t AS (
   SELECT doc_id, text,

@@ -32,8 +32,13 @@ def assemble_documents(cells: DataFrame, config: RiverConfig) -> DataFrame:
     """cells -> (doc_id, doc_ts_ms, doc_json) with deterministic sorted-key
     JSON (readDataTree + readQualifierStructure, HBaseParser.java:204-244).
 
-    All string/array built-ins — stays in whole-stage codegen; exactly one
-    shuffle per grouping level on row_key.
+    ONE shuffle total: cells group straight to their row, and the
+    per-(family, leaf) last-write-wins dedup plus the two-level JSON fold
+    happen inside the collected cell array with array built-ins. The
+    earlier three-stage form (LWW groupBy, family groupBy, document
+    groupBy) shuffled the full corpus three times — the dominant cost of
+    the pipeline at 100 TB. collect_list here is bounded by cells-per-row
+    (a document), the same bound the reference holds in memory per row.
     """
     from elasticsearch_hbase_river_spark.functions.normalize import normalize_field_col
     from elasticsearch_hbase_river_spark.functions.qualifier import split_qualifier_col
@@ -48,35 +53,39 @@ def assemble_documents(cells: DataFrame, config: RiverConfig) -> DataFrame:
         F.array_join(path, sep or "").alias("leaf_key"),
         F.col("value"),
     )
-    # Cell-level last-write-wins: the newest version of each cell is the
-    # visible one (HBase returns maxVersions=1; readDataTree's map-put
-    # overwrite does the rest, HBaseParser.java:239,243). max(struct) is
-    # deterministic (ts, then value as tiebreak) and partial-aggregable —
-    # cheaper than a window at 100 TB.
-    flat = (
-        flat.groupBy("row_key", "family", "leaf_key")
-        .agg(F.max(F.struct("ts_ms", "value")).alias("latest"))
-        .select("row_key", "family", "leaf_key",
-                F.col("latest.ts_ms").alias("ts_ms"),
-                F.col("latest.value").alias("value"))
+    rows = flat.groupBy("row_key").agg(
+        F.array_sort(F.collect_list(
+            F.struct("family", "leaf_key", "ts_ms", "value"))).alias("cs"))
+
+    # Last-write-wins per (family, leaf_key): after the sort, the winner of
+    # each run is its last element — max (ts_ms, value), the deterministic
+    # tiebreak (HBase maxVersions=1 + map-put overwrite,
+    # HBaseParser.java:239,243).
+    kept = F.filter(
+        F.col("cs"),
+        lambda x, i: (i == F.size(F.col("cs")) - 1)
+        | (F.element_at(F.col("cs"), i + 2)["family"] != x["family"])
+        | (F.element_at(F.col("cs"), i + 2)["leaf_key"] != x["leaf_key"]),
     )
-    kv = F.concat(F.lit('"'), F.col("leaf_key"), F.lit('":"'),
-                  _esc_json(F.col("value")), F.lit('"'))
-    fams = (
-        flat.withColumn("kv", kv)
-        .groupBy("row_key", "family")
-        .agg(F.array_join(F.sort_array(F.collect_list("kv")), ",").alias("kvs"),
-             F.min("ts_ms").alias("fam_ts"))
-        .withColumn("fam_json", F.concat(F.lit('"'), F.col("family"),
-                                         F.lit('":{'), F.col("kvs"), F.lit("}")))
-    )
-    docs = (
-        fams.groupBy("row_key")
-        .agg(F.min("fam_ts").alias("doc_ts_ms"),
-             F.concat(F.lit("{"),
-                      F.array_join(F.sort_array(F.collect_list("fam_json")), ","),
-                      F.lit("}")).alias("doc_json"))
-    )
+    rows = rows.select("row_key", kept.alias("kept"))
+
+    # Fold the (family-major, leaf-minor) sorted survivors into nested JSON
+    # in one pass: open a family object at each family boundary.
+    def piece(x, i):
+        prev_fam = F.element_at(F.col("kept"), i)["family"]  # i is 0-based
+        kv = F.concat(F.lit('"'), x["leaf_key"], F.lit('":"'),
+                      _esc_json(x["value"]), F.lit('"'))
+        open_fam = F.concat(F.lit('"'), x["family"], F.lit('":{'), kv)
+        return (F.when(i == 0, F.concat(F.lit("{"), open_fam))
+                 .when(prev_fam != x["family"],
+                       F.concat(F.lit("},"), open_fam))
+                 .otherwise(F.concat(F.lit(","), kv)))
+
+    doc_json = F.concat(
+        F.array_join(F.transform(F.col("kept"), piece), ""), F.lit("}}"))
+    doc_ts = F.array_min(F.transform(F.col("kept"), lambda x: x["ts_ms"]))
+    docs = rows.select("row_key", doc_ts.alias("doc_ts_ms"),
+                       doc_json.alias("doc_json"))
     doc_id = _doc_id_col(config)
     out = docs.select(F.col("row_key"), doc_id.alias("doc_id"),
                       "doc_ts_ms", "doc_json")

@@ -90,17 +90,25 @@ CELLS_CTE = f"WITH cells AS ({CELLS_SQL})"
 
 
 def melt_wide_table(df: DataFrame, key_col: str, ts_ms_expr: str,
-                    family_map: dict[str, list[str]]) -> DataFrame:
+                    family_map: dict[str, list[str]],
+                    charset: str = "UTF-8") -> DataFrame:
     """Generic wide-table -> cells melt for arbitrary ingest tables.
 
-    ``family_map`` assigns each source column (pre-cast to string by the
-    caller if non-string) to a family. This is how any relational table
-    enters the river pipeline — the Spark analog of "an HBase table".
+    ``family_map`` assigns each source column to a family. This is how any
+    relational table enters the river pipeline — the Spark analog of "an
+    HBase table". Binary columns are decoded with the configured
+    ``charset`` (the reference decodes every cell with one charset,
+    HBaseRiver.java:74,151; HBaseParser.java:207-209); everything else is
+    cast to string (all HBase values are strings).
     """
+    binary_cols = {f.name for f in df.schema.fields
+                   if f.dataType.typeName() == "binary"}
     entries = []
     for family, columns in family_map.items():
         for c in columns:
-            entries.append(f"'{family}', '{c}', CAST({c} AS STRING)")
+            v = f"decode({c}, '{charset}')" if c in binary_cols \
+                else f"CAST({c} AS STRING)"
+            entries.append(f"'{family}', '{c}', {v}")
     n = sum(len(v) for v in family_map.values())
     melt = f"stack({n}, {', '.join(entries)}) AS (family, qualifier, value)"
     return df.select(

@@ -140,6 +140,34 @@ def test_dead_letter_channel(spark, sf_dir, cfg, tmp_path):
     assert acked.filter(F.col("doc_id").endswith("7")).count() == 0
 
 
+def test_melt_wide_table_feeds_the_river(spark, sf_dir):
+    """Any relational table enters the pipeline via the generic melt;
+    binary columns are decoded with the configured charset."""
+    from elasticsearch_hbase_river_spark.sources.cells import melt_wide_table
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    orders = (load_table(spark, sf_dir, "orders").limit(20)
+              .withColumn("bin_priority", F.encode("o_orderpriority", "UTF-8")))
+    cells = melt_wide_table(
+        orders, key_col="o_orderkey", ts_ms_expr="CAST(1 AS BIGINT)",
+        family_map={"o": ["o_orderpriority", "bin_priority", "o_totalprice"]})
+    got = {(r.row_key, r.qualifier): r.value for r in cells.collect()}
+    src = orders.collect()
+    for r in src:
+        k = str(r.o_orderkey)
+        # binary column decoded == its string source (charset parity)
+        assert got[(k, "bin_priority")] == got[(k, "o_orderpriority")]
+        assert got[(k, "o_totalprice")] is not None
+
+    cfg = RiverConfig(table="orders", index="river", type_name="doc",
+                      column_separator="::")
+    docs = river_tick_plan(cells, cfg, 0)
+    assert docs.count() == 20
+    doc = json.loads(docs.limit(1).collect()[0].doc_json)
+    assert set(doc) == {"o"}
+    assert set(doc["o"]) == {"o_orderpriority", "bin_priority", "o_totalprice"}
+
+
 def test_upsert_latest_wins(spark, sf_dir, cfg):
     cells = cells_from_events(spark, sf_dir)
     # duplicate every cell with a newer ts and marker value

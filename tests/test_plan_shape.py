@@ -63,6 +63,17 @@ def test_near_dedup_joins_on_band_keys(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_flagship_pipeline_single_shuffle(spark, sf_dir):
+    """The whole river tick (melt -> assemble -> upsert) must shuffle the
+    corpus exactly ONCE: document assembly groups by row_key, and the
+    upsert window reuses that partitioning through the doc_id alias. A
+    second Exchange here would double the dominant cost at 100 TB."""
+    from elasticsearch_hbase_river_spark.plans.pipeline import flagship
+
+    plan = _plan(flagship(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """q_incremental_scan projects 3 source columns; the parquet ReadSchema
     must not include the unreferenced ones (value/props stay pruned when
