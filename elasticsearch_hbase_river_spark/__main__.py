@@ -1,0 +1,94 @@
+"""CLI for the river — the analog of the reference's river registration
+(import.sh:4-22: one JSON config PUT to ES starts the import loop).
+
+    python -m elasticsearch_hbase_river_spark \
+        --source /path/to/cells_parquet --sink /path/to/sink \
+        --table events --index river --type doc \
+        --batch-size 1000 --interval-ms 60000 \
+        [--family meta] [--qualifiers a,b] [--id-field fam::qual]
+        [--separator '::'] [--delete-old] [--streaming --checkpoint DIR]
+
+Batch mode runs one tick (run_once) per invocation — the reference's
+scheduler becomes cron/Airflow/whatever owns the cadence. ``--streaming``
+starts a Structured Streaming query triggered every ``--interval-ms``
+(the reference's polling loop) and blocks until interrupted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="elasticsearch_hbase_river_spark")
+    p.add_argument("--source", required=True,
+                   help="parquet directory holding the cells relation")
+    p.add_argument("--sink", required=True, help="sink parquet directory")
+    p.add_argument("--table", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--type", dest="type_name", required=True)
+    p.add_argument("--family")
+    p.add_argument("--qualifiers", default="",
+                   help="comma-separated qualifier IN-list (requires --family)")
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--interval-ms", type=int, default=600_000)
+    p.add_argument("--id-field")
+    p.add_argument("--separator")
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--charset", default="UTF-8")
+    p.add_argument("--delete-old", action="store_true")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--checkpoint", help="checkpoint dir (streaming mode)")
+    p.add_argument("--master", default="local[*]")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import SparkSession
+
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+
+    args = build_parser().parse_args(argv)
+    # reuse an ambient session (tests, notebooks); only stop what we create
+    owns_session = SparkSession.getActiveSession() is None
+    config = RiverConfig(
+        table=args.table, index=args.index, type_name=args.type_name,
+        family=args.family,
+        qualifiers=tuple(q for q in args.qualifiers.split(",") if q),
+        batch_size=args.batch_size, interval_ms=args.interval_ms,
+        id_field=args.id_field, column_separator=args.separator,
+        normalize_fields=not args.no_normalize, charset=args.charset,
+        delete_old=args.delete_old,
+    )
+    spark = (SparkSession.builder.master(args.master)
+             .appName(f"river-{config.index}").getOrCreate())
+    try:
+        if args.streaming:
+            if not args.checkpoint:
+                print("--streaming requires --checkpoint", file=sys.stderr)
+                return 2
+            from elasticsearch_hbase_river_spark.streaming.river_stream import (
+                start_river_stream,
+            )
+            q = start_river_stream(spark, config, args.source, args.sink,
+                                   args.checkpoint)
+            q.awaitTermination()
+            return 0
+        from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+        from elasticsearch_hbase_river_spark.plans.pipeline import run_once
+
+        _tune_session(spark)
+        cells = spark.read.parquet(args.source)
+        res = run_once(spark, cells, config, args.sink)
+        print(f"rows_indexed={res.rows_indexed} "
+              f"watermark_ms={res.watermark_ms} "
+              f"deleted_keys={res.deleted_keys}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,26 +62,19 @@ def q_doc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readDataTree (HBaseParser.java:204-216): cells -> one JSON document per
     row, ``{family: {qualifier: value}}``, keys sorted for determinism.
     Document id = row key (idField unset, :150-153); document ts = the row's
-    cell timestamp (:149)."""
+    cell timestamp (:149).
+
+    Runs through the engine's single-shuffle assembly (plans/pipeline.py):
+    the oracle-checked parity query exercises the same fold the river tick
+    uses in production."""
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+    from elasticsearch_hbase_river_spark.plans.pipeline import assemble_documents
+
     cells = cells_from_events(spark, sf_dir)
-    kv = F.concat(F.lit('"'), F.col("qualifier"), F.lit('":"'),
-                  _esc_json(F.col("value")), F.lit('"'))
-    fams = (
-        cells.withColumn("kv", kv)
-        .groupBy("row_key", "family")
-        .agg(F.array_join(F.sort_array(F.collect_list("kv")), ",").alias("kvs"),
-             F.min("ts_ms").alias("fam_ts"))
-        .withColumn("fam_json", F.concat(F.lit('"'), F.col("family"),
-                                         F.lit('":{'), F.col("kvs"), F.lit("}")))
-    )
-    return (
-        fams.groupBy("row_key")
-        .agg(F.min("fam_ts").alias("doc_ts_ms"),
-             F.concat(F.lit("{"),
-                      F.array_join(F.sort_array(F.collect_list("fam_json")), ","),
-                      F.lit("}")).alias("doc_json"))
-        .select(F.col("row_key").alias("doc_id"), "doc_ts_ms", "doc_json")
-    )
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator=None, normalize_fields=False)
+    return assemble_documents(cells, cfg).select(
+        F.col("row_key").alias("doc_id"), "doc_ts_ms", "doc_json")
 
 
 def q_qualifier_split(spark: SparkSession, sf_dir: str) -> DataFrame:

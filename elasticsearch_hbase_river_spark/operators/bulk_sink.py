@@ -33,11 +33,23 @@ class BulkWriteResult:
 
 
 def write_bulk(docs: DataFrame, path: str, batch_size: int = 100,
-               mode: str = "append") -> None:
+               mode: str = "append", partition_by_day: bool = False) -> None:
     """Append documents as parquet with at most ``batch_size`` rows per file
-    (the bulk-request analog, HBaseParser.java:137-162)."""
-    (docs.write.option("maxRecordsPerFile", batch_size)
-         .mode(mode).parquet(path))
+    (the bulk-request analog, HBaseParser.java:137-162).
+
+    ``partition_by_day`` lays the sink out as ``dt=YYYY-MM-DD/`` directories
+    derived from ``doc_ts_ms`` — at scale this is what makes the watermark
+    lookup (max doc_ts) and any time-ranged read partition-pruned instead
+    of a full-table scan."""
+    w = docs
+    if partition_by_day:
+        w = docs.withColumn(
+            "dt", F.date_format(F.timestamp_millis(F.col("doc_ts_ms")),
+                                "yyyy-MM-dd"))
+    writer = w.write.option("maxRecordsPerFile", batch_size).mode(mode)
+    if partition_by_day:
+        writer = writer.partitionBy("dt")
+    writer.parquet(path)
 
 
 def split_failed(docs: DataFrame, reject_when: Column) -> tuple[DataFrame, DataFrame]:

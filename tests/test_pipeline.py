@@ -114,6 +114,26 @@ def test_bulk_write_respects_batch_size(spark, sf_dir, cfg, tmp_path):
         assert n <= 100
 
 
+def test_bulk_write_day_partitioned_sink(spark, sf_dir, cfg, tmp_path):
+    """Date-partitioned sink layout: a time-ranged read prunes partitions
+    (the 100 TB watermark-lookup shape)."""
+    import os
+
+    from elasticsearch_hbase_river_spark.operators.bulk_sink import write_bulk
+
+    docs = river_tick_plan(cells_from_events(spark, sf_dir), cfg, 0)
+    sink = str(tmp_path / "sink_part")
+    write_bulk(docs, sink, batch_size=500, partition_by_day=True)
+    parts = [d for d in os.listdir(sink) if d.startswith("dt=")]
+    assert parts
+    back = spark.read.parquet(sink)
+    assert back.count() == 1000
+    one_day = parts[0][len("dt="):]
+    pruned = back.filter(F.col("dt") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan
+
+
 def test_dead_letter_channel(spark, sf_dir, cfg, tmp_path):
     """Failure channel: rejected rows land in the dead-letter table with a
     reason; acked excludes them (failed-key exclusion parity)."""
@@ -138,6 +158,21 @@ def test_dead_letter_channel(spark, sf_dir, cfg, tmp_path):
     acked = spark.read.parquet(sink)
     assert acked.count() == 900
     assert acked.filter(F.col("doc_id").endswith("7")).count() == 0
+
+
+def test_cli_batch_tick(spark, sf_dir, tmp_path):
+    """The import.sh analog: one CLI invocation = one incremental tick."""
+    from elasticsearch_hbase_river_spark.__main__ import main
+
+    src = str(tmp_path / "cells_src")
+    cells_from_events(spark, sf_dir).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "cli_sink")
+    rc = main(["--source", src, "--sink", sink,
+               "--table", "events", "--index", "river", "--type", "doc",
+               "--separator", "::", "--batch-size", "500"])
+    assert rc == 0
+    # main() reuses (and must not stop) the ambient test session
+    assert spark.read.parquet(sink).count() == 1000
 
 
 def test_melt_wide_table_feeds_the_river(spark, sf_dir):
