@@ -156,19 +156,51 @@ def sink_max_ts(spark: SparkSession, sink_path: str) -> int:
 
 
 def run_once(spark: SparkSession, cells: DataFrame, config: RiverConfig,
-             sink_path: str) -> TickResult:
+             sink_path: str, reject_when: F.Column | None = None,
+             dead_letter_path: str | None = None) -> TickResult:
     """One scheduler tick (HBaseParser.java:82-128): incremental scan from
-    the sink watermark, transform, upsert-append to the sink."""
-    from elasticsearch_hbase_river_spark.operators.bulk_sink import write_bulk
+    the sink watermark, transform, upsert-append to the sink.
+
+    With a ``reject_when`` predicate (the engine analog of bulk-response
+    failures), failed rows are diverted to ``dead_letter_path`` and —
+    exactly like the reference's failed-key exclusion,
+    HBaseParser.java:166-177 — never counted as delete candidates."""
+    from elasticsearch_hbase_river_spark.operators.bulk_sink import (
+        write_bulk, write_with_dead_letter,
+    )
 
     wm = sink_max_ts(spark, sink_path)
     out = river_tick_plan(cells, config, wm)
-    write_bulk(out, sink_path, config.batch_size)
-    indexed = spark.read.parquet(sink_path).filter(F.col("doc_ts_ms") > wm).count()
+    if reject_when is not None:
+        if dead_letter_path is None:
+            raise ValueError("reject_when requires dead_letter_path")
+        res = write_with_dead_letter(out, sink_path, dead_letter_path,
+                                     reject_when, reason="bulk item failed",
+                                     batch_size=config.batch_size)
+        indexed = res.rows_acked
+    else:
+        write_bulk(out, sink_path, config.batch_size)
+        indexed = spark.read.parquet(sink_path).filter(
+            F.col("doc_ts_ms") > wm).count()
     deleted = indexed if config.delete_old else 0
     return TickResult(rows_indexed=indexed,
                       watermark_ms=sink_max_ts(spark, sink_path),
                       deleted_keys=deleted)
+
+
+def dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
+                       sink_path: str) -> DataFrame:
+    """Incremental content dedup: drop new documents whose content already
+    exists in the sink (by md5 of doc_json). The sink side reduces to its
+    distinct hash set before the join — at scale this is a pre-computed
+    fingerprint table, and the anti-join shuffles only hashes."""
+    hashed = new_docs.withColumn("content_hash", F.md5("doc_json"))
+    if not os.path.exists(sink_path):
+        return hashed.drop("content_hash")
+    seen = (spark.read.parquet(sink_path)
+            .select(F.md5("doc_json").alias("content_hash")).distinct())
+    return (hashed.join(seen, "content_hash", "left_anti")
+                  .drop("content_hash"))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,6 +160,83 @@ def test_dead_letter_channel(spark, sf_dir, cfg, tmp_path):
     assert acked.filter(F.col("doc_id").endswith("7")).count() == 0
 
 
+def test_run_once_with_failure_channel(spark, sf_dir, tmp_path):
+    """Failed bulk items are dead-lettered and excluded from the ack/delete
+    count (failed-key exclusion, end-to-end through run_once)."""
+    from pyspark.sql import functions as F
+
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator="::", delete_old=True)
+    cells = cells_from_events(spark, sf_dir)
+    sink = str(tmp_path / "sink_f")
+    dlq = str(tmp_path / "dlq_f")
+    r = run_once(spark, cells, cfg, sink,
+                 reject_when=F.col("doc_id").endswith("3"),
+                 dead_letter_path=dlq)
+    assert r.rows_indexed == 900
+    assert r.deleted_keys == 900          # failed keys NOT delete candidates
+    assert spark.read.parquet(dlq).count() == 100
+
+
+def test_dedup_against_sink(spark, sf_dir, tmp_path):
+    from elasticsearch_hbase_river_spark.plans.pipeline import dedup_against_sink
+
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator="::")
+    cells = cells_from_events(spark, sf_dir)
+    sink = str(tmp_path / "sink_dd")
+    run_once(spark, cells, cfg, sink)
+    docs = river_tick_plan(cells, cfg, 0)
+    # everything is already indexed -> all dropped
+    assert dedup_against_sink(spark, docs, sink).count() == 0
+    # unseen content -> kept
+    fresh = docs.withColumn("doc_json", F.concat("doc_json", F.lit(" ")))
+    assert dedup_against_sink(spark, fresh, sink).count() == 1000
+    # cold start (no sink) -> passthrough
+    assert dedup_against_sink(spark, docs,
+                              str(tmp_path / "nope")).count() == 1000
+
+
+def test_assembly_adversarial_cells(spark):
+    """The one-shuffle fold must agree with the reference semantics on
+    hostile input: LWW collisions (same leaf, different ts — and ts ties
+    broken by value), separator-nested qualifiers, empty-trailing collapse,
+    dirty names, values needing JSON escaping, multiple families."""
+    from elasticsearch_hbase_river_spark.functions.normalize import normalize_field_py
+    from elasticsearch_hbase_river_spark.functions.qualifier import effective_path
+    from elasticsearch_hbase_river_spark.plans.pipeline import assemble_documents
+
+    rows = [
+        # row_key, family, qualifier, value, ts_ms
+        ("r1", "Fam!", "a::b::c", "v1", 10),
+        ("r1", "Fam!", "a::b::c", "v2-newer", 20),     # LWW on ts
+        ("r1", "Fam!", "x::", "collapsed", 5),          # empty-trailing
+        ("r1", "other", "q", 'say "hi" \\ bye', 7),     # escaping
+        ("r2", "m", "tie", "AAA", 5),
+        ("r2", "m", "tie", "BBB", 5),                   # ts tie -> max value
+    ]
+    cells = spark.createDataFrame(
+        rows, "row_key string, family string, qualifier string, "
+              "value string, ts_ms long")
+    cfg = RiverConfig(table="t", index="i", type_name="d",
+                      column_separator="::")
+    got = {r.row_key: r for r in assemble_documents(cells, cfg).collect()}
+
+    def leaf(q):
+        return "::".join(effective_path(q, "::"))
+
+    d1 = json.loads(got["r1"].doc_json)
+    f = normalize_field_py("Fam!", "::")
+    assert d1[f][leaf("a::b::c")] == "v2-newer"          # newest wins
+    assert d1[f][leaf("x::")] == "collapsed"
+    assert leaf("x::") == "x"                            # collapse semantics
+    assert d1["other"]["q"] == 'say "hi" \\ bye'         # round-trips JSON
+    assert got["r1"].doc_ts_ms == 5                      # min over kept cells
+    d2 = json.loads(got["r2"].doc_json)
+    assert d2["m"]["tie"] == "BBB"                       # deterministic tie
+    assert list(d1) == sorted(d1)                        # sorted keys
+
+
 def test_cli_batch_tick(spark, sf_dir, tmp_path):
     """The import.sh analog: one CLI invocation = one incremental tick."""
     from elasticsearch_hbase_river_spark.__main__ import main

@@ -153,3 +153,43 @@ class TestEffectivePath:
             node = node[comp]
         assert isinstance(node, dict)
         assert node[path[-1]] == "V"
+
+
+class TestSparkTwinAgreement:
+    """The Spark Column implementations must agree with the pure-Python
+    reference-semantics twins on adversarial inputs. One batched DataFrame
+    per test keeps this fast (no per-example Spark jobs)."""
+
+    # covers separators, empties, doubled separators, dirty chars, unicode,
+    # case folding, dash/underscore preservation
+    CASES = [
+        "data::set1::category1", "data::set2::", "a::::b", "a::::", "",
+        "plain", "UPPER::Case!", "a-b_c::d", "x&*y::z#", "::", "::::",
+        "Ünïcode::Straße", "tab\there", "sp ace::q", "a::b::c::d::e",
+        "trailing::::", "-_-", "123::456", "a::B!::c?::",
+    ]
+
+    def test_qualifier_split_column_matches_python(self, spark):
+        from elasticsearch_hbase_river_spark.functions.qualifier import (
+            split_qualifier_col,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(q,) for q in self.CASES], ["q"])
+        got = {r.q: r.path for r in df.select(
+            "q", split_qualifier_col(F.col("q"), "::").alias("path")).collect()}
+        for q in self.CASES:
+            assert got[q] == effective_path(q, "::", normalize=True), q
+
+    def test_normalize_column_matches_python(self, spark):
+        from elasticsearch_hbase_river_spark.functions.normalize import (
+            normalize_field_col, normalize_field_py,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(q,) for q in self.CASES if q], ["q"])
+        got = {r.q: r.n for r in df.select(
+            "q", normalize_field_col(F.col("q"), "::").alias("n")).collect()}
+        for q in self.CASES:
+            if q:
+                assert got[q] == normalize_field_py(q, "::"), q
