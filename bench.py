@@ -40,6 +40,10 @@ HEADLINE = (
     "q_group_topk",
     "q_pricing_summary",
     "q_top_orders",
+    "q_revenue_forecast",
+    "q_regional_supplier_volume",
+    "q_vocab",
+    "q_tfidf",
     "q_text_stats",
     "q_tokenize",
     "q_exact_dedup",

@@ -49,7 +49,13 @@ def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.to_json(F.struct("lang", "source")).alias("meta"),
     )
-    return text.unionByName(image)
+    video = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+    )
+    return text.unionByName(image).unionByName(video)
 
 
 def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,9 +129,51 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches, schema=_DECODE_SCHEMA)
 
 
+_FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_ts_ms", LongType()),
+    StructField("frame_bytes", LongType()),
+])
+
+FRAMES_PER_VIDEO = 4
+
+
+def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video modality via ``mapInPandas``: each
+    video asset fans out to FRAMES_PER_VIDEO evenly-spaced frame rows (a
+    1→N Arrow-batched generator — the shape a real ffmpeg sampler has).
+    The fake 'duration' and per-frame payload slices are derived
+    deterministically from the payload; swap a real demuxer into
+    ``sample_frames``. Rows-only check (Pandas-UDF path)."""
+    strict = STRICT_DECODE
+    k = FRAMES_PER_VIDEO
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_ts_ms": [],
+                   "frame_bytes": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if strict:
+                    raise NotImplementedError(
+                        "no media codecs in this environment")
+                n = len(payload) if payload is not None else 0
+                duration_ms = 1000 * (1 + n % 60)  # fake demux
+                for i in range(k):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * duration_ms // k)
+                    out["frame_bytes"].append(max(n // k, 1))
+            yield pd.DataFrame(out)
+
+    vids = multimodal_frame(spark, sf_dir).filter(F.col("modality") == "video")
+    return vids.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)
+
+
 QUERIES = {
     "q_multimodal_schema": q_multimodal_schema,
     "q_media_decode": q_media_decode,
+    "q_media_framesample": q_media_framesample,
 }
 
 ORACLES = {

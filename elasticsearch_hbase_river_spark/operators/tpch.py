@@ -81,9 +81,77 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("rank") <= Q3_TOP))
 
 
+Q6_YEAR = "1998"
+Q5_REGION = "ASIA"
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount changes — a pure
+    filter+aggregate whose predicates all push to the parquet scan (date
+    range, discount band, quantity cap). The canonical 'is pushdown
+    working' query: at 100 TB this reads only the matching row groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)"))
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(f"{int(Q6_YEAR)+1}-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").cast("decimal(18,2)") >= F.lit(0.05).cast("decimal(18,2)"))
+            & (F.col("l_discount").cast("decimal(18,2)") <= F.lit(0.07).cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24))
+        .agg(F.sum(rev).alias("rev_dec"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+    return out.select(roundn_col(F.col("rev_dec").cast("double")).alias("revenue"),
+                      "n_items")
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region where customer and
+    supplier share the nation. Star shape: region/nation/customer/supplier
+    broadcast; the orders⋈lineitem fact join is the only big shuffle."""
+    region = load_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == Q5_REGION).select("r_regionkey")
+    nation = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_regionkey", "n_name")
+    customer = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * (F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)"))).alias("rev"))
+    dim = (nation.join(F.broadcast(region),
+                       nation.n_regionkey == region.r_regionkey)
+                 .select("n_nationkey", "n_name"))
+    cust = customer.join(F.broadcast(dim),
+                         customer.c_nationkey == dim.n_nationkey) \
+                   .select("c_custkey", "c_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(supplier),
+                (li.l_suppkey == supplier.s_suppkey)
+                & (F.col("c_nationkey") == supplier.s_nationkey))
+          .groupBy("n_name")
+          .agg(F.sum("rev").alias("rev_dec"),
+               F.count(F.lit(1)).alias("n_items"))
+          .select("n_name",
+                  roundn_col(F.col("rev_dec").cast("double")).alias("revenue"),
+                  "n_items")
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
+    "q_revenue_forecast": q_revenue_forecast,
+    "q_regional_supplier_volume": q_regional_supplier_volume,
 }
 
 ORACLES = {
@@ -110,6 +178,36 @@ SELECT l_returnflag, l_linestatus,
        {roundn_sql('sp::DOUBLE / count_order')} AS avg_price,
        count_order
 FROM g""",
+
+    "q_revenue_forecast": f"""
+WITH f AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+         * CAST(l_discount AS DECIMAL(18,2)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{int(Q6_YEAR)+1}-01-01 00:00:00'
+    AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24)
+SELECT {roundn_sql('sum(rev)::DOUBLE')} AS revenue, count(*) AS n_items
+FROM f""",
+
+    "q_regional_supplier_volume": f"""
+WITH dim AS (
+  SELECT n_nationkey, n_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q5_REGION}'),
+j AS (
+  SELECT dim.n_name,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN dim        ON c.c_nationkey = dim.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 AND c.c_nationkey = s.s_nationkey)
+SELECT n_name, {roundn_sql('sum(rev)::DOUBLE')} AS revenue, count(*) AS n_items
+FROM j GROUP BY n_name""",
 
     "q_top_orders": f"""
 WITH agg AS (

@@ -154,6 +154,81 @@ def streaming_exact_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+_BAND_STATE_SCHEMA = "members STRING"
+_BAND_OUT_SCHEMA = "doc_a LONG, doc_b LONG, band_idx INT, band_val STRING"
+
+
+def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
+                         files_per_trigger: int = 16) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: per-document signatures
+    and band keys are computed map-side on the stream (same expressions as
+    the batch ``q_minhash_signature``); candidate pairs come from an
+    ``applyInPandasWithState`` operator keyed on (band_idx, band_val) whose
+    state is the set of doc_ids already seen in that bucket.
+
+    This is the 100 TB streaming shape: state is per-band-bucket (bounded
+    by bucket occupancy, not corpus size), new documents only compare
+    against their own buckets, and emission happens incrementally — no
+    re-scan of the corpus per batch. Pairs may repeat across bands;
+    downstream consumers dedupe (doc_a, doc_b) idempotently.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        N_BANDS, _minhash_cols,
+    )
+
+    docs = (spark.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(docs_source_dir))
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2))),
+    ).otherwise(F.array(F.col("text")))
+    sig = docs.select("doc_id", F.array_distinct(grams).alias("sh")) \
+              .select("doc_id", *_minhash_cols())
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
+            for b in range(N_BANDS)])).alias("band_idx", "band_val"),
+    )
+
+    def match(key, pdfs, state):
+        import pandas as pd  # runs on Python workers
+
+        band_idx, band_val = key
+        seen = set(state.get[0].split(",")) if state.exists and state.get[0] \
+            else set()
+        out = {"doc_a": [], "doc_b": [], "band_idx": [], "band_val": []}
+        for pdf in pdfs:
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                for other in seen:
+                    a, b = sorted((d, int(other)))
+                    out["doc_a"].append(a)
+                    out["doc_b"].append(b)
+                    out["band_idx"].append(band_idx)
+                    out["band_val"].append(band_val)
+                seen.add(str(d))
+        state.update((",".join(sorted(seen)),))
+        yield pd.DataFrame(out)
+
+    return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
+        match,
+        outputStructType=_BAND_OUT_SCHEMA,
+        stateStructType=_BAND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _LATEST_STATE_SCHEMA = "row_key STRING, ts_ms LONG, n_versions LONG"
 _LATEST_OUT_SCHEMA = ("row_key STRING, latest_ts_ms LONG, n_versions LONG, "
                       "batch_rows LONG")

@@ -10,7 +10,7 @@ from elasticsearch_hbase_river_spark.config import RiverConfig
 from elasticsearch_hbase_river_spark.sources.cells import cells_from_events
 from elasticsearch_hbase_river_spark.streaming.river_stream import (
     start_river_stream, streaming_event_rollup, streaming_exact_dedup,
-    streaming_latest_version, streaming_sessionize,
+    streaming_latest_version, streaming_near_dedup, streaming_sessionize,
 )
 
 
@@ -90,6 +90,31 @@ def test_streaming_latest_version_state(spark, sf_dir, tmp_path):
     assert joined.count() == 1000
     assert joined.filter((F.col("latest_ts_ms") != F.col("e_ts"))
                          | (F.col("n_versions") != F.col("e_n"))).count() == 0
+
+
+def test_streaming_near_dedup_finds_planted_duplicates(spark, sf_dir, tmp_path):
+    """LSH band-bucket state: exact copies arriving on the stream are
+    reported as candidate pairs against the originals."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    docs.write.mode("overwrite").parquet(src)
+    copies.write.mode("append").parquet(src)
+
+    out = streaming_near_dedup(spark, src)
+    q = (out.writeStream.format("memory").queryName("near_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    pairs = (spark.table("near_t")
+             .select("doc_a", "doc_b").distinct())
+    planted = {(r.doc_id, r.doc_id + 1_000_000) for r in copies
+               .select((F.col("doc_id") - 1_000_000).alias("doc_id")).collect()}
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # every planted exact copy shares all bands with its original
+    assert planted <= got
 
 
 def test_streaming_rollup_plan_is_streaming(spark, sf_dir, tmp_path):
