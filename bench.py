@@ -51,6 +51,7 @@ HEADLINE = (
     "q_simhash_dedup",
     "q_knn_cosine",
     "q_ann_ivf",
+    "q_ann_lsh",
     "q_media_decode",
 )
 

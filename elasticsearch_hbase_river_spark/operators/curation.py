@@ -62,9 +62,26 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over user cohorts: (purchasers ∩ clickers) ∖ errored —
+    INTERSECT/EXCEPT distinct semantics, each leg a pruned scan + distinct;
+    Spark plans these as aggregate + semi/anti joins (no sort)."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def cohort(t: str):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    return (cohort("purchase").intersect(cohort("click"))
+            .exceptAll(cohort("error").distinct())
+            .select(F.col("user_id").cast("long").alias("user_id")))
+
+
 QUERIES = {
     "q_train_split": q_train_split,
     "q_group_topk": q_group_topk,
+    "q_set_ops": q_set_ops,
 }
 
 _B = (f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
@@ -77,6 +94,15 @@ SELECT doc_id, lang, CAST({_B} AS BIGINT) AS bucket,
             WHEN {_B} < {VALID_LT} THEN 'valid'
             ELSE 'test' END AS split
 FROM documents""",
+
+    "q_set_ops": """
+SELECT CAST(user_id AS BIGINT) AS user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)""",
 
     "q_group_topk": f"""
 WITH ranked AS (

@@ -146,10 +146,85 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 8       # SRP-LSH hyperplanes -> 256 buckets
+LSH_TOP_K = 5
+EMB_DIM = 64
+
+
+def _srp_weights() -> list[list[int]]:
+    """±1 hyperplane weights, derived from md5 at PLAN time — both engines
+    inline the same literals, so signatures agree bit-for-bit with zero
+    runtime hashing."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) >= 8
+             else -1
+             for i in range(EMB_DIM)] for p in range(N_PLANES)]
+
+
+def _srp_bucket_col() -> Column:
+    """8-bit signed-random-projection bucket of ``embedding``: bit p is the
+    sign of a fixed ±1 projection. The fold is a zip_with/aggregate over a
+    LITERAL weight array — the unrolled 512-term sum blows up codegen
+    compile time (~8s of the query); the HOF form evaluates the identical
+    left-to-right chain, so the oracle's literal sum still matches
+    bit-for-bit."""
+    import operator
+    from functools import reduce
+
+    w = _srp_weights()
+    bits = []
+    for p in range(N_PLANES):
+        warr = F.array(*[F.lit(float(x)) for x in w[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), warr,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return reduce(operator.add, bits).cast("long")
+
+
+def _srp_bucket_sql() -> str:
+    w = _srp_weights()
+    parts = []
+    for p in range(N_PLANES):
+        proj = " + ".join(f"embedding[{i + 1}]::DOUBLE * {float(w[p][i])}"
+                          for i in range(EMB_DIM))
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path named alongside IVF): corpus and
+    queries bucket by the 8-bit SRP signature; exact cosine rerank happens
+    only inside the query's bucket — an equi-join on the bucket key, ~1/256
+    of the corpus per query, never a cross join."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", _srp_bucket_col().alias("bucket"),
+                        _norm(F.col("embedding")).alias("enorm"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        _srp_bucket_col().alias("bucket"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "bucket", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= LSH_TOP_K)
+    )
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_embedding_dedup": q_embedding_dedup,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_lsh": q_ann_lsh,
 }
 
 _COS = roundn_sql(f"{_dot_sql('qe', 'embedding')} / (qnorm * enorm)")
@@ -183,6 +258,25 @@ p AS (
          {roundn_sql(_dot_sql('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)')} AS cosine
   FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT * FROM p WHERE cosine >= 0.95""",
+
+    "q_ann_lsh": f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_srp_bucket_sql()} AS bucket,
+         {_norm_sql('embedding')} AS enorm
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, {_srp_bucket_sql()} AS bucket,
+         {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, vec_id, c.bucket AS bucket, {_COS} AS cosine
+  FROM c JOIN q USING (bucket) WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, bucket, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {LSH_TOP_K}""",
 
     "q_ann_ivf": f"""
 WITH dims AS (
