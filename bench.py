@@ -36,6 +36,9 @@ HEADLINE = (
     "q_enrich_join",
     "q_asof_join",
     "q_rollup_cube",
+    "q_pivot_events",
+    "q_value_quantiles",
+    "q_set_ops",
     "q_train_split",
     "q_group_topk",
     "q_pricing_summary",

@@ -131,12 +131,52 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a BOUNDED key set: per-user event counts, one column per
+    event type. The explicit values list keeps the plan single-pass (no
+    distinct-keys pre-query) — dynamic unbounded pivots are the wrong tool
+    at scale (SURVEY.md §1.4); bounded ones are one partial-agg shuffle."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select("user_id",
+                *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                  for t in EVENT_TYPES])
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles (median / p95) of value per event type — both
+    engines use linear interpolation on the sorted set (Spark
+    ``percentile``, DuckDB ``quantile_cont``), rounded deterministically.
+    At 100 TB the exact form is a sort-based agg; swap in
+    approx_percentile when a sketch is acceptable."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50_raw"),
+             F.expr("percentile(value, 0.95)").alias("p95_raw"),
+             F.count(F.lit(1)).alias("n"))
+        .select("event_type",
+                roundn_col(F.col("p50_raw")).alias("p50"),
+                roundn_col(F.col("p95_raw")).alias("p95"),
+                "n")
+    )
+
+
 QUERIES = {
     "q_event_rollup": q_event_rollup,
     "q_sessionize": q_sessionize,
     "q_enrich_join": q_enrich_join,
     "q_asof_join": q_asof_join,
     "q_rollup_cube": q_rollup_cube,
+    "q_pivot_events": q_pivot_events,
+    "q_value_quantiles": q_value_quantiles,
 }
 
 ORACLES = {
@@ -173,6 +213,19 @@ SELECT user_id, session_idx,
        max(ts_ms) AS session_end_ms,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, session_idx""",
+
+    "q_pivot_events": f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+                  for t in EVENT_TYPES)}
+FROM events GROUP BY user_id""",
+
+    "q_value_quantiles": f"""
+SELECT event_type,
+       {roundn_sql('quantile_cont(value, 0.5)')} AS p50,
+       {roundn_sql('quantile_cont(value, 0.95)')} AS p95,
+       count(*) AS n
+FROM events GROUP BY event_type""",
 
     "q_asof_join": """
 SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,

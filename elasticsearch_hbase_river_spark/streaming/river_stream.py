@@ -48,6 +48,9 @@ def read_cells_stream(spark: SparkSession, source_dir: str,
                       max_files_per_trigger: int = 16) -> DataFrame:
     """File-source stream of cells. ``maxFilesPerTrigger`` is the streaming
     analog of the reference's scan batch size (HBaseParser.java:104)."""
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+
+    _tune_session(spark)
     return (
         spark.readStream.schema(CELLS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -177,7 +180,9 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
     from elasticsearch_hbase_river_spark.operators.dedup import (
         N_BANDS, _minhash_cols,
     )
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
 
+    _tune_session(spark)
     docs = (spark.readStream
             .schema("doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", files_per_trigger)
