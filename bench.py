@@ -56,6 +56,16 @@ HEADLINE = (
     "q_ann_ivf",
     "q_ann_lsh",
     "q_media_decode",
+    "q_order_priority",
+    "q_returned_item_customers",
+    "q_promo_revenue",
+    "q_large_volume_customers",
+    "q_funnel",
+    "q_retention",
+    "q_running_total",
+    "q_cooccurrence",
+    "q_dedup_clusters",
+    "q_kmeans",
 )
 
 

@@ -1,0 +1,221 @@
+"""Iterative graph/clustering operators (extension surface): the two
+algorithms a dedup/curation pipeline needs that are NOT one-pass SQL —
+connected components (turning pairwise near-dup edges into dedup clusters)
+and Lloyd k-means (embedding-space bucketing). The reference computes
+nothing iterative (SURVEY.md §2.2); these follow the standard
+Spark-iterative shape: a driver loop over DataFrame joins with tiny
+per-round driver state (convergence counter / k centroid vectors — never
+the data itself).
+
+Both still carry full DuckDB oracle twins: connected components via a
+recursive CTE (transitive closure + min-label), k-means via an unrolled
+two-iteration SQL pipeline. So even the "non-SQL-expressible" ops get the
+strong hash check.
+
+Scale notes:
+- ``q_dedup_clusters``: label propagation converges in O(diameter) rounds;
+  each round is one shuffle join on the (sparse) symmetric edge list.
+  Near-dup graphs have tiny diameter (dup groups are cliques-ish), so
+  rounds ≈ 2-3. ``localCheckpoint`` truncates the growing lineage so round
+  N doesn't replay rounds 1..N-1.
+- ``q_kmeans``: centroids live on the driver (k × dim doubles) and enter
+  the plan as literal arrays — the per-point assignment is map-side
+  (broadcast semantics without even a join); the update is one
+  posexplode + groupBy(cluster, dim) shuffle of k·dim partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.operators.dedup import (
+    _AUG_SQL_NEAR,
+    _SHINGLES_SQL,
+    COPY_OFFSET,
+    _augmented_docs,
+    _shingle_df,
+)
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+EDGE_JACCARD = 0.8
+CC_MAX_ROUNDS = 6
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+DIM = 64
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same candidate pairs as ``q_ngram_jaccard`` (original↔truncated copy
+    plus adjacent-id background pairs), kept when Jaccard ≥ 0.8."""
+    sh = _shingle_df(_augmented_docs(spark, sf_dir, exact=False))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + COPY_OFFSET)
+        | ((F.col("b.doc_id") == F.col("a.doc_id") + 1)
+           & (F.col("a.doc_id") < COPY_OFFSET)
+           & (F.col("b.doc_id") < COPY_OFFSET)),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (pairs.select(F.col("a.doc_id").alias("src"),
+                         F.col("b.doc_id").alias("dst"),
+                         roundn_col(inter / union).alias("j"))
+                 .filter(F.col("j") >= EDGE_JACCARD)
+                 .select("src", "dst"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components by iterative min-label
+    propagation; cluster id = min doc_id in the component."""
+    nodes = _augmented_docs(spark, sf_dir, exact=False).select("doc_id")
+    edges = _near_dup_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(CC_MAX_ROUNDS):
+        prop = (labels.join(sym, labels.doc_id == sym.src)
+                      .select(F.col("dst").alias("doc_id"), "comp"))
+        new = (labels.unionByName(prop)
+                     .groupBy("doc_id").agg(F.min("comp").alias("comp"))
+                     .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+
+    size_w = Window.partitionBy("cluster_id")
+    return (labels.select("doc_id", F.col("comp").alias("cluster_id"))
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(size_w).cast("long"))
+            .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
+
+
+def _centroid_lits(centroids: dict[int, list[float]]) -> dict[int, F.Column]:
+    return {c: F.array(*[F.lit(float(v)) for v in vec])
+            for c, vec in sorted(centroids.items())}
+
+
+def _sq_dist(e: F.Column, cen: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(e, cen, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """(vec_id, e, cluster, dist): nearest centroid, ties to lower id —
+    centroids enter as literals, so this is pure map-side codegen."""
+    lits = _centroid_lits(centroids)
+    dists = F.array(*[
+        F.struct(_sq_dist(F.col("e"), cen).alias("d"),
+                 F.lit(c).alias("c"))
+        for c, cen in lits.items()])
+    best = F.array_min(dists)
+    return emb.select("vec_id", "e",
+                      best["c"].alias("cluster"), best["d"].alias("dist"))
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations on the embedding table, k=8, centroids
+    initialized from the first k vectors (deterministic seed)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("e")))
+    init = {int(r["vec_id"]): list(r["e"])
+            for r in emb.filter(F.col("vec_id") < K_CLUSTERS).collect()}
+
+    centroids = init
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = _assign(emb, centroids)
+        means = (assigned.select("cluster", F.posexplode("e").alias("pos", "v"))
+                 .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+                 .collect())
+        centroids = {}
+        for r in means:
+            centroids.setdefault(int(r["cluster"]), [0.0] * DIM)[int(r["pos"])] = r["m"]
+
+    return (_assign(emb, centroids)
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                    roundn_col(F.col("dist"), 4).alias("sq_dist")))
+
+
+QUERIES = {
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_kmeans": q_kmeans,
+}
+
+_EDGES_SQL = f"""
+aug AS ({_AUG_SQL_NEAR}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh a JOIN sh b
+    ON b.doc_id = a.doc_id + {COPY_OFFSET}
+    OR (b.doc_id = a.doc_id + 1 AND a.doc_id < {COPY_OFFSET}
+        AND b.doc_id < {COPY_OFFSET})),
+edges AS (
+  SELECT src, dst FROM pairs WHERE {roundn_sql('i / u')} >= {EDGE_JACCARD}),
+sym AS (SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges)
+"""
+
+# k-means SQL: dims are 1-indexed lists; distance folds in dimension order
+# exactly like Spark's zip_with/aggregate, so the doubles agree bit-for-bit.
+_KM_DIST = ("list_sum(list_transform(range(1, {n}), "
+            "i -> (emb.e[i] - c.e[i]) * (emb.e[i] - c.e[i])))").format(n=DIM + 1)
+
+ORACLES = {
+    "q_dedup_clusters": f"""
+WITH RECURSIVE
+{_EDGES_SQL},
+cc(node, comp) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.node),
+labels AS (
+  SELECT node AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM labels""",
+
+    "q_kmeans": f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, e FROM emb WHERE vec_id < {K_CLUSTERS}),
+d1 AS (
+  SELECT emb.vec_id, c.cluster AS cluster, {_KM_DIST} AS d
+  FROM emb CROSS JOIN c0 c),
+a1 AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT vec_id, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+    FROM d1) WHERE r = 1),
+m1 AS (
+  SELECT a1.cluster, r.i, avg(emb.e[r.i]) AS m
+  FROM a1 JOIN emb USING (vec_id), range(1, {DIM + 1}) r(i)
+  GROUP BY a1.cluster, r.i),
+c1 AS (
+  SELECT cluster, list(m ORDER BY i) AS e FROM m1 GROUP BY cluster),
+d2 AS (
+  SELECT emb.vec_id, c.cluster AS cluster, {_KM_DIST} AS d
+  FROM emb CROSS JOIN c1 c),
+a2 AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT vec_id, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+    FROM d2) WHERE r = 1)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       {roundn_sql('d', 4)} AS sq_dist
+FROM a2""",
+}

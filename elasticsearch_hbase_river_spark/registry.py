@@ -17,6 +17,8 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.tpch",
     "elasticsearch_hbase_river_spark.operators.multimodal",
     "elasticsearch_hbase_river_spark.operators.curation",
+    "elasticsearch_hbase_river_spark.operators.analytics",
+    "elasticsearch_hbase_river_spark.operators.graph",
 )
 
 
