@@ -118,27 +118,34 @@ list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
 """
 
 
+def candidate_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, sh_a, doc_b, sh_b) candidate pairs: original↔truncated copy
+    plus adjacent-id background pairs. CRITICAL scale shape: the two
+    conditions are SEPARATE equi-joins (keys ``a.doc_id + off == b.doc_id``)
+    unioned afterwards — a single OR'd join condition has no extractable
+    equi keys and Spark falls back to a nested-loop join (quadratic:
+    measured minutes-not-seconds at sf0.1, unusable beyond)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    copies = a.join(b, F.col("doc_b") == F.col("doc_a") + COPY_OFFSET)
+    adjacent = (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .filter((F.col("doc_a") < COPY_OFFSET)
+                & (F.col("doc_b") < COPY_OFFSET)))
+    return copies.unionByName(adjacent)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs: each original vs
     its truncated near-copy, plus adjacent-id background pairs. Set algebra
     via array_intersect on the 3-gram shingle sets."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    sh = _shingle_df(aug)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.doc_id") == F.col("a.doc_id") + COPY_OFFSET)
-        | ((F.col("b.doc_id") == F.col("a.doc_id") + 1)
-           & (F.col("a.doc_id") < COPY_OFFSET)
-           & (F.col("b.doc_id") < COPY_OFFSET)),
-    )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    pairs = candidate_pairs(_shingle_df(aug))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter / union
     return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
+        "doc_a", "doc_b",
         roundn_col(jac).alias("jaccard"),
         (roundn_col(jac) >= 0.8).alias("is_near_dup"),
     )

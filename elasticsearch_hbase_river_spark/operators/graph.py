@@ -36,6 +36,7 @@ from elasticsearch_hbase_river_spark.operators.dedup import (
     COPY_OFFSET,
     _augmented_docs,
     _shingle_df,
+    candidate_pairs,
 )
 from elasticsearch_hbase_river_spark.sources.tables import load_table
 
@@ -51,18 +52,11 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same candidate pairs as ``q_ngram_jaccard`` (original↔truncated copy
     plus adjacent-id background pairs), kept when Jaccard ≥ 0.8."""
     sh = _shingle_df(_augmented_docs(spark, sf_dir, exact=False))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.doc_id") == F.col("a.doc_id") + COPY_OFFSET)
-        | ((F.col("b.doc_id") == F.col("a.doc_id") + 1)
-           & (F.col("a.doc_id") < COPY_OFFSET)
-           & (F.col("b.doc_id") < COPY_OFFSET)),
-    )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return (pairs.select(F.col("a.doc_id").alias("src"),
-                         F.col("b.doc_id").alias("dst"),
+    pairs = candidate_pairs(sh)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"),
                          roundn_col(inter / union).alias("j"))
                  .filter(F.col("j") >= EDGE_JACCARD)
                  .select("src", "dst"))

@@ -45,10 +45,24 @@ def _tune_session(spark: SparkSession) -> None:
                        f"{current},{_INFER_FROM_GENERATE}")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; column pruning/pushdown stays with Catalyst."""
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               fanout: bool = False) -> DataFrame:
+    """Read one fixture table; column pruning/pushdown stays with Catalyst.
+
+    ``fanout=True`` inserts a round-robin repartition to defaultParallelism
+    for CPU-heavy map-side consumers stuck behind the fixtures'
+    single-row-group layout (one scan task). Catalyst pushes filters and
+    pruning THROUGH the repartition, so pushdown-sensitive plans keep their
+    PushedFilters. Measured at sf0.1 this is a wash-to-loss for ordinary
+    scan→partial-agg queries (their cost is planning/codegen, and the extra
+    exchange + sort-before-repartition adds more than it buys), so it is
+    OFF by default and opt-in per operator.
+    """
     _tune_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fanout:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
