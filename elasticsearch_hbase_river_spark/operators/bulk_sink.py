@@ -52,6 +52,39 @@ def write_bulk(docs: DataFrame, path: str, batch_size: int = 100,
     writer.parquet(path)
 
 
+ES_INDEX = "river"      # hbase.index config analog, HBaseRiver.java:41,144
+ES_TYPE = "doc"         # hbase.type config analog
+
+
+def es_bulk_lines(docs: DataFrame, index: str = ES_INDEX,
+                  doc_type: str = ES_TYPE) -> DataFrame:
+    """(doc_id, bulk): each document rendered as an Elasticsearch bulk-API
+    action/source line pair — the exact payload the reference accumulates
+    per IndexRequest (id + timestamp + source document,
+    HBaseParser.java:145-159). Pure string projection, map-side at any
+    scale; row keys are JSON-safe (normalized alphabet, HBaseRiver.java:
+    314-326), so no escaping pass is needed on ``_id``."""
+    action = F.concat(
+        F.lit(f'{{"index":{{"_index":"{index}","_type":"{doc_type}","_id":"'),
+        F.col("doc_id"),
+        F.lit('","_timestamp":'), F.col("doc_ts_ms").cast("string"),
+        F.lit("}}"))
+    return docs.select(
+        "doc_id", F.concat(action, F.lit("\n"), F.col("doc_json")).alias("bulk"))
+
+
+def write_es_bulk(docs: DataFrame, path: str, index: str = ES_INDEX,
+                  doc_type: str = ES_TYPE, batch_size: int = 100,
+                  mode: str = "append") -> None:
+    """Write documents as Elasticsearch bulk files: newline-delimited
+    action/source pairs, at most ``batch_size`` documents per file — each
+    output file IS one bulk request body (``curl --data-binary @file
+    .../_bulk``), the file-sink twin of the reference's one-RPC-per-batch
+    loop (HBaseParser.java:137-162). Executors write files in parallel."""
+    (es_bulk_lines(docs, index, doc_type).select("bulk")
+     .write.option("maxRecordsPerFile", batch_size).mode(mode).text(path))
+
+
 def split_failed(docs: DataFrame, reject_when: Column) -> tuple[DataFrame, DataFrame]:
     """Split a keyed document batch into (acked, failed) on a reject
     predicate — the engine analog of scanning the bulk response for failed

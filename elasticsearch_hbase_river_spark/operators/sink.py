@@ -66,10 +66,23 @@ def q_delete_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("row_key").distinct())
 
 
+def q_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-API payload rendering: every assembled document as its
+    action/source line pair (HBaseParser.java:137-159 — the request build
+    half of the bulk sink, which IS checkable without Elasticsearch)."""
+    from elasticsearch_hbase_river_spark.operators.assemble import q_doc_pivot
+    from elasticsearch_hbase_river_spark.operators.bulk_sink import es_bulk_lines
+
+    return es_bulk_lines(
+        q_doc_pivot(spark, sf_dir).select(
+            F.col("doc_id"), F.col("doc_ts_ms"), F.col("doc_json")))
+
+
 QUERIES = {
     "q_batch_assign": q_batch_assign,
     "q_failed_anti_join": q_failed_anti_join,
     "q_delete_candidates": q_delete_candidates,
+    "q_es_bulk": q_es_bulk,
 }
 
 ORACLES = {
@@ -91,3 +104,20 @@ WHERE NOT EXISTS (
 SELECT DISTINCT row_key FROM cells
 WHERE CAST(row_key AS BIGINT) % {FAILED_MOD} <> 0""",
 }
+
+
+def _es_bulk_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.assemble import (
+        ORACLES as _ASSEMBLE_ORACLES,
+    )
+    from elasticsearch_hbase_river_spark.operators.bulk_sink import ES_INDEX, ES_TYPE
+
+    pivot = _ASSEMBLE_ORACLES["q_doc_pivot"]
+    action = (f"""'{{"index":{{"_index":"{ES_INDEX}","_type":"{ES_TYPE}","_id":"'"""
+              f""" || doc_id || '","_timestamp":' || doc_ts_ms || '}}}}'""")
+    return f"""
+WITH piv AS ({pivot})
+SELECT doc_id, {action} || chr(10) || doc_json AS bulk FROM piv"""
+
+
+ORACLES["q_es_bulk"] = _es_bulk_oracle()
