@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
 from elasticsearch_hbase_river_spark.operators.curation import _bucket, _HEX
+from elasticsearch_hbase_river_spark.operators.rollup import SESSION_GAP_MS
 from elasticsearch_hbase_river_spark.sources.tables import load_events, load_table
 
 DAY_MS = 86_400_000
@@ -158,6 +159,59 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging per event type. The per-type stats relation
+    is k rows (k = #types) — computed in one partial-agg pass and BROADCAST
+    back into the scan, so the fact table is read once and never shuffled
+    on a stats key."""
+    ev = load_events(spark, sf_dir)
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma")))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type",
+                roundn_col(F.col("value")).alias("value"),
+                roundn_col(z).alias("z"))
+        .withColumn("is_anomaly", F.abs(F.col("z")) >= Z_THRESHOLD)
+    )
+
+
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases attributed to the gap-session they
+    fall inside. Equi key (user_id) carries the join; the time-range
+    predicate filters within matches — never a cross join. Per-session
+    purchase counts and exact DECIMAL spend."""
+    from elasticsearch_hbase_river_spark.operators.rollup import q_sessionize
+
+    sessions = q_sessionize(spark, sf_dir)
+    purchases = (load_events(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts_ms",
+                         F.col("value").cast("decimal(18,2)").alias("dec_v")))
+    j = sessions.join(
+        purchases,
+        (sessions.user_id == purchases.user_id)
+        & (purchases.ts_ms >= sessions.session_start_ms)
+        & (purchases.ts_ms <= sessions.session_end_ms),
+        "left")
+    return (
+        j.groupBy(sessions.user_id, "session_idx",
+                  "session_start_ms", "session_end_ms")
+        .agg(F.count(purchases.ts_ms).alias("n_purchases"),
+             F.sum("dec_v").alias("spend_dec"))
+        .select(sessions.user_id.alias("user_id"), "session_idx",
+                "session_start_ms", "session_end_ms", "n_purchases",
+                roundn_col(F.coalesce(F.col("spend_dec"),
+                                      F.lit(0).cast("decimal(18,2)"))
+                           .cast("double")).alias("purchase_value"))
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
@@ -166,6 +220,8 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_stratified_sample": q_stratified_sample,
     "q_cooccurrence": q_cooccurrence,
+    "q_anomaly": q_anomaly,
+    "q_session_attribution": q_session_attribution,
 }
 
 _B_DOC = (f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
@@ -236,6 +292,49 @@ SELECT doc_id, lang, CAST({_B_DOC} AS BIGINT) AS bucket
 FROM documents
 WHERE CASE WHEN lang = 'en' THEN {_B_DOC} < {EN_LT}
            ELSE {_B_DOC} < {OTHER_LT} END""",
+
+    "q_anomaly": f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       {roundn_sql('e.value')} AS value,
+       {roundn_sql('(e.value - s.mu) / s.sigma')} AS z,
+       abs({roundn_sql('(e.value - s.mu) / s.sigma')}) >= {Z_THRESHOLD}
+         AS is_anomaly
+FROM events e JOIN stats s ON e.event_type = s.event_type""",
+
+    "q_session_attribution": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+s AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged),
+sessions AS (
+  SELECT user_id, session_idx,
+         min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+  FROM s GROUP BY user_id, session_idx),
+p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(18,2)) AS dec_v
+  FROM events WHERE event_type = 'purchase')
+SELECT se.user_id, se.session_idx, se.session_start_ms, se.session_end_ms,
+       count(p.ts_ms) AS n_purchases,
+       {roundn_sql("coalesce(sum(p.dec_v), CAST(0 AS DECIMAL(18,2)))::DOUBLE")}
+         AS purchase_value
+FROM sessions se
+LEFT JOIN p ON p.user_id = se.user_id
+           AND p.ts_ms BETWEEN se.session_start_ms AND se.session_end_ms
+GROUP BY se.user_id, se.session_idx, se.session_start_ms, se.session_end_ms""",
 
     "q_cooccurrence": f"""
 WITH toks AS (

@@ -92,6 +92,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup outcome: the corpus that SURVIVES near-dup
+    clustering — one keeper (min doc_id) per connected component, with how
+    many documents it absorbed. This is the curation step the clusters
+    exist for: keep = clusters ⨝ documents on the keeper id."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    keepers = (clusters.filter(F.col("is_keeper"))
+               .select("doc_id", (F.col("cluster_size") - 1).alias("n_absorbed")))
+    docs = _augmented_docs(spark, sf_dir, exact=False) \
+        .select("doc_id", F.length("text").cast("long").alias("n_chars_kept"))
+    return keepers.join(docs, "doc_id").select(
+        "doc_id", "n_absorbed", "n_chars_kept")
+
+
 def _centroid_lits(centroids: dict[int, list[float]]) -> dict[int, F.Column]:
     return {c: F.array(*[F.lit(float(v)) for v in vec])
             for c, vec in sorted(centroids.items())}
@@ -142,6 +156,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_keep": q_dedup_keep,
     "q_kmeans": q_kmeans,
 }
 
@@ -181,6 +196,24 @@ SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        doc_id = cluster_id AS is_keeper
 FROM labels""",
+
+    "q_dedup_keep": f"""
+WITH RECURSIVE
+{_EDGES_SQL},
+cc(node, comp) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.node),
+labels AS (
+  SELECT node AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY node),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM labels)
+SELECT s.doc_id, CAST(s.cluster_size - 1 AS BIGINT) AS n_absorbed,
+       CAST(length(a.text) AS BIGINT) AS n_chars_kept
+FROM sized s JOIN aug a ON a.doc_id = s.doc_id
+WHERE s.doc_id = s.cluster_id""",
 
     "q_kmeans": f"""
 WITH emb AS (

@@ -65,10 +65,16 @@ def start_river_stream(
     sink_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    sink_format: str = "parquet",
 ) -> StreamingQuery:
     """Start the streaming river. ``available_now=True`` drains the backlog
     and stops (the testable mode); otherwise triggers every
-    ``config.interval_ms`` like the reference's scheduler."""
+    ``config.interval_ms`` like the reference's scheduler.
+
+    ``sink_format``: ``"parquet"`` (columnar sink) or ``"es_bulk"`` —
+    micro-batches land as Elasticsearch bulk-request files (action/source
+    line pairs, one file per ≤ batchSize docs), the closest file-sink
+    analog of the reference's per-batch bulk RPC (HBaseParser.java:162)."""
     cells = read_cells_stream(spark, source_dir)
     if config.family:
         cells = cells.filter(F.col("family") == config.family)
@@ -79,11 +85,18 @@ def start_river_stream(
         # foreachBatch = the bulk writer (HBaseParser.java:135-162). Within
         # a micro-batch, latest-wins per doc id; across batches, append +
         # read-time latest-wins (a real system MERGEs into Delta/Iceberg).
-        from elasticsearch_hbase_river_spark.operators.bulk_sink import write_bulk
+        from elasticsearch_hbase_river_spark.operators.bulk_sink import (
+            write_bulk, write_es_bulk,
+        )
 
         docs = assemble_documents(batch_df, config)
-        write_bulk(docs.withColumn("batch_id", F.lit(batch_id)),
-                   sink_dir, config.batch_size)
+        if sink_format == "es_bulk":
+            write_es_bulk(docs, sink_dir, index=config.index,
+                          doc_type=config.type_name,
+                          batch_size=config.batch_size)
+        else:
+            write_bulk(docs.withColumn("batch_id", F.lit(batch_id)),
+                       sink_dir, config.batch_size)
 
     writer = (
         assemble_and_stream(cells, config)

@@ -63,6 +63,62 @@ def test_near_dedup_joins_on_band_keys(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_candidate_pairs_stay_equi_joins(spark, sf_dir):
+    """Regression guard for the OR'd-join-condition trap: the near-dup
+    candidate pairs must plan as TWO equi-joins (hash/sort-merge) unioned,
+    never a nested-loop join — the OR form had no extractable keys and went
+    quadratic (hung at sf0.1)."""
+    from elasticsearch_hbase_river_spark.operators.dedup import q_ngram_jaccard
+
+    plan = _plan(q_ngram_jaccard(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_cluster_edges_stay_equi_joins(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.graph import _near_dup_edges
+
+    plan = _plan(_near_dup_edges(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_order_priority_plans_semi_join(spark, sf_dir):
+    """EXISTS must decorrelate to a semi join, not materialize the
+    subquery per row."""
+    from elasticsearch_hbase_river_spark.operators.tpch import q_order_priority
+
+    plan = _plan(q_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_rich_customers_plans_anti_join(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.tpch import q_idle_rich_customers
+
+    plan = _plan(q_idle_rich_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.tpch import q_promo_revenue
+
+    plan = _plan(q_promo_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_cooccurrence_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary must broadcast into the pair self-join so the
+    quadratic term is bounded by V, not corpus size."""
+    from elasticsearch_hbase_river_spark.operators.analytics import q_cooccurrence
+
+    plan = _plan(q_cooccurrence(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_flagship_pipeline_single_shuffle(spark, sf_dir):
     """The whole river tick (melt -> assemble -> upsert) must shuffle the
     corpus exactly ONCE: document assembly groups by row_key, and the

@@ -41,6 +41,24 @@ def test_stream_drains_and_upserts(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == out.count()
 
 
+def test_stream_to_es_bulk_files(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src_bulk")
+    sink = tmp_path / "sink_bulk"
+    ckpt = str(tmp_path / "ckpt_bulk")
+    _write_cells(spark, sf_dir, src)
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      interval_ms=1000, batch_size=200)
+    q = start_river_stream(spark, cfg, src, str(sink), ckpt,
+                           available_now=True, sink_format="es_bulk")
+    q.awaitTermination(120)
+    lines = [ln for p in sink.iterdir() if p.name.startswith("part-")
+             for ln in p.read_text().rstrip("\n").split("\n")]
+    assert len(lines) == 2 * 1000  # action+source per doc
+    actions = [json.loads(ln)["index"] for ln in lines[0::2]]
+    assert {a["_index"] for a in actions} == {"river"}
+    assert len({a["_id"] for a in actions}) == 1000
+
+
 def test_streaming_sessionize(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src_sess")
     _write_cells(spark, sf_dir, src)
