@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--delete-old", action="store_true")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", help="checkpoint dir (streaming mode)")
+    p.add_argument("--source-format", default="parquet",
+                   choices=["parquet", "orc", "csv", "json"],
+                   help="landed format of the cells relation (batch mode)")
+    p.add_argument("--sink-format", default="parquet",
+                   choices=["parquet", "es_bulk"],
+                   help="es_bulk writes Elasticsearch bulk-request files "
+                        "(streaming mode)")
     p.add_argument("--master", default="local[*]")
     return p
 
@@ -72,14 +79,14 @@ def main(argv: list[str] | None = None) -> int:
                 start_river_stream,
             )
             q = start_river_stream(spark, config, args.source, args.sink,
-                                   args.checkpoint)
+                                   args.checkpoint,
+                                   sink_format=args.sink_format)
             q.awaitTermination()
             return 0
-        from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+        from elasticsearch_hbase_river_spark.sources.formats import read_cells
         from elasticsearch_hbase_river_spark.plans.pipeline import run_once
 
-        _tune_session(spark)
-        cells = spark.read.parquet(args.source)
+        cells = read_cells(spark, args.source, args.source_format)
         res = run_once(spark, cells, config, args.sink)
         print(f"rows_indexed={res.rows_indexed} "
               f"watermark_ms={res.watermark_ms} "

@@ -185,9 +185,34 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("doc_id", "token", "tfidf", "rank"))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: mean unigram log-probability per
+    document under the corpus's own unigram LM (add-one smoothed). The
+    classic pretraining filter shape: one explode→count pass builds the LM
+    (vocab-sized, broadcast back), one pass scores — the fact table
+    shuffles only on doc_id for the mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freq.agg(F.sum("cnt").alias("total"),
+                      F.count(F.lit(1)).alias("vocab"))
+    logp = F.log((F.col("cnt") + 1.0)
+                 / (F.col("total") + F.col("vocab")).cast("double"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.avg(logp).alias("alp"))
+        .select("doc_id", "n_tokens",
+                roundn_col(F.col("alp")).alias("avg_logprob"))
+    )
+
+
 QUERIES = {
     "q_vocab": q_vocab,
     "q_tfidf": q_tfidf,
+    "q_unigram_logprob": q_unigram_logprob,
     "q_text_stats": q_text_stats,
     "q_tokenize": q_tokenize,
     "q_lang_id": q_lang_id,
@@ -233,6 +258,17 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY n_total DESC, token) AS BIGINT) AS rank
   FROM agg)
 SELECT * FROM ranked WHERE rank <= {VOCAB_TOP}""",
+
+    "q_unigram_logprob": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM freq)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       {roundn_sql('avg(ln((freq.cnt + 1.0) / (t.total + t.vocab)))')}
+         AS avg_logprob
+FROM tok JOIN freq USING (token) CROSS JOIN t
+GROUP BY tok.doc_id""",
 
     "q_text_stats": f"""
 WITH t AS (

@@ -252,6 +252,21 @@ def test_cli_batch_tick(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == 1000
 
 
+def test_cli_batch_tick_from_csv_source(spark, sf_dir, tmp_path):
+    """The river ingests a CSV landing of the cells relation end-to-end."""
+    from elasticsearch_hbase_river_spark.__main__ import main
+    from elasticsearch_hbase_river_spark.sources.formats import write_cells
+
+    src = str(tmp_path / "cells_csv")
+    write_cells(cells_from_events(spark, sf_dir), src, "csv")
+    sink = str(tmp_path / "cli_sink_csv")
+    rc = main(["--source", src, "--sink", sink, "--source-format", "csv",
+               "--table", "events", "--index", "river", "--type", "doc",
+               "--batch-size", "500"])
+    assert rc == 0
+    assert spark.read.parquet(sink).count() == 1000
+
+
 def test_melt_wide_table_feeds_the_river(spark, sf_dir):
     """Any relational table enters the pipeline via the generic melt;
     binary columns are decoded with the configured charset."""

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure transform twins —
+SURVEY.md §5(c): cheap invariants the ported unit tests can't sweep.
+
+These pin the tricky reference semantics (normalization alphabet,
+empty-sub-qualifier collapse, last-write-wins) over arbitrary inputs, and
+check the pure-Python twins agree with what the relational twins assume
+(e.g. normalization is idempotent, paths are normalize-stable), without
+needing a SparkSession — they run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_hbase_river_spark.functions.normalize import normalize_field_py
+from elasticsearch_hbase_river_spark.functions.qualifier import (
+    effective_path,
+    find_key_in_data_tree,
+    read_data_tree,
+)
+
+#: printable-ish text incl. the separator chars the reference ships with
+FIELD = st.text(
+    alphabet=string.ascii_letters + string.digits + "-_:.&* é",
+    max_size=30,
+)
+SEP = st.sampled_from(["::", ".", "|", None])
+
+
+@given(FIELD, SEP)
+def test_normalize_is_idempotent(name, sep):
+    once = normalize_field_py(name, sep)
+    assert normalize_field_py(once, sep) == once
+
+
+@given(FIELD, SEP)
+def test_normalize_output_alphabet(name, sep):
+    out = normalize_field_py(name, sep)
+    allowed = set("abcdefghijklmnopqrstuvwxyz0123456789-_") | set(sep or "")
+    assert set(out) <= allowed
+
+
+@given(FIELD)
+def test_normalize_none_separator_matches_reference_truth_table(name):
+    # same regex the reference documents: lowercase, keep [a-z0-9\-_]
+    assert normalize_field_py(name, None) == re.sub(
+        r"[^a-z0-9\-_]", "", name.lower())
+
+
+@given(st.lists(st.tuples(st.sampled_from(["f1", "f2"]),
+                          FIELD.filter(lambda s: normalize_field_py(s, "::")),
+                          st.text(max_size=10)),
+                min_size=1, max_size=8))
+@settings(max_examples=50)
+def test_data_tree_last_write_wins(cells):
+    """Replaying the same cell list twice gives the same tree, and the last
+    value written to any (family, path) is the one visible."""
+    tree1 = read_data_tree(cells, "::")
+    tree2 = read_data_tree(cells + cells, "::")
+    assert tree1 == tree2  # replay idempotence == LWW
+
+
+@given(FIELD.filter(lambda s: normalize_field_py(s, "::")), st.text(max_size=5))
+@settings(max_examples=50)
+def test_effective_path_matches_tree_walk(qualifier, value):
+    """The flattened ``effective_path`` must agree with where
+    ``read_data_tree`` actually places the scalar, whenever the path has no
+    empty interior components (those create nested collisions by design)."""
+    path = effective_path(qualifier, "::")
+    if not all(path):
+        return  # interior empty component: reference nests under "" keys
+    tree = read_data_tree([("fam", qualifier, value)], "::")
+    node = tree["fam"]
+    for part in path[:-1]:
+        if not isinstance(node, dict):
+            return
+        node = node[part]
+    assert node[path[-1]] == value
+
+
+@given(st.text(alphabet="ab:", min_size=1, max_size=12))
+@settings(max_examples=100)
+def test_find_key_round_trip(qualifier):
+    """Any scalar placed by read_data_tree at a clean path is findable via
+    find_key_in_data_tree with the same separator path."""
+    path = effective_path(qualifier, "::")
+    if not all(path):
+        return
+    tree = read_data_tree([("f", qualifier, "v")], "::")
+    assert find_key_in_data_tree(tree["f"], "::".join(path), "::") == "v"
