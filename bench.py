@@ -66,6 +66,10 @@ HEADLINE = (
     "q_cooccurrence",
     "q_dedup_clusters",
     "q_kmeans",
+    "q_anomaly",
+    "q_session_attribution",
+    "q_unigram_logprob",
+    "q_es_bulk",
 )
 
 

@@ -133,6 +133,18 @@ def streaming_event_rollup(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def streaming_enrich(spark: SparkSession, source_dir: str,
+                     dim: DataFrame, on: str = "row_key") -> DataFrame:
+    """Stream-static enrichment: the cells stream joined to a STATIC
+    dimension during import — the lookup-join every real river grows
+    (the reference's fixed dataflow cannot attach reference data,
+    SURVEY.md §2.2 'no joins'). Spark broadcasts the static side into
+    every micro-batch; no stream state, no watermark needed — the
+    canonical scale shape for dimension enrichment on a stream."""
+    cells = read_cells_stream(spark, source_dir)
+    return cells.join(F.broadcast(dim), on, "left")
+
+
 def streaming_sessionize(spark: SparkSession, source_dir: str,
                          gap: str = "30 minutes") -> DataFrame:
     """Streaming twin of q_sessionize: gap-based sessions per row key via

@@ -59,6 +59,29 @@ def test_stream_to_es_bulk_files(spark, sf_dir, tmp_path):
     assert len({a["_id"] for a in actions}) == 1000
 
 
+def test_streaming_enrich_joins_static_dimension(spark, sf_dir, tmp_path):
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        streaming_enrich,
+    )
+
+    src = str(tmp_path / "src_enrich")
+    _write_cells(spark, sf_dir, src)
+    # static dimension: per-row-key user attribution from the events table
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+
+    dim = load_events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("row_key"),
+        F.col("user_id").alias("dim_user"))
+    df = streaming_enrich(spark, src, dim)
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("enrich_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("enrich_t")
+    assert out.count() == 4000  # 4 cells per event
+    assert out.filter(F.col("dim_user").isNull()).count() == 0
+
+
 def test_streaming_sessionize(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src_sess")
     _write_cells(spark, sf_dir, src)
