@@ -212,6 +212,41 @@ def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user activity via a RANGE window frame (value-based,
+    peers included — a different frame class from the ROWS frames
+    elsewhere). One shuffle on user_id; the frame scan is linear per
+    partition with Spark's sliding aggregation."""
+    ev = load_events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts_ms")
+         .rangeBetween(-DAY_MS, 0))
+    dec = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts_ms",
+        n.cast("long").alias("n_24h"),
+        roundn_col(F.sum(dec).over(w).cast("double")).alias("sum_24h"),
+        roundn_col(F.sum(dec).over(w).cast("double") / n).alias("avg_24h"),
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event type: HyperLogLog++ distinct users and
+    approximate percentiles — the 100 TB substitutes for exact
+    countDistinct / sort-based quantiles (fixed-size sketch state, one
+    partial-agg shuffle, no global sort). Approximation is engine-specific,
+    so this is a rows-only query; ``test_approx_stats_within_bounds`` pins
+    the error against the exact twins instead."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+             F.percentile_approx("value", 0.5).alias("approx_p50"),
+             F.percentile_approx("value", 0.95).alias("approx_p95"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
@@ -222,6 +257,8 @@ QUERIES = {
     "q_cooccurrence": q_cooccurrence,
     "q_anomaly": q_anomaly,
     "q_session_attribution": q_session_attribution,
+    "q_trailing_window": q_trailing_window,
+    "q_approx_stats": q_approx_stats,  # rows-only: sketches are engine-specific
 }
 
 _B_DOC = (f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
@@ -335,6 +372,19 @@ FROM sessions se
 LEFT JOIN p ON p.user_id = se.user_id
            AND p.ts_ms BETWEEN se.session_start_ms AND se.session_end_ms
 GROUP BY se.user_id, se.session_idx, se.session_start_ms, se.session_end_ms""",
+
+    "q_trailing_window": f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(value AS DECIMAL(18,2)) AS dec_v
+  FROM events)
+SELECT event_id, user_id, ts_ms,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       {roundn_sql('(sum(dec_v) OVER w)::DOUBLE')} AS sum_24h,
+       {roundn_sql('(sum(dec_v) OVER w)::DOUBLE / count(*) OVER w')} AS avg_24h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN {DAY_MS} PRECEDING AND CURRENT ROW)""",
 
     "q_cooccurrence": f"""
 WITH toks AS (

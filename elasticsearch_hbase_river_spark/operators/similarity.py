@@ -220,11 +220,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_K = 5
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both ANN variants against the exact brute-force top-k —
+    the measurement that justifies shipping an approximate index at scale
+    (run it on a sample; if recall holds, the 100 TB corpus gets the
+    candidate-bounded path). Tiny relation algebra on the already-ranked
+    outputs; one row per (method, query)."""
+    exact = (q_knn_cosine(spark, sf_dir)
+             .filter(F.col("rank") <= RECALL_K).select("qid", "vec_id"))
+    approx = (
+        q_ann_ivf(spark, sf_dir).select("qid", "vec_id")
+        .withColumn("method", F.lit("ivf"))
+        .unionByName(q_ann_lsh(spark, sf_dir).select("qid", "vec_id")
+                     .withColumn("method", F.lit("lsh"))))
+    hits = (approx.join(exact, ["qid", "vec_id"])
+            .groupBy("method", "qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("qid"))
+            .crossJoin(F.broadcast(
+                spark.createDataFrame([("ivf",), ("lsh",)], "method string"))))
+    return (base.join(hits, ["method", "qid"], "left")
+            .select("method", "qid",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                     .alias("n_hits"))
+            .withColumn("recall",
+                        roundn_col(F.col("n_hits") / F.lit(float(RECALL_K)))))
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_embedding_dedup": q_embedding_dedup,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_recall": q_ann_recall,
 }
 
 _COS = roundn_sql(f"{_dot_sql('qe', 'embedding')} / (qnorm * enorm)")
@@ -311,3 +343,29 @@ ranked AS (
   FROM scored)
 SELECT * FROM ranked WHERE rank <= {IVF_TOP_K}""",
 }
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the three ranked twins; recall@k per (method, query)."""
+    return f"""
+WITH ex AS (SELECT qid, vec_id FROM ({ORACLES["q_knn_cosine"]}) e
+            WHERE e.rank <= {RECALL_K}),
+ap AS (
+  SELECT 'ivf' AS method, qid, vec_id FROM ({ORACLES["q_ann_ivf"]}) i
+  UNION ALL
+  SELECT 'lsh', qid, vec_id FROM ({ORACLES["q_ann_lsh"]}) l),
+hits AS (
+  SELECT ap.method, ap.qid, count(*) AS n_hits
+  FROM ap JOIN ex ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+  GROUP BY ap.method, ap.qid),
+base AS (
+  SELECT m.method, e.vec_id AS qid
+  FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+  CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) e)
+SELECT base.method, base.qid,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       {roundn_sql(f'coalesce(hits.n_hits, 0) / {float(RECALL_K)}')} AS recall
+FROM base LEFT JOIN hits ON base.method = hits.method AND base.qid = hits.qid"""
+
+
+ORACLES["q_ann_recall"] = _ann_recall_oracle()

@@ -308,3 +308,26 @@ def test_upsert_latest_wins(spark, sf_dir, cfg):
         for fam in doc.values():
             for v in fam.values():
                 assert v == "NEWER"
+
+
+def test_approx_stats_within_bounds(spark, sf_dir):
+    """The sketch aggregates must land near their exact twins: HLL++ within
+    5% relative error on distinct users; approx percentiles inside the
+    observed value range and within 15% of exact."""
+    from elasticsearch_hbase_river_spark.operators.analytics import q_approx_stats
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+
+    approx = {r.event_type: r for r in q_approx_stats(spark, sf_dir).collect()}
+    ev = load_events(spark, sf_dir)
+    exact = {r.event_type: r for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("users"),
+                 F.expr("percentile(value, 0.5)").alias("p50"),
+                 F.expr("percentile(value, 0.95)").alias("p95"),
+             ).collect()}
+    assert set(approx) == set(exact)
+    for t, a in approx.items():
+        e = exact[t]
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
+        assert abs(a.approx_p50 - e.p50) <= max(0.5, 0.15 * abs(e.p50))
+        assert abs(a.approx_p95 - e.p95) <= max(0.5, 0.15 * abs(e.p95))
