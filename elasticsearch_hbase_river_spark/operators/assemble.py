@@ -86,12 +86,19 @@ def q_qualifier_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = F.when(F.col("qualifier") == "props",
                 F.concat(F.lit("Data::"), F.upper("qualifier"), F.lit("::"))) \
          .otherwise(F.concat(F.lit("data::"), F.col("qualifier")))
-    path = split_qualifier_col(q2, SEP)
-    return cells.select(
+    # Stage the path array as its own projection: it feeds two outputs, and
+    # CollapseProject keeps non-cheap multi-referenced expressions staged —
+    # inlined, the split/normalize tree is duplicated per consumer and the
+    # generated code (and its compile time) roughly triples.
+    staged = (cells.select("row_key", "value", q2.alias("qualifier_raw"))
+              .select("row_key", "value", "qualifier_raw",
+                      split_qualifier_col(F.col("qualifier_raw"), SEP)
+                      .alias("path_arr")))
+    return staged.select(
         "row_key",
-        q2.alias("qualifier_raw"),
-        F.array_join(path, "/").alias("path"),
-        F.size(path).cast("long").alias("depth"),
+        "qualifier_raw",
+        F.array_join("path_arr", "/").alias("path"),
+        F.size("path_arr").cast("long").alias("depth"),
         "value",
     )
 
