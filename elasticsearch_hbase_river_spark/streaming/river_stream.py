@@ -259,6 +259,84 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
     )
 
 
+def streaming_latest_version_v2(spark: SparkSession, source_dir: str,
+                                files_per_trigger: int = 16,
+                                state_ttl_ms: int | None = None) -> DataFrame:
+    """The latest-version-wins operator on the arbitrary-state V2 API
+    (``transformWithStateInPandas``, Spark 4): typed ValueState per row
+    key with optional TTL — the state-hygiene knob the V1 API lacks (an
+    abandoned key's state expires instead of living forever; at 100 TB
+    with churning row keys that difference IS the state-store size).
+
+    Same semantics as :func:`streaming_latest_version`; both are kept —
+    V1 (`applyInPandasWithState`) for the classic shape, V2 as the
+    forward path. Processor class is defined in-function so cloudpickle
+    ships it by value to Python workers.
+
+    NB: the V2 operator requires the RocksDB state store (also the right
+    provider at scale: incremental checkpoints, state larger than heap);
+    this sets the session's provider conf before planning the query. Its
+    control channel also needs ``google.protobuf`` at runtime — absent
+    from this container, so the operator raises ImportError up front (the
+    import-try gate) and its test skips; the V1 operator carries the
+    tested coverage here."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (not installed "
+            "in this environment); use streaming_latest_version (V1) instead"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class LatestVersion(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "latest", "ts_ms LONG, n_versions LONG",
+                ttlDurationMs=state_ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (row_key,) = key
+            if self._state.exists():
+                latest, versions = self._state.get()
+            else:
+                latest, versions = None, 0
+            batch_rows = 0
+            for pdf in rows:
+                batch_rows += len(pdf)
+                versions += len(pdf)
+                batch_max = int(pdf["ts_ms"].max())
+                latest = batch_max if latest is None else max(latest, batch_max)
+            self._state.update((int(latest), int(versions)))
+            yield pd.DataFrame({
+                "row_key": [row_key], "latest_ts_ms": [int(latest)],
+                "n_versions": [int(versions)], "batch_rows": [batch_rows]})
+
+        def close(self) -> None:
+            pass
+
+    cells = read_cells_stream(spark, source_dir, files_per_trigger)
+    return (
+        cells.groupBy("row_key")
+        .transformWithStateInPandas(
+            LatestVersion(),
+            outputStructType=_LATEST_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 _LATEST_STATE_SCHEMA = "row_key STRING, ts_ms LONG, n_versions LONG"
 _LATEST_OUT_SCHEMA = ("row_key STRING, latest_ts_ms LONG, n_versions LONG, "
                       "batch_rows LONG")

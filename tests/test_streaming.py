@@ -133,6 +133,37 @@ def test_streaming_latest_version_state(spark, sf_dir, tmp_path):
                          | (F.col("n_versions") != F.col("e_n"))).count() == 0
 
 
+def test_streaming_latest_version_v2_state(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin: same per-key invariants as the V1
+    operator across multiple micro-batches. Skips where google.protobuf
+    (the V2 control-channel dependency) is unavailable."""
+    import pytest
+
+    pytest.importorskip("google.protobuf",
+                        reason="V2 state API control-channel dependency")
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        streaming_latest_version_v2,
+    )
+
+    src = str(tmp_path / "src_state_v2")
+    _write_cells(spark, sf_dir, src)
+    out = streaming_latest_version_v2(spark, src, files_per_trigger=1)
+    q = (out.writeStream.format("memory").queryName("state_v2_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("state_v2_t")
+    cells = cells_from_events(spark, sf_dir)
+    per_key = got.groupBy("row_key").agg(
+        F.max("latest_ts_ms").alias("latest_ts_ms"),
+        F.max("n_versions").alias("n_versions"))
+    expect = cells.groupBy("row_key").agg(
+        F.max("ts_ms").alias("e_ts"), F.count(F.lit(1)).alias("e_n"))
+    joined = per_key.join(expect, "row_key")
+    assert joined.count() == 1000
+    assert joined.filter((F.col("latest_ts_ms") != F.col("e_ts"))
+                         | (F.col("n_versions") != F.col("e_n"))).count() == 0
+
+
 def test_streaming_near_dedup_finds_planted_duplicates(spark, sf_dir, tmp_path):
     """LSH band-bucket state: exact copies arriving on the stream are
     reported as candidate pairs against the originals."""
