@@ -78,11 +78,44 @@ def q_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), F.col("doc_ts_ms"), F.col("doc_json")))
 
 
+#: Synthetic sink drift for the reconcile oracle: every 13th row key is
+#: missing from the sink, every 7th is stale (older timestamp).
+STALE_MOD = 7
+
+
+def q_sink_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source↔sink reconciliation: FULL OUTER join of the assembled source
+    documents against the sink on doc_id, each row classified as in_sync /
+    stale / missing_in_sink / orphaned. The consistency check an
+    incremental importer runs after the fact — the reference trusts its
+    watermark blindly (SURVEY.md §2.1 row 4); this is the audit that
+    catches drift. One shuffle per side on doc_id; at 100 TB both sides
+    prune to the audited key range first."""
+    ev = load_events(spark, sf_dir)
+    source = ev.select(F.col("event_id").cast("string").alias("doc_id"),
+                       F.col("ts_ms").alias("src_ts_ms"))
+    # simulated sink: 13th keys never landed, 7th landed stale
+    sink = (ev.filter(F.col("event_id") % FAILED_MOD != 0)
+            .select(F.col("event_id").cast("string").alias("doc_id"),
+                    F.when(F.col("event_id") % STALE_MOD == 0,
+                           F.col("ts_ms") - 1)
+                     .otherwise(F.col("ts_ms")).alias("sink_ts_ms")))
+    j = source.join(sink, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("src_ts_ms").isNull(), "orphaned")
+         .when(F.col("sink_ts_ms").isNull(), "missing_in_sink")
+         .when(F.col("sink_ts_ms") < F.col("src_ts_ms"), "stale")
+         .otherwise("in_sync"))
+    return j.select("doc_id", "src_ts_ms", "sink_ts_ms",
+                    status.alias("status"))
+
+
 QUERIES = {
     "q_batch_assign": q_batch_assign,
     "q_failed_anti_join": q_failed_anti_join,
     "q_delete_candidates": q_delete_candidates,
     "q_es_bulk": q_es_bulk,
+    "q_sink_reconcile": q_sink_reconcile,
 }
 
 ORACLES = {
@@ -103,6 +136,23 @@ WHERE NOT EXISTS (
     "q_delete_candidates": f"""{CELLS_CTE}
 SELECT DISTINCT row_key FROM cells
 WHERE CAST(row_key AS BIGINT) % {FAILED_MOD} <> 0""",
+
+    "q_sink_reconcile": f"""
+WITH source AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id, epoch_ms(ts) AS src_ts_ms
+  FROM events),
+sink AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id,
+         CASE WHEN event_id % {STALE_MOD} = 0 THEN epoch_ms(ts) - 1
+              ELSE epoch_ms(ts) END AS sink_ts_ms
+  FROM events WHERE event_id % {FAILED_MOD} <> 0)
+SELECT coalesce(source.doc_id, sink.doc_id) AS doc_id,
+       src_ts_ms, sink_ts_ms,
+       CASE WHEN src_ts_ms IS NULL THEN 'orphaned'
+            WHEN sink_ts_ms IS NULL THEN 'missing_in_sink'
+            WHEN sink_ts_ms < src_ts_ms THEN 'stale'
+            ELSE 'in_sync' END AS status
+FROM source FULL OUTER JOIN sink ON source.doc_id = sink.doc_id""",
 }
 
 

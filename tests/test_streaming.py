@@ -41,6 +41,33 @@ def test_stream_drains_and_upserts(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == out.count()
 
 
+def test_stream_restart_picks_up_only_new_files(spark, sf_dir, tmp_path):
+    """Checkpoint recovery: a restarted river resumes from its offsets and
+    processes ONLY files that arrived while it was down (the streaming
+    analog of the watermark-incremental tick)."""
+    src = str(tmp_path / "src_restart")
+    sink = str(tmp_path / "sink_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+    base = cells_from_events(spark, sf_dir)
+    old = base.filter(F.col("row_key").cast("long") < 800)
+    new = base.filter(F.col("row_key").cast("long") >= 800)
+    old.repartition(2).write.mode("overwrite").parquet(src)
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      interval_ms=1000)
+    q1 = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 800
+
+    # river is down; new data lands
+    new.repartition(1).write.mode("append").parquet(src)
+    q2 = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 1000                       # old NOT reprocessed
+    assert out.select("doc_id").distinct().count() == 1000
+
+
 def test_stream_to_es_bulk_files(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src_bulk")
     sink = tmp_path / "sink_bulk"
