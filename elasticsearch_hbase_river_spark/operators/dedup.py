@@ -151,6 +151,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_PREFIX = 64   # compare bounded prefixes: edit distance is O(n*m)
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on candidate pairs: Levenshtein over
+    BOUNDED prefixes (the full-text distance is O(n·m) per pair — never
+    run it unbounded at scale; LSH/banding proposes, a capped distance
+    verifies). Both engines implement levenshtein identically on integers,
+    so this is fully oracle-checked."""
+    aug = _augmented_docs(spark, sf_dir, exact=False)
+    pref = aug.select("doc_id",
+                      F.substring("text", 1, EDIT_PREFIX).alias("pref"))
+    pairs = candidate_pairs(pref.withColumnRenamed("pref", "sh"))
+    dist = F.levenshtein(F.col("sh_a"), F.col("sh_b"))
+    return pairs.select(
+        "doc_a", "doc_b",
+        dist.cast("long").alias("edit_distance"),
+        (dist <= EDIT_PREFIX // 8).alias("is_near_dup"),
+    )
+
+
 def _minhash_cols() -> list[Column]:
     """k MinHash values: permutation j == md5 keyed by j; the min over the
     doc's shingle set (array_min over a transform — map-side, no explode)."""
@@ -276,6 +297,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_edit_distance": q_edit_distance,
     "q_minhash_signature": q_minhash_signature,
     "q_near_dedup": q_near_dedup,
     "q_simhash_dedup": q_simhash_dedup,
@@ -319,6 +341,21 @@ pairs AS (
 SELECT doc_a, doc_b,
        {roundn_sql('i / u')} AS jaccard,
        {roundn_sql('i / u')} >= 0.8 AS is_near_dup
+FROM pairs""",
+
+    "q_edit_distance": f"""
+WITH aug AS ({_AUG_SQL_NEAR}),
+pref AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS pref FROM aug),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.pref, b.pref) AS d
+  FROM pref a JOIN pref b ON b.doc_id = a.doc_id + {COPY_OFFSET}
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, levenshtein(a.pref, b.pref)
+  FROM pref a JOIN pref b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < {COPY_OFFSET} AND b.doc_id < {COPY_OFFSET})
+SELECT doc_a, doc_b, CAST(d AS BIGINT) AS edit_distance,
+       d <= {EDIT_PREFIX // 8} AS is_near_dup
 FROM pairs""",
 
     "q_minhash_signature": f"""
