@@ -57,6 +57,10 @@ HEADLINE = (
     "q_ann_lsh",
     "q_media_decode",
     "q_order_priority",
+    "q_market_share",
+    "q_customer_order_distribution",
+    "q_waiting_suppliers",
+    "q_min_cost_supplier",
     "q_returned_item_customers",
     "q_promo_revenue",
     "q_large_volume_customers",

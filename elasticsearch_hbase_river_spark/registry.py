@@ -15,6 +15,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.similarity",
     "elasticsearch_hbase_river_spark.operators.rollup",
     "elasticsearch_hbase_river_spark.operators.tpch",
+    "elasticsearch_hbase_river_spark.operators.tpch2",
     "elasticsearch_hbase_river_spark.operators.multimodal",
     "elasticsearch_hbase_river_spark.operators.curation",
     "elasticsearch_hbase_river_spark.operators.analytics",
