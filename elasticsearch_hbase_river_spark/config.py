@@ -43,6 +43,13 @@ class RiverConfig:
     # Source truncation (HBaseRiver.java:124-127,152).
     delete_old: bool = False
 
+    # Custom sink mapping passthrough (HBaseRiver.java:118-122 reads a
+    # user-supplied mapping JSON; :250-261 applies it as the index DDL).
+    # Here: a Spark DDL schema string (e.g. "doc_id STRING, doc_json STRING")
+    # applied to the assembled documents at sink-write time — parquet is
+    # schema-on-write, so the projection IS the DDL.
+    custom_mapping: str | None = None
+
     def __post_init__(self) -> None:
         for key in ("table", "index", "type_name"):
             if not getattr(self, key):

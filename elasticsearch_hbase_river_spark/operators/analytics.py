@@ -142,10 +142,10 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
         .filter(F.length("token") >= MIN_TOKEN_LEN)
     )
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    # Two-phase top-V (TakeOrderedAndProject) — the full vocabulary never
+    # funnels through a single-partition window; only V survivors remain.
     vocab = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-             .withColumn("r", F.row_number().over(wv))
-             .filter(F.col("r") <= VOCAB_V)
+             .orderBy(F.col("cnt").desc(), F.col("token")).limit(VOCAB_V)
              .select("token"))
     vt = toks.join(F.broadcast(vocab), "token")
     a = vt.alias("a")
@@ -320,7 +320,7 @@ WITH e AS (
   SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events)
-SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k,
+SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM e GROUP BY event_type""",
 

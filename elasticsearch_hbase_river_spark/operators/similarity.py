@@ -80,20 +80,26 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label: candidate pairs
-    form only within a block (the 100 TB-safe shape — block/bucket first,
-    compare within buckets). Synthetic exact copies guarantee hits."""
+    """Embedding-cosine near-dup pairs, blocked on (label, SRP bucket):
+    candidate pairs form only inside a block. Label alone is NOT a valid
+    blocking key at scale — with a handful of labels the within-block pair
+    join is O(B²) on corpus-proportional blocks; adding the 8-bit
+    signed-random-projection bucket (identical vectors hash identically, so
+    exact/near copies still collide) caps each block at ~1/256 of its
+    label. Synthetic exact copies guarantee hits."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     copies = emb.filter(F.col("vec_id") % DUP_MOD == 0).select(
         (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding", "label")
     aug = emb.unionByName(copies)
     sides = aug.select("vec_id", "label", "embedding",
+                       _srp_bucket_col().alias("bucket"),
                        _norm(F.col("embedding")).alias("nrm"))
     a, b = sides.alias("a"), sides.alias("b")
     cos = roundn_col(_dot(F.col("a.embedding"), F.col("b.embedding"))
                      / (F.col("a.nrm") * F.col("b.nrm")))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
                 F.col("a.label").alias("label"), cos.alias("cosine"))
@@ -284,11 +290,13 @@ WITH aug AS (
   UNION ALL
   SELECT vec_id + {DUP_OFFSET}, embedding, label
   FROM embeddings WHERE vec_id % {DUP_MOD} = 0),
-s AS (SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS nrm FROM aug),
+s AS (SELECT vec_id, label, embedding, {_srp_bucket_sql()} AS bucket,
+             {_norm_sql('embedding')} AS nrm FROM aug),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          {roundn_sql(_dot_sql('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)')} AS cosine
-  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM s a JOIN s b ON a.label = b.label AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id)
 SELECT * FROM p WHERE cosine >= 0.95""",
 
     "q_ann_lsh": f"""

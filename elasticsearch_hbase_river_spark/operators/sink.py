@@ -40,13 +40,31 @@ def _failed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch assignment: floor((rank-1)/batchSize)
-    (HBaseParser.java:137-162)."""
-    ev = load_events(spark, sf_dir)
-    w = Window.orderBy("event_id")
-    return ev.select(
-        F.col("event_id").cast("string").alias("row_key"),
-        F.row_number().over(w).cast("long").alias("rn"),
-    ).withColumn("batch_id", F.expr(f"CAST((rn - 1) div {BATCH_SIZE} AS BIGINT)"))
+    (HBaseParser.java:137-162).
+
+    The global rank is built WITHOUT a single-partition window (which would
+    funnel the whole corpus through one task): range-partition on the key so
+    partition order == key order, rank locally per partition, then add each
+    partition's cumulative row offset — a #partitions-row relation that
+    broadcasts. Output is bit-identical to row_number() OVER (ORDER BY
+    event_id) regardless of the sampled range boundaries."""
+    ev = load_events(spark, sf_dir).select("event_id")
+    ranged = (ev.repartitionByRange(F.col("event_id"))
+                .withColumn("pid", F.spark_partition_id())
+                .persist())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # window over the tiny per-partition counts relation (one row/partition)
+    offsets = counts.select(
+        "pid",
+        (F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt")).alias("offset"))
+    local = ranged.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy("event_id")))
+    return (local.join(F.broadcast(offsets), "pid")
+            .select(
+                F.col("event_id").cast("string").alias("row_key"),
+                (F.col("lrn") + F.col("offset")).cast("long").alias("rn"))
+            .withColumn("batch_id",
+                        F.expr(f"CAST((rn - 1) div {BATCH_SIZE} AS BIGINT)")))
 
 
 def q_failed_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,9 +153,13 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("token")
                .agg(F.count(F.lit(1)).alias("n_total"),
                     F.countDistinct("doc_id").alias("n_docs")))
+    # Two-phase top-k: the vocabulary can be 1e8 tokens at 100 TB, so never
+    # rank it through a global window. orderBy().limit() plans as
+    # TakeOrderedAndProject (parallel per-partition top-100); the rank column
+    # is rebuilt on the 100 survivors.
+    top = tok.orderBy(F.col("n_total").desc(), F.col("token")).limit(VOCAB_TOP)
     w = Window.orderBy(F.col("n_total").desc(), F.col("token"))
-    return (tok.withColumn("rank", F.row_number().over(w).cast("long"))
-               .filter(F.col("rank") <= VOCAB_TOP))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 TFIDF_TOP = 3

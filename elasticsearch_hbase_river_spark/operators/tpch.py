@@ -76,9 +76,14 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", "o_date",
                 roundn_col(F.col("rev_dec").cast("double")).alias("revenue"))
     )
+    # Two-phase top-k: orderBy().limit(k) plans as TakeOrderedAndProject —
+    # each partition keeps its local top-10, the driver merges k·P rows —
+    # instead of a global window that funnels every qualifying order through
+    # one partition. The deterministic rank is rebuilt by a window over the
+    # <=10 survivors only.
+    top = agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(Q3_TOP)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
-               .filter(F.col("rank") <= Q3_TOP))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 Q6_YEAR = "1998"
@@ -239,9 +244,12 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 roundn_col(F.col("rev_dec").cast("double")).alias("revenue"),
                 roundn_col(F.col("bal_dec").cast("double")).alias("c_acctbal"))
     )
+    # Two-phase top-k (TakeOrderedAndProject), rank rebuilt on the <=20
+    # survivors — the per-customer aggregate is corpus-proportional and must
+    # never pass through a single-partition global window.
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(Q10_TOP)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
-               .filter(F.col("rank") <= Q10_TOP))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,9 +288,12 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (li.groupBy("l_suppkey").agg(F.sum("rev").alias("rev_dec"))
              .select("l_suppkey",
                      roundn_col(F.col("rev_dec").cast("double")).alias("total_revenue")))
-    w = Window.orderBy(F.col("total_revenue").desc())
-    return (agg.withColumn("rnk", F.rank().over(w))
-               .filter(F.col("rnk") == 1).drop("rnk")
+    # rank()==1 is just "equals the max": a 1-row max aggregate broadcast
+    # back preserves ties and replaces the global window's single-partition
+    # exchange with a map-side filter.
+    mx = agg.agg(F.max("total_revenue").alias("mx_rev"))
+    return (agg.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx_rev"))
+               .drop("mx_rev")
                .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
                .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
                        "s_name", "total_revenue"))

@@ -109,7 +109,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey"))
     orders = (load_table(spark, sf_dir, "orders")
               .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-              .select("o_orderkey", F.year("o_orderdate").alias("o_year")))
+              .select("o_orderkey",
+                      F.year("o_orderdate").cast("long").alias("o_year")))
     supp_nation = (load_table(spark, sf_dir, "supplier")
                    .join(F.broadcast(nation.select("n_nationkey", "n_name")),
                          F.col("s_nationkey") == F.col("n_nationkey"))
@@ -143,7 +144,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("s_nationkey") == F.col("n_nationkey"))
                    .select("s_suppkey", F.col("n_name").alias("nation")))
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     li = (load_table(spark, sf_dir, "lineitem")
           .join(F.broadcast(part_sel), F.col("l_partkey") == F.col("p_partkey"))
           .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -308,7 +309,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (waiting.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
             .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-            .select("s_name", "numwait"))
+            .select("s_suppkey", "s_name", "numwait"))
 
 
 QUERIES = {
@@ -397,10 +398,10 @@ WHERE value_dec * {Q11_SCALE} > (SELECT sum(value_dec) FROM value)""",
 
     "q_priority_mix": f"""
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '{int(Q12_YEAR) + 1}-01-01 00:00:00'
@@ -470,10 +471,10 @@ per_order AS (
 ret_pairs AS (
   SELECT DISTINCT l_orderkey AS r_orderkey, l_suppkey
   FROM li WHERE l_returnflag = 'R')
-SELECT s_name, count(*) AS numwait
+SELECT s_suppkey, s_name, count(*) AS numwait
 FROM ret_pairs
 JOIN per_order ON r_orderkey = agg_okey
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE n_supp > 1 AND n_ret_supp = 1
-GROUP BY s_name""",
+GROUP BY s_suppkey, s_name""",
 }

@@ -138,6 +138,27 @@ def river_tick_plan(cells: DataFrame, config: RiverConfig,
                 .filter(F.col("rn") == 1).drop("rn"))
 
 
+def apply_sink_mapping(docs: DataFrame, config: RiverConfig) -> DataFrame:
+    """Custom sink mapping passthrough (SURVEY.md §2.1 row 16): the
+    reference accepts a user-supplied mapping JSON and applies it at index
+    bootstrap (HBaseRiver.java:118-122, put-mapping :250-261). The engine
+    analog: cast/project the assembled documents onto the declared target
+    schema before the sink write. Columns named in the mapping but absent
+    from the documents come back as typed NULLs (dynamic-mapping documents
+    may simply lack a field); extra document columns are dropped — exactly
+    what a fixed ES mapping does to unmapped fields with dynamic off."""
+    if not config.custom_mapping:
+        return docs
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(config.custom_mapping)
+    return docs.select(*[
+        (F.col(f.name).cast(f.dataType) if f.name in docs.columns
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in target.fields
+    ])
+
+
 @dataclass
 class TickResult:
     rows_indexed: int
@@ -169,8 +190,15 @@ def run_once(spark: SparkSession, cells: DataFrame, config: RiverConfig,
         write_bulk, write_with_dead_letter,
     )
 
+    if config.custom_mapping and "doc_ts_ms" not in config.custom_mapping:
+        # The incremental watermark is max(doc_ts_ms) over the sink — a
+        # mapping that drops it breaks every later tick (the reference's
+        # equivalent: its facet watermark query needs _timestamp enabled,
+        # HBaseRiver.java:223-231 + HBaseParser.java:258-280).
+        raise ValueError("custom_mapping must retain doc_ts_ms "
+                         "(the incremental watermark column)")
     wm = sink_max_ts(spark, sink_path)
-    out = river_tick_plan(cells, config, wm)
+    out = apply_sink_mapping(river_tick_plan(cells, config, wm), config)
     if reject_when is not None:
         if dead_letter_path is None:
             raise ValueError("reject_when requires dead_letter_path")
@@ -179,9 +207,14 @@ def run_once(spark: SparkSession, cells: DataFrame, config: RiverConfig,
                                      batch_size=config.batch_size)
         indexed = res.rows_acked
     else:
+        # Count the tick's OWN output (cached across write+count), never a
+        # re-scan of the whole sink — the sink is O(history), the tick delta
+        # is O(new rows), and re-reading history per tick is a driver-side
+        # scale-killer at 100 TB.
+        out = out.persist()
         write_bulk(out, sink_path, config.batch_size)
-        indexed = spark.read.parquet(sink_path).filter(
-            F.col("doc_ts_ms") > wm).count()
+        indexed = out.count()
+        out.unpersist()
     deleted = indexed if config.delete_old else 0
     return TickResult(rows_indexed=indexed,
                       watermark_ms=sink_max_ts(spark, sink_path),

@@ -182,23 +182,35 @@ def streaming_exact_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
-_BAND_STATE_SCHEMA = "members STRING"
+_BAND_STATE_SCHEMA = "members ARRAY<LONG>"
 _BAND_OUT_SCHEMA = "doc_a LONG, doc_b LONG, band_idx INT, band_val STRING"
+
+#: Hard cap on per-bucket membership. An LSH bucket that keeps attracting
+#: members is either a degenerate band (near-constant text) or an actual
+#: mega-cluster; in both cases every further arrival would emit
+#: O(occupancy) pairs and grow state forever. Beyond the cap new docs still
+#: compare against the capped member set (pairs keep flowing) but are not
+#: remembered.
+MAX_BUCKET_OCCUPANCY = 64
 
 
 def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
-                         files_per_trigger: int = 16) -> DataFrame:
+                         files_per_trigger: int = 16,
+                         state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming MinHash-LSH near-dup detection: per-document signatures
     and band keys are computed map-side on the stream (same expressions as
     the batch ``q_minhash_signature``); candidate pairs come from an
     ``applyInPandasWithState`` operator keyed on (band_idx, band_val) whose
     state is the set of doc_ids already seen in that bucket.
 
-    This is the 100 TB streaming shape: state is per-band-bucket (bounded
-    by bucket occupancy, not corpus size), new documents only compare
-    against their own buckets, and emission happens incrementally — no
-    re-scan of the corpus per batch. Pairs may repeat across bands;
-    downstream consumers dedupe (doc_a, doc_b) idempotently.
+    This is the 100 TB streaming shape: state is per-band-bucket — a typed
+    LONG array capped at ``MAX_BUCKET_OCCUPANCY`` members (so per-arrival
+    work and state size are both O(cap), not O(stream length)) with an
+    optional processing-time TTL (``state_ttl_ms``) that drops idle
+    buckets. New documents only compare against their own buckets and
+    emission happens incrementally — no re-scan of the corpus per batch.
+    Pairs may repeat across bands; downstream consumers dedupe
+    (doc_a, doc_b) idempotently.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -230,32 +242,47 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
             for b in range(N_BANDS)])).alias("band_idx", "band_val"),
     )
 
+    ttl_ms = state_ttl_ms
+
     def match(key, pdfs, state):
         import pandas as pd  # runs on Python workers
 
         band_idx, band_val = key
-        seen = set(state.get[0].split(",")) if state.exists and state.get[0] \
-            else set()
-        out = {"doc_a": [], "doc_b": [], "band_idx": [], "band_val": []}
+        empty = {"doc_a": [], "doc_b": [], "band_idx": [], "band_val": []}
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(empty)
+            return
+        members = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        out = dict(empty)
         for pdf in pdfs:
             for doc in pdf["doc_id"]:
                 d = int(doc)
-                for other in seen:
-                    a, b = sorted((d, int(other)))
+                if d in seen:
+                    continue
+                for other in members:
+                    a, b = sorted((d, other))
                     out["doc_a"].append(a)
                     out["doc_b"].append(b)
                     out["band_idx"].append(band_idx)
                     out["band_val"].append(band_val)
-                seen.add(str(d))
-        state.update((",".join(sorted(seen)),))
+                if len(members) < MAX_BUCKET_OCCUPANCY:
+                    members.append(d)
+                    seen.add(d)
+        state.update((members,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out)
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
         match,
         outputStructType=_BAND_OUT_SCHEMA,
         stateStructType=_BAND_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

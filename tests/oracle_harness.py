@@ -42,11 +42,26 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _dtype_sig(df: pd.DataFrame) -> dict:
+    # The driver's schema compare is dtype-sensitive (e.g. DuckDB HUGEINT →
+    # float64 vs Spark BIGINT → int64 fails it). Mirror that here, modulo
+    # datetime unit (ns vs us is an Arrow artifact, not a schema diff).
+    sig = {}
+    for c in sorted(df.columns):
+        s = str(df[c].dtype)
+        sig[c] = "datetime64" if s.startswith("datetime64") else s
+    return sig
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
-    sp = _canon(spark_df.toPandas())
+    sp_raw = spark_df.toPandas()
     con = duck_con(sf_dir)
-    du = _canon(con.execute(oracle_sql).df())
+    du_raw = con.execute(oracle_sql).df()
     con.close()
+    assert _dtype_sig(sp_raw) == _dtype_sig(du_raw), (
+        f"dtype mismatch: spark={_dtype_sig(sp_raw)} duck={_dtype_sig(du_raw)}")
+    sp = _canon(sp_raw)
+    du = _canon(du_raw)
     assert list(sp.columns) == list(du.columns), (
         f"column mismatch: spark={list(sp.columns)} duck={list(du.columns)}")
     assert len(sp) == len(du), f"row count mismatch: spark={len(sp)} duck={len(du)}"

@@ -295,6 +295,37 @@ def test_melt_wide_table_feeds_the_river(spark, sf_dir):
     assert set(doc["o"]) == {"o_orderpriority", "bin_priority", "o_totalprice"}
 
 
+def test_custom_sink_mapping(spark, sf_dir, tmp_path):
+    """Custom mapping passthrough (parity row 16, HBaseRiver.java:118-122,
+    250-261): the sink lands with the user-declared schema — declared
+    columns cast, missing columns as typed NULLs, extras dropped."""
+    cfg = RiverConfig(
+        table="events", index="river", type_name="doc", column_separator="::",
+        custom_mapping="doc_id STRING, doc_ts_ms LONG, doc_json STRING, "
+                       "ingest_tag STRING")
+    cells = cells_from_events(spark, sf_dir)
+    sink = str(tmp_path / "sink_map")
+    r = run_once(spark, cells, cfg, sink)
+    assert r.rows_indexed == 1000
+    out = spark.read.parquet(sink)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("doc_id", "string"), ("doc_ts_ms", "bigint"),
+        ("doc_json", "string"), ("ingest_tag", "string")]
+    assert "row_key" not in out.columns          # unmapped column dropped
+    assert out.filter(F.col("ingest_tag").isNotNull()).count() == 0
+    # the watermark still works on the mapped sink
+    r2 = run_once(spark, cells, cfg, sink)
+    assert r2.rows_indexed == 0
+
+
+def test_custom_sink_mapping_requires_watermark_column(spark, sf_dir, tmp_path):
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      custom_mapping="doc_id STRING, doc_json STRING")
+    with pytest.raises(ValueError, match="doc_ts_ms"):
+        run_once(spark, cells_from_events(spark, sf_dir), cfg,
+                 str(tmp_path / "sink_bad"))
+
+
 def test_upsert_latest_wins(spark, sf_dir, cfg):
     cells = cells_from_events(spark, sf_dir)
     # duplicate every cell with a newer ts and marker value

@@ -216,6 +216,37 @@ def test_streaming_near_dedup_finds_planted_duplicates(spark, sf_dir, tmp_path):
     assert planted <= got
 
 
+def test_streaming_near_dedup_bucket_occupancy_cap(spark, tmp_path):
+    """A degenerate bucket (many identical texts) never holds more than
+    MAX_BUCKET_OCCUPANCY members: arrival n pairs against min(n-1, cap)
+    remembered members, so total pairs per band is bounded linearly by
+    cap·n instead of n²."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        MAX_BUCKET_OCCUPANCY, streaming_near_dedup,
+    )
+
+    n_docs = MAX_BUCKET_OCCUPANCY + 20
+    src = str(tmp_path / "docs_degenerate")
+    rows = [(i, "same text repeated for every doc in this bucket")
+            for i in range(n_docs)]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = streaming_near_dedup(spark, src)
+    q = (out.writeStream.format("memory").queryName("near_cap_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    per_band = (spark.table("near_cap_t")
+                .groupBy("band_idx", "doc_b").count())
+    # doc_b arrives after doc_a, so doc_b's pair count per band == number of
+    # members it compared against — never more than the cap
+    assert per_band.agg(F.max("count")).collect()[0][0] <= MAX_BUCKET_OCCUPANCY
+    expected_pairs_per_band = sum(
+        min(i, MAX_BUCKET_OCCUPANCY) for i in range(n_docs))
+    total = spark.table("near_cap_t").groupBy("band_idx").count()
+    assert all(r["count"] == expected_pairs_per_band for r in total.collect())
+
+
 def test_streaming_rollup_plan_is_streaming(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src2")
     _write_cells(spark, sf_dir, src)
