@@ -74,6 +74,11 @@ HEADLINE = (
     "q_session_attribution",
     "q_unigram_logprob",
     "q_es_bulk",
+    "q_passage_dedup",
+    "q_contamination",
+    "q_pii_redact",
+    "q_repetition_filter",
+    "q_domain_mix",
 )
 
 

@@ -10,8 +10,10 @@ marked deterministic stand-in behind ``_decode_payload`` (swap in PIL/ffmpeg
 there); everything Spark-side — schema, batch iteration, partitioning — is
 real and is what matters at 100 TB.
 
-``q_multimodal_schema`` is oracle-checked; ``q_media_decode`` is genuinely
-non-SQL-expressible (Pandas UDF) and gets the driver's rows-only check.
+All three queries are oracle-checked: the decode/framesample stand-ins are
+deterministic byte arithmetic, which DuckDB reproduces via get_bit over the
+payload blob (see ORACLES below). With a real codec (``STRICT_DECODE``)
+those two revert to rows-only checks.
 """
 
 from __future__ import annotations
@@ -190,6 +192,29 @@ QUERIES = {
     "q_media_framesample": q_media_framesample,
 }
 
+# The decode stub is deterministic byte arithmetic (first/last payload byte
+# + octet length), so it IS SQL-expressible: DuckDB reads individual payload
+# bytes via get_bit over the blob's bit view. A real codec swap flips
+# STRICT_DECODE and retires these two oracles to rows-only checks.
+_FRAME_SQL = """
+  SELECT doc_id AS asset_id, 'text' AS modality, encode(text) AS payload
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'image', encode(text)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, 'video', encode(text)
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _byte_at_sql(bit_offset_expr: str) -> str:
+    """SQL for one payload byte as an integer: 8 get_bit reads, MSB first."""
+    return ("list_sum(list_transform(range(0, 8), i -> "
+            f"get_bit(payload::BIT, CAST({bit_offset_expr} + i AS INTEGER))"
+            " * (1 << CAST(7 - i AS INTEGER))))")
+
+
 ORACLES = {
     "q_multimodal_schema": """
 SELECT doc_id AS asset_id, 'text' AS modality,
@@ -198,5 +223,35 @@ FROM documents
 UNION ALL
 SELECT vec_id, 'embedding', CAST(len(embedding) * 4 AS BIGINT)
 FROM embeddings""",
-    # q_media_decode: intentionally no oracle — mapInPandas decode path.
+
+    "q_media_decode": f"""
+WITH frame AS ({_FRAME_SQL}),
+b AS (
+  SELECT asset_id, modality,
+         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         {_byte_at_sql('0')} AS b0,
+         {_byte_at_sql('8 * (octet_length(payload) - 1)')} AS bn
+  FROM frame)
+SELECT asset_id, modality, n_bytes,
+       CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + b0 % 192 END AS BIGINT)
+         AS width,
+       CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + bn % 192 END AS BIGINT)
+         AS height,
+       CAST(CASE WHEN n_bytes = 0 THEN 0
+                 WHEN modality = 'image' THEN 3 ELSE 1 END AS BIGINT)
+         AS n_channels,
+       n_bytes > 0 AS decode_ok
+FROM b""",
+
+    "q_media_framesample": f"""
+WITH vids AS (
+  SELECT doc_id + 20000000 AS asset_id,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT asset_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * (1000 * (1 + n % 60)) // {FRAMES_PER_VIDEO} AS BIGINT)
+         AS frame_ts_ms,
+       CAST(greatest(n // {FRAMES_PER_VIDEO}, 1) AS BIGINT) AS frame_bytes
+FROM vids, (SELECT unnest(range(0, {FRAMES_PER_VIDEO})) AS i)""",
 }

@@ -1,0 +1,274 @@
+"""Pretraining-corpus curation operators (BASELINE.json north star: "the
+operations a large-scale training-data pipeline would need" beyond
+dedup/similarity — the cleaning/safety passes that run between raw crawl
+and tokenizer).
+
+- ``q_passage_dedup``     : cross-document duplicated passages (fixed-size
+                            token windows hashed and counted) — the
+                            passage-level analog of exact dedup; at 100 TB
+                            the hash groupBy is one partial-agg shuffle and
+                            the output is only the colliding hashes.
+- ``q_contamination``     : benchmark-contamination check via 8-gram
+                            overlap: the (tiny) held-out set's n-gram hashes
+                            broadcast against the corpus — a train-side scan
+                            with a broadcast semi-ish join, never a corpus
+                            self-join.
+- ``q_pii_redact``        : regex PII (email) redaction + per-doc counts.
+                            Pure regexp_replace/regexp string built-ins;
+                            pattern kept inside the RE2 ∩ Java-regex common
+                            dialect so both engines agree byte-for-byte.
+- ``q_repetition_filter`` : Gopher-style repetition quality gate: within-doc
+                            duplicate-token and duplicate-2gram fractions,
+                            map-side higher-order functions only (no
+                            explode, no shuffle).
+- ``q_domain_mix``        : per-source sampling weights that flatten the
+                            domain distribution toward uniform (capped) —
+                            k-row aggregate + one-row broadcast, the shape
+                            of every mixture-rebalancing job.
+
+All five are fully oracle-checked; determinism notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+PASSAGE_TOKENS = 16      # tokens per passage window (non-overlapping)
+CONTAM_N = 8             # n-gram size for the contamination check
+BENCH_MOD = 97           # doc_id % 97 == 0 -> member of the "benchmark" set
+PII_MOD = 10             # every 10th doc gets a synthetic email appended
+DUP_TOKEN_MAX = 0.30     # Gopher-ish thresholds
+DUP_2GRAM_MAX = 0.20
+MIX_CAP = 3.0            # max upsampling weight per domain
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages: chunk each document into
+    non-overlapping PASSAGE_TOKENS-token windows, hash each window, keep
+    hashes seen in more than one document.
+
+    Scale shape: explode -> md5 -> groupBy(hash) is one shuffle with
+    map-side partial aggregation; the result relation holds only colliding
+    hashes (tiny). The same relation is what a passage-level dedup pass
+    would anti-join back onto the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", _toks().alias("toks"))
+    n_pass = F.ceil(F.size("toks") / PASSAGE_TOKENS).cast("int")
+    passages = t.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), n_pass - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("toks"), i * PASSAGE_TOKENS + 1,
+                             PASSAGE_TOKENS)),
+        )).alias("passage"),
+    )
+    return (passages
+            .select("doc_id", F.md5("passage").alias("passage_hash"))
+            .groupBy("passage_hash")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") > 1))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: training docs sharing at least one
+    CONTAM_N-gram with the held-out set (doc_id % BENCH_MOD == 0).
+
+    Scale shape: the benchmark side is tiny by construction — its distinct
+    n-gram hash set broadcasts; the corpus side explodes to (doc, hash) and
+    the join + per-doc count is one shuffle on doc_id. Output one row per
+    contaminated training doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", _toks().alias("toks"))
+    grams = F.when(
+        F.size("toks") >= CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (CONTAM_N - 1)),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice(F.col("toks"), i, CONTAM_N))),
+        ),
+    ).otherwise(F.array())
+    hashed = t.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+    bench = (hashed.filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select("gh").distinct())
+    train = hashed.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (train.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+            .withColumn("is_contaminated", F.lit(True)))
+
+
+#: Kept to the RE2 ∩ Java-regex common subset: literal classes, +, no
+#: lookaround/backrefs — identical semantics in Spark and DuckDB.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII (email) redaction with audit counts. The fixture corpus carries
+    no PII, so every PII_MOD-th document gets a deterministic synthetic
+    email appended (mirrored in the oracle) — the redactor then must (a)
+    replace every match with the token ``<EMAIL>`` and (b) report per-doc
+    match counts, leaving clean docs untouched. Pure map-side string ops."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % PII_MOD == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+         .otherwise(F.col("text")))
+    n_pii = F.size(F.split(F.col("text"), PII_EMAIL_RE, -1)) - 1
+    return aug.select(
+        "doc_id",
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>").alias("clean_text"),
+        n_pii.cast("long").alias("n_redacted"),
+    ).withColumn("had_pii", F.col("n_redacted") > 0)
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: fraction of repeated tokens and
+    repeated 2-grams inside each document; docs above either threshold are
+    flagged. Entirely map-side (higher-order functions over the token
+    array) — zero shuffles at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", _toks().alias("toks"))
+    n_tok = F.size("toks")
+    grams2 = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("toks"), i),
+                              F.element_at(F.col("toks"), i + 1)))
+    dup_tok = (n_tok - F.size(F.array_distinct("toks"))) / n_tok
+    dup_2g = F.when(n_tok >= 2,
+                    (F.size(grams2) - F.size(F.array_distinct(grams2)))
+                    / F.size(grams2)).otherwise(F.lit(0.0))
+    out = t.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        roundn_col(dup_tok).alias("dup_token_frac"),
+        roundn_col(dup_2g).alias("dup_2gram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= DUP_TOKEN_MAX)
+        & (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX))
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source document/token counts plus the
+    sampling weight that flattens the mix toward uniform, capped at MIX_CAP
+    (never upsample a tiny domain unboundedly). The per-source relation is
+    k rows; the corpus total is a 1-row broadcast — the weights then drive
+    a Bernoulli/repeat sampler over the corpus (map-side)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_src = (docs.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(_toks())).cast("long").alias("n_tokens")))
+    totals = per_src.agg(F.sum("n_tokens").alias("tot_tokens"),
+                         F.count(F.lit(1)).alias("n_sources"))
+    w = F.least(
+        F.lit(MIX_CAP),
+        (F.col("tot_tokens") / F.col("n_sources")) / F.col("n_tokens"))
+    return (per_src.crossJoin(F.broadcast(totals))
+            .select("source", "n_docs", "n_tokens",
+                    roundn_col(w).alias("sample_weight")))
+
+
+QUERIES = {
+    "q_passage_dedup": q_passage_dedup,
+    "q_contamination": q_contamination,
+    "q_pii_redact": q_pii_redact,
+    "q_repetition_filter": q_repetition_filter,
+    "q_domain_mix": q_domain_mix,
+}
+
+
+_TOKS_SQL = "string_split(text, ' ')"
+
+ORACLES = {
+    "q_passage_dedup": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS BIGINT)),
+           i -> md5(array_to_string(
+                  toks[i * {PASSAGE_TOKENS} + 1 : (i + 1) * {PASSAGE_TOKENS}],
+                  ' ')))) AS passage_hash
+  FROM t)
+SELECT passage_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM p GROUP BY passage_hash HAVING count(DISTINCT doc_id) > 1""",
+
+    "q_contamination": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+h AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= {CONTAM_N}
+                THEN list_transform(range(1, len(toks) - {CONTAM_N - 1} + 1),
+                     i -> md5(array_to_string(toks[i : i + {CONTAM_N - 1}], ' ')))
+                ELSE [] END)) AS gh
+  FROM t),
+bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % {BENCH_MOD} = 0)
+SELECT doc_id, count(*) AS n_shared_ngrams, TRUE AS is_contaminated
+FROM h JOIN bench USING (gh)
+WHERE doc_id % {BENCH_MOD} <> 0
+GROUP BY doc_id""",
+
+    "q_pii_redact": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
+       CAST(len(string_split_regex(text, '{PII_EMAIL_RE}')) - 1 AS BIGINT)
+         AS n_redacted,
+       len(string_split_regex(text, '{PII_EMAIL_RE}')) - 1 > 0 AS had_pii
+FROM aug""",
+
+    "q_repetition_filter": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams2
+  FROM t),
+m AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         {roundn_sql('(n_tok - len(list_distinct(toks))) / n_tok')}
+           AS dup_token_frac,
+         CASE WHEN n_tok >= 2 THEN
+           {roundn_sql('(len(grams2) - len(list_distinct(grams2))) / len(grams2)')}
+         ELSE 0.0 END AS dup_2gram_frac
+  FROM g)
+SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac,
+       dup_token_frac <= {DUP_TOKEN_MAX} AND dup_2gram_frac <= {DUP_2GRAM_MAX}
+         AS keep
+FROM m""",
+
+    "q_domain_mix": f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per_src)
+SELECT source, n_docs, n_tokens,
+       {roundn_sql(f'least({MIX_CAP}, (tot_tokens / n_sources) / n_tokens)')}
+         AS sample_weight
+FROM per_src CROSS JOIN tot""",
+}

@@ -26,6 +26,12 @@ from elasticsearch_hbase_river_spark.sources.tables import load_events
 
 BATCH_SIZE = 100  # reference default, HBaseRiver.java:59-62,150
 
+#: Key-range width per ranking block in q_batch_assign: ~1000 rows/block
+#: for dense ids; at 100 TB pick block ≈ rows_per_task so the per-block
+#: window state stays executor-sized. Correct for ANY key density (blocks
+#: may be uneven or empty — only their order matters).
+BATCH_ASSIGN_BLOCK = 1_000
+
 #: Deterministic synthetic "bulk failure" predicate for the oracle: every
 #: 13th row key fails (stands in for the BulkResponse failure scan,
 #: HBaseParser.java:164-175).
@@ -43,23 +49,23 @@ def q_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HBaseParser.java:137-162).
 
     The global rank is built WITHOUT a single-partition window (which would
-    funnel the whole corpus through one task): range-partition on the key so
-    partition order == key order, rank locally per partition, then add each
-    partition's cumulative row offset — a #partitions-row relation that
-    broadcasts. Output is bit-identical to row_number() OVER (ORDER BY
-    event_id) regardless of the sampled range boundaries."""
+    funnel the whole corpus through one task): rows block on a DETERMINISTIC
+    key range (``event_id div BLOCK``, no sampling pass, no caching needed),
+    rank locally inside each block, and add each block's cumulative row
+    offset — a #blocks-row relation that broadcasts. Key order across blocks
+    == block order, so the result is bit-identical to row_number() OVER
+    (ORDER BY event_id) at any parallelism."""
     ev = load_events(spark, sf_dir).select("event_id")
-    ranged = (ev.repartitionByRange(F.col("event_id"))
-                .withColumn("pid", F.spark_partition_id())
-                .persist())
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # window over the tiny per-partition counts relation (one row/partition)
+    block = (F.col("event_id") / BATCH_ASSIGN_BLOCK).cast("long")
+    blocked = ev.withColumn("blk", block)
+    counts = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+    # window over the tiny per-block counts relation (one row per block)
     offsets = counts.select(
-        "pid",
-        (F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt")).alias("offset"))
-    local = ranged.withColumn(
-        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy("event_id")))
-    return (local.join(F.broadcast(offsets), "pid")
+        "blk",
+        (F.sum("cnt").over(Window.orderBy("blk")) - F.col("cnt")).alias("offset"))
+    local = blocked.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("blk").orderBy("event_id")))
+    return (local.join(F.broadcast(offsets), "blk")
             .select(
                 F.col("event_id").cast("string").alias("row_key"),
                 (F.col("lrn") + F.col("offset")).cast("long").alias("rn"))

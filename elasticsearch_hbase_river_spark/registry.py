@@ -18,6 +18,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.tpch2",
     "elasticsearch_hbase_river_spark.operators.multimodal",
     "elasticsearch_hbase_river_spark.operators.curation",
+    "elasticsearch_hbase_river_spark.operators.pretrain",
     "elasticsearch_hbase_river_spark.operators.analytics",
     "elasticsearch_hbase_river_spark.operators.graph",
 )

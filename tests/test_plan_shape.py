@@ -130,6 +130,48 @@ def test_flagship_pipeline_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_topk_queries_avoid_corpus_sized_global_windows(spark, sf_dir):
+    """Two-phase top-k invariant: every top-k query must plan the big
+    relation through TakeOrderedAndProject (parallel partial top-k), with
+    the only single-partition exchange feeding the rank window on the <=k
+    survivor rows — i.e. AFTER the TakeOrderedAndProject, never below it."""
+    from elasticsearch_hbase_river_spark.operators.text import q_vocab
+    from elasticsearch_hbase_river_spark.operators.tpch import (
+        q_returned_item_customers,
+    )
+
+    for q in (q_top_orders, q_returned_item_customers, q_vocab):
+        plan = _plan(q(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, q.__name__
+        # the survivor-rank window's SinglePartition exchange must sit above
+        # the TakeOrderedAndProject in the plan text (printed top-down)
+        if "Exchange SinglePartition" in plan:
+            assert (plan.index("Exchange SinglePartition")
+                    < plan.index("TakeOrderedAndProject")), q.__name__
+
+
+def test_top_supplier_has_no_global_window(spark, sf_dir):
+    """The rank()==1 scalar-max query must plan as a broadcast max join —
+    no single-partition exchange anywhere (its aggregate is 1 row)."""
+    from elasticsearch_hbase_river_spark.operators.tpch import q_top_supplier
+
+    plan = _plan(q_top_supplier(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_batch_assign_ranks_per_partition(spark, sf_dir):
+    """The bulk batch-id assignment must never row_number the whole corpus
+    on one partition: the only SinglePartition exchange allowed is the one
+    under the tiny per-partition-counts window."""
+    from elasticsearch_hbase_river_spark.operators.sink import q_batch_assign
+
+    plan = _plan(q_batch_assign(spark, sf_dir))
+    # the big side ranks within deterministic key blocks, not globally
+    assert "row_number" in plan
+    assert "windowspecdefinition(blk" in plan
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """q_incremental_scan projects 3 source columns; the parquet ReadSchema
     must not include the unreferenced ones (value/props stay pruned when
