@@ -79,6 +79,8 @@ HEADLINE = (
     "q_pii_redact",
     "q_repetition_filter",
     "q_domain_mix",
+    "q_domain_sample",
+    "q_sequence_pack",
 )
 
 
@@ -112,6 +114,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries that persist() intermediates (LSH signatures) are done with
+        # them once materialized; dropping them between queries keeps later
+        # timings honest — leaked cache blocks were inflating every query
+        # after the first persist by 1.5-2x (GC pressure), which is a bench
+        # artifact, not a plan cost.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

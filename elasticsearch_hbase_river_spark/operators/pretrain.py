@@ -25,13 +25,20 @@ and tokenizer).
                             domain distribution toward uniform (capped) —
                             k-row aggregate + one-row broadcast, the shape
                             of every mixture-rebalancing job.
+- ``q_domain_sample``     : the sampler those weights drive — deterministic
+                            per-doc Bernoulli keep/drop via an md5 coin,
+                            entirely map-side after a k-row broadcast.
+- ``q_sequence_pack``     : GPT-style concatenate-and-chunk packing: global
+                            token offsets per doc (blocked prefix sum, never
+                            a corpus-wide window) -> which fixed-length
+                            training sequences each document spans.
 
-All five are fully oracle-checked; determinism notes inline.
+All seven are fully oracle-checked; determinism notes inline.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
@@ -44,6 +51,9 @@ PII_MOD = 10             # every 10th doc gets a synthetic email appended
 DUP_TOKEN_MAX = 0.30     # Gopher-ish thresholds
 DUP_2GRAM_MAX = 0.20
 MIX_CAP = 3.0            # max upsampling weight per domain
+SAMPLE_SEED = "smpl-1"   # keyed md5 coin -> reproducible sampling runs
+PACK_SEQ_LEN = 256       # tokens per packed training sequence
+PACK_BLOCK = 1_000       # doc_id-range width per prefix-sum block
 
 
 def _toks():
@@ -182,12 +192,81 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     roundn_col(w).alias("sample_weight")))
 
 
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampler driven by the q_domain_mix weights:
+    each doc flips a keyed-md5 coin against its domain's keep rate
+    min(1, weight). The coin is the first 8 md5 hex chars compared
+    lexicographically against the rate rendered as 8 hex digits — identical
+    math in Spark and DuckDB, no RNG, reruns reproduce exactly.
+
+    Scale shape: the per-domain rate relation is k rows (broadcast); the
+    decision is a map-side string compare — zero shuffles over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_src = (docs.groupBy("source")
+               .agg(F.sum(F.size(_toks())).cast("long").alias("n_tokens")))
+    totals = per_src.agg(F.sum("n_tokens").alias("tot_tokens"),
+                         F.count(F.lit(1)).alias("n_sources"))
+    w = F.least(
+        F.lit(MIX_CAP),
+        (F.col("tot_tokens") / F.col("n_sources")) / F.col("n_tokens"))
+    rates = (per_src.crossJoin(F.broadcast(totals))
+             .select("source", F.least(F.lit(1.0), w).alias("p_keep")))
+    # keep iff md5 coin < p_keep * 2^32, both sides as 8-digit lowercase hex
+    # (p_keep == 1 renders as 9 digits, guarded by the >= 1.0 branch).
+    thresh = F.format_string(
+        "%08x", F.floor(F.col("p_keep") * F.lit(4294967296.0)).cast("long"))
+    coin = F.substring(
+        F.md5(F.concat(F.lit(SAMPLE_SEED + "|"), F.col("doc_id").cast("string"))),
+        1, 8)
+    return (docs.join(F.broadcast(rates), "source")
+            .select("doc_id", "source",
+                    roundn_col(F.col("p_keep")).alias("p_keep"),
+                    ((F.col("p_keep") >= 1.0) | (coin < thresh)).alias("keep")))
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: documents are laid out
+    end-to-end in doc_id order and cut into PACK_SEQ_LEN-token training
+    sequences; emit each doc's global token offset and the sequence range
+    it spans (feeds the shard writer of a pretraining tokenizer job).
+
+    Scale shape: the global prefix sum is built per deterministic doc_id
+    block — per-block token totals (k-row relation) get the cross-block
+    running sum on a tiny window, broadcast back, and each block computes
+    its local cumsum in parallel. Bit-identical to a corpus-wide
+    ``sum() OVER (ORDER BY doc_id)`` at any parallelism, with no
+    single-partition exchange over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", F.size(_toks()).cast("long").alias("n_tokens"))
+    blocked = t.withColumn(
+        "blk", (F.col("doc_id") / PACK_BLOCK).cast("long"))
+    btot = blocked.groupBy("blk").agg(F.sum("n_tokens").alias("btot"))
+    offsets = btot.select(
+        "blk",
+        (F.sum("btot").over(Window.orderBy("blk")) - F.col("btot")).alias("boff"))
+    local = blocked.withColumn(
+        "lcum",
+        F.sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id"))
+        - F.col("n_tokens"))
+    packed = (local.join(F.broadcast(offsets), "blk")
+              .withColumn("tok_start", F.col("boff") + F.col("lcum")))
+    seq_start = F.floor(F.col("tok_start") / PACK_SEQ_LEN).cast("long")
+    seq_end = F.floor(
+        (F.col("tok_start") + F.col("n_tokens") - 1) / PACK_SEQ_LEN).cast("long")
+    return packed.select(
+        "doc_id", "n_tokens", "tok_start",
+        seq_start.alias("seq_start"), seq_end.alias("seq_end"),
+        (seq_end - seq_start + 1).alias("n_seqs"))
+
+
 QUERIES = {
     "q_passage_dedup": q_passage_dedup,
     "q_contamination": q_contamination,
     "q_pii_redact": q_pii_redact,
     "q_repetition_filter": q_repetition_filter,
     "q_domain_mix": q_domain_mix,
+    "q_domain_sample": q_domain_sample,
+    "q_sequence_pack": q_sequence_pack,
 }
 
 
@@ -271,4 +350,37 @@ SELECT source, n_docs, n_tokens,
        {roundn_sql(f'least({MIX_CAP}, (tot_tokens / n_sources) / n_tokens)')}
          AS sample_weight
 FROM per_src CROSS JOIN tot""",
+
+    "q_domain_sample": f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per_src),
+rates AS (
+  SELECT source,
+         least(1.0, least({MIX_CAP}, (tot_tokens / n_sources) / n_tokens))
+           AS p_keep
+  FROM per_src CROSS JOIN tot)
+SELECT d.doc_id, d.source, {roundn_sql('p_keep')} AS p_keep,
+       p_keep >= 1.0
+       OR substring(md5('{SAMPLE_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', CAST(floor(p_keep * 4294967296.0) AS BIGINT))
+         AS keep
+FROM documents d JOIN rates USING (source)""",
+
+    "q_sequence_pack": f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS tok_start
+  FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {PACK_SEQ_LEN} AS seq_start,
+       (tok_start + n_tokens - 1) // {PACK_SEQ_LEN} AS seq_end,
+       (tok_start + n_tokens - 1) // {PACK_SEQ_LEN}
+         - tok_start // {PACK_SEQ_LEN} + 1 AS n_seqs
+FROM c""",
 }

@@ -172,6 +172,27 @@ def test_batch_assign_ranks_per_partition(spark, sf_dir):
     assert "windowspecdefinition(blk" in plan
 
 
+def test_sequence_pack_prefix_sum_is_blocked(spark, sf_dir):
+    """The packing prefix sum must never sort the corpus on one partition:
+    the big side's window partitions by block; the only global orderBy
+    window runs over the tiny per-block totals."""
+    from elasticsearch_hbase_river_spark.operators.pretrain import q_sequence_pack
+
+    plan = _plan(q_sequence_pack(spark, sf_dir))
+    assert "windowspecdefinition(blk" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_sample_is_broadcast_map_side(spark, sf_dir):
+    """The Bernoulli sampler joins the k-row rate relation by broadcast and
+    must not shuffle the corpus (no window, no sort over documents)."""
+    from elasticsearch_hbase_river_spark.operators.pretrain import q_domain_sample
+
+    plan = _plan(q_domain_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """q_incremental_scan projects 3 source columns; the parquet ReadSchema
     must not include the unreferenced ones (value/props stay pruned when
