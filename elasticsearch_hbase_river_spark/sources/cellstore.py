@@ -1,0 +1,276 @@
+"""``cellstore`` — a real pluggable source connector (Python Data Source
+API) with the reference scanner's pushdown surface.
+
+The reference's core is an HBase RPC scanner: one table of sorted
+``(key, family, qualifier, value, timestamp)`` cells served by region, with
+three storage-side restrictions — ``scanner.setFamily``
+(HBaseParser.java:91-93), ``scanner.setQualifier`` (:94-98) and
+``scanner.setMinTimestamp`` (:100, set from the sink high-watermark,
+:258-280). This module re-creates that as a first-class Spark source
+instead of a pre-loaded DataFrame:
+
+- the **store layout** is a directory of sorted, non-overlapping row-key
+  ranges ("regions", one parquet file each + a JSON manifest) — the unit of
+  scan parallelism, exactly HBase's unit;
+- the **batch reader** maps one Spark ``InputPartition`` per region and
+  applies the pushed family/qualifier/ts filters inside the region read
+  (pyarrow predicate → storage-level filtering, the RegionServer analog);
+- the **stream reader** is the incremental scanner: each micro-batch serves
+  only cells with ``ts_ms`` greater than the last committed offset —
+  the CDC high-watermark loop of HBaseParser.java:258-280 as a
+  checkpointable Structured Streaming source.
+
+At 100 TB this is the part of the engine that keeps the scan parallel
+(1000 regions → 1000 tasks; the reference runs ONE scanner on ONE thread,
+HBaseRiver.java:263) and keeps the watermark predicate out of Spark
+entirely — unmatched regions are skipped without reading a byte
+(min/max ts per region in the manifest).
+
+Pure public APIs: ``pyspark.sql.datasource`` + ``pyarrow``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+#: The canonical cells schema (sources/cells.py docstring).
+CELLS_DDL = "row_key STRING, family STRING, qualifier STRING, value STRING, ts_ms BIGINT"
+
+MANIFEST = "_cellstore_manifest.json"
+
+
+def write_cellstore(cells_df, path: str, n_regions: int = 8) -> None:
+    """Materialize a cells DataFrame as a region-sharded store.
+
+    Rows are range-sharded on ``row_key`` (sorted within each region, like
+    an HBase region's key range) and each region records its min/max
+    ``ts_ms`` in the manifest so scans with a watermark predicate can skip
+    whole regions without opening them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    # A store fixture is small (tests / local ticks); a production writer
+    # would range-shard distributedly (repartitionByRange + per-partition
+    # file writes). The layout on disk is identical either way.
+    tbl = pa.Table.from_pandas(cells_df.toPandas(), preserve_index=False)
+    order = pc.sort_indices(tbl, sort_keys=[("row_key", "ascending"),
+                                            ("family", "ascending"),
+                                            ("qualifier", "ascending")])
+    tbl = tbl.take(order)
+    n = tbl.num_rows
+    regions = []
+    per = max(1, -(-n // n_regions))
+    for i in range(n_regions):
+        chunk = tbl.slice(i * per, per)
+        if chunk.num_rows == 0:
+            continue
+        fname = f"region-{i:05d}.parquet"
+        pq.write_table(chunk, os.path.join(path, fname))
+        keys = chunk.column("row_key")
+        ts = chunk.column("ts_ms")
+        regions.append({
+            "file": fname,
+            "start_key": str(keys[0].as_py()),
+            "end_key": str(keys[-1].as_py()),
+            "min_ts_ms": int(pc.min(ts).as_py()),
+            "max_ts_ms": int(pc.max(ts).as_py()),
+            "n_cells": chunk.num_rows,
+        })
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump({"regions": regions}, f)
+
+
+def append_cells(cells_df, path: str) -> None:
+    """Append a batch of new cells as one extra region (the CDC write path:
+    later-timestamped cells arriving after the initial bulk load)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(cells_df.toPandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return
+    regions = _load_manifest(path)
+    fname = f"region-{len(regions):05d}.parquet"
+    pq.write_table(tbl, os.path.join(path, fname))
+    keys, ts = tbl.column("row_key"), tbl.column("ts_ms")
+    regions.append({
+        "file": fname,
+        "start_key": str(pc.min(keys).as_py()),
+        "end_key": str(pc.max(keys).as_py()),
+        "min_ts_ms": int(pc.min(ts).as_py()),
+        "max_ts_ms": int(pc.max(ts).as_py()),
+        "n_cells": tbl.num_rows,
+    })
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump({"regions": regions}, f)
+
+
+def _load_manifest(path: str) -> list[dict[str, Any]]:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)["regions"]
+
+
+@dataclass
+class RegionPartition(InputPartition):
+    path: str
+    file: str
+    family: str | None
+    qualifiers: tuple[str, ...] | None
+    min_ts_ms_exclusive: int | None
+
+
+class CellStoreReader(DataSourceReader):
+    """Batch scanner: one task per region, storage-side pushdown."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.path = options["path"]
+        self.family: str | None = None
+        self.qualifiers: tuple[str, ...] | None = None
+        self.min_ts_ms_exclusive: int | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
+        """Accept exactly the reference scanner's pushdown surface —
+        family equality, qualifier IN-list/equality, ts lower bound
+        (HBaseParser.java:91-100) — and hand everything else back to Spark."""
+        rest: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("family",):
+                self.family = f.value
+            elif isinstance(f, EqualTo) and f.attribute == ("qualifier",):
+                self.qualifiers = (f.value,)
+            elif isinstance(f, In) and f.attribute == ("qualifier",):
+                self.qualifiers = tuple(f.value)
+            elif isinstance(f, GreaterThan) and f.attribute == ("ts_ms",):
+                self.min_ts_ms_exclusive = int(f.value)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("ts_ms",):
+                self.min_ts_ms_exclusive = int(f.value) - 1
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self) -> Sequence[RegionPartition]:
+        parts = []
+        for r in _load_manifest(self.path):
+            # Region pruning on the watermark: a region whose max ts is at
+            # or below the watermark holds no new cells — skip it entirely.
+            if (self.min_ts_ms_exclusive is not None
+                    and r["max_ts_ms"] <= self.min_ts_ms_exclusive):
+                continue
+            parts.append(RegionPartition(
+                self.path, r["file"], self.family, self.qualifiers,
+                self.min_ts_ms_exclusive))
+        # An exhausted store still needs >=1 (empty) partition for Spark.
+        return parts or [RegionPartition(self.path, "", None, None, None)]
+
+    def read(self, partition: RegionPartition) -> Iterator:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if not partition.file:
+            return
+        tbl = pq.read_table(os.path.join(partition.path, partition.file))
+        mask = None
+
+        def conj(m, cond):
+            return cond if m is None else pc.and_(m, cond)
+
+        if partition.family is not None:
+            mask = conj(mask, pc.equal(tbl.column("family"), partition.family))
+        if partition.qualifiers is not None:
+            mask = conj(mask, pc.is_in(
+                tbl.column("qualifier"),
+                value_set=__import__("pyarrow").array(list(partition.qualifiers))))
+        if partition.min_ts_ms_exclusive is not None:
+            mask = conj(mask, pc.greater(tbl.column("ts_ms"),
+                                         partition.min_ts_ms_exclusive))
+        if mask is not None:
+            tbl = tbl.filter(mask)
+        yield from tbl.to_batches()
+
+
+class CellStoreStreamReader(SimpleDataSourceStreamReader):
+    """Incremental scanner as a streaming source: each batch is the delta
+    above the committed ts watermark (HBaseParser.java:258-280), replayable
+    between offsets for exactly-once recovery."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        # Cold start scans from 0 (HBaseParser.java:277).
+        return {"ts_ms": 0}
+
+    def _scan(self, lo_exclusive: int, hi_inclusive: int | None):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        rows: list[tuple] = []
+        hi_seen = lo_exclusive
+        for r in _load_manifest(self.path):
+            if r["max_ts_ms"] <= lo_exclusive:
+                continue
+            tbl = pq.read_table(os.path.join(self.path, r["file"]))
+            mask = pc.greater(tbl.column("ts_ms"), lo_exclusive)
+            if hi_inclusive is not None:
+                mask = pc.and_(mask, pc.less_equal(tbl.column("ts_ms"),
+                                                   hi_inclusive))
+            tbl = tbl.filter(mask)
+            if tbl.num_rows:
+                hi_seen = max(hi_seen, pc.max(tbl.column("ts_ms")).as_py())
+                rows.extend(tbl.to_pylist())
+        out = [(d["row_key"], d["family"], d["qualifier"], d["value"],
+                d["ts_ms"]) for d in rows]
+        return out, hi_seen
+
+    def read(self, start: dict):
+        rows, hi = self._scan(int(start["ts_ms"]), None)
+        return iter(rows), {"ts_ms": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        rows, _ = self._scan(int(start["ts_ms"]), int(end["ts_ms"]))
+        return iter(rows)
+
+
+class CellStoreDataSource(DataSource):
+    """``spark.read.format("cellstore").option("path", dir)`` — and the
+    same format string for ``readStream`` (incremental scanner)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cellstore"
+
+    def schema(self) -> str:
+        return CELLS_DDL
+
+    def reader(self, schema: StructType) -> CellStoreReader:
+        return CellStoreReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CellStoreStreamReader:  # noqa: N802
+        return CellStoreStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the connector on a session (and enable Python
+    data-source filter pushdown, off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CellStoreDataSource)

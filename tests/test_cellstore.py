@@ -1,0 +1,133 @@
+"""The pluggable cellstore connector: region-parallel scans, the reference
+scanner's pushdown surface (family / qualifier IN / min-timestamp —
+HBaseParser.java:91-100), manifest-level region pruning, and the
+incremental-scanner streaming source (HBaseParser.java:258-280)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNotNull
+
+from elasticsearch_hbase_river_spark.sources import cellstore
+from elasticsearch_hbase_river_spark.sources.cells import cells_from_events
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cellstore"))
+    cells = cells_from_events(spark, sf_dir).persist()
+    cellstore.write_cellstore(cells, path, n_regions=4)
+    cellstore.register(spark)
+    yield path, cells
+    cells.unpersist()
+
+
+def _read(spark, path):
+    return spark.read.format("cellstore").option("path", path).load()
+
+
+def test_roundtrip_multiset_equality(spark, store):
+    path, cells = store
+    got = Counter(map(tuple, _read(spark, path).collect()))
+    want = Counter(map(tuple, cells.collect()))
+    assert got == want
+
+
+def test_family_and_qualifier_pushdown_results(spark, store):
+    path, cells = store
+    got = (_read(spark, path)
+           .filter((F.col("family") == "meta")
+                   & F.col("qualifier").isin("user_id", "event_type"))
+           .count())
+    want = (cells.filter((F.col("family") == "meta")
+                         & F.col("qualifier").isin("user_id", "event_type"))
+            .count())
+    assert got == want > 0
+
+
+def test_watermark_pushdown_results(spark, store):
+    path, cells = store
+    wm = int(cells.agg(F.expr("percentile(ts_ms, 0.5)")).first()[0])
+    got = _read(spark, path).filter(F.col("ts_ms") > wm).count()
+    want = cells.filter(F.col("ts_ms") > wm).count()
+    assert got == want > 0
+
+
+def test_reader_accepts_exactly_the_scanner_pushdowns():
+    """Unit-level contract: family EqualTo, qualifier In, ts GreaterThan are
+    consumed (scanner-side); anything else is returned to Spark."""
+    r = cellstore.CellStoreReader({"path": "/nonexistent"})
+    keep = r.pushFilters([
+        EqualTo(("family",), "meta"),
+        In(("qualifier",), ("user_id", "event_type")),
+        GreaterThan(("ts_ms",), 123),
+        IsNotNull(("value",)),          # not a scanner capability
+        EqualTo(("row_key",), "42"),    # not a scanner capability
+    ])
+    assert r.family == "meta"
+    assert r.qualifiers == ("user_id", "event_type")
+    assert r.min_ts_ms_exclusive == 123
+    kinds = {type(f).__name__ for f in keep}
+    assert kinds == {"IsNotNull", "EqualTo"}
+
+
+def test_watermark_prunes_whole_regions(spark, store):
+    """A region whose max ts is at or below the watermark must be skipped
+    without being opened — the manifest carries min/max ts per region."""
+    path, cells = store
+    max_ts = int(cells.agg(F.max("ts_ms")).first()[0])
+    r = cellstore.CellStoreReader({"path": path})
+    all_parts = r.partitions()
+    r2 = cellstore.CellStoreReader({"path": path})
+    r2.pushFilters([GreaterThan(("ts_ms",), max_ts)])
+    pruned = r2.partitions()
+    # everything pruned -> the single sentinel empty partition remains
+    assert len(all_parts) == 4
+    assert len(pruned) == 1 and pruned[0].file == ""
+
+
+def test_streaming_incremental_scanner(spark, store, tmp_path):
+    """CDC semantics over the streaming source: tick 1 delivers the initial
+    load, an idle tick delivers nothing, a tick after append_cells delivers
+    exactly the delta above the committed watermark."""
+    path_all, cells = store
+    wm = int(cells.agg(F.expr("percentile(ts_ms, 0.5)")).first()[0])
+    old = cells.filter(F.col("ts_ms") <= wm)
+    new = cells.filter(F.col("ts_ms") > wm)
+    store_dir = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    cellstore.write_cellstore(old, store_dir, n_regions=3)
+
+    def tick() -> int:
+        stream = (spark.readStream.format("cellstore")
+                  .option("path", store_dir).load())
+        q = (stream.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    assert tick() == old.count()
+    assert tick() == old.count()  # idle tick: no re-delivery
+    cellstore.append_cells(new, store_dir)
+    assert tick() == cells.count()  # exactly the delta arrived
+
+
+def test_river_transforms_over_connector(spark, store):
+    """The parity pipeline runs unchanged over the connector: document
+    assembly on connector-read cells equals assembly on the melted cells."""
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+    from elasticsearch_hbase_river_spark.plans.pipeline import assemble_documents
+
+    path, cells = store
+    config = RiverConfig(table="t", index="i", type_name="d",
+                         column_separator="::")
+    via_store = assemble_documents(_read(spark, path), config)
+    via_frame = assemble_documents(cells, config)
+    a = Counter(map(tuple, via_store.collect()))
+    b = Counter(map(tuple, via_frame.collect()))
+    assert a == b
