@@ -59,12 +59,41 @@ def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells_from_events(spark, sf_dir, min_ts_ms_exclusive=WATERMARK_MS)
 
 
+def q_cellstore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDC delta scan, but THROUGH the pluggable connector
+    (`sources/cellstore.py`) instead of a pre-loaded DataFrame: builds a
+    region-sharded store from the cells relation once per fixture dir,
+    then reads it back with the watermark predicate travelling through
+    ``pushFilters`` into the storage layer (watermark-dead regions are
+    pruned from the manifest without being opened). Oracle-identical to
+    ``q_incremental_scan`` — the connector must be transparent."""
+    import hashlib
+    import os
+    import tempfile
+
+    from elasticsearch_hbase_river_spark.sources import cellstore
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_cellstore_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    if not os.path.exists(os.path.join(store, cellstore.MANIFEST)):
+        tmp = store + ".building"
+        cellstore.write_cellstore(cells_from_events(spark, sf_dir), tmp,
+                                  n_regions=8)
+        if not os.path.exists(store):
+            os.replace(tmp, store)
+    cellstore.register(spark)
+    return (spark.read.format("cellstore").option("path", store).load()
+            .filter(F.col("ts_ms") > WATERMARK_MS))
+
+
 QUERIES = {
     "q_scan": q_scan,
     "q_family_filter": q_family_filter,
     "q_qualifier_filter": q_qualifier_filter,
     "q_watermark": q_watermark,
     "q_incremental_scan": q_incremental_scan,
+    "q_cellstore_scan": q_cellstore_scan,
 }
 
 ORACLES = {
@@ -78,4 +107,6 @@ ORACLES = {
                    "AS watermark_ms FROM cells",
     "q_incremental_scan": f"{CELLS_CTE} SELECT row_key, family, qualifier, value, ts_ms "
                           f"FROM cells WHERE ts_ms > {WATERMARK_MS}",
+    "q_cellstore_scan": f"{CELLS_CTE} SELECT row_key, family, qualifier, value, ts_ms "
+                        f"FROM cells WHERE ts_ms > {WATERMARK_MS}",
 }
