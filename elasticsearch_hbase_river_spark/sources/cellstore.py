@@ -27,6 +27,11 @@ entirely — unmatched regions are skipped without reading a byte
 (min/max ts per region in the manifest).
 
 Pure public APIs: ``pyspark.sql.datasource`` + ``pyarrow``.
+
+Usage note: open a fresh ``spark.read.format("cellstore")...load()`` per
+tick — the region list binds when a plan is first executed, so a reused
+DataFrame can miss regions appended afterwards. The reference has the
+same discipline: one new scanner per run (HBaseParser.java:89).
 """
 
 from __future__ import annotations

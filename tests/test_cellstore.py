@@ -117,6 +117,54 @@ def test_streaming_incremental_scanner(spark, store, tmp_path):
     assert tick() == cells.count()  # exactly the delta arrived
 
 
+def test_full_river_lifecycle_over_connectors(spark, sf_dir, tmp_path):
+    """SURVEY.md §3.2 end-to-end over pluggable storage: tick 1 bulk-loads
+    the initial store through the source connector, cells appended after
+    the watermark arrive alone in tick 2 (the ts predicate travels through
+    pushFilters into the store), and the assembled documents publish
+    through the bulksink connector's atomic manifest."""
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        assemble_documents, run_once,
+    )
+    from elasticsearch_hbase_river_spark.sources import bulksink
+
+    cells = cells_from_events(spark, sf_dir).persist()
+    wm = int(cells.agg(F.expr("percentile(ts_ms, 0.5)")).first()[0])
+    old = cells.filter(F.col("ts_ms") <= wm)
+    new = cells.filter(F.col("ts_ms") > wm)
+    store_dir = str(tmp_path / "store")
+    sink = str(tmp_path / "sink")
+    cellstore.write_cellstore(old, store_dir, n_regions=3)
+    cellstore.register(spark)
+    config = RiverConfig(table="t", index="i", type_name="d",
+                         column_separator="::")
+
+    # one fresh read per tick — the reference opens a new scanner each run
+    # (HBaseParser.java:89), and a fresh load picks up newly-split regions
+    t1 = run_once(spark, _read(spark, store_dir), config, sink)
+    assert t1.rows_indexed == old.select("row_key").distinct().count()
+
+    t_idle = run_once(spark, _read(spark, store_dir), config, sink)
+    assert t_idle.rows_indexed == 0  # watermark holds, nothing re-indexed
+
+    cellstore.append_cells(new, store_dir)
+    t2 = run_once(spark, _read(spark, store_dir), config, sink)
+    assert t2.rows_indexed == new.select("row_key").distinct().count()
+    assert t2.watermark_ms > t1.watermark_ms
+
+    # publish the same documents through the bulk sink connector
+    bulksink.register(spark)
+    bulk_dir = str(tmp_path / "bulk")
+    docs = (assemble_documents(_read(spark, store_dir), config)
+            .withColumnRenamed("row_key", "doc_id"))
+    (docs.write.format("bulksink").option("path", bulk_dir)
+     .mode("append").save())
+    assert (bulksink.read_manifest(bulk_dir)["n_docs"]
+            == cells.select("row_key").distinct().count())
+    cells.unpersist()
+
+
 def test_river_transforms_over_connector(spark, store):
     """The parity pipeline runs unchanged over the connector: document
     assembly on connector-read cells equals assembly on the melted cells."""
