@@ -73,9 +73,14 @@ def q_cellstore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from elasticsearch_hbase_river_spark.sources import cellstore
 
+    # Cache key includes the fixture file's identity (size+mtime), so a
+    # regenerated fixture directory never hits a stale store.
+    ev = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev)
+    key = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
     store = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_cellstore_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+        "spark_graft_cellstore_" + hashlib.md5(key.encode()).hexdigest()[:12])
     if not os.path.exists(os.path.join(store, cellstore.MANIFEST)):
         tmp = store + ".building"
         cellstore.write_cellstore(cells_from_events(spark, sf_dir), tmp,

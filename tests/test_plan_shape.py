@@ -193,6 +193,46 @@ def test_domain_sample_is_broadcast_map_side(spark, sf_dir):
     assert "Window" not in plan
 
 
+#: Queries where an Exchange SinglePartition is structurally benign — it
+#: funnels a scalar / k-row relation (final 1-row aggregates, per-block
+#: count windows), never the corpus. Adding a query here requires the same
+#: justification.
+_ALLOWED_SINGLE_PARTITION = {
+    "q_watermark",            # 1-row global max
+    "q_revenue_forecast",     # 1-row forecast aggregate
+    "q_top_supplier",         # 1-row broadcast max
+    "q_promo_revenue",        # 1-row ratio aggregate
+    "q_disjunctive_revenue",  # 1-row sum
+    "q_small_quantity_revenue",  # 1-row avg-threshold aggregate
+    "q_part_value_concentration",  # 1-row total-value aggregate
+    "q_idle_rich_customers",  # 1-row avg-balance aggregate
+    "q_unigram_logprob",      # 1-row corpus-token-total
+    "q_domain_mix",           # k-domain aggregate + 1-row totals
+    "q_domain_sample",        # same rate relation as q_domain_mix
+    "q_funnel",               # 3 scalar stage counts
+    "q_batch_assign",         # per-block counts window (k rows)
+    "q_sequence_pack",        # per-block token totals window (k rows)
+}
+
+
+def test_no_query_plans_a_cartesian_or_corpus_global_exchange(spark, sf_dir):
+    """Global plan invariant over EVERY registered query: no
+    CartesianProduct anywhere, and Exchange SinglePartition only in the
+    allow-listed queries whose funneled relation is scalar/k-row."""
+    from elasticsearch_hbase_river_spark.registry import all_queries
+
+    violations = []
+    for name, fn in sorted(all_queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if ("Exchange SinglePartition" in plan
+                and name not in _ALLOWED_SINGLE_PARTITION
+                and "TakeOrderedAndProject" not in plan):
+            violations.append(f"{name}: unexpected Exchange SinglePartition")
+    assert not violations, violations
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """q_incremental_scan projects 3 source columns; the parquet ReadSchema
     must not include the unreferenced ones (value/props stay pruned when
