@@ -89,7 +89,12 @@ def _write_bulks(path: str, rows: Iterator[Row], batch_size: int,
 
 def _publish(path: str, messages: List[Optional[WriterCommitMessage]],
              overwrite: bool, epoch: int | None = None) -> None:
-    """Driver-side atomic publication: merge (or replace) the manifest."""
+    """Driver-side atomic publication: merge (or replace) the manifest.
+
+    With an ``epoch``, publication is idempotent: replaying an
+    already-published epoch (foreachBatch retry after a crash between sink
+    write and checkpoint commit) discards the replayed files instead of
+    double-publishing — the manifest is the exactly-once ledger."""
     new_files: list[str] = []
     n_docs = 0
     for m in messages:
@@ -101,6 +106,13 @@ def _publish(path: str, messages: List[Optional[WriterCommitMessage]],
     if not overwrite and os.path.exists(mpath):
         with open(mpath) as f:
             state = json.load(f)
+    if epoch is not None and epoch in state["epochs"]:
+        for fname in new_files:
+            try:
+                os.remove(os.path.join(path, fname))
+            except FileNotFoundError:
+                pass
+        return
     state["bulks"].extend(sorted(new_files))
     state["n_docs"] += n_docs
     if epoch is not None:
@@ -128,6 +140,9 @@ class BulkSinkWriter(DataSourceWriter):
         self.batch_size = int(options.get("batch_size", "100"))
         self.index = options.get("index", ES_INDEX)
         self.doc_type = options.get("doc_type", ES_TYPE)
+        # Optional epoch tag: batch writes driven from foreachBatch pass the
+        # micro-batch id so replays publish exactly once.
+        self.epoch = (int(options["epoch"]) if "epoch" in options else None)
         self.overwrite = overwrite
         os.makedirs(self.path, exist_ok=True)
 
@@ -136,7 +151,7 @@ class BulkSinkWriter(DataSourceWriter):
                             self.index, self.doc_type)
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
-        _publish(self.path, messages, self.overwrite)
+        _publish(self.path, messages, self.overwrite, epoch=self.epoch)
 
     def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         _discard(self.path, messages)

@@ -111,6 +111,58 @@ def start_river_stream(
     return writer.start()
 
 
+def start_connector_river(
+    spark: SparkSession,
+    config: RiverConfig,
+    store_path: str,
+    bulk_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The river with real connectors on BOTH ends: the ``cellstore``
+    streaming source serves each micro-batch as the delta above its
+    checkpointed ts offset (the incremental scanner,
+    HBaseParser.java:258-280), documents assemble per batch, and the
+    ``bulksink`` writer publishes them behind its manifest with the
+    micro-batch id as the idempotence epoch — a replayed batch (crash
+    between sink write and checkpoint commit) publishes exactly once.
+
+    Family/qualifier restrictions from the config apply as stream filters
+    (the batch path pushes them into the store; a streaming scan serves
+    the delta, which is already the narrow set)."""
+    from elasticsearch_hbase_river_spark.plans.pipeline import assemble_documents
+    from elasticsearch_hbase_river_spark.sources import bulksink, cellstore
+
+    cellstore.register(spark)
+    bulksink.register(spark)
+    cells = (spark.readStream.format("cellstore")
+             .option("path", store_path).load())
+    if config.family:
+        cells = cells.filter(F.col("family") == config.family)
+    if config.qualifiers:
+        cells = cells.filter(F.col("qualifier").isin(*config.qualifiers))
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        docs = (assemble_documents(batch_df, config)
+                .select("doc_id", "doc_ts_ms", "doc_json"))
+        (docs.write.format("bulksink")
+         .option("path", bulk_dir)
+         .option("batch_size", config.batch_size)
+         .option("index", config.index)
+         .option("doc_type", config.type_name)
+         .option("epoch", batch_id)
+         .mode("append").save())
+
+    writer = (cells.writeStream.foreachBatch(publish)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{config.interval_ms} milliseconds")
+    return writer.start()
+
+
 def assemble_and_stream(cells: DataFrame, config: RiverConfig) -> DataFrame:
     """Hook point: the per-batch transform happens in foreachBatch (document
     assembly needs a full-row group); the stream itself stays untransformed

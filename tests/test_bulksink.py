@@ -69,6 +69,59 @@ def test_uncommitted_files_stay_invisible(spark, docs, tmp_path):
     assert len(lines) == 500
 
 
+def test_epoch_replay_publishes_exactly_once(spark, docs, tmp_path):
+    """Replaying an epoch-tagged batch write (foreachBatch retry after a
+    crash between sink write and checkpoint commit) must not
+    double-publish: the manifest is the exactly-once ledger."""
+    bulksink.register(spark)
+    path = str(tmp_path / "sink")
+    for _ in range(2):  # same epoch written twice
+        (docs.write.format("bulksink").option("path", path)
+         .option("epoch", 7).mode("append").save())
+    m = bulksink.read_manifest(path)
+    assert m["n_docs"] == 250
+    assert m["epochs"] == [7]
+    assert len(bulksink.committed_lines(path)) == 500
+
+
+def test_connector_river_stream(spark, sf_dir, tmp_path):
+    """cellstore stream -> document assembly -> bulksink, twice: the second
+    availableNow run publishes only the appended delta."""
+    from pyspark.sql import functions as F2
+
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+    from elasticsearch_hbase_river_spark.sources import cellstore
+    from elasticsearch_hbase_river_spark.sources.cells import cells_from_events
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_connector_river,
+    )
+
+    cells = cells_from_events(spark, sf_dir).persist()
+    wm = int(cells.agg(F2.expr("percentile(ts_ms, 0.5)")).first()[0])
+    old = cells.filter(F2.col("ts_ms") <= wm)
+    new = cells.filter(F2.col("ts_ms") > wm)
+    store = str(tmp_path / "store")
+    bulk_dir = str(tmp_path / "bulk")
+    ckpt = str(tmp_path / "ckpt")
+    cellstore.write_cellstore(old, store, n_regions=3)
+    config = RiverConfig(table="t", index="i", type_name="d",
+                         column_separator="::")
+
+    def drain() -> None:
+        q = start_connector_river(spark, config, store, bulk_dir, ckpt,
+                                  available_now=True)
+        q.awaitTermination(180)
+
+    drain()
+    assert (bulksink.read_manifest(bulk_dir)["n_docs"]
+            == old.select("row_key").distinct().count())
+    cellstore.append_cells(new, store)
+    drain()
+    assert (bulksink.read_manifest(bulk_dir)["n_docs"]
+            == cells.select("row_key").distinct().count())
+    cells.unpersist()
+
+
 def test_streaming_epochs_are_recorded_once(spark, docs, tmp_path):
     """availableNow restarts against the same checkpoint must not
     re-publish an epoch (exactly-once via the commit protocol)."""

@@ -157,7 +157,7 @@ def test_full_river_lifecycle_over_connectors(spark, sf_dir, tmp_path):
     bulksink.register(spark)
     bulk_dir = str(tmp_path / "bulk")
     docs = (assemble_documents(_read(spark, store_dir), config)
-            .withColumnRenamed("row_key", "doc_id"))
+            .select("doc_id", "doc_ts_ms", "doc_json"))
     (docs.write.format("bulksink").option("path", bulk_dir)
      .mode("append").save())
     assert (bulksink.read_manifest(bulk_dir)["n_docs"]
