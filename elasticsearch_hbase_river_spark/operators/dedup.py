@@ -10,9 +10,10 @@ pairs; the augmentation is mirrored verbatim in the oracle SQL.
 Scale design (the part that matters at 100 TB):
 - exact dedup: hash-groupBy — one shuffle on the content hash, partial-agg.
 - MinHash/LSH: signatures are per-doc map-side (higher-order functions over
-  the shingle array — the classic k independent permutations become k
-  keyed md5s); candidate generation shuffles on (band_idx, band_hash) —
-  never an all-pairs join; verification touches only candidate pairs.
+  the shingle array — the classic k independent permutations are the k
+  disjoint 32-bit slices of two staged keyed md5 digests); candidate
+  generation shuffles on (band_idx, band_hash) — never an all-pairs join;
+  verification touches only candidate pairs.
 - SimHash: per-doc map-side signature; candidates via 4-bit band buckets,
   then Hamming-distance verify with bit_count(xor).
 - adjacent-pair Jaccard: a 1-off self-join on the id (sort-merge/broadcast,
@@ -172,27 +173,52 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list[Column]:
-    """k MinHash values: permutation j == md5 keyed by j; the min over the
-    doc's shingle set (array_min over a transform — map-side, no explode)."""
-    def mh(j: int) -> Column:
-        prefix = f"{j}|"
-        # NB: the lambda must take exactly one arg — F.transform passes
-        # (element, index) to two-arg lambdas.
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s))))
+def _digest_cols() -> list[Column]:
+    """Two keyed md5 digest arrays per document, staged as REAL columns so
+    each digest is computed exactly once per shingle (computing the md5
+    inside each permutation's lambda re-evaluates it per slice — staging
+    plus slicing roughly halves signature wall time at 10x sf0.1: the md5
+    count per shingle drops from 8 to 2)."""
+    # NB: factory closures, NOT default-arg lambdas — F.transform passes
+    # (element, index) to any two-arg lambda, so `lambda s, d=d:` would
+    # silently bind the element index to d.
+    def dg(prefix: str) -> Column:
+        return F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
 
-    return [mh(j).alias(f"mh{j}") for j in range(N_HASHES)]
+    return [dg(f"{d}|").alias(f"dg{d}") for d in range(2)]
+
+
+def _minhash_cols() -> list[Column]:
+    """k MinHash values over the staged digests: permutation j is the j-th
+    disjoint 32-bit (8-hex) slice of the two keyed digests — the classic k
+    independent permutations at a quarter of the hash cost, min taken over
+    the doc's shingle set (map-side, no explode, no shuffle).
+    Lexicographic min == numeric min on fixed-width hex."""
+    def slice_min(dg: str, off: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(dg), lambda x: F.substring(x, off, 8)))
+
+    return [slice_min(f"dg{j // 4}", 1 + 8 * (j % 4)).alias(f"mh{j}")
+            for j in range(N_HASHES)]
+
+
+def minhash_signature(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, mh0..mh{k-1}): digests staged, then sliced."""
+    return (sh_df.select("doc_id", *_digest_cols())
+                 .select("doc_id", *_minhash_cols()))
 
 
 def _minhash_sql(j: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{j}|' || s)))"
+    d, off = j // 4, 1 + 8 * (j % 4)
+    return (f"list_min(list_transform(sh, s -> "
+            f"substr(md5('{d}|' || s), {off}, 8)))")
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature + LSH band keys (2 rows/band)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    sig = _shingle_df(aug).select("doc_id", *_minhash_cols())
+    sig = minhash_signature(_shingle_df(aug))
     bands = [
         F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
         for b in range(N_BANDS)

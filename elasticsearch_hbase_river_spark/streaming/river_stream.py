@@ -267,7 +267,7 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from elasticsearch_hbase_river_spark.operators.dedup import (
-        N_BANDS, _minhash_cols,
+        N_BANDS, minhash_signature,
     )
     from elasticsearch_hbase_river_spark.sources.tables import _tune_session
 
@@ -285,8 +285,8 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
                                   F.element_at(toks, i + 1),
                                   F.element_at(toks, i + 2))),
     ).otherwise(F.array(F.col("text")))
-    sig = docs.select("doc_id", F.array_distinct(grams).alias("sh")) \
-              .select("doc_id", *_minhash_cols())
+    sig = minhash_signature(
+        docs.select("doc_id", F.array_distinct(grams).alias("sh")))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
