@@ -81,6 +81,9 @@ HEADLINE = (
     "q_domain_mix",
     "q_domain_sample",
     "q_sequence_pack",
+    "q_inverted_index",
+    "q_bm25",
+    "q_more_like_this",
 )
 
 

@@ -1,0 +1,290 @@
+"""Search-side operators: native retrieval over the river's document corpus.
+
+The reference exists to ship HBase rows INTO Elasticsearch so they can be
+searched (`HBaseRiver.java:1-35` — the river's entire purpose is feeding the
+ES index).  These operators close that loop inside the engine: a user of the
+reference queries the resulting index with term / bool / phrase /
+more-like-this queries and BM25 ranking — each is re-expressed here as a
+distributed DataFrame plan with a DuckDB oracle twin, so the corpus never has
+to leave the lake to be searchable.
+
+Scale design (the 100 TB posture):
+- **Postings** are one `posexplode` + one `groupBy(token, doc_id)` —
+  partial-aggregated, shuffle keyed on high-cardinality (token, doc_id);
+  never a per-query corpus scan.
+- **Query-term filters go below the shuffle**: BM25/bool/phrase filter the
+  exploded tokens to the handful of query terms *before* aggregating, so the
+  shuffle carries only matching postings (a few rows per matching doc).
+- **Corpus statistics** (N, avgdl) are 1-row aggregates joined via
+  `crossJoin(broadcast(...))` — no skew, no exchange of the big side.
+- **Top-k** is `orderBy().limit(k)` (plans as TakeOrderedAndProject: local
+  top-k per partition, driver merges k·P rows); the deterministic rank is
+  rebuilt by a window over the <=k survivors only — never a global window
+  over the corpus.
+- **Phrase match** is an equi-join of positional postings on
+  (doc_id, pos+1) — sort-merge/hash joinable, never a nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+#: Fixed benchmark queries (the fixture vocabulary is a small synthetic set).
+BM25_TERMS = ("spark", "join", "window")
+BOOL_MUST = ("spark", "join")
+BOOL_MUST_NOT = "slow"
+PHRASE = ("data", "window")
+MLT_DOC_ID = 0
+MLT_TOP = 10
+BM25_TOP = 20
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, pos): one row per token occurrence, 0-based position."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).select("doc_id", "token", F.col("pos").cast("long").alias("pos"))
+
+
+_POSTINGS_SQL = """
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos
+  FROM documents"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: per (token, doc_id) posting with term
+    frequency and the sorted position list (ES's in-memory postings made
+    relational).  One explode + one partial-aggregated shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _postings(docs)
+        .groupBy("token", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.min("pos").alias("first_pos"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("pos")),
+                            lambda x: x.cast("string")),
+                ",").alias("positions"),
+        )
+    )
+
+
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) aggregate — broadcast into per-doc scoring."""
+    return docs.select(F.size(F.split("text", " ")).alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-20 for a fixed multi-term query (Lucene's formula:
+    idf = ln(1 + (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, b=0.75).
+
+    Only docs containing a query term are ever aggregated (the term filter
+    sits below the shuffle); N/avgdl ride in on a broadcast 1-row agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    tf = (
+        _postings(docs)
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(_corpus_stats(docs)))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    per_doc = (
+        scored.select("doc_id", (idf * tf_norm).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(roundn_col(F.sum("contrib")).alias("score"))
+    )
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(BM25_TOP)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query (must: spark AND join; must_not: slow) as one
+    per-document boolean aggregate — a single shuffle keyed on doc_id, no
+    joins at all; must/must_not evaluate as max-of-indicator columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _postings(docs).filter(
+        F.col("token").isin(*BOOL_MUST, BOOL_MUST_NOT))
+
+    def has(term: str) -> Column:
+        return (F.max(F.when(F.col("token") == term, 1).otherwise(0)) == 1)
+
+    per_doc = tok.groupBy("doc_id").agg(
+        *[has(t).alias(f"has_{t}") for t in BOOL_MUST],
+        has(BOOL_MUST_NOT).alias("has_not_term"),
+    )
+    cond = ~F.col("has_not_term")
+    for t in BOOL_MUST:
+        cond = cond & F.col(f"has_{t}")
+    return per_doc.filter(cond).select("doc_id")
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query ("data window"): adjacency equi-join of positional
+    postings — occurrences of w2 at pos+1 of w1 within the same doc.  Both
+    sides are filtered to single terms before the join, so the join inputs
+    are tiny slices of the postings, shuffled on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = _postings(docs)
+    w1 = p.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    w2 = p.filter(F.col("token") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"))
+    return (
+        w1.join(w2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: top-10 docs most similar to doc 0 by tf-idf cosine.
+
+    The query doc's term vector is a tiny broadcast side; candidates are
+    generated by the equi-join on shared tokens (docs sharing no term with
+    the query are never touched — the selective path ES itself takes);
+    per-doc norms are one partial-aggregated shuffle over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = _corpus_stats(docs).select("n_docs")
+    tf = (
+        _postings(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tfidf = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "token",
+                (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"))
+    )
+    norms = tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("norm"))
+    qvec = (tfidf.filter(F.col("doc_id") == MLT_DOC_ID)
+                 .select("token", F.col("wt").alias("qwt")))
+    qnorm = norms.filter(F.col("doc_id") == MLT_DOC_ID).select(
+        F.col("norm").alias("qnorm"))
+    sims = (
+        tfidf.filter(F.col("doc_id") != MLT_DOC_ID)
+        .join(F.broadcast(qvec), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select("doc_id",
+                roundn_col(F.col("dot") / (F.col("norm") * F.col("qnorm")))
+                .alias("cosine"))
+    )
+    top = sims.orderBy(F.col("cosine").desc(), F.col("doc_id")).limit(MLT_TOP)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+QUERIES = {
+    "q_inverted_index": q_inverted_index,
+    "q_bm25": q_bm25,
+    "q_boolean_search": q_boolean_search,
+    "q_phrase_match": q_phrase_match,
+    "q_more_like_this": q_more_like_this,
+}
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BOOL_TERMS_SQL = ", ".join(f"'{t}'" for t in (*BOOL_MUST, BOOL_MUST_NOT))
+
+ORACLES = {
+    "q_inverted_index": f"""
+WITH tok AS ({_POSTINGS_SQL})
+SELECT token, doc_id, count(*) AS tf, min(pos) AS first_pos,
+       array_to_string(list_sort(list(CAST(pos AS INTEGER))), ',') AS positions
+FROM tok GROUP BY token, doc_id""",
+
+    "q_bm25": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         AS c
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats),
+scored AS (
+  SELECT doc_id, {roundn_sql('sum(c)')} AS score FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {BM25_TOP}""",
+
+    "q_boolean_search": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN token = '{BOOL_MUST[0]}' THEN 1 ELSE 0 END) = 1 AS h0,
+         max(CASE WHEN token = '{BOOL_MUST[1]}' THEN 1 ELSE 0 END) = 1 AS h1,
+         max(CASE WHEN token = '{BOOL_MUST_NOT}' THEN 1 ELSE 0 END) = 1 AS hn
+  FROM tok WHERE token IN ({_BOOL_TERMS_SQL}) GROUP BY doc_id)
+SELECT doc_id FROM flags WHERE h0 AND h1 AND NOT hn""",
+
+    "q_phrase_match": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+w1 AS (SELECT doc_id, pos FROM tok WHERE token = '{PHRASE[0]}'),
+w2 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE token = '{PHRASE[1]}')
+SELECT doc_id, count(*) AS n_occurrences
+FROM w1 JOIN w2 USING (doc_id, pos) GROUP BY doc_id""",
+
+    "q_more_like_this": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+tfidf AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(n.n_docs::DOUBLE / dfr.df) AS wt
+  FROM tf JOIN dfr USING (token), n),
+norms AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS norm FROM tfidf GROUP BY doc_id),
+qvec AS (SELECT token, wt AS qwt FROM tfidf WHERE doc_id = {MLT_DOC_ID}),
+qnorm AS (SELECT norm AS qnorm FROM norms WHERE doc_id = {MLT_DOC_ID}),
+sims AS (
+  SELECT t.doc_id,
+         {roundn_sql('sum(t.wt * q.qwt) / (any_value(norms.norm) * any_value(qnorm.qnorm))')} AS cosine
+  FROM tfidf t
+  JOIN qvec q USING (token)
+  JOIN norms ON t.doc_id = norms.doc_id, qnorm
+  WHERE t.doc_id != {MLT_DOC_ID}
+  GROUP BY t.doc_id),
+ranked AS (
+  SELECT doc_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+  FROM sims)
+SELECT * FROM ranked WHERE rank <= {MLT_TOP}""",
+}

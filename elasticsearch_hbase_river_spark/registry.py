@@ -21,6 +21,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.pretrain",
     "elasticsearch_hbase_river_spark.operators.analytics",
     "elasticsearch_hbase_river_spark.operators.graph",
+    "elasticsearch_hbase_river_spark.operators.search",
 )
 
 

@@ -242,3 +242,40 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     start = plan.index("ReadSchema")
     read_schema = plan[start:start + 200]
     assert "event_id" in read_schema and "ts" in read_schema
+
+
+def test_bm25_is_two_phase_topk_with_broadcast_stats(spark, sf_dir):
+    """BM25 must (a) keep corpus stats/df on broadcast sides, (b) run the
+    ranking as TakeOrderedAndProject with the survivor-rank window above
+    it — a per-query corpus-wide global sort would be the scale-killer."""
+    from elasticsearch_hbase_river_spark.operators.search import q_bm25
+
+    plan = _plan(q_bm25(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only SinglePartition exchanges permitted are the 1-row corpus
+    # stats aggregate and the survivor-rank window (<=k rows) — i.e. the
+    # corpus-sized relations (postings, tf) must all hash-partition
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_phrase_match_is_positional_equi_join(spark, sf_dir):
+    """Phrase adjacency must plan as an equi-join on (doc_id, pos) — a
+    nested-loop over positions is quadratic in document length."""
+    from elasticsearch_hbase_river_spark.operators.search import q_phrase_match
+
+    plan = _plan(q_phrase_match(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_more_like_this_broadcasts_query_vector(spark, sf_dir):
+    """The query doc's term vector is the tiny side; candidate generation
+    must be a broadcast equi-join on token, touching only docs that share
+    a term with the query."""
+    from elasticsearch_hbase_river_spark.operators.search import q_more_like_this
+
+    plan = _plan(q_more_like_this(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
