@@ -125,7 +125,20 @@ def candidate_pairs(sh: DataFrame) -> DataFrame:
     conditions are SEPARATE equi-joins (keys ``a.doc_id + off == b.doc_id``)
     unioned afterwards — a single OR'd join condition has no extractable
     equi keys and Spark falls back to a nested-loop join (quadratic:
-    measured minutes-not-seconds at sf0.1, unusable beyond)."""
+    measured minutes-not-seconds at sf0.1, unusable beyond).
+
+    The shingle relation is materialized once (localCheckpoint) before the
+    self-joins: the two joins reference it four times, and without the
+    barrier each reference re-derives the shingle arrays — worse, the
+    post-join Jaccard/verify expressions collapse INTO the shingle-building
+    projection (CollapseProject across the join) and re-evaluate the
+    transform per expression reference. Measured at sf0.1: edges drop from
+    5.6 s to 1.8 s including the checkpoint; the downstream iterative
+    consumer (connected components) drops 12 s -> ~3 s because every CC
+    round re-read this subtree. The checkpoint is a deliberate
+    materialization of an O(corpus) relation read 4+ times — the standard
+    multi-pass trade, executor-local, no driver collect."""
+    sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     copies = a.join(b, F.col("doc_b") == F.col("doc_a") + COPY_OFFSET)
