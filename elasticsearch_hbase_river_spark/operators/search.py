@@ -177,6 +177,9 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "token",
                 (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"))
+        # read three times (norms, query vector, similarity join) — the
+        # multi-pass materialization trade, same as candidate_pairs
+        .localCheckpoint(eager=True)
     )
     norms = tfidf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("norm"))

@@ -211,4 +211,7 @@ def committed_lines(path: str) -> list[str]:
 
 
 def register(spark) -> None:
+    from elasticsearch_hbase_river_spark.sources import ship_package_to_workers
+
+    ship_package_to_workers(spark)
     spark.dataSource.register(BulkSinkDataSource)

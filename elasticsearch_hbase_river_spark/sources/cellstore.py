@@ -277,5 +277,8 @@ class CellStoreDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the connector on a session (and enable Python
     data-source filter pushdown, off by default in Spark 4.1)."""
+    from elasticsearch_hbase_river_spark.sources import ship_package_to_workers
+
+    ship_package_to_workers(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CellStoreDataSource)
