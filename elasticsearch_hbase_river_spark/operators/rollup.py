@@ -23,13 +23,12 @@ from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, ro
 from elasticsearch_hbase_river_spark.sources.tables import load_events, load_table
 
 SESSION_GAP_MS = 30 * 60 * 1000
-NANOS_PER_HOUR = 3_600_000_000_000
 
 
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count/sum/avg/distinct-users by (hour, event_type)."""
     ev = load_events(spark, sf_dir)
-    hour_ms = F.expr(f"(ts div {NANOS_PER_HOUR}) * 3600000")
+    hour_ms = F.expr("(ts_ms div 3600000) * 3600000")
     dec = F.col("value").cast("decimal(18,2)")
     return (
         ev.groupBy(hour_ms.alias("hour_ms"), "event_type")

@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elasticsearch_hbase_river_spark.sources.tables import NANOS_PER_MILLI, load_table
+from elasticsearch_hbase_river_spark.sources.tables import (
+    load_table, ts_ms_col, ts_watermark_pred)
 
 # One generator expression; stack() stays inside whole-stage codegen.
 _MELT = """
@@ -50,18 +51,16 @@ def cells_from_events(spark: SparkSession, sf_dir: str,
     ``min_ts_ms_exclusive`` is the incremental-scan watermark
     (scanner.setMinTimestamp, HBaseParser.java:272). It is applied to the
     RAW ``ts`` column before the melt — a filter on the derived ``ts_ms``
-    (``ts div 1e6``) cannot be pushed into the parquet scan, so at scale it
-    would read every row group; the equivalent raw predicate
-    ``ts >= (wm+1) * 1e6`` pushes down (and prunes partitions on a
-    date-partitioned cells table)."""
+    cannot be pushed into the parquet scan, so at scale it would read every
+    row group; the equivalent raw predicate against a foldable literal
+    (``ts_watermark_pred``, schema-adaptive) pushes down (and prunes
+    partitions on a date-partitioned cells table)."""
     ev = load_table(spark, sf_dir, "events")
     if min_ts_ms_exclusive is not None:
-        # ts div 1e6 > wm  <=>  ts >= (wm+1) * 1e6   (non-negative ts)
-        ev = ev.filter(
-            F.col("ts") >= (min_ts_ms_exclusive + 1) * NANOS_PER_MILLI)
+        ev = ev.filter(ts_watermark_pred(ev, min_ts_ms_exclusive))
     return ev.select(
         F.col("event_id").cast("string").alias("row_key"),
-        F.expr(f"ts div {NANOS_PER_MILLI}").alias("ts_ms"),
+        ts_ms_col(ev).alias("ts_ms"),
         F.expr(_MELT),
     ).select("row_key", "family", "qualifier", "value", "ts_ms")
 

@@ -61,73 +61,81 @@ CELLS_DDL = "row_key STRING, family STRING, qualifier STRING, value STRING, ts_m
 MANIFEST = "_cellstore_manifest.json"
 
 
+#: Manifest-row schema produced by the per-region writer tasks.
+_MANIFEST_ROW_DDL = ("file string, start_key string, end_key string, "
+                     "min_ts_ms long, max_ts_ms long, n_cells long")
+
+
+def _write_region_files(df, path: str, start_idx: int) -> list[dict[str, Any]]:
+    """Distributed region writer: each Spark partition writes its own sorted
+    parquet region file (atomic tmp-file + rename, so task retries are safe)
+    and emits ONE manifest row. Only those bounded manifest rows — one per
+    region, never cell data — reach the driver. This is the 100 TB write
+    path: 1000 regions → 1000 parallel writer tasks."""
+    target = os.path.abspath(path)
+
+    def write_partition(batches):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        pid = TaskContext.get().partitionId()
+        fname = f"region-{start_idx + pid:05d}.parquet"
+        tmp = os.path.join(target, f".{fname}.{uuid.uuid4().hex}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(target, fname))
+        keys, ts = tbl.column("row_key"), tbl.column("ts_ms")
+        yield pa.RecordBatch.from_pylist([{
+            "file": fname,
+            "start_key": str(pc.min(keys).as_py()),
+            "end_key": str(pc.max(keys).as_py()),
+            "min_ts_ms": int(pc.min(ts).as_py()),
+            "max_ts_ms": int(pc.max(ts).as_py()),
+            "n_cells": tbl.num_rows,
+        }])
+
+    rows = df.mapInArrow(write_partition, _MANIFEST_ROW_DDL).collect()
+    return sorted((r.asDict() for r in rows), key=lambda d: d["file"])
+
+
 def write_cellstore(cells_df, path: str, n_regions: int = 8) -> None:
     """Materialize a cells DataFrame as a region-sharded store.
 
     Rows are range-sharded on ``row_key`` (sorted within each region, like
-    an HBase region's key range) and each region records its min/max
-    ``ts_ms`` in the manifest so scans with a watermark predicate can skip
-    whole regions without opening them."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
+    an HBase region's key range — ``repartitionByRange`` keeps equal keys
+    together and the ranges non-overlapping) and each region records its
+    min/max ``ts_ms`` in the manifest so scans with a watermark predicate
+    can skip whole regions without opening them. The writer is fully
+    distributed (``_write_region_files``): the relation is never
+    materialized on the driver."""
     os.makedirs(path, exist_ok=True)
-    # A store fixture is small (tests / local ticks); a production writer
-    # would range-shard distributedly (repartitionByRange + per-partition
-    # file writes). The layout on disk is identical either way.
-    tbl = pa.Table.from_pandas(cells_df.toPandas(), preserve_index=False)
-    order = pc.sort_indices(tbl, sort_keys=[("row_key", "ascending"),
-                                            ("family", "ascending"),
-                                            ("qualifier", "ascending")])
-    tbl = tbl.take(order)
-    n = tbl.num_rows
-    regions = []
-    per = max(1, -(-n // n_regions))
-    for i in range(n_regions):
-        chunk = tbl.slice(i * per, per)
-        if chunk.num_rows == 0:
-            continue
-        fname = f"region-{i:05d}.parquet"
-        pq.write_table(chunk, os.path.join(path, fname))
-        keys = chunk.column("row_key")
-        ts = chunk.column("ts_ms")
-        regions.append({
-            "file": fname,
-            "start_key": str(keys[0].as_py()),
-            "end_key": str(keys[-1].as_py()),
-            "min_ts_ms": int(pc.min(ts).as_py()),
-            "max_ts_ms": int(pc.max(ts).as_py()),
-            "n_cells": chunk.num_rows,
-        })
+    sharded = (cells_df.repartitionByRange(n_regions, "row_key")
+               .sortWithinPartitions("row_key", "family", "qualifier"))
+    regions = _write_region_files(sharded, path, start_idx=0)
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump({"regions": regions}, f)
 
 
-def append_cells(cells_df, path: str) -> None:
-    """Append a batch of new cells as one extra region (the CDC write path:
-    later-timestamped cells arriving after the initial bulk load)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    tbl = pa.Table.from_pandas(cells_df.toPandas(), preserve_index=False)
-    if tbl.num_rows == 0:
+def append_cells(cells_df, path: str, n_regions: int = 1) -> None:
+    """Append a batch of new cells as extra region(s) (the CDC write path:
+    later-timestamped cells arriving after the initial bulk load). Same
+    distributed writer as the bulk path; manifest entries are appended
+    after the existing regions."""
+    existing = _load_manifest(path)
+    sharded = (cells_df.repartitionByRange(n_regions, "row_key")
+               .sortWithinPartitions("row_key", "family", "qualifier"))
+    new_regions = _write_region_files(sharded, path, start_idx=len(existing))
+    if not new_regions:
         return
-    regions = _load_manifest(path)
-    fname = f"region-{len(regions):05d}.parquet"
-    pq.write_table(tbl, os.path.join(path, fname))
-    keys, ts = tbl.column("row_key"), tbl.column("ts_ms")
-    regions.append({
-        "file": fname,
-        "start_key": str(pc.min(keys).as_py()),
-        "end_key": str(pc.max(keys).as_py()),
-        "min_ts_ms": int(pc.min(ts).as_py()),
-        "max_ts_ms": int(pc.max(ts).as_py()),
-        "n_cells": tbl.num_rows,
-    })
     with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump({"regions": regions}, f)
+        json.dump({"regions": existing + new_regions}, f)
 
 
 def _load_manifest(path: str) -> list[dict[str, Any]]:

@@ -1,15 +1,35 @@
 """Parquet table loaders for the driver-generated fixture tables.
 
-The fixture ``events.ts`` column is physical parquet ``TIMESTAMP(NANOS)``,
-which Spark's parquet reader rejects by default; we flip the runtime conf
-``spark.sql.legacy.parquet.nanosAsLong`` so it surfaces as a ``LongType``
-epoch-nanos column and convert with exact integer arithmetic (``div``), never
-floating point (an int64 epoch-nanos value does not fit in a double).
+The fixture ``events.ts`` column has changed physical type across fixture
+regenerations — round 1 shipped parquet ``TIMESTAMP(NANOS)`` (which Spark
+only reads under ``spark.sql.legacy.parquet.nanosAsLong`` as an epoch-nanos
+``LongType``), round 2 regenerated it as ``TIMESTAMP(MICROS)`` isAdjustedToUTC=false
+(Spark ``TIMESTAMP_NTZ``). The engine therefore branches on the dtype it
+actually observes instead of assuming one physical layout:
+
+=================  =======================================================
+observed dtype      ``ts_ms`` derivation (exact integer math, no floats)
+=================  =======================================================
+``bigint``          ``ts div 1_000_000``  (epoch-nanos long)
+``timestamp_ntz``   ``unix_millis(cast(ts as timestamp))`` under a pinned
+                    UTC session timezone — the NTZ wall-clock is read as
+                    UTC, matching DuckDB's ``epoch_ms(ts)`` on the same file
+``timestamp``       ``unix_millis(ts)``
+=================  =======================================================
+
+Any other dtype fails fast with a one-line message naming what was found
+(the driver has regenerated the fixture once already; when it happens again
+the error should be one clear line, not 23 stack traces).
+
+``spark.sql.session.timeZone`` is pinned to UTC: oracle parity of every
+``ts_ms`` value depends on it for the NTZ path, and it must not silently
+inherit the sandbox's timezone.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -17,6 +37,9 @@ TABLES = (
 )
 
 NANOS_PER_MILLI = 1_000_000
+
+#: events.ts dtypes the engine knows how to ingest (see module docstring).
+SUPPORTED_TS_DTYPES = ("bigint", "timestamp_ntz", "timestamp")
 
 
 _INFER_FROM_GENERATE = (
@@ -27,7 +50,10 @@ _INFER_FROM_GENERATE = (
 def _tune_session(spark: SparkSession) -> None:
     """Runtime confs the engine needs regardless of who built the session.
 
-    - ``nanosAsLong``: see module docstring.
+    - ``session.timeZone=UTC``: load-bearing for ``ts_ms`` parity on the
+      TIMESTAMP_NTZ fixture path (module docstring).
+    - ``nanosAsLong``: lets the TIMESTAMP(NANOS) fixture variant load at
+      all; a no-op for micros/millis parquet timestamps.
     - exclude ``InferFiltersFromGenerate``: the rule infers ``size(g) > 0``
       below every ``explode``, and predicate pushdown then substitutes the
       generator's full expression into that filter — for computed arrays
@@ -36,6 +62,7 @@ def _tune_session(spark: SparkSession) -> None:
       (SPARK-36715 pathology). ``explode`` already drops empty/null arrays,
       so excluding the rule is semantics-preserving.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
     if not current:
@@ -43,6 +70,49 @@ def _tune_session(spark: SparkSession) -> None:
     elif _INFER_FROM_GENERATE not in current:
         spark.conf.set("spark.sql.optimizer.excludedRules",
                        f"{current},{_INFER_FROM_GENERATE}")
+
+
+def events_ts_dtype(ev: DataFrame) -> str:
+    """The observed dtype of ``events.ts``, validated against the supported
+    variants. Schema-only — never triggers a job."""
+    dtype = dict(ev.dtypes).get("ts")
+    if dtype not in SUPPORTED_TS_DTYPES:
+        raise TypeError(
+            f"events.ts has unsupported dtype {dtype!r}; the engine supports "
+            f"{SUPPORTED_TS_DTYPES} — the fixture was likely regenerated "
+            "with a new physical timestamp layout (sources/tables.py)."
+        )
+    return dtype
+
+
+def ts_ms_col(ev: DataFrame) -> Column:
+    """Epoch-millis column derived from ``events.ts``, whatever its physical
+    type (module docstring table). Exact integer math in every branch."""
+    dtype = events_ts_dtype(ev)
+    if dtype == "bigint":
+        return F.expr(f"ts div {NANOS_PER_MILLI}")
+    if dtype == "timestamp_ntz":
+        # NTZ wall-clock read as UTC (session TZ pinned by _tune_session).
+        return F.unix_millis(F.col("ts").cast("timestamp"))
+    return F.unix_millis(F.col("ts"))
+
+
+def ts_watermark_pred(ev: DataFrame, min_ts_ms_exclusive: int) -> Column:
+    """Pushdown-friendly incremental-scan predicate: ``ts_ms > wm``
+    expressed on the RAW ``ts`` column against a foldable literal, so it
+    reaches the parquet scan (PushedFilters) instead of filtering after the
+    ``ts_ms`` derivation. ``ts_ms > wm  <=>  ts >= wm+1 ms`` for the
+    floor-division/unix_millis derivations (non-negative ts)."""
+    wm1 = min_ts_ms_exclusive + 1
+    dtype = events_ts_dtype(ev)
+    if dtype == "bigint":
+        return F.col("ts") >= wm1 * NANOS_PER_MILLI
+    if dtype == "timestamp_ntz":
+        # timestamp_millis() is LTZ; the cast to NTZ is UTC wall-clock under
+        # the pinned session TZ. Fully foldable -> stays in PushedFilters.
+        return F.col("ts") >= F.expr(
+            f"cast(timestamp_millis({wm1}) as timestamp_ntz)")
+    return F.col("ts") >= F.expr(f"timestamp_millis({wm1})")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
@@ -66,8 +136,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` as epoch-nanos long plus derived ``ts_ms``."""
-    from pyspark.sql import functions as F
-
+    """``events`` with a derived epoch-millis ``ts_ms`` (schema-adaptive)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_ms", F.expr(f"ts div {NANOS_PER_MILLI}"))
+    return ev.withColumn("ts_ms", ts_ms_col(ev))
