@@ -84,6 +84,9 @@ HEADLINE = (
     "q_inverted_index",
     "q_bm25",
     "q_more_like_this",
+    "q_hybrid_search",
+    "q_search_facets",
+    "q_winnow_fingerprint",
 )
 
 

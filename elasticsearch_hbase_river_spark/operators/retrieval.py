@@ -1,0 +1,266 @@
+"""Retrieval extensions: hybrid lexical+vector search, facets, highlighting,
+and winnowing fingerprints.
+
+The reference feeds an Elasticsearch index (HBaseRiver.java:1-35); round 2
+added the core query surface (`operators/search.py`). This module completes
+the retrieval loop with the next queries an ES user actually runs, plus a
+robust plagiarism-grade fingerprint for the curation pipeline:
+
+- ``q_hybrid_search``     : reciprocal-rank fusion of BM25 (text) and cosine
+                            KNN (embedding) rankings — the standard hybrid
+                            retrieval pattern; both branches are two-phase
+                            top-k, fusion joins two ≤k-row relations.
+- ``q_search_facets``     : ES terms-aggregation alongside a query: bucket
+                            counts + metric per facet field, computed in ONE
+                            pass with a 2-way melt (never one groupBy per
+                            facet field over the corpus).
+- ``q_highlight``         : ES highlighting: the first query-term hit with
+                            ±3 tokens of context — pure map-side array ops.
+- ``q_winnow_fingerprint``: winnowing document fingerprints (Schleimer et
+                            al., SIGMOD'03, the MOSS algorithm): k-gram
+                            hashes, sliding-window minima, distinct set —
+                            entirely inside whole-stage codegen via
+                            higher-order functions, zero shuffles.
+
+Scale notes: hybrid fuses two TakeOrderedAndProject branches (each task
+keeps a local top-k; only k·P rows reach the driver-side merge) and joins
+two ≤20-row relations — broadcast territory. Facets shuffle once on
+(facet, bucket) with partial aggregation. Highlight and winnowing are pure
+projections: at 100 TB they pipeline behind the scan with no exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.operators.search import ORACLES as _SEARCH_ORACLES
+from elasticsearch_hbase_river_spark.operators.search import q_bm25
+from elasticsearch_hbase_river_spark.operators.similarity import (
+    _dot,
+    _dot_sql,
+    _norm,
+    _norm_sql,
+)
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+RRF_K = 60          # standard reciprocal-rank-fusion constant
+HYBRID_TOP = 10
+SEM_TOP = 20        # semantic branch depth (lexical depth = BM25_TOP = 20)
+HYBRID_QVEC = 0     # query vector: the embedding of doc 0 (vec_id == doc_id)
+
+FACET_TERM = "spark"        # facets computed over docs matching this term
+FACET_FIELDS = ("lang", "source")
+
+HL_TERM = "data"            # highlighting query term
+HL_CONTEXT = 3              # tokens of context on each side
+
+WINNOW_K = 3                # k-gram size (tokens)
+WINNOW_W = 4                # winnowing window (hashes)
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 and cosine-KNN top-20 fused with
+    reciprocal-rank fusion — ``score = Σ 1/(60 + rank)`` over the rankings
+    that contain the doc. Embeddings are keyed by ``vec_id == doc_id``.
+
+    Both branches end in ``orderBy().limit(k)`` (TakeOrderedAndProject);
+    the fusion is a full-outer join of two ≤20-row relations, so nothing
+    after the two top-k merges is corpus-sized."""
+    lex = q_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding",
+                        _norm(F.col("embedding")).alias("enorm"))
+    qv = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    sem_top = (
+        corpus.crossJoin(F.broadcast(qv))      # 1-row query side, map-side
+        .filter(F.col("doc_id") != HYBRID_QVEC)
+        .select("doc_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id").limit(SEM_TOP)
+    )
+    wsem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = (sem_top.withColumn("sem_rank",
+                              F.row_number().over(wsem).cast("long"))
+           .select("doc_id", "sem_rank"))
+
+    rrf = roundn_col(
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)))
+    fused = (lex.join(sem, "doc_id", "full_outer")
+             .select("doc_id", rrf.alias("rrf_score"))
+             .orderBy(F.col("rrf_score").desc(), "doc_id").limit(HYBRID_TOP))
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregations for a query: per-bucket doc counts and an
+    average-length metric for each facet field, over docs matching the
+    query term. ONE pass: the facet fields melt to (facet, bucket) rows
+    (2× fan-out, map-side) and a single partial-aggregated shuffle on
+    (facet, bucket) — never one corpus groupBy per facet."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.array_contains(F.split("text", " "), FACET_TERM))
+    melted = docs.select(
+        "n_chars",
+        F.explode(F.array(*[
+            F.struct(F.lit(f).alias("facet"), F.col(f).alias("bucket"))
+            for f in FACET_FIELDS])).alias("fb"))
+    return (melted.groupBy(F.col("fb.facet").alias("facet"),
+                           F.col("fb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 roundn_col(F.avg("n_chars")).alias("avg_chars")))
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlighting: for every doc containing the query term, the
+    1-based position of its first occurrence and a snippet of ±3 tokens
+    around it. Pure array projection — pipelines behind the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pos = F.array_position(toks, HL_TERM)
+    start = F.greatest(pos - HL_CONTEXT, F.lit(1))
+    snippet = F.array_join(
+        F.slice(toks, start, pos + HL_CONTEXT - start + 1), " ")
+    return (docs.select("doc_id", pos.alias("term_pos"),
+                        snippet.alias("snippet"))
+            .filter(F.col("term_pos") > 0))
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every k-gram of tokens, slide a w-hash window keeping
+    each window's minimum, emit the distinct fingerprint set. Guarantees
+    a shared fingerprint for any sufficiently long shared passage —
+    stronger than the single rolling hash of ``q_fingerprint``.
+
+    Everything is higher-order functions over the token array (md5 prefix
+    as the gram hash, lexicographic min over lowercase hex — identical in
+    both engines): no explode, no shuffle, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), n - WINNOW_K),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K))),
+                1, 8)),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = docs.select("doc_id", grams.alias("grams"))
+    m = F.size("grams")
+    fps = (
+        F.when(m >= WINNOW_W,
+               F.transform(F.sequence(F.lit(0), m - WINNOW_W),
+                           lambda j: F.array_min(
+                               F.slice(F.col("grams"), j + 1, WINNOW_W))))
+        .when(m > 0, F.array(F.array_min("grams")))
+        .otherwise(F.array().cast("array<string>")))
+    distinct = F.array_sort(F.array_distinct(fps))
+    return staged.select(
+        "doc_id",
+        m.cast("long").alias("n_grams"),
+        F.size(distinct).cast("long").alias("n_fingerprints"),
+        F.array_join(distinct, ",").alias("fingerprints"))
+
+
+QUERIES = {
+    "q_hybrid_search": q_hybrid_search,
+    "q_search_facets": q_search_facets,
+    "q_highlight": q_highlight,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
+}
+
+_SEM_SQL = f"""
+WITH qv AS (
+  SELECT embedding AS qe, {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+c AS (
+  SELECT vec_id AS doc_id, embedding, {_norm_sql('embedding')} AS enorm
+  FROM embeddings),
+scored AS (
+  SELECT doc_id,
+         {roundn_sql(_dot_sql('qe', 'embedding') + ' / (qnorm * enorm)')} AS cosine
+  FROM c, qv WHERE doc_id <> {HYBRID_QVEC}),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS sem_rank
+  FROM scored)
+SELECT doc_id, sem_rank FROM ranked WHERE sem_rank <= {SEM_TOP}"""
+
+_WINNOW_GRAMS_SQL = f"""
+CASE WHEN len(toks) >= {WINNOW_K}
+     THEN list_transform(range(0, len(toks) - {WINNOW_K} + 1),
+            i -> substr(md5(array_to_string(toks[i + 1 : i + {WINNOW_K}], ' ')),
+                        1, 8))
+     ELSE CAST([] AS VARCHAR[]) END"""
+
+ORACLES = {
+    "q_hybrid_search": f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({_SEARCH_ORACLES["q_bm25"]}) b),
+sem AS ({_SEM_SQL}),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         {roundn_sql(f"coalesce(1.0 / ({RRF_K} + lex_rank), 0)"
+                     f" + coalesce(1.0 / ({RRF_K} + sem_rank), 0)")}
+           AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+ranked AS (
+  SELECT doc_id, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM fused)
+SELECT * FROM ranked WHERE rank <= {HYBRID_TOP}""",
+
+    "q_search_facets": f"""
+WITH m AS (
+  SELECT lang, source, n_chars FROM documents
+  WHERE list_contains(string_split(text, ' '), '{FACET_TERM}')),
+u AS (
+  SELECT 'lang' AS facet, lang AS bucket, n_chars FROM m
+  UNION ALL
+  SELECT 'source', source, n_chars FROM m)
+SELECT facet, bucket, count(*) AS n_docs,
+       {roundn_sql('avg(n_chars)')} AS avg_chars
+FROM u GROUP BY facet, bucket""",
+
+    "q_highlight": f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(list_position(string_split(text, ' '), '{HL_TERM}') AS BIGINT)
+           AS term_pos
+  FROM documents)
+SELECT doc_id, term_pos,
+       array_to_string(
+         toks[greatest(term_pos - {HL_CONTEXT}, 1) : term_pos + {HL_CONTEXT}],
+         ' ') AS snippet
+FROM t WHERE term_pos IS NOT NULL AND term_pos > 0""",
+
+    "q_winnow_fingerprint": f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, {_WINNOW_GRAMS_SQL} AS grams FROM t),
+f AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         CASE WHEN len(grams) >= {WINNOW_W}
+              THEN list_transform(range(0, len(grams) - {WINNOW_W} + 1),
+                     j -> list_min(grams[j + 1 : j + {WINNOW_W}]))
+              WHEN len(grams) > 0 THEN [list_min(grams)]
+              ELSE CAST([] AS VARCHAR[]) END AS fps
+  FROM g)
+SELECT doc_id, n_grams,
+       CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
+       array_to_string(list_sort(list_distinct(fps)), ',') AS fingerprints
+FROM f""",
+}

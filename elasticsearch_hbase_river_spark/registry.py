@@ -22,6 +22,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.analytics",
     "elasticsearch_hbase_river_spark.operators.graph",
     "elasticsearch_hbase_river_spark.operators.search",
+    "elasticsearch_hbase_river_spark.operators.retrieval",
 )
 
 
