@@ -279,3 +279,40 @@ def test_more_like_this_broadcasts_query_vector(spark, sf_dir):
     plan = _plan(q_more_like_this(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_search_fuses_two_topk_branches(spark, sf_dir):
+    """Both retrieval branches must end in TakeOrderedAndProject (local
+    top-k per task, driver merges k·P rows) and the semantic query vector
+    must ride a broadcast — a corpus-wide global sort in either branch, or
+    a shuffled 1-row query side, would not survive 100 TB."""
+    from elasticsearch_hbase_river_spark.operators.retrieval import q_hybrid_search
+
+    plan = _plan(q_hybrid_search(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_and_highlight_are_shuffle_free(spark, sf_dir):
+    """Winnowing fingerprints and highlighting are pure projections: the
+    plan must contain NO exchange at all — they pipeline behind the scan."""
+    from elasticsearch_hbase_river_spark.operators.retrieval import (
+        q_highlight,
+        q_winnow_fingerprint,
+    )
+
+    for fn in (q_winnow_fingerprint, q_highlight):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{fn.__name__} plans a shuffle"
+
+
+def test_search_facets_single_melt_pass(spark, sf_dir):
+    """Facets must compute all facet fields in ONE pass: a single
+    partial-aggregated exchange on (facet, bucket), never one corpus
+    groupBy (and scan) per facet field."""
+    from elasticsearch_hbase_river_spark.operators.retrieval import q_search_facets
+
+    plan = _plan(q_search_facets(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
