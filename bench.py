@@ -87,6 +87,8 @@ HEADLINE = (
     "q_hybrid_search",
     "q_search_facets",
     "q_winnow_fingerprint",
+    "q_bigram_logprob",
+    "q_embedding_dedup_keep",
 )
 
 

@@ -79,6 +79,37 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rank") <= TOP_K))
 
 
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus plus synthetic exact copies (every DUP_MOD-th vector,
+    offset ids) — the planted duplicates both dedup queries detect."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label")
+    copies = emb.filter(F.col("vec_id") % DUP_MOD == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding", "label")
+    return emb.unionByName(copies)
+
+
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style survivor list: the corpus that remains after
+    embedding near-dedup — every vector with a >=0.95-cosine neighbor of
+    SMALLER id in its (label, SRP-bucket) block is dropped; survivors
+    carry how many higher-id near-dups they absorbed. The keep/drop
+    decision is an anti-join against the (output-bounded) pair relation —
+    nothing corpus-quadratic is ever materialized."""
+    pairs = (q_embedding_dedup(spark, sf_dir).select("vec_a", "vec_b")
+             # read twice (drop set + absorb counts); output-bounded
+             .localCheckpoint(eager=True))
+    aug = _augmented_embeddings(spark, sf_dir).select("vec_id", "label")
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    absorb = (pairs.groupBy(F.col("vec_a").alias("vec_id"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (aug.join(dropped, "vec_id", "left_anti")
+            .join(absorb, "vec_id", "left")
+            .select("vec_id", "label",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                     .alias("n_dups")))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on (label, SRP bucket):
     candidate pairs form only inside a block. Label alone is NOT a valid
@@ -87,10 +118,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-random-projection bucket (identical vectors hash identically, so
     exact/near copies still collide) caps each block at ~1/256 of its
     label. Synthetic exact copies guarantee hits."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    copies = emb.filter(F.col("vec_id") % DUP_MOD == 0).select(
-        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding", "label")
-    aug = emb.unionByName(copies)
+    aug = _augmented_embeddings(spark, sf_dir)
     sides = aug.select("vec_id", "label", "embedding",
                        _srp_bucket_col().alias("bucket"),
                        _norm(F.col("embedding")).alias("nrm"))
@@ -260,6 +288,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_embedding_dedup": q_embedding_dedup,
+    "q_embedding_dedup_keep": q_embedding_dedup_keep,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_recall": q_ann_recall,
@@ -377,3 +406,15 @@ FROM base LEFT JOIN hits ON base.method = hits.method AND base.qid = hits.qid"""
 
 
 ORACLES["q_ann_recall"] = _ann_recall_oracle()
+
+ORACLES["q_embedding_dedup_keep"] = f"""
+WITH p AS ({ORACLES["q_embedding_dedup"]}),
+aug AS (
+  SELECT vec_id, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET}, label
+  FROM embeddings WHERE vec_id % {DUP_MOD} = 0),
+ab AS (SELECT vec_a AS vec_id, count(*) AS n FROM p GROUP BY vec_a)
+SELECT aug.vec_id, aug.label, CAST(coalesce(ab.n, 0) AS BIGINT) AS n_dups
+FROM aug LEFT JOIN ab USING (vec_id)
+WHERE aug.vec_id NOT IN (SELECT vec_b FROM p)"""

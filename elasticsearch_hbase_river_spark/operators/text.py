@@ -213,10 +213,52 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal: mean add-one-smoothed conditional bigram
+    log-probability ``ln((c(w1,w2)+1)/(c(w1)+V))`` per document — the next
+    step up from ``q_unigram_logprob`` toward the KenLM-style perplexity
+    filters pretraining pipelines run.
+
+    Shape: bigram pairs come out of the token ARRAY (one transform, no
+    positional self-join); the bigram count table is corpus-sized so it
+    hash-joins on (w1, w2), while the vocab-sized unigram counts and the
+    1-row vocab total broadcast. One doc_id shuffle for the mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    bigr = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (docs.select("doc_id", F.explode(bigr).alias("bg"))
+             .select("doc_id", F.col("bg.w1").alias("w1"),
+                     F.col("bg.w2").alias("w2")))
+    tok = docs.select(F.explode(toks).alias("token"))
+    ufreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    vocab = ufreq.agg(F.count(F.lit(1)).alias("vocab"))
+    bfreq = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    logp = F.log((F.col("bcnt") + 1.0)
+                 / (F.col("ucnt") + F.col("vocab")).cast("double"))
+    return (
+        pairs.join(bfreq, ["w1", "w2"])
+        .join(F.broadcast(ufreq.withColumnRenamed("token", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.avg(logp).alias("alp"))
+        .select("doc_id", "n_bigrams",
+                roundn_col(F.col("alp")).alias("avg_logprob"))
+    )
+
+
 QUERIES = {
     "q_vocab": q_vocab,
     "q_tfidf": q_tfidf,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_bigram_logprob": q_bigram_logprob,
     "q_text_stats": q_text_stats,
     "q_tokenize": q_tokenize,
     "q_lang_id": q_lang_id,
@@ -273,6 +315,22 @@ SELECT tok.doc_id, count(*) AS n_tokens,
          AS avg_logprob
 FROM tok JOIN freq USING (token) CROSS JOIN t
 GROUP BY tok.doc_id""",
+
+    "q_bigram_logprob": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+                   i -> {'w1': toks[i + 1], 'w2': toks[i + 2]})) AS b
+  FROM t WHERE len(toks) >= 2),
+p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+uf AS (SELECT token, count(*) AS ucnt FROM tok GROUP BY token),
+v AS (SELECT count(*) AS vocab FROM uf),
+bf AS (SELECT w1, w2, count(*) AS bcnt FROM p GROUP BY w1, w2)
+SELECT p.doc_id, count(*) AS n_bigrams,
+       ROUNDN_BLP AS avg_logprob
+FROM p JOIN bf USING (w1, w2) JOIN uf ON p.w1 = uf.token CROSS JOIN v
+GROUP BY p.doc_id""",
 
     "q_text_stats": f"""
 WITH t AS (
@@ -341,7 +399,9 @@ _Q = roundn_sql("0.35::DOUBLE * least(1.0::DOUBLE, n_tokens / 100.0::DOUBLE)"
                 " + 0.35::DOUBLE * (1.0::DOUBLE - stop_cnt / n_tokens)"
                 " + 0.30::DOUBLE * (n_distinct / n_tokens)")
 _CPP = roundn_sql("length(text) / n_pieces")
+_BLP = roundn_sql("avg(ln((bf.bcnt + 1.0) / (uf.ucnt + v.vocab)))")
 
 for _k in list(ORACLES):
     ORACLES[_k] = (ORACLES[_k].replace("ROUNDN_ATL", _ATL).replace("ROUNDN_SR", _SR)
-                   .replace("ROUNDN_Q", _Q).replace("ROUNDN_CPP", _CPP))
+                   .replace("ROUNDN_Q", _Q).replace("ROUNDN_CPP", _CPP)
+                   .replace("ROUNDN_BLP", _BLP))
