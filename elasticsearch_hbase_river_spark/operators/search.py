@@ -59,11 +59,10 @@ _POSTINGS_SQL = """
   FROM documents"""
 
 
-def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the inverted index: per (token, doc_id) posting with term
-    frequency and the sorted position list (ES's in-memory postings made
-    relational).  One explode + one partial-aggregated shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+def inverted_postings(docs: DataFrame) -> DataFrame:
+    """Per (token, doc_id) posting with term frequency and the sorted
+    position list — the index-build aggregate shared by the batch query
+    and the streaming index maintainer (streaming/river_stream.py)."""
     return (
         _postings(docs)
         .groupBy("token", "doc_id")
@@ -76,6 +75,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",").alias("positions"),
         )
     )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: per (token, doc_id) posting with term
+    frequency and the sorted position list (ES's in-memory postings made
+    relational).  One explode + one partial-aggregated shuffle."""
+    return inverted_postings(load_table(spark, sf_dir, "documents"))
 
 
 def _corpus_stats(docs: DataFrame) -> DataFrame:

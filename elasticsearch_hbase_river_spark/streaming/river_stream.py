@@ -465,3 +465,61 @@ def streaming_latest_version(spark: SparkSession, source_dir: str,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming inverted-index maintenance: the reference's raison d'être (keep a
+# search index in sync with a changing table, HBaseRiver.java:1-35) applied
+# to the NATIVE index surface (operators/search.py) instead of an external
+# Elasticsearch.
+
+DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+def start_index_stream(spark: SparkSession, docs_source_dir: str,
+                       index_dir: str, checkpoint_dir: str,
+                       available_now: bool = True) -> StreamingQuery:
+    """Maintain the positional inverted index incrementally: each
+    micro-batch of (doc_id, text) documents is aggregated with the SAME
+    postings build the batch query uses (`operators/search.py:
+    inverted_postings` — per-doc postings are complete within the batch
+    that carries the doc) and lands as one epoch partition of the index.
+
+    Exactly-once: the delta is written with per-epoch overwrite
+    (``.../epoch=<id>``), so a replayed micro-batch rewrites its own
+    partition instead of double-appending — the same epoch-idempotent
+    publication discipline as the bulk sink. Document UPDATES re-emit the
+    doc_id in a later epoch; ``read_inverted_index`` resolves
+    latest-version-wins at read time (ES upsert semantics mirrored to the
+    index)."""
+    from elasticsearch_hbase_river_spark.operators.search import inverted_postings
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+
+    _tune_session(spark)
+    docs = (spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 16).parquet(docs_source_dir))
+
+    def build_delta(batch_df: DataFrame, batch_id: int) -> None:
+        (inverted_postings(batch_df)
+         .write.mode("overwrite").parquet(f"{index_dir}/epoch={batch_id}"))
+
+    writer = (docs.writeStream.foreachBatch(build_delta)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged index with latest-version-wins per document: postings are
+    kept only from each doc_id's newest epoch (a doc's re-index supersedes
+    all its older postings, exactly like an ES upsert replaces the old
+    document). The arbitration side is one row per (doc_id, epoch) — tiny
+    next to the postings, and the join is an equi-join on (doc_id, epoch)."""
+    idx = spark.read.parquet(index_dir)
+    latest = idx.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    return (idx.join(latest, ["doc_id", "epoch"])
+            .select("token", "doc_id", "tf", "first_pos", "positions"))

@@ -259,3 +259,51 @@ def test_streaming_rollup_plan_is_streaming(spark, sf_dir, tmp_path):
     # with a bounded backlog the final window stays open, so just assert the
     # query ran and the in-flight state machinery works
     assert spark.table("rollup_t").columns == ["hour_start", "family", "n_cells"]
+
+
+def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
+    """Incremental inverted-index upkeep: tick 1 indexes the initial docs,
+    an idle tick changes nothing, tick 2 adds new docs AND re-indexes an
+    existing one — the merged index must equal the batch postings build
+    over the corpus's LATEST document versions (old postings superseded)."""
+    from collections import Counter
+
+    from elasticsearch_hbase_river_spark.operators.search import inverted_postings
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_inverted_index, start_index_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "index_ckpt")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").persist())
+    batch1 = docs.filter(F.col("doc_id") < 100)
+    batch1.write.mode("append").parquet(src)
+
+    def tick():
+        q = start_index_stream(spark, src, index, ckpt)
+        q.awaitTermination(120)
+
+    def merged():
+        return Counter(map(tuple, read_inverted_index(spark, index).collect()))
+
+    def batch_build(d):
+        return Counter(map(tuple, inverted_postings(d).collect()))
+
+    tick()
+    assert merged() == batch_build(batch1)
+    tick()  # idle: no new files, index unchanged
+    assert merged() == batch_build(batch1)
+
+    # tick 2: new docs 100..199 plus doc 0 re-indexed with new text
+    updated = (docs.filter(F.col("doc_id") == 0)
+               .select("doc_id", F.lit("fresh text only").alias("text")))
+    batch2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)) \
+                 .select("doc_id", "text").unionByName(updated)
+    batch2.write.mode("append").parquet(src)
+    tick()
+    want = batch_build(
+        batch1.filter(F.col("doc_id") != 0).unionByName(batch2))
+    assert merged() == want
+    docs.unpersist()
