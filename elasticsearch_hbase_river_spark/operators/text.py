@@ -222,8 +222,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: bigram pairs come out of the token ARRAY (one transform, no
     positional self-join); the bigram count table is corpus-sized so it
     hash-joins on (w1, w2), while the vocab-sized unigram counts and the
-    1-row vocab total broadcast. One doc_id shuffle for the mean."""
-    docs = load_table(spark, sf_dir, "documents")
+    1-row vocab total broadcast. One doc_id shuffle for the mean.
+
+    ``fanout=True``: the gram build is CPU-bound map-side work stuck
+    behind the fixture's single-row-group layout (one scan task);
+    fanning to defaultParallelism measured 17.7 s -> 4.4 s at sf0.1.
+    On real multi-split inputs the repartition is dwarfed by the
+    explode fan-out it feeds."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = _toks()
     n = F.size(toks)
     bigr = F.when(
