@@ -89,6 +89,7 @@ HEADLINE = (
     "q_winnow_fingerprint",
     "q_bigram_logprob",
     "q_embedding_dedup_keep",
+    "q_winnow_overlap",
 )
 
 

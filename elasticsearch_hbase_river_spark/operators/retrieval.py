@@ -144,6 +144,17 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is higher-order functions over the token array (md5 prefix
     as the gram hash, lexicographic min over lowercase hex — identical in
     both engines): no explode, no shuffle, whole-stage codegen."""
+    staged = _winnow_sets(spark, sf_dir)
+    return staged.select(
+        "doc_id",
+        F.col("n_grams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_join("fps", ",").alias("fingerprints"))
+
+
+def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, fps): the distinct sorted winnowing fingerprint
+    set per document — shared by the per-doc query and the overlap join."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -164,12 +175,42 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.slice(F.col("grams"), j + 1, WINNOW_W))))
         .when(m > 0, F.array(F.array_min("grams")))
         .otherwise(F.array().cast("array<string>")))
-    distinct = F.array_sort(F.array_distinct(fps))
     return staged.select(
-        "doc_id",
-        m.cast("long").alias("n_grams"),
-        F.size(distinct).cast("long").alias("n_fingerprints"),
-        F.array_join(distinct, ",").alias("fingerprints"))
+        "doc_id", m.cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(fps)).alias("fps"))
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing overlap — the MOSS use case: candidate
+    near-dup/plagiarism pairs are documents sharing >=2 fingerprints, with
+    a containment score ``n_shared / min(|fps_a|, |fps_b|)``.
+
+    Scale shape: the pair join is an EQUI-join on the fingerprint value
+    (the same bucket-bounded discipline as the LSH band joins — candidate
+    volume scales with fingerprint-bucket occupancy, never corpus²); the
+    fingerprint relation is materialized once before the self-join, the
+    multi-pass trade measured on `candidate_pairs`."""
+    sets = (_winnow_sets(spark, sf_dir)
+            .select("doc_id", F.size("fps").cast("long").alias("nf"),
+                    F.explode("fps").alias("fp"))
+            .localCheckpoint(eager=True))
+    a, b = sets.alias("a"), sets.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"),
+             F.min(F.col("a.nf")).alias("nfa"),
+             F.min(F.col("b.nf")).alias("nfb"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select("doc_a", "doc_b", "n_shared",
+                roundn_col(F.col("n_shared")
+                           / F.least("nfa", "nfb")).alias("overlap"))
+    )
 
 
 QUERIES = {
@@ -177,6 +218,7 @@ QUERIES = {
     "q_search_facets": q_search_facets,
     "q_highlight": q_highlight,
     "q_winnow_fingerprint": q_winnow_fingerprint,
+    "q_winnow_overlap": q_winnow_overlap,
 }
 
 _SEM_SQL = f"""
@@ -263,4 +305,28 @@ SELECT doc_id, n_grams,
        CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
        array_to_string(list_sort(list_distinct(fps)), ',') AS fingerprints
 FROM f""",
+
+    "q_winnow_overlap": f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, {_WINNOW_GRAMS_SQL} AS grams FROM t),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {WINNOW_W}
+              THEN list_transform(range(0, len(grams) - {WINNOW_W} + 1),
+                     j -> list_min(grams[j + 1 : j + {WINNOW_W}]))
+              WHEN len(grams) > 0 THEN [list_min(grams)]
+              ELSE CAST([] AS VARCHAR[]) END AS fps
+  FROM g),
+e AS (
+  SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS nf,
+         unnest(list_distinct(fps)) AS fp
+  FROM f),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nf AS nfa, b.nf AS nfb
+  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, count(*) AS n_shared,
+       {roundn_sql('count(*) / least(min(nfa), min(nfb))')} AS overlap
+FROM p GROUP BY doc_a, doc_b HAVING count(*) >= {WINNOW_MIN_SHARED}""",
 }
