@@ -117,6 +117,8 @@ def main() -> None:
     # Warm up the JVM / parquet footers once so q1 isn't charged for JIT.
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -127,8 +129,12 @@ def main() -> None:
         # them once materialized; dropping them between queries keeps later
         # timings honest — leaked cache blocks were inflating every query
         # after the first persist by 1.5-2x (GC pressure), which is a bench
-        # artifact, not a plan cost.
+        # artifact, not a plan cost. localCheckpoint() blocks survive
+        # clearCache() and are only reclaimed when their DataFrame is
+        # garbage-collected, so force a GC cycle too (measured: leaked
+        # checkpoint blocks inflated a later explode-heavy query 5x).
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
