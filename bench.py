@@ -90,6 +90,8 @@ HEADLINE = (
     "q_bigram_logprob",
     "q_embedding_dedup_keep",
     "q_winnow_overlap",
+    "q_fuzzy_search",
+    "q_search_after",
 )
 
 

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
 from elasticsearch_hbase_river_spark.operators.search import ORACLES as _SEARCH_ORACLES
-from elasticsearch_hbase_river_spark.operators.search import q_bm25
+from elasticsearch_hbase_river_spark.operators.search import (
+    _POSTINGS_SQL,
+    bm25_scores,
+    q_bm25,
+)
 from elasticsearch_hbase_river_spark.operators.similarity import (
     _dot,
     _dot_sql,
@@ -180,6 +184,62 @@ def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(fps)).alias("fps"))
 
 
+PAGE_SIZE = 5
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` keyset pagination: page 2 of the BM25 ranking —
+    the PAGE_SIZE results strictly after the page-1 cursor, where the
+    cursor is the (score, doc_id) sort key of page 1's last hit.
+
+    This is the deep-pagination shape that survives scale: page 1 and the
+    cursor are TakeOrderedAndProject top-k (the cursor is ONE broadcast
+    row), page 2 filters the scored relation by the keyset predicate and
+    takes another local top-k — no OFFSET, no global window, no
+    re-ranking of everything above the page."""
+    scores = bm25_scores(spark, sf_dir)
+    cursor = (scores.orderBy(F.col("score").desc(), "doc_id").limit(PAGE_SIZE)
+              .orderBy(F.col("score").asc(), F.col("doc_id").desc()).limit(1)
+              .select(F.col("score").alias("c_score"),
+                      F.col("doc_id").alias("c_doc")))
+    after = ((F.col("score") < F.col("c_score"))
+             | ((F.col("score") == F.col("c_score"))
+                & (F.col("doc_id") > F.col("c_doc"))))
+    page2 = (scores.crossJoin(F.broadcast(cursor))
+             .filter(after)
+             .select("doc_id", "score")
+             .orderBy(F.col("score").desc(), "doc_id").limit(PAGE_SIZE))
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return page2.withColumn("page_rank",
+                            F.row_number().over(w).cast("long"))
+
+
+FUZZY_TERM = "spark"
+FUZZY_MAX_DIST = 1
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy term query (``fuzziness: 1``): match docs containing any
+    token within edit distance 1 of the query term. Query expansion runs
+    on the DISTINCT vocabulary (vocab-sized, not corpus-sized) with the
+    JVM levenshtein built-in; the expanded term set broadcasts into an
+    equi-join against the postings — the expensive edit-distance compare
+    never touches a corpus-sized relation."""
+    from elasticsearch_hbase_river_spark.operators.search import _postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = _postings(docs)
+    matched = (post.select("token").distinct()
+               .filter(F.levenshtein(F.col("token"), F.lit(FUZZY_TERM))
+                       <= FUZZY_MAX_DIST))
+    return (post.join(F.broadcast(matched), "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.array_join(
+                     F.array_sort(F.array_distinct(F.collect_list("token"))),
+                     ",").alias("matched_terms")))
+
+
 WINNOW_MIN_SHARED = 2
 
 
@@ -219,6 +279,8 @@ QUERIES = {
     "q_highlight": q_highlight,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_winnow_overlap": q_winnow_overlap,
+    "q_fuzzy_search": q_fuzzy_search,
+    "q_search_after": q_search_after,
 }
 
 _SEM_SQL = f"""
@@ -305,6 +367,21 @@ SELECT doc_id, n_grams,
        CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
        array_to_string(list_sort(list_distinct(fps)), ',') AS fingerprints
 FROM f""",
+
+    "q_search_after": f"""
+SELECT doc_id, score, CAST(rank - {PAGE_SIZE} AS BIGINT) AS page_rank
+FROM ({_SEARCH_ORACLES["q_bm25"]}) r
+WHERE rank > {PAGE_SIZE} AND rank <= {2 * PAGE_SIZE}""",
+
+    "q_fuzzy_search": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+v AS (SELECT DISTINCT token FROM tok),
+m AS (SELECT token FROM v
+      WHERE levenshtein(token, '{FUZZY_TERM}') <= {FUZZY_MAX_DIST})
+SELECT doc_id, count(*) AS n_hits,
+       array_to_string(list_sort(list_distinct(list(token))), ',')
+         AS matched_terms
+FROM tok JOIN m USING (token) GROUP BY doc_id""",
 
     "q_winnow_overlap": f"""
 WITH t AS (

@@ -92,12 +92,9 @@ def _corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25-ranked top-20 for a fixed multi-term query (Lucene's formula:
-    idf = ln(1 + (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, b=0.75).
-
-    Only docs containing a query term are ever aggregated (the term filter
-    sits below the shuffle); N/avgdl ride in on a broadcast 1-row agg."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (doc_id, score) BM25-scored relation for the fixed query —
+    shared by the top-k query and keyset pagination (retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
     tf = (
@@ -115,11 +112,20 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    per_doc = (
+    return (
         scored.select("doc_id", (idf * tf_norm).alias("contrib"))
         .groupBy("doc_id")
         .agg(roundn_col(F.sum("contrib")).alias("score"))
     )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-20 for a fixed multi-term query (Lucene's formula:
+    idf = ln(1 + (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, b=0.75).
+
+    Only docs containing a query term are ever aggregated (the term filter
+    sits below the shuffle); N/avgdl ride in on a broadcast 1-row agg."""
+    per_doc = bm25_scores(spark, sf_dir)
     top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(BM25_TOP)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
