@@ -41,6 +41,28 @@ NANOS_PER_MILLI = 1_000_000
 #: events.ts dtypes the engine knows how to ingest (see module docstring).
 SUPPORTED_TS_DTYPES = ("bigint", "timestamp_ntz", "timestamp")
 
+#: Columns every operator assumes per fixture table. Checked by NAME only —
+#: physical types are allowed to drift (the engine adapts where it must,
+#: see the ts story above; a type-strict check here would turn benign
+#:  regenerations into 100 red queries). A missing column fails the FIRST
+#: load with one clear line instead of a stack trace per query.
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name", "p_type", "p_size"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
 
 _INFER_FROM_GENERATE = (
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
@@ -130,6 +152,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     """
     _tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = EXPECTED_COLUMNS.get(name, set())
+    missing = expected - set(df.columns)
+    if missing:
+        raise TypeError(
+            f"fixture table {name!r} at {sf_dir} is missing expected "
+            f"column(s) {sorted(missing)} (found {sorted(df.columns)}) — "
+            "the fixture was likely regenerated with a new schema "
+            "(sources/tables.py:EXPECTED_COLUMNS)."
+        )
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -92,3 +92,25 @@ def test_missing_ts_column_fails_clearly(spark):
     df = spark.range(1)
     with pytest.raises(TypeError, match="unsupported dtype None"):
         events_ts_dtype(df)
+
+
+def test_all_fixture_tables_satisfy_column_contract(spark, sf_dir):
+    """Every fixture table loads under the name-only column contract."""
+    from elasticsearch_hbase_river_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t)  # raises on a missing expected column
+
+
+def test_missing_column_fails_with_one_clear_line(spark, tmp_path):
+    """A regenerated fixture dropping an expected column must produce ONE
+    clear error at load, not a stack trace per downstream query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    pq.write_table(pa.table({"r_regionkey": [0]}), str(tmp_path / "region.parquet"))
+    with pytest.raises(TypeError, match=r"missing expected column\(s\) \['r_name'\]"):
+        load_table(spark, str(tmp_path), "region")
