@@ -38,6 +38,7 @@ from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, ro
 from elasticsearch_hbase_river_spark.operators.search import ORACLES as _SEARCH_ORACLES
 from elasticsearch_hbase_river_spark.operators.search import (
     _POSTINGS_SQL,
+    _postings,
     bm25_scores,
     q_bm25,
 )
@@ -197,7 +198,9 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     row), page 2 filters the scored relation by the keyset predicate and
     takes another local top-k — no OFFSET, no global window, no
     re-ranking of everything above the page."""
-    scores = bm25_scores(spark, sf_dir)
+    # read twice (cursor + page filter) — the multi-pass materialization
+    # trade, same as q_more_like_this / q_winnow_overlap
+    scores = bm25_scores(spark, sf_dir).localCheckpoint(eager=True)
     cursor = (scores.orderBy(F.col("score").desc(), "doc_id").limit(PAGE_SIZE)
               .orderBy(F.col("score").asc(), F.col("doc_id").desc()).limit(1)
               .select(F.col("score").alias("c_score"),
@@ -225,8 +228,6 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM levenshtein built-in; the expanded term set broadcasts into an
     equi-join against the postings — the expensive edit-distance compare
     never touches a corpus-sized relation."""
-    from elasticsearch_hbase_river_spark.operators.search import _postings
-
     docs = load_table(spark, sf_dir, "documents")
     post = _postings(docs)
     matched = (post.select("token").distinct()

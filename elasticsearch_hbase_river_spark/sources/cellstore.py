@@ -28,6 +28,12 @@ entirely — unmatched regions are skipped without reading a byte
 
 Pure public APIs: ``pyspark.sql.datasource`` + ``pyarrow``.
 
+Storage assumption (reader AND writer): the store ``path`` must be on
+storage every executor and the driver can reach — a shared mount
+(NFS / fuse-mounted object store) on a real cluster, the local filesystem
+in tests. This is the same contract as any Spark file-based source; the
+per-task ``os.replace`` publish is atomic on POSIX-semantics mounts.
+
 Usage note: open a fresh ``spark.read.format("cellstore")...load()`` per
 tick — the region list binds when a plan is first executed, so a reused
 DataFrame can miss regions appended afterwards. The reference has the

@@ -494,16 +494,32 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
     publication discipline as the bulk sink. Document UPDATES re-emit the
     doc_id in a later epoch; ``read_inverted_index`` resolves
     latest-version-wins at read time (ES upsert semantics mirrored to the
-    index)."""
+    index). When several versions of one doc land in the SAME micro-batch
+    (two source files between triggers), the batch itself arbitrates
+    latest-wins by file order (modification time, then path) BEFORE the
+    postings build — aggregating across versions would merge two texts
+    into one corrupted posting."""
     from elasticsearch_hbase_river_spark.operators.search import inverted_postings
     from elasticsearch_hbase_river_spark.sources.tables import _tune_session
 
     _tune_session(spark)
+    # _metadata must be projected on the SOURCE — foreachBatch frames only
+    # carry the selected columns, and the file order is the version order.
     docs = (spark.readStream.schema(DOCS_SCHEMA)
-            .option("maxFilesPerTrigger", 16).parquet(docs_source_dir))
+            .option("maxFilesPerTrigger", 16).parquet(docs_source_dir)
+            .select("doc_id", "text",
+                    F.col("_metadata.file_modification_time").alias("_mtime"),
+                    F.col("_metadata.file_path").alias("_path")))
 
     def build_delta(batch_df: DataFrame, batch_id: int) -> None:
-        (inverted_postings(batch_df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_mtime").desc(), F.col("_path").desc(),
+            F.col("text").desc())
+        latest = (batch_df.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).select("doc_id", "text"))
+        (inverted_postings(latest)
          .write.mode("overwrite").parquet(f"{index_dir}/epoch={batch_id}"))
 
     writer = (docs.writeStream.foreachBatch(build_delta)

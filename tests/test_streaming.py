@@ -307,3 +307,31 @@ def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
         batch1.filter(F.col("doc_id") != 0).unionByName(batch2))
     assert merged() == want
     docs.unpersist()
+
+
+def test_streaming_index_same_batch_update_keeps_latest(spark, sf_dir, tmp_path):
+    """Two versions of the same doc arriving within ONE micro-batch must
+    resolve latest-wins by file order before the postings build — merging
+    them would produce a posting matching neither text."""
+    import time
+    from collections import Counter
+
+    from elasticsearch_hbase_river_spark.operators.search import inverted_postings
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_inverted_index, start_index_stream,
+    )
+
+    src = str(tmp_path / "src")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    v1 = spark.createDataFrame([(0, "old stale text")], "doc_id long, text string")
+    v2 = spark.createDataFrame([(0, "fresh text wins")], "doc_id long, text string")
+    v1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct file modification times
+    v2.coalesce(1).write.mode("append").parquet(src)
+
+    q = start_index_stream(spark, src, index, ckpt)
+    q.awaitTermination(120)
+    got = Counter(map(tuple, read_inverted_index(spark, index).collect()))
+    want = Counter(map(tuple, inverted_postings(v2).collect()))
+    assert got == want

@@ -105,10 +105,6 @@ def test_all_fixture_tables_satisfy_column_contract(spark, sf_dir):
 def test_missing_column_fails_with_one_clear_line(spark, tmp_path):
     """A regenerated fixture dropping an expected column must produce ONE
     clear error at load, not a stack trace per downstream query."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import pytest
-
     from elasticsearch_hbase_river_spark.sources.tables import load_table
 
     pq.write_table(pa.table({"r_regionkey": [0]}), str(tmp_path / "region.parquet"))

@@ -43,6 +43,10 @@ def main() -> int:
     from tests.oracle_harness import compare
 
     queries, oracles = mod.queries(), mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 1
     results: dict[str, str] = {}
     for name, fn in queries.items():
         if only and name not in only:
