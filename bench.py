@@ -92,6 +92,7 @@ HEADLINE = (
     "q_winnow_overlap",
     "q_fuzzy_search",
     "q_search_after",
+    "q_suggest",
 )
 
 

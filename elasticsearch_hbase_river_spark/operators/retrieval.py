@@ -217,6 +217,26 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.row_number().over(w).cast("long"))
 
 
+SUGGEST_PREFIX = "s"
+SUGGEST_TOP = 5
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: top-5 vocabulary completions of a prefix,
+    ranked by corpus term frequency. The frequency table is one
+    partial-aggregated shuffle; the prefix filter sits below it (only
+    matching tokens are aggregated), and the ranking is a
+    TakeOrderedAndProject over the (tiny) matching vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (_postings(docs)
+            .filter(F.col("token").startswith(SUGGEST_PREFIX))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq")))
+    top = freq.orderBy(F.col("freq").desc(), "token").limit(SUGGEST_TOP)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 FUZZY_TERM = "spark"
 FUZZY_MAX_DIST = 1
 
@@ -282,6 +302,7 @@ QUERIES = {
     "q_winnow_overlap": q_winnow_overlap,
     "q_fuzzy_search": q_fuzzy_search,
     "q_search_after": q_search_after,
+    "q_suggest": q_suggest,
 }
 
 _SEM_SQL = f"""
@@ -368,6 +389,17 @@ SELECT doc_id, n_grams,
        CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
        array_to_string(list_sort(list_distinct(fps)), ',') AS fingerprints
 FROM f""",
+
+    "q_suggest": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+freq AS (
+  SELECT token, count(*) AS freq FROM tok
+  WHERE token LIKE '{SUGGEST_PREFIX}%' GROUP BY token),
+ranked AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM freq)
+SELECT * FROM ranked WHERE rank <= {SUGGEST_TOP}""",
 
     "q_search_after": f"""
 SELECT doc_id, score, CAST(rank - {PAGE_SIZE} AS BIGINT) AS page_rank
