@@ -44,6 +44,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 from collections.abc import Iterable, Iterator, Sequence
 from dataclasses import dataclass
 from typing import Any
@@ -125,8 +127,7 @@ def write_cellstore(cells_df, path: str, n_regions: int = 8) -> None:
     sharded = (cells_df.repartitionByRange(n_regions, "row_key")
                .sortWithinPartitions("row_key", "family", "qualifier"))
     regions = _write_region_files(sharded, path, start_idx=0)
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump({"regions": regions}, f)
+    _publish_manifest(path, regions)
 
 
 def append_cells(cells_df, path: str, n_regions: int = 1) -> None:
@@ -137,11 +138,35 @@ def append_cells(cells_df, path: str, n_regions: int = 1) -> None:
     existing = _load_manifest(path)
     sharded = (cells_df.repartitionByRange(n_regions, "row_key")
                .sortWithinPartitions("row_key", "family", "qualifier"))
-    new_regions = _write_region_files(sharded, path, start_idx=len(existing))
+    # Next index = max index already on disk + 1, NOT len(existing):
+    # _write_region_files names files by partition id and skips empty
+    # partitions, so a prior write can leave index gaps (e.g. files 0 and 2
+    # with only 2 manifest entries). len() would then re-issue index 2 and
+    # os.replace-clobber a live region.
+    new_regions = _write_region_files(sharded, path,
+                                      start_idx=_next_region_idx(existing))
     if not new_regions:
         return
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump({"regions": existing + new_regions}, f)
+    _publish_manifest(path, existing + new_regions)
+
+
+def _next_region_idx(existing: list[dict[str, Any]]) -> int:
+    hi = -1
+    for r in existing:
+        m = re.fullmatch(r"region-(\d+)\.parquet", r["file"])
+        if m:
+            hi = max(hi, int(m.group(1)))
+    return hi + 1
+
+
+def _publish_manifest(path: str, regions: list[dict[str, Any]]) -> None:
+    """Atomic manifest publish (tmp + ``os.replace``), matching the region
+    files' rename discipline: a concurrent reader on a shared mount sees
+    either the old or the new manifest, never a truncated JSON."""
+    tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"regions": regions}, f)
+    os.replace(tmp, os.path.join(path, MANIFEST))
 
 
 def _load_manifest(path: str) -> list[dict[str, Any]]:

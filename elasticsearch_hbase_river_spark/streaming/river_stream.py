@@ -476,6 +476,10 @@ def streaming_latest_version(spark: SparkSession, source_dir: str,
 DOCS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("text", StringType()),
+    # Optional monotonic version stamp from the producer. Parquet feeds
+    # written without this column read as NULL (ordinary schema evolution),
+    # so pre-existing (doc_id, text) feeds keep working.
+    StructField("ver", LongType()),
 ])
 
 
@@ -496,9 +500,15 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
     latest-version-wins at read time (ES upsert semantics mirrored to the
     index). When several versions of one doc land in the SAME micro-batch
     (two source files between triggers), the batch itself arbitrates
-    latest-wins by file order (modification time, then path) BEFORE the
-    postings build — aggregating across versions would merge two texts
-    into one corrupted posting."""
+    latest-wins BEFORE the postings build — aggregating across versions
+    would merge two texts into one corrupted posting. The authoritative
+    arbitration key is the feed's explicit ``ver`` column (monotonic
+    producer stamp, NULL-tolerant); only feeds WITHOUT it fall back to
+    file order (modification time, then path). The fallback is
+    deterministic but arbitrary when two versions share one mtime
+    (millisecond granularity) — part filenames embed random job UUIDs, so
+    path order carries no version information. Producers that can emit
+    same-millisecond updates must stamp ``ver``."""
     from elasticsearch_hbase_river_spark.operators.search import inverted_postings
     from elasticsearch_hbase_river_spark.sources.tables import _tune_session
 
@@ -507,7 +517,7 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
     # carry the selected columns, and the file order is the version order.
     docs = (spark.readStream.schema(DOCS_SCHEMA)
             .option("maxFilesPerTrigger", 16).parquet(docs_source_dir)
-            .select("doc_id", "text",
+            .select("doc_id", "text", "ver",
                     F.col("_metadata.file_modification_time").alias("_mtime"),
                     F.col("_metadata.file_path").alias("_path")))
 
@@ -515,6 +525,7 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
         from pyspark.sql import Window
 
         w = Window.partitionBy("doc_id").orderBy(
+            F.col("ver").desc_nulls_last(),
             F.col("_mtime").desc(), F.col("_path").desc(),
             F.col("text").desc())
         latest = (batch_df.withColumn("rn", F.row_number().over(w))

@@ -179,3 +179,30 @@ def test_river_transforms_over_connector(spark, store):
     a = Counter(map(tuple, via_store.collect()))
     b = Counter(map(tuple, via_frame.collect()))
     assert a == b
+
+
+def test_append_after_sparse_write_loses_nothing(spark, tmp_path):
+    """Regression: a bulk write whose range-sharding yields EMPTY partitions
+    (distinct row_keys < n_regions) leaves index gaps in the region
+    filenames. A later append must allocate indices ABOVE the max on disk —
+    allocating at len(manifest) would os.replace-clobber a live region and
+    list its file twice in the manifest (old cells silently lost, new cells
+    double-read)."""
+    path = str(tmp_path / "sparse_store")
+    old = spark.createDataFrame(
+        [("a", "f", "q", "v1", 10), ("b", "f", "q", "v2", 20)],
+        cellstore.CELLS_DDL)
+    # 2 distinct keys over 4 range partitions -> at least 2 empty writer tasks
+    cellstore.write_cellstore(old, path, n_regions=4)
+    new = spark.createDataFrame(
+        [("c", "f", "q", "v3", 30), ("d", "f", "q", "v4", 40)],
+        cellstore.CELLS_DDL)
+    cellstore.append_cells(new, path, n_regions=2)
+
+    manifest = cellstore._load_manifest(path)
+    files = [r["file"] for r in manifest]
+    assert len(files) == len(set(files)), f"manifest lists a file twice: {files}"
+    cellstore.register(spark)
+    got = Counter(map(tuple, _read(spark, path).collect()))
+    want = Counter(map(tuple, old.unionByName(new).collect()))
+    assert got == want

@@ -335,3 +335,33 @@ def test_streaming_index_same_batch_update_keeps_latest(spark, sf_dir, tmp_path)
     got = Counter(map(tuple, read_inverted_index(spark, index).collect()))
     want = Counter(map(tuple, inverted_postings(v2).collect()))
     assert got == want
+
+
+def test_streaming_index_same_mtime_explicit_version_wins(spark, tmp_path):
+    """Two versions of one doc written back-to-back (same-millisecond file
+    mtimes are possible) must arbitrate on the feed's explicit `ver` stamp,
+    not on part-file path order — parquet part names embed random job UUIDs,
+    so path order carries no version information. The LOWER-versioned file
+    is written LAST so any mtime/path fallback would pick the stale text."""
+    from collections import Counter
+
+    from elasticsearch_hbase_river_spark.operators.search import inverted_postings
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_inverted_index, start_index_stream,
+    )
+
+    src = str(tmp_path / "src")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    v2 = spark.createDataFrame([(0, "fresh text wins", 2)],
+                               "doc_id long, text string, ver long")
+    v1 = spark.createDataFrame([(0, "old stale text", 1)],
+                               "doc_id long, text string, ver long")
+    v2.coalesce(1).write.mode("append").parquet(src)
+    v1.coalesce(1).write.mode("append").parquet(src)  # newer mtime, older ver
+
+    q = start_index_stream(spark, src, index, ckpt)
+    q.awaitTermination(120)
+    got = Counter(map(tuple, read_inverted_index(spark, index).collect()))
+    want = Counter(map(tuple, inverted_postings(v2.select("doc_id", "text")).collect()))
+    assert got == want
