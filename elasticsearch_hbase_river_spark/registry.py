@@ -23,6 +23,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.graph",
     "elasticsearch_hbase_river_spark.operators.search",
     "elasticsearch_hbase_river_spark.operators.retrieval",
+    "elasticsearch_hbase_river_spark.operators.indexed_search",
 )
 
 

@@ -317,3 +317,33 @@ def test_search_facets_single_melt_pass(spark, sf_dir):
     plan = _plan(q_search_facets(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_indexed_bm25_reads_index_not_corpus(spark, sf_dir):
+    """The materialized-index BM25 must contain ZERO postings rebuild: no
+    Generate (posexplode) anywhere in the plan — every input is an index
+    table read, with the term filter pruning postings buckets at the
+    partition level, and the ranking stays a two-phase top-k."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        q_bm25_indexed,
+    )
+
+    plan = _plan(q_bm25_indexed(spark, sf_dir))
+    assert "Generate" not in plan, "indexed BM25 re-derived postings"
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_indexed_suggest_is_vocab_only(spark, sf_dir):
+    """The completion suggester over the materialized index must touch ONE
+    relation: the vocab table (prefix filter + local top-k). No postings,
+    no corpus, no rebuild."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        q_suggest_indexed,
+    )
+
+    plan = _plan(q_suggest_indexed(spark, sf_dir))
+    assert "Generate" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan

@@ -365,3 +365,53 @@ def test_streaming_index_same_mtime_explicit_version_wins(spark, tmp_path):
     got = Counter(map(tuple, read_inverted_index(spark, index).collect()))
     want = Counter(map(tuple, inverted_postings(v2.select("doc_id", "text")).collect()))
     assert got == want
+
+
+def test_index_delta_maintenance_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """The serving-index maintenance loop: a base index built from the
+    initial corpus, plus streamed epoch deltas (new docs AND a re-indexed
+    doc), merged by apply_epoch_deltas — every serving table (postings,
+    doclen, vocab, stats) must equal a from-scratch batch build over the
+    corpus's LATEST document versions."""
+    import math
+    from collections import Counter
+
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_index_stream,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").persist())
+    base_dir = str(tmp_path / "base_idx")
+    ix.build_index(spark, docs.filter(F.col("doc_id") < 100), base_dir)
+
+    # Stream the delta: docs 100..149 plus doc 0 re-indexed with new text.
+    src = str(tmp_path / "delta_src")
+    epochs = str(tmp_path / "epochs")
+    ckpt = str(tmp_path / "delta_ckpt")
+    updated = (docs.filter(F.col("doc_id") == 0)
+               .select("doc_id", F.lit("fresh text only").alias("text")))
+    delta = (docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+             .select("doc_id", "text").unionByName(updated))
+    delta.write.mode("append").parquet(src)
+    q = start_index_stream(spark, src, epochs, ckpt)
+    q.awaitTermination(120)
+
+    merged_dir = str(tmp_path / "merged_idx")
+    ix.apply_epoch_deltas(spark, base_dir, epochs, merged_dir)
+
+    latest = (docs.filter((F.col("doc_id") > 0) & (F.col("doc_id") < 150))
+              .unionByName(updated))
+    full_dir = str(tmp_path / "full_idx")
+    ix.build_index(spark, latest, full_dir)
+
+    for reader in (ix.read_postings, ix.read_doclen, ix.read_vocab):
+        got = Counter(map(tuple, reader(spark, merged_dir).collect()))
+        want = Counter(map(tuple, reader(spark, full_dir).collect()))
+        assert got == want, f"{reader.__name__} diverged after delta merge"
+    got_s = ix.read_stats(spark, merged_dir).first()
+    want_s = ix.read_stats(spark, full_dir).first()
+    assert got_s.n_docs == want_s.n_docs
+    assert math.isclose(got_s.avgdl, want_s.avgdl, rel_tol=1e-12)
+    docs.unpersist()
