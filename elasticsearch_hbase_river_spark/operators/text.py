@@ -173,16 +173,19 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # 1-row scalar; at scale read from table stats
+    # N rides in as a broadcast 1-row aggregate (pruned count-only scan) —
+    # one plan, no separate driver-side count() job per tick.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(_toks()).alias("token"),
                       F.size(_toks()).alias("doc_len"))
     tf = (tok.groupBy("doc_id", "token")
              .agg(F.count(F.lit(1)).alias("n"), F.first("doc_len").alias("doc_len")))
     df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (tf.join(F.broadcast(df_rel), "token")
+                .crossJoin(F.broadcast(n_docs))
                 .withColumn("tfidf", roundn_col(
                     (F.col("n") / F.col("doc_len"))
-                    * F.log(F.lit(float(n_docs)) / F.col("df")))))
+                    * F.log(F.col("n_docs") / F.col("df")))))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= TFIDF_TOP)
@@ -219,10 +222,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     step up from ``q_unigram_logprob`` toward the KenLM-style perplexity
     filters pretraining pipelines run.
 
-    Shape: bigram pairs come out of the token ARRAY (one transform, no
-    positional self-join); the bigram count table is corpus-sized so it
-    hash-joins on (w1, w2), while the vocab-sized unigram counts and the
-    1-row vocab total broadcast. One doc_id shuffle for the mean.
+    Shape: ONE tokenize+explode pass feeds everything. Each token row
+    carries its successor (``F.get`` past the array end is a null — the
+    end-of-document sentinel), so unigram counts c(w1), the vocab total,
+    bigram counts c(w1,w2) AND the scoring join all derive from a single
+    materialized (doc_id, w1, w2) relation — the corpus is tokenized once,
+    not three times (A/B-measured ~parity at sf0.1, ~1.9 s uncontended
+    either way — the win is the structural one: at real scale the repeated
+    tokenize+explode passes grow with the corpus while the materialization
+    is written once and read four times).
+    The bigram count table is corpus-sized so it hash-joins on (w1, w2),
+    while the vocab-sized unigram counts and the 1-row vocab total
+    broadcast. One doc_id shuffle for the mean.
 
     ``fanout=True``: the gram build is CPU-bound map-side work stuck
     behind the fixture's single-row-group layout (one scan task);
@@ -232,25 +243,26 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = _toks()
     n = F.size(toks)
-    bigr = F.when(
-        n >= 2,
-        F.transform(F.sequence(F.lit(0), n - 2),
-                    lambda i: F.struct(
-                        F.element_at(toks, i + 1).alias("w1"),
-                        F.element_at(toks, i + 2).alias("w2"))),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = (docs.select("doc_id", F.explode(bigr).alias("bg"))
-             .select("doc_id", F.col("bg.w1").alias("w1"),
-                     F.col("bg.w2").alias("w2")))
-    tok = docs.select(F.explode(toks).alias("token"))
-    ufreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    # (w1 = token at i, w2 = token at i+1 or null): one row per token
+    # occurrence — the unigram AND bigram fact table in one explode.
+    grams = F.transform(F.sequence(F.lit(0), n - 1),
+                        lambda i: F.struct(F.get(toks, i).alias("w1"),
+                                           F.get(toks, i + 1).alias("w2")))
+    # read four times (ufreq, vocab, bfreq, scoring join) — the multi-pass
+    # materialization trade, same as candidate_pairs / q_more_like_this
+    occ = (docs.select("doc_id", F.explode(grams).alias("bg"))
+           .select("doc_id", F.col("bg.w1").alias("w1"),
+                   F.col("bg.w2").alias("w2"))
+           .localCheckpoint(eager=True))
+    ufreq = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("ucnt"))
     vocab = ufreq.agg(F.count(F.lit(1)).alias("vocab"))
+    pairs = occ.filter(F.col("w2").isNotNull())
     bfreq = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
     logp = F.log((F.col("bcnt") + 1.0)
                  / (F.col("ucnt") + F.col("vocab")).cast("double"))
     return (
         pairs.join(bfreq, ["w1", "w2"])
-        .join(F.broadcast(ufreq.withColumnRenamed("token", "w1")), "w1")
+        .join(F.broadcast(ufreq), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
