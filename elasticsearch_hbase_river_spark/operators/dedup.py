@@ -278,6 +278,86 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_jaccard", roundn_col(F.col("n_shared_minhash") / F.lit(float(N_HASHES))))
 
 
+#: Accept/reject threshold for incremental near-dedup: >= 4 of 8 shared
+#: MinHashes estimates Jaccard >= 0.5.
+NEAR_DUP_MIN_SHARED = 4
+
+
+def doc_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, band_idx, band_hash): one row per LSH band per doc,
+    carrying the full signature so a band-bucket collision can be verified
+    WITHOUT a second lookup — this is the self-contained row shape the
+    persistent band table stores (plans/pipeline.py:near_dedup_against_sink)
+    and the incremental query joins on."""
+    sig = minhash_signature(_shingle_df(docs))
+    mh = F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)])
+    withb = sig.select(
+        "doc_id", mh.alias("mh"),
+        *[F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
+          .alias(f"band{b}") for b in range(N_BANDS)])
+    return withb.select(
+        "doc_id", "mh",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
+        .alias("band_idx", "band_hash"))
+
+
+def _shared_minhash(a: Column, b: Column) -> Column:
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y),
+                           lambda eq: eq)).cast("long")
+
+
+def near_dup_decisions(incoming_bands: DataFrame,
+                       history_bands: DataFrame) -> DataFrame:
+    """Per incoming doc: the max shared-MinHash count against the history
+    corpus and the accept/reject verdict. Candidates come from the
+    (band_idx, band_hash) equi-join — output-bounded by bucket occupancy,
+    never |incoming| x |history| — and each candidate pair verifies from
+    the signatures already ON the band rows (zero extra joins)."""
+    n, h = incoming_bands.alias("n"), history_bands.alias("h")
+    pairs = (n.join(h, (F.col("n.band_idx") == F.col("h.band_idx"))
+                    & (F.col("n.band_hash") == F.col("h.band_hash")))
+             .select(F.col("n.doc_id").alias("doc_id"),
+                     F.col("h.doc_id").alias("hist_id"),
+                     F.col("n.mh").alias("mh_n"), F.col("h.mh").alias("mh_h"))
+             .distinct())
+    best = (pairs.withColumn("n_shared", _shared_minhash(F.col("mh_n"),
+                                                         F.col("mh_h")))
+            .groupBy("doc_id").agg(F.max("n_shared").alias("n_shared_max")))
+    return (incoming_bands.select("doc_id").distinct()
+            .join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shared_max", F.lit(0)).cast("long")
+                     .alias("n_shared_max"))
+            .withColumn("is_dup",
+                        F.col("n_shared_max") >= NEAR_DUP_MIN_SHARED))
+
+
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a HISTORICAL corpus: the full
+    documents table plays the already-indexed history; the incoming batch
+    is synthetic — truncated near-copies (should collide and verify as
+    dups) plus token-reversed fresh docs (3-gram shingles are
+    order-sensitive, so reversal breaks them) — and each incoming doc gets
+    its accept/reject verdict against history. This is the CORRECTNESS
+    twin of the stateful sink-history dedup
+    (plans/pipeline.py:near_dedup_against_sink)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1,
+                    F.greatest(F.size(F.split("text", " ")) - TRUNCATE,
+                               F.lit(1))),
+            " ").alias("text"),
+    ).repartition("doc_id")  # Exchange barrier, same reason as _augmented_docs
+    fresh = docs.filter(F.col("doc_id") % COPY_MOD == 1).select(
+        (F.col("doc_id") + 2 * COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    ).repartition("doc_id")
+    incoming = near.unionByName(fresh)
+    return near_dup_decisions(doc_bands(incoming), doc_bands(docs))
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 32-bit signature from per-shingle md5 hex
     digits (majority vote per bit position), 8-bit band candidate buckets,
@@ -353,6 +433,7 @@ QUERIES = {
     "q_edit_distance": q_edit_distance,
     "q_minhash_signature": q_minhash_signature,
     "q_near_dedup": q_near_dedup,
+    "q_incremental_near_dedup": q_incremental_near_dedup,
     "q_simhash_dedup": q_simhash_dedup,
 }
 
@@ -438,6 +519,50 @@ scored AS (
 SELECT doc_a, doc_b, n_shared_minhash,
        {roundn_sql(f'n_shared_minhash / {float(N_HASHES)}')} AS est_jaccard
 FROM scored""",
+
+    "q_incremental_near_dedup": f"""
+WITH hist AS (SELECT doc_id, text FROM documents),
+inc AS (
+  SELECT doc_id + {COPY_OFFSET} AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - {TRUNCATE}, 1)],
+           ' ') AS text
+  FROM documents WHERE doc_id % {COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * COPY_OFFSET},
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % {COPY_MOD} = 1),
+hsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM hist),
+ish AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM inc),
+hsig AS (SELECT doc_id, {_MH_COLS} FROM hsh),
+isig AS (SELECT doc_id, {_MH_COLS} FROM ish),
+hm AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh,
+       {_BAND_COLS} FROM hsig),
+im AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh,
+       {_BAND_COLS} FROM isig),
+hb AS (
+  SELECT doc_id, mh, b.band_idx, b.band_hash FROM hm, LATERAL (
+    {" UNION ALL ".join(f"SELECT {b} AS band_idx, band{b} AS band_hash" for b in range(N_BANDS))}
+  ) b),
+ib AS (
+  SELECT doc_id, mh, b.band_idx, b.band_hash FROM im, LATERAL (
+    {" UNION ALL ".join(f"SELECT {b} AS band_idx, band{b} AS band_hash" for b in range(N_BANDS))}
+  ) b),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS hist_id,
+                  n.mh AS mh_n, h.mh AS mh_h
+  FROM ib n JOIN hb h
+    ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash),
+best AS (
+  SELECT doc_id,
+         max(CAST(len(list_filter(range(1, {N_HASHES + 1}),
+                                  i -> mh_n[i] = mh_h[i])) AS BIGINT))
+           AS n_shared_max
+  FROM pairs GROUP BY doc_id)
+SELECT i.doc_id,
+       coalesce(best.n_shared_max, 0) AS n_shared_max,
+       coalesce(best.n_shared_max, 0) >= {NEAR_DUP_MIN_SHARED} AS is_dup
+FROM (SELECT DISTINCT doc_id FROM inc) i LEFT JOIN best USING (doc_id)""",
 
     "q_simhash_dedup": f"""
 WITH aug AS ({_AUG_SQL_NEAR}),

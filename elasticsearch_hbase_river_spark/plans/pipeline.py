@@ -236,6 +236,47 @@ def dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
                   .drop("content_hash"))
 
 
+def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
+                            bands_path: str,
+                            min_shared: int | None = None) -> DataFrame:
+    """MinHash twin of :func:`dedup_against_sink`: drop new documents that
+    are NEAR-duplicates of the HISTORICAL corpus — not just exact-hash
+    matches, and not just duplicates within the current micro-batch.
+
+    The history is a persistent LSH band table at ``bands_path``
+    (doc_id, mh, band_idx, band_hash — `operators/dedup.py:doc_bands`),
+    appended on every tick with the accepted docs' bands, so the state
+    survives restarts the same way the sink itself does. Per tick:
+    candidates = equi-join of the new docs' bands against the table
+    (bucket-bounded, never |new| x |history|), verification from the
+    signatures already on the band rows, accept = anti-join on the
+    verified dup ids. At 100 TB the band table is the ONLY thing the tick
+    re-reads — k-hashes-per-doc sized, not corpus-sized — and it is a
+    plain parquet append (compact periodically like any log table).
+    Within-batch self-dedup is the batch operator's job
+    (`q_near_dedup`) — compose it upstream when a single tick can carry
+    its own near-copies. ``new_docs`` needs (doc_id, text); extra columns
+    pass through. Oracle-checked batch twin: `q_incremental_near_dedup`.
+    """
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        NEAR_DUP_MIN_SHARED, doc_bands, near_dup_decisions,
+    )
+
+    threshold = NEAR_DUP_MIN_SHARED if min_shared is None else min_shared
+    nb = doc_bands(new_docs.select("doc_id", "text")).persist()
+    if os.path.exists(bands_path):
+        dec = near_dup_decisions(nb, spark.read.parquet(bands_path))
+        dups = (dec.filter(F.col("n_shared_max") >= threshold)
+                .select("doc_id"))
+        accepted = new_docs.join(dups, "doc_id", "left_anti")
+    else:
+        accepted = new_docs
+    (nb.join(accepted.select("doc_id"), "doc_id")
+       .write.mode("append").parquet(bands_path))
+    nb.unpersist()
+    return accepted
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship end-to-end query (driver smoke): melt -> incremental scan
     (cold start) -> assemble nested docs -> latest-wins upsert."""

@@ -340,7 +340,8 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
 
 def streaming_latest_version_v2(spark: SparkSession, source_dir: str,
                                 files_per_trigger: int = 16,
-                                state_ttl_ms: int | None = None) -> DataFrame:
+                                state_ttl_ms: int | None = None,
+                                allow_fallback: bool = True) -> DataFrame:
     """The latest-version-wins operator on the arbitrary-state V2 API
     (``transformWithStateInPandas``, Spark 4): typed ValueState per row
     key with optional TTL — the state-hygiene knob the V1 API lacks (an
@@ -355,17 +356,30 @@ def streaming_latest_version_v2(spark: SparkSession, source_dir: str,
     NB: the V2 operator requires the RocksDB state store (also the right
     provider at scale: incremental checkpoints, state larger than heap);
     this sets the session's provider conf before planning the query. Its
-    control channel also needs ``google.protobuf`` at runtime — absent
-    from this container, so the operator raises ImportError up front (the
-    import-try gate) and its test skips; the V1 operator carries the
-    tested coverage here."""
+    control channel also needs ``google.protobuf`` at runtime — a
+    capability probe decides the path: where protobuf is present the query
+    plans on transformWithStateInPandas; where it's absent (this
+    container) the call degrades to the V1 ``applyInPandasWithState``
+    implementation, which has the identical output contract
+    (``_LATEST_OUT_SCHEMA``) and identical latest-version semantics —
+    only the TTL knob has no V1 equivalent, so a TTL request without
+    protobuf raises rather than silently dropping state hygiene.
+    ``allow_fallback=False`` turns the degradation into an ImportError
+    for deployments that require the V2 state store specifically."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as e:
-        raise ImportError(
-            "transformWithStateInPandas needs google.protobuf (not installed "
-            "in this environment); use streaming_latest_version (V1) instead"
-        ) from e
+        if not allow_fallback:
+            raise ImportError(
+                "transformWithStateInPandas needs google.protobuf (not "
+                "installed in this environment); use "
+                "streaming_latest_version (V1) instead") from e
+        if state_ttl_ms is not None:
+            raise ImportError(
+                "state TTL requires the V2 state API (google.protobuf "
+                "missing) — the V1 fallback cannot honor ttlDurationMs"
+            ) from e
+        return streaming_latest_version(spark, source_dir, files_per_trigger)
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle,

@@ -362,3 +362,44 @@ def test_approx_stats_within_bounds(spark, sf_dir):
         assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
         assert abs(a.approx_p50 - e.p50) <= max(0.5, 0.15 * abs(e.p50))
         assert abs(a.approx_p95 - e.p95) <= max(0.5, 0.15 * abs(e.p95))
+
+
+def test_near_dedup_against_sink_history_survives_restarts(spark, sf_dir, tmp_path):
+    """The persistent LSH band table dedups new docs against the WHOLE
+    historical corpus, across process restarts: tick 1 seeds history,
+    tick 2 (fresh read of the on-disk state) rejects a truncated
+    near-copy of a tick-1 doc while accepting a genuinely new doc, and
+    tick 3 rejects a copy of the doc ACCEPTED in tick 2 — history grows
+    with every accepted doc, not just the seed corpus."""
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        near_dedup_against_sink,
+    )
+
+    bands = str(tmp_path / "sink_bands")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+
+    # tick 1: cold start — everything accepted, history seeded
+    seed = docs.filter(F.col("doc_id") < 50)
+    acc1 = near_dedup_against_sink(spark, seed, bands)
+    assert acc1.count() == seed.count()
+
+    # tick 2: near-copy of doc 0 (drop last 3 tokens) + genuinely new doc
+    near_copy = seed.filter(F.col("doc_id") == 0).select(
+        F.lit(9_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1,
+                             F.greatest(F.size(F.split("text", " ")) - 3,
+                                        F.lit(1))), " ").alias("text"))
+    fresh = docs.filter(F.col("doc_id") == 77).select(
+        F.lit(9_000_001).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"))
+    acc2 = near_dedup_against_sink(
+        spark, near_copy.unionByName(fresh), bands)
+    got2 = {r.doc_id for r in acc2.collect()}
+    assert got2 == {9_000_001}, f"tick2 accepted {got2}"
+
+    # tick 3: exact copy of the doc accepted in tick 2 — history includes
+    # tick-2 acceptances, so it must now be rejected
+    copy_of_fresh = fresh.select(F.lit(9_000_002).alias("doc_id"), "text")
+    acc3 = near_dedup_against_sink(spark, copy_of_fresh, bands)
+    assert acc3.count() == 0

@@ -162,12 +162,12 @@ def test_streaming_latest_version_state(spark, sf_dir, tmp_path):
 
 def test_streaming_latest_version_v2_state(spark, sf_dir, tmp_path):
     """transformWithStateInPandas twin: same per-key invariants as the V1
-    operator across multiple micro-batches. Skips where google.protobuf
-    (the V2 control-channel dependency) is unavailable."""
-    import pytest
-
-    pytest.importorskip("google.protobuf",
-                        reason="V2 state API control-channel dependency")
+    operator across multiple micro-batches. The operator is capability-
+    gated: where google.protobuf (the V2 control channel) is available the
+    plan uses the V2 state API; elsewhere it degrades to the V1 path with
+    the identical output contract — either way THIS test runs the full
+    semantics, and test_v2_strict_mode_raises_without_protobuf pins the
+    gating behavior itself."""
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
         streaming_latest_version_v2,
     )
@@ -415,3 +415,94 @@ def test_index_delta_maintenance_matches_batch_rebuild(spark, sf_dir, tmp_path):
     assert got_s.n_docs == want_s.n_docs
     assert math.isclose(got_s.avgdl, want_s.avgdl, rel_tol=1e-12)
     docs.unpersist()
+
+
+def test_v2_strict_mode_gates_on_protobuf(spark, sf_dir, tmp_path):
+    """The capability gate itself: with protobuf absent, strict mode
+    (allow_fallback=False) and a TTL request must both raise ImportError
+    rather than silently degrade; with protobuf present, strict mode must
+    plan cleanly. Runs meaningfully in either environment."""
+    import pytest
+
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        streaming_latest_version_v2,
+    )
+
+    src = str(tmp_path / "src_gate")
+    _write_cells(spark, sf_dir, src)
+    try:
+        import google.protobuf  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    if has_pb:
+        streaming_latest_version_v2(spark, src, allow_fallback=False)
+    else:
+        with pytest.raises(ImportError):
+            streaming_latest_version_v2(spark, src, allow_fallback=False)
+        with pytest.raises(ImportError):
+            streaming_latest_version_v2(spark, src, state_ttl_ms=60000)
+
+
+def test_connector_river_latency_under_trickle(spark, tmp_path):
+    """The reference's operating promise: rows written to the source table
+    become visible in the index within ~interval (the scheduler loop,
+    HBaseRiver.java + HBaseParser.java:49-73). Against a RUNNING
+    continuous-trigger connector river (cellstore source -> bulksink),
+    measure (a) the cold-start backfill drain and (b) per-append
+    visibility latency under a steady trickle, and bound both. The bounds
+    are deliberately loose for a shared CI box (the trigger interval is
+    500 ms; normal visibility is ~1-3 s) — they catch order-of-magnitude
+    regressions like a stream that only sees appends on restart."""
+    import time
+
+    from elasticsearch_hbase_river_spark.sources import bulksink, cellstore
+
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_connector_river,
+    )
+
+    store = str(tmp_path / "store")
+    bulk = str(tmp_path / "bulk")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(f"k{i:05d}", "f", "q", f"v{i}", 1_000 + i) for i in range(200)],
+        cellstore.CELLS_DDL)
+    cellstore.write_cellstore(base, store, n_regions=4)
+    cfg = RiverConfig(table="t", index="i", type_name="d", interval_ms=500)
+    q = start_connector_river(spark, cfg, store, bulk, ckpt)
+
+    def n_docs() -> int:
+        try:
+            return bulksink.read_manifest(bulk)["n_docs"]
+        except (FileNotFoundError, json.JSONDecodeError):
+            return 0
+
+    def wait_docs(n: int, bound_s: float, what: str) -> float:
+        t0 = time.time()
+        while time.time() - t0 < bound_s:
+            if n_docs() >= n:
+                return time.time() - t0
+            time.sleep(0.2)
+        raise AssertionError(
+            f"{what}: sink has {n_docs()}/{n} docs after {bound_s}s")
+
+    try:
+        cold_start = wait_docs(200, 60, "cold-start backfill")
+        latencies = []
+        for tick in range(3):
+            lo = 10_000 + 1_000 * tick
+            delta = spark.createDataFrame(
+                [(f"t{lo + i:06d}", "f", "q", "x", lo + i)
+                 for i in range(100)],
+                cellstore.CELLS_DDL)
+            t_append = time.time()
+            cellstore.append_cells(delta, store)
+            wait_docs(200 + 100 * (tick + 1), 30,
+                      f"trickle append {tick}")
+            latencies.append(time.time() - t_append)
+    finally:
+        q.stop()
+    # every append visible within the 30s ceiling (wait_docs enforced it);
+    # the median must be well under it — steady-state, not timeout-riding
+    assert sorted(latencies)[1] < 15, (cold_start, latencies)
