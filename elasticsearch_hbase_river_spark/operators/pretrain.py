@@ -54,6 +54,8 @@ MIX_CAP = 3.0            # max upsampling weight per domain
 SAMPLE_SEED = "smpl-1"   # keyed md5 coin -> reproducible sampling runs
 PACK_SEQ_LEN = 256       # tokens per packed training sequence
 PACK_BLOCK = 1_000       # doc_id-range width per prefix-sum block
+SHUFFLE_SHARDS = 8       # training shards for the corpus shuffle
+SHUFFLE_SEED = "shuf-1"  # keyed md5 -> a new seed is a fresh epoch order
 
 
 def _toks():
@@ -259,6 +261,39 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (seq_end - seq_start + 1).alias("n_seqs"))
 
 
+_HEX = "0123456789abcdef"
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards: each doc
+    draws a keyed md5 value; the first two hex digits pick the shard and the
+    full digest orders docs within the shard — the "shuffle the corpus
+    before packing an epoch" pass, reproducible at any parallelism (a new
+    SHUFFLE_SEED is a fresh epoch permutation; never ``rand()``, whose
+    row-order dependence would make epochs unrepeatable).
+
+    Scale shape: shard + sort keys are pure map-side md5; the only data
+    movement is the per-shard window (one hash shuffle on shard).  At
+    100 TB, SHUFFLE_SHARDS scales with the corpus so one shard ~= one
+    output file of a few GB, and the production writer is the exact twin
+    ``df.repartition("shard").sortWithinPartitions("skey")`` — a
+    spillable sort per shard; this query is its auditable position map."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = f"md5(concat('{SHUFFLE_SEED}:', CAST(doc_id AS STRING)))"
+    bucket = F.expr(
+        f"CAST((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1) AS BIGINT)")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(h).alias("skey"),
+        (bucket % SHUFFLE_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", "skey",
+        (F.row_number().over(w) - 1).cast("long").alias("position"))
+
+
 QUERIES = {
     "q_passage_dedup": q_passage_dedup,
     "q_contamination": q_contamination,
@@ -267,6 +302,7 @@ QUERIES = {
     "q_domain_mix": q_domain_mix,
     "q_domain_sample": q_domain_sample,
     "q_sequence_pack": q_sequence_pack,
+    "q_corpus_shuffle": q_corpus_shuffle,
 }
 
 
@@ -383,4 +419,20 @@ SELECT doc_id, n_tokens, tok_start,
        (tok_start + n_tokens - 1) // {PACK_SEQ_LEN}
          - tok_start // {PACK_SEQ_LEN} + 1 AS n_seqs
 FROM c""",
+
+    "q_corpus_shuffle": f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents),
+sharded AS (
+  SELECT doc_id, skey,
+         CAST(((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1))
+              % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+  FROM keyed)
+SELECT doc_id, shard, skey,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+            AS BIGINT) AS position
+FROM sharded""",
 }

@@ -215,12 +215,56 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+#: significant_terms fixed parameters.
+SIG_FG_TERM = "spark"
+SIG_TOP = 15
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` aggregation (JLH score): terms that are
+    unusually frequent in the docs matching a query ("spark") relative to
+    the whole corpus — ES's "what is this result set about" aggregation.
+
+    Scale shape: one distinct over (token, doc_id) (partial-aggregated
+    shuffle, the same relation the inverted index builds); the foreground
+    doc set rides a semi-join keyed on doc_id (never collected); fg/bg
+    totals are 1-row broadcast aggregates; top-k plans as
+    TakeOrderedAndProject with the rank window confined to the <=k
+    survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tok = _postings(docs).select("doc_id", "token").distinct()
+    fg_docs = (doc_tok.filter(F.col("token") == SIG_FG_TERM)
+               .select("doc_id"))
+    fg_total = fg_docs.agg(F.count(F.lit(1)).cast("long").alias("fg_total"))
+    bg_total = docs.agg(F.count(F.lit(1)).cast("long").alias("bg_total"))
+    bg = doc_tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("bg_count"))
+    fg = (doc_tok.join(fg_docs, "doc_id", "left_semi")
+          .groupBy("token")
+          .agg(F.count(F.lit(1)).cast("long").alias("fg_count")))
+    fg_pct = F.col("fg_count") / F.col("fg_total")
+    bg_pct = F.col("bg_count") / F.col("bg_total")
+    scored = (
+        fg.join(bg, "token")
+        .crossJoin(F.broadcast(fg_total))
+        .crossJoin(F.broadcast(bg_total))
+        .filter(F.col("token") != SIG_FG_TERM)
+        .select("token", "fg_count", "bg_count",
+                roundn_col((fg_pct - bg_pct) * (fg_pct / bg_pct))
+                .alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("token")).limit(SIG_TOP)
+    w = Window.orderBy(F.col("score").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_bm25": q_bm25,
     "q_boolean_search": q_boolean_search,
     "q_phrase_match": q_phrase_match,
     "q_more_like_this": q_more_like_this,
+    "q_significant_terms": q_significant_terms,
 }
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
@@ -302,4 +346,28 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
   FROM sims)
 SELECT * FROM ranked WHERE rank <= {MLT_TOP}""",
+
+    "q_significant_terms": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+fg_docs AS (SELECT doc_id FROM doc_tok WHERE token = '{SIG_FG_TERM}'),
+fg_total AS (SELECT CAST(count(*) AS BIGINT) AS fg_total FROM fg_docs),
+bg_total AS (SELECT CAST(count(*) AS BIGINT) AS bg_total FROM documents),
+bg AS (SELECT token, CAST(count(*) AS BIGINT) AS bg_count
+       FROM doc_tok GROUP BY token),
+fg AS (SELECT token, CAST(count(*) AS BIGINT) AS fg_count
+       FROM doc_tok WHERE doc_id IN (SELECT doc_id FROM fg_docs)
+       GROUP BY token),
+scored AS (
+  SELECT token, fg_count, bg_count,
+         {roundn_sql('((fg_count::DOUBLE / fg_total) - (bg_count::DOUBLE / bg_total))'
+                     ' * ((fg_count::DOUBLE / fg_total) / (bg_count::DOUBLE / bg_total))')}
+         AS score
+  FROM fg JOIN bg USING (token), fg_total, bg_total
+  WHERE token != '{SIG_FG_TERM}'),
+ranked AS (
+  SELECT token, fg_count, bg_count, score,
+         CAST(row_number() OVER (ORDER BY score DESC, token) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {SIG_TOP}""",
 }
