@@ -97,6 +97,8 @@ HEADLINE = (
     "q_phrase_match_indexed",
     "q_fuzzy_search_indexed",
     "q_suggest_indexed",
+    "q_significant_terms",
+    "q_corpus_shuffle",
 )
 
 

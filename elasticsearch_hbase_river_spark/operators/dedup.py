@@ -141,9 +141,13 @@ def candidate_pairs(sh: DataFrame) -> DataFrame:
     sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    copies = a.join(b, F.col("doc_b") == F.col("doc_a") + COPY_OFFSET)
+    # Both join sides are the CORPUS-sized shingle relation; pin sort-merge.
+    # Unhinted, Catalyst broadcasts one side whenever its estimate fits
+    # (measured: OK at sf0.1, OOMs a default-memory driver at 10x, and at
+    # any real scale a corpus broadcast is the wrong plan outright).
+    copies = a.hint("merge").join(b, F.col("doc_b") == F.col("doc_a") + COPY_OFFSET)
     adjacent = (
-        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        a.hint("merge").join(b, F.col("doc_b") == F.col("doc_a") + 1)
         .filter((F.col("doc_a") < COPY_OFFSET)
                 & (F.col("doc_b") < COPY_OFFSET)))
     return copies.unionByName(adjacent)
@@ -254,8 +258,11 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
         .alias("band_idx", "band_hash"),
     )
+    # corpus-sized band relation on both sides: pin sort-merge (unhinted,
+    # Catalyst auto-broadcasts whichever side its estimate says fits — OK
+    # at sf0.1, driver/task OOM at 10x, wrong at any real scale)
     cand = (
-        bands.alias("x")
+        bands.alias("x").hint("merge")
         .join(bands.alias("y"),
               (F.col("x.band_idx") == F.col("y.band_idx"))
               & (F.col("x.band_hash") == F.col("y.band_hash"))
@@ -265,8 +272,8 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = sig.select("doc_id", "mh")
     scored = (
-        cand.join(m.alias("ma"), F.col("doc_a") == F.col("ma.doc_id"))
-        .join(m.alias("mb"), F.col("doc_b") == F.col("mb.doc_id"))
+        cand.join(m.alias("ma").hint("merge"), F.col("doc_a") == F.col("ma.doc_id"))
+        .join(m.alias("mb").hint("merge"), F.col("doc_b") == F.col("mb.doc_id"))
         .select(
             "doc_a", "doc_b",
             F.size(F.filter(F.zip_with(F.col("ma.mh"), F.col("mb.mh"),
@@ -314,8 +321,9 @@ def near_dup_decisions(incoming_bands: DataFrame,
     never |incoming| x |history| — and each candidate pair verifies from
     the signatures already ON the band rows (zero extra joins)."""
     n, h = incoming_bands.alias("n"), history_bands.alias("h")
-    pairs = (n.join(h, (F.col("n.band_idx") == F.col("h.band_idx"))
-                    & (F.col("n.band_hash") == F.col("h.band_hash")))
+    pairs = (n.hint("merge")
+             .join(h, (F.col("n.band_idx") == F.col("h.band_idx"))
+                   & (F.col("n.band_hash") == F.col("h.band_hash")))
              .select(F.col("n.doc_id").alias("doc_id"),
                      F.col("h.doc_id").alias("hist_id"),
                      F.col("n.mh").alias("mh_n"), F.col("h.mh").alias("mh_h"))
@@ -412,7 +420,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("band_idx", "band_val"),
     )
     cand = (
-        bands.alias("x")
+        bands.alias("x").hint("merge")
         .join(bands.alias("y"),
               (F.col("x.band_idx") == F.col("y.band_idx"))
               & (F.col("x.band_val") == F.col("y.band_val"))

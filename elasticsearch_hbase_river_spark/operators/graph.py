@@ -73,12 +73,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = nodes.select("doc_id", F.col("doc_id").alias("comp"))
     for _ in range(CC_MAX_ROUNDS):
-        prop = (labels.join(sym, labels.doc_id == sym.src)
+        # Both sides are corpus-sized (labels = every doc, sym = the dup
+        # edge list, which a dup-rich corpus makes large): pin the
+        # iterative joins to sort-merge. Left to itself Catalyst broadcasts
+        # whichever side fits *today* — measured at 10x sf0.1 in a
+        # default-memory driver, the edge-list broadcast build OOMs, and at
+        # 100 TB it would be wrong even when it fits.
+        prop = (labels.hint("merge").join(sym, labels.doc_id == sym.src)
                       .select(F.col("dst").alias("doc_id"), "comp"))
         new = (labels.unionByName(prop)
                      .groupBy("doc_id").agg(F.min("comp").alias("comp"))
                      .localCheckpoint(eager=True))
-        changed = (new.alias("n")
+        changed = (new.alias("n").hint("merge")
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new
@@ -102,7 +108,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", (F.col("cluster_size") - 1).alias("n_absorbed")))
     docs = _augmented_docs(spark, sf_dir, exact=False) \
         .select("doc_id", F.length("text").cast("long").alias("n_chars_kept"))
-    return keepers.join(docs, "doc_id").select(
+    return keepers.hint("merge").join(docs, "doc_id").select(
         "doc_id", "n_absorbed", "n_chars_kept")
 
 

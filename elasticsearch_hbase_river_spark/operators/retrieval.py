@@ -262,6 +262,11 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_MIN_SHARED = 2
+#: MOSS-style common-fingerprint suppression: a fingerprint shared by more
+#: than this many documents is boilerplate (its pair expansion is
+#: quadratic in bucket occupancy — measured 80M join rows at 10x sf0.1,
+#: task OOM; at 100 TB any uncapped common fingerprint is unbounded).
+WINNOW_MAX_DF = 50
 
 
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,18 +274,30 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup/plagiarism pairs are documents sharing >=2 fingerprints, with
     a containment score ``n_shared / min(|fps_a|, |fps_b|)``.
 
-    Scale shape: the pair join is an EQUI-join on the fingerprint value
-    (the same bucket-bounded discipline as the LSH band joins — candidate
-    volume scales with fingerprint-bucket occupancy, never corpus²); the
-    fingerprint relation is materialized once before the self-join, the
-    multi-pass trade measured on `candidate_pairs`."""
+    Scale shape: MOSS's common-fingerprint suppression is applied first —
+    fingerprints in more than WINNOW_MAX_DF documents are boilerplate and
+    their pair expansion is quadratic in bucket occupancy (measured: the
+    uncapped join emits 80M rows at 10x sf0.1 and OOMs a default-memory
+    task; at 100 TB one template header would be unbounded). After the
+    cap, the pair join is an EQUI-join on the fingerprint value whose
+    output is bounded by cap² per bucket; the kept-fingerprint relation is
+    materialized once before the self-join (sort-merge pinned — a corpus
+    broadcast is never the right plan), the multi-pass trade measured on
+    `candidate_pairs`. Containment uses the discriminative (kept)
+    fingerprint sets on both sides."""
     sets = (_winnow_sets(spark, sf_dir)
-            .select("doc_id", F.size("fps").cast("long").alias("nf"),
-                    F.explode("fps").alias("fp"))
-            .localCheckpoint(eager=True))
-    a, b = sets.alias("a"), sets.alias("b")
+            .select("doc_id", F.explode("fps").alias("fp")))
+    rare = (sets.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= WINNOW_MAX_DF)
+            .select("fp"))
+    kept = sets.hint("merge").join(rare, "fp")
+    nf = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    keptn = (kept.hint("merge").join(nf, "doc_id")
+             .localCheckpoint(eager=True))
+    a, b = keptn.alias("a"), keptn.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+        a.hint("merge").join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
@@ -430,12 +447,18 @@ f AS (
               ELSE CAST([] AS VARCHAR[]) END AS fps
   FROM g),
 e AS (
-  SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS nf,
-         unnest(list_distinct(fps)) AS fp
-  FROM f),
+  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f),
+rare AS (
+  SELECT fp FROM e GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+kept AS (SELECT doc_id, fp FROM e JOIN rare USING (fp)),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+       FROM kept GROUP BY doc_id),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nf AS nfa, b.nf AS nfb
-  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         na.nf AS nfa, nb.nf AS nfb
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN nf na ON na.doc_id = a.doc_id
+  JOIN nf nb ON nb.doc_id = b.doc_id)
 SELECT doc_a, doc_b, count(*) AS n_shared,
        {roundn_sql('count(*) / least(min(nfa), min(nfb))')} AS overlap
 FROM p GROUP BY doc_a, doc_b HAVING count(*) >= {WINNOW_MIN_SHARED}""",

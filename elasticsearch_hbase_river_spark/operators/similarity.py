@@ -126,7 +126,8 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = roundn_col(_dot(F.col("a.embedding"), F.col("b.embedding"))
                      / (F.col("a.nrm") * F.col("b.nrm")))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
+        # corpus-sized embedding relation on both sides: pin sort-merge
+        a.hint("merge").join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
