@@ -87,8 +87,14 @@ _PY_PARTS = 8
 
 def _fan_for_python(df: DataFrame) -> DataFrame:
     """Repartition UP to the Python-worker sweet spot; on a real cluster
-    inputs already exceed it and this is a no-op."""
-    if df.rdd.getNumPartitions() < _PY_PARTS:
+    inputs already exceed it and this is a no-op.
+
+    Parallelism is estimated from the scan's file list (`inputFiles` —
+    public API, no plan side effects) rather than `df.rdd.getNumPartitions()`,
+    which forces an RDD conversion plan just to read a number. Files
+    undercount splits for large files, so the check can only err toward
+    fanning out — harmless next to the Python decode cost it feeds."""
+    if len(df.inputFiles()) < _PY_PARTS:
         return df.repartition(_PY_PARTS)
     return df
 
