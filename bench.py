@@ -99,6 +99,9 @@ HEADLINE = (
     "q_suggest_indexed",
     "q_significant_terms",
     "q_corpus_shuffle",
+    "q_date_histogram",
+    "q_rescore",
+    "q_curation_funnel",
 )
 
 

@@ -261,6 +261,55 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (seq_end - seq_start + 1).alias("n_seqs"))
 
 
+FUNNEL_LANG = "en"       # curation-funnel gates (cumulative)
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 80
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate attrition through the curation pipeline: how many docs
+    survive each cumulative gate (language -> length band -> Gopher
+    repetition), with stage-over-stage retention — the first report every
+    pretraining-data run produces.
+
+    Scale shape: all gate predicates are map-side (metadata equality,
+    token counts, higher-order dedup fractions — the exact expressions
+    ``q_repetition_filter`` uses, rounded identically); ONE aggregate
+    folds them into four conditional counts (partial-agg to a single
+    row), and the 4-row funnel is unstacked from that row. The corpus is
+    read once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    t = docs.select("lang", _toks().alias("toks"))
+    n_tok = F.size("toks")
+    grams2 = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("toks"), i),
+                              F.element_at(F.col("toks"), i + 1)))
+    dup_tok = roundn_col((n_tok - F.size(F.array_distinct("toks"))) / n_tok)
+    dup_2g = F.when(n_tok >= 2, roundn_col(
+        (F.size(grams2) - F.size(F.array_distinct(grams2)))
+        / F.size(grams2))).otherwise(F.lit(0.0))
+    g1 = F.col("lang") == FUNNEL_LANG
+    g2 = g1 & n_tok.between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+    g3 = g2 & (dup_tok <= DUP_TOKEN_MAX) & (dup_2g <= DUP_2GRAM_MAX)
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(g1.cast("long")).alias("n1"),
+        F.sum(g2.cast("long")).alias("n2"),
+        F.sum(g3.cast("long")).alias("n3"))
+    stacked = agg.selectExpr(
+        "stack(4,"
+        " 0L, 'all',        n0, CAST(NULL AS BIGINT),"
+        " 1L, 'lang',       n1, n0,"
+        " 2L, 'length',     n2, n1,"
+        " 3L, 'repetition', n3, n2) AS (stage, gate, n_surviving, n_prev)")
+    return stacked.select(
+        "stage", "gate", F.col("n_surviving").cast("long").alias("n_surviving"),
+        F.when(F.col("n_prev").isNull(), F.lit(1.0))
+         .otherwise(roundn_col(F.col("n_surviving") / F.col("n_prev")))
+         .alias("retention"))
+
+
 _HEX = "0123456789abcdef"
 
 
@@ -303,6 +352,7 @@ QUERIES = {
     "q_domain_sample": q_domain_sample,
     "q_sequence_pack": q_sequence_pack,
     "q_corpus_shuffle": q_corpus_shuffle,
+    "q_curation_funnel": q_curation_funnel,
 }
 
 
@@ -435,4 +485,45 @@ SELECT doc_id, shard, skey,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
             AS BIGINT) AS position
 FROM sharded""",
+
+    "q_curation_funnel": f"""
+WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT lang, toks, len(toks) AS n_tok,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams2
+  FROM t),
+m AS (
+  SELECT lang, n_tok,
+         {roundn_sql('(n_tok - len(list_distinct(toks))) / n_tok')}
+           AS dup_token_frac,
+         CASE WHEN n_tok >= 2 THEN
+           {roundn_sql('(len(grams2) - len(list_distinct(grams2))) / len(grams2)')}
+         ELSE 0.0 END AS dup_2gram_frac
+  FROM g),
+flags AS (
+  SELECT lang = '{FUNNEL_LANG}' AS g1,
+         lang = '{FUNNEL_LANG}'
+           AND n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS} AS g2,
+         lang = '{FUNNEL_LANG}'
+           AND n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+           AND dup_token_frac <= {DUP_TOKEN_MAX}
+           AND dup_2gram_frac <= {DUP_2GRAM_MAX} AS g3
+  FROM m),
+f AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM flags)
+SELECT CAST(0 AS BIGINT) AS stage, 'all' AS gate, n0 AS n_surviving,
+       1.0 AS retention FROM f
+UNION ALL
+SELECT 1, 'lang', n1, {roundn_sql('n1::DOUBLE / n0')} FROM f
+UNION ALL
+SELECT 2, 'length', n2, {roundn_sql('n2::DOUBLE / n1')} FROM f
+UNION ALL
+SELECT 3, 'repetition', n3, {roundn_sql('n3::DOUBLE / n2')} FROM f""",
 }

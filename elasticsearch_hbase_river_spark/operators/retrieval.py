@@ -42,6 +42,7 @@ from elasticsearch_hbase_river_spark.operators.search import (
     bm25_scores,
     q_bm25,
 )
+from elasticsearch_hbase_river_spark.operators.search import BM25_TOP as _BM25_TOP
 from elasticsearch_hbase_river_spark.operators.similarity import (
     _dot,
     _dot_sql,
@@ -311,8 +312,48 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESCORE_PHRASE = ("spark", "join")   # secondary scorer: exact-phrase hits
+RESCORE_TOP = 10
+RESCORE_W_PRIMARY = 0.7
+RESCORE_W_SECONDARY = 0.3
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``: rerank the BM25 top-window (top-{BM25_TOP}) with a
+    more expensive secondary scorer — exact-phrase occurrence count —
+    combining ``0.7·bm25 + 0.3·ln(1+n_phrase)``; emit the re-ranked
+    top-10.  This is ES's two-stage ranking: the cheap query scores the
+    corpus, the expensive one touches only the window.
+
+    Scale shape: the window is a ≤k-row broadcast; the secondary scorer's
+    postings are filtered to the phrase terms AND semi-joined to the
+    window's doc_ids BEFORE the adjacency join, so its cost is
+    O(window · phrase frequency), independent of corpus size."""
+    base = q_bm25(spark, sf_dir).select("doc_id", "score")
+    base_ids = base.select("doc_id")
+    p = _postings(load_table(spark, sf_dir, "documents"))
+    w1 = (p.filter(F.col("token") == RESCORE_PHRASE[0])
+          .join(F.broadcast(base_ids), "doc_id", "left_semi")
+          .select("doc_id", "pos"))
+    w2 = (p.filter(F.col("token") == RESCORE_PHRASE[1])
+          .join(F.broadcast(base_ids), "doc_id", "left_semi")
+          .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    ph = (w1.join(w2, ["doc_id", "pos"])
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_phrase")))
+    resc = (
+        base.join(F.broadcast(ph), "doc_id", "left")
+        .select("doc_id", roundn_col(
+            F.lit(RESCORE_W_PRIMARY) * F.col("score")
+            + F.lit(RESCORE_W_SECONDARY)
+            * F.log1p(F.coalesce("n_phrase", F.lit(0)))).alias("rescore")))
+    top = resc.orderBy(F.col("rescore").desc(), F.col("doc_id")).limit(RESCORE_TOP)
+    w = Window.orderBy(F.col("rescore").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 QUERIES = {
     "q_hybrid_search": q_hybrid_search,
+    "q_rescore": q_rescore,
     "q_search_facets": q_search_facets,
     "q_highlight": q_highlight,
     "q_winnow_fingerprint": q_winnow_fingerprint,
@@ -417,6 +458,28 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
   FROM freq)
 SELECT * FROM ranked WHERE rank <= {SUGGEST_TOP}""",
+
+    "q_rescore": f"""
+WITH base AS ({_SEARCH_ORACLES["q_bm25"]}),
+tok AS ({_POSTINGS_SQL}),
+w1 AS (SELECT doc_id, pos FROM tok
+       WHERE token = '{RESCORE_PHRASE[0]}'
+         AND doc_id IN (SELECT doc_id FROM base)),
+w2 AS (SELECT doc_id, pos - 1 AS pos FROM tok
+       WHERE token = '{RESCORE_PHRASE[1]}'),
+ph AS (SELECT doc_id, count(*) AS n_phrase
+       FROM w1 JOIN w2 USING (doc_id, pos) GROUP BY doc_id),
+resc AS (
+  SELECT b.doc_id,
+         {roundn_sql(f'{RESCORE_W_PRIMARY} * b.score + {RESCORE_W_SECONDARY}'
+                     ' * ln(1 + COALESCE(ph.n_phrase, 0))')} AS rescore
+  FROM base b LEFT JOIN ph USING (doc_id)),
+ranked AS (
+  SELECT doc_id, rescore,
+         CAST(row_number() OVER (ORDER BY rescore DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM resc)
+SELECT * FROM ranked WHERE rank <= {RESCORE_TOP}""",
 
     "q_search_after": f"""
 SELECT doc_id, score, CAST(rank - {PAGE_SIZE} AS BIGINT) AS page_rank

@@ -168,8 +168,47 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_TYPE = "purchase"   # densified histogram over one event type
+HOUR_MS = 3_600_000
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` with empty-bucket densification: hourly
+    buckets for one event type, INCLUDING the zero-count hours inside the
+    matching data's [min, max] range — ES emits empty buckets; a plain
+    groupBy silently drops them.
+
+    Scale shape: the per-bucket aggregate is the usual partial-agg
+    shuffle; the bucket range is a 1-row min/max aggregate exploded into
+    a calendar relation (thousands of rows for years of data), and the
+    gap-filling join broadcasts the aggregated (≤ calendar-sized) side —
+    the corpus is never reshuffled for densification."""
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type") == HIST_TYPE))
+    bucket = F.expr(f"(ts_ms div {HOUR_MS}) * {HOUR_MS}")
+    dec = F.col("value").cast("decimal(18,2)")
+    per = (ev.groupBy(bucket.alias("bucket_ms"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec).alias("sum_dec")))
+    bounds = ev.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(HOUR_MS))).alias("bucket_ms"))
+    return (
+        cal.join(F.broadcast(per), "bucket_ms", "left")
+        .select(
+            "bucket_ms",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            roundn_col(F.coalesce(F.col("sum_dec").cast("double"), F.lit(0.0)))
+            .alias("sum_value"),
+            (F.col("n_events").isNull()).alias("is_empty_bucket"),
+        )
+    )
+
+
 QUERIES = {
     "q_event_rollup": q_event_rollup,
+    "q_date_histogram": q_date_histogram,
     "q_sessionize": q_sessionize,
     "q_enrich_join": q_enrich_join,
     "q_asof_join": q_asof_join,
@@ -179,6 +218,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_date_histogram": f"""
+WITH f AS (
+  SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms, value
+  FROM events WHERE event_type = '{HIST_TYPE}'),
+per AS (
+  SELECT bucket_ms, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM f GROUP BY bucket_ms),
+bounds AS (SELECT min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM f),
+cal AS (
+  SELECT unnest(range(lo, hi + {HOUR_MS}, {HOUR_MS})) AS bucket_ms
+  FROM bounds)
+SELECT cal.bucket_ms,
+       CAST(COALESCE(per.n_events, 0) AS BIGINT) AS n_events,
+       {roundn_sql('COALESCE(per.sum_dec::DOUBLE, 0.0)')} AS sum_value,
+       per.n_events IS NULL AS is_empty_bucket
+FROM cal LEFT JOIN per USING (bucket_ms)""",
+
     "q_event_rollup": f"""
 WITH g AS (
   SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,

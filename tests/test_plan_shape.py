@@ -214,6 +214,8 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_funnel",               # 3 scalar stage counts
     "q_batch_assign",         # per-block counts window (k rows)
     "q_sequence_pack",        # per-block token totals window (k rows)
+    "q_date_histogram",       # 1-row bounds agg + calendar explode
+    "q_curation_funnel",      # 1-row four-counter aggregate, unstacked
 }
 
 
