@@ -55,6 +55,24 @@ def test_ann_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+@pytest.mark.parametrize("name", [
+    "q_ngram_jaccard", "q_near_dedup", "q_simhash_dedup",
+    "q_winnow_overlap", "q_embedding_dedup", "q_incremental_near_dedup",
+])
+def test_corpus_self_joins_never_broadcast(spark, sf_dir, name):
+    """The dedup-family candidate joins put the CORPUS on both sides;
+    they must plan as sort-merge, never broadcast. Unpinned, Catalyst
+    broadcasts whichever side its estimate says fits — which held at
+    sf0.1, OOM'd a default-memory driver at 10x (round-4 scale stress),
+    and would be the wrong plan at any real scale. Regression guard for
+    the merge hints on every corpus x corpus equi-join."""
+    from elasticsearch_hbase_river_spark.registry import all_queries
+
+    plan = _plan(all_queries()[name](spark, sf_dir))
+    assert plan.count("SortMergeJoin") >= 1, name
+    assert "BroadcastHashJoin" not in plan, name
+
+
 def test_near_dedup_joins_on_band_keys(spark, sf_dir):
     """LSH candidate generation must join on (band_idx, band_hash) — an
     equi-join — never an all-pairs comparison."""
