@@ -102,6 +102,10 @@ HEADLINE = (
     "q_date_histogram",
     "q_rescore",
     "q_curation_funnel",
+    "q_wildcard_search",
+    "q_dis_max",
+    "q_cardinality",
+    "q_percentile_ranks",
 )
 
 

@@ -1,0 +1,212 @@
+"""Remaining ES query-DSL / aggregation surface over the river's output.
+
+The reference ships rows into an Elasticsearch index so users can run the
+ES query DSL against them (`HBaseRiver.java:1-35`; `import.sh:4-15` registers
+the river against a live index). `operators/search.py` / `retrieval.py` /
+`indexed_search.py` cover term, bool, phrase, fuzzy, MLT, BM25, facets,
+date_histogram, significant_terms, rescore, suggest and search_after; this
+module closes out the query-DSL shapes an ES user still reaches for daily:
+
+- ``q_wildcard_search``   : ES ``wildcard`` query (``s*a*``). Pattern
+  expansion runs on the DISTINCT vocabulary (vocab-sized, not corpus-sized,
+  exactly how Lucene rewrites multi-term queries against the term
+  dictionary); matched terms broadcast into an equi-join with the postings.
+- ``q_dis_max``           : ES ``dis_max`` compound query with
+  ``tie_breaker``: per-term BM25 scores combined as
+  ``best + tie_breaker · (sum − best)`` — Lucene's DisjunctionMaxQuery.
+- ``q_cardinality``       : ES ``cardinality`` aggregation per bucket
+  (distinct users / distinct active days per event type). Exact distinct
+  here (oracle-checkable); at 100 TB swap ``count_distinct`` for
+  ``approx_count_distinct`` (HyperLogLog++, one pass, mergeable sketches)
+  — same plan shape, no extra shuffle.
+- ``q_percentile_ranks``  : ES ``percentile_ranks`` aggregation: for fixed
+  cut values, the share of events at or below each cut, per event type.
+  The cuts melt map-side (explode of a constant array) into ONE
+  partial-aggregated shuffle — never one corpus pass per cut.
+
+Scale notes: wildcard/dis_max keep every corpus-sized relation behind a
+below-shuffle term filter (the postings rows that survive are a few per
+matching doc); the multi-term expansions are broadcast joins of vocab-sized
+relations. Cardinality/percentile-ranks are single groupBy shuffles with
+partial aggregation; the distinct-expansion in q_cardinality is the one
+deliberate exact-mode cost, with the HLL swap documented above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    _corpus_stats,
+    _postings,
+    _POSTINGS_SQL,
+)
+from elasticsearch_hbase_river_spark.sources.tables import load_events, load_table
+
+#: wildcard pattern (ES syntax s*a* — SQL LIKE 's%a%').
+WILDCARD_SQL_LIKE = "s%a%"
+DIS_MAX_TERMS = ("scan", "merge")
+DIS_MAX_TIE = 0.3
+DIS_MAX_TOP = 10
+DAY_MS = 86_400_000
+PCT_CUTS = (10.0, 50.0, 100.0)
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wildcard`` query: docs containing any token matching ``s*a*``,
+    with per-doc hit and distinct-term counts.
+
+    Lucene rewrites wildcard queries by scanning the term dictionary, not
+    the postings; the analog here is the LIKE filter on the DISTINCT
+    vocabulary, whose (tiny) survivors broadcast into an equi-join against
+    the postings — the corpus-sized relation is only ever touched by a
+    hash join on ``token``."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = _postings(docs)
+    matched = (post.select("token").distinct()
+               .filter(F.col("token").like(WILDCARD_SQL_LIKE)))
+    return (post.join(F.broadcast(matched), "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.count_distinct("token").cast("long").alias("n_terms")))
+
+
+def _per_term_bm25(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, token, c): per-term BM25 contribution for the given terms —
+    the scoring core of ``bm25_scores`` kept per-term instead of summed."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    tf = (_postings(docs)
+          .filter(F.col("token").isin(*terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (tf.join(F.broadcast(df_), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(_corpus_stats(docs))))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    return scored.select("doc_id", "token", (idf * tf_norm).alias("c"))
+
+
+def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` query (tie_breaker 0.3) over two term queries:
+    ``score = best_match + 0.3 · (sum − best)`` per document, top-10.
+
+    One below-shuffle term filter feeds per-term scores; the combine is a
+    per-doc max/sum aggregate (single shuffle) and the ranking is a
+    TakeOrderedAndProject with the rank window confined to the ≤k
+    survivors."""
+    per_term = _per_term_bm25(spark, sf_dir, DIS_MAX_TERMS)
+    combined = (per_term.groupBy("doc_id")
+                .agg(F.max("c").alias("best"), F.sum("c").alias("total"))
+                .select("doc_id", roundn_col(
+                    F.col("best")
+                    + F.lit(DIS_MAX_TIE) * (F.col("total") - F.col("best")))
+                    .alias("score")))
+    top = combined.orderBy(F.col("score").desc(), "doc_id").limit(DIS_MAX_TOP)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation per ``terms`` bucket: distinct users
+    and distinct active days per event type, next to the plain doc count.
+
+    Exact ``count_distinct`` so the DuckDB oracle can hash-match; at
+    100 TB the drop-in is ``approx_count_distinct`` (HLL++ sketches merge
+    in the partial-agg combine — same single-shuffle plan, bounded
+    memory), the same trade ES itself makes (its cardinality agg IS a
+    HyperLogLog)."""
+    ev = load_events(spark, sf_dir)
+    day = (F.col("ts_ms") / F.lit(DAY_MS)).cast("long")
+    return (ev.select("event_type", "user_id", day.alias("day"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("user_id").cast("long").alias("n_users"),
+                 F.count_distinct("day").cast("long").alias("n_days")))
+
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation: for each cut in ``PCT_CUTS``,
+    the percentage of events with ``value <= cut``, per event type.
+
+    The cuts explode from a constant array (map-side, |cuts|× fan-out of
+    a 2-column projection) into one partial-aggregated shuffle on
+    (event_type, cut) — one corpus pass total, not one per cut."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = F.array(*[F.lit(c) for c in PCT_CUTS])
+    melted = ev.select("event_type", "value",
+                       F.explode(cuts).alias("cut"))
+    pct = F.avg(F.when(F.col("value") <= F.col("cut"), 1.0).otherwise(0.0)) * 100
+    return (melted.groupBy("event_type", "cut")
+            .agg(roundn_col(pct).alias("pct_rank"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+QUERIES = {
+    "q_wildcard_search": q_wildcard_search,
+    "q_dis_max": q_dis_max,
+    "q_cardinality": q_cardinality,
+    "q_percentile_ranks": q_percentile_ranks,
+}
+
+_DIS_TERMS_SQL = ", ".join(f"'{t}'" for t in DIS_MAX_TERMS)
+_CUTS_SQL = ", ".join(str(c) for c in PCT_CUTS)
+
+ORACLES = {
+    "q_wildcard_search": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+matched AS (
+  SELECT DISTINCT token FROM tok WHERE token LIKE '{WILDCARD_SQL_LIKE}')
+SELECT doc_id, count(*) AS n_hits,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_terms
+FROM tok JOIN matched USING (token)
+GROUP BY doc_id""",
+
+    "q_dis_max": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_DIS_TERMS_SQL}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         AS c
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats),
+combined AS (
+  SELECT doc_id,
+         {roundn_sql(f'max(c) + {DIS_MAX_TIE} * (sum(c) - max(c))')} AS score
+  FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM combined)
+SELECT * FROM ranked WHERE rank <= {DIS_MAX_TOP}""",
+
+    "q_cardinality": f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT epoch_ms(ts) // {DAY_MS}) AS BIGINT) AS n_days
+FROM events GROUP BY event_type""",
+
+    "q_percentile_ranks": f"""
+SELECT event_type, cut,
+       {roundn_sql('100.0 * avg(CASE WHEN value <= cut THEN 1.0 ELSE 0.0 END)')}
+         AS pct_rank,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([{_CUTS_SQL}]) AS cut)
+GROUP BY event_type, cut""",
+}
