@@ -368,3 +368,41 @@ def test_indexed_suggest_is_vocab_only(spark, sf_dir):
     assert "Generate" not in plan
     assert plan.count("Scan parquet") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wildcard_expansion_broadcasts_into_postings(spark, sf_dir):
+    """Wildcard queries rewrite against the term dictionary: the matched
+    vocab must BROADCAST into the postings equi-join — the corpus-sized
+    relation is only ever hash-joined, never nested-looped or windowed."""
+    from elasticsearch_hbase_river_spark.operators.esagg import q_wildcard_search
+
+    plan = _plan(q_wildcard_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_dis_max_is_two_phase_topk(spark, sf_dir):
+    """dis_max ranks via TakeOrderedAndProject with the rank window only
+    over the <=k survivors; the per-term scoring joins broadcast their
+    df/corpus-stats sides like q_bm25."""
+    from elasticsearch_hbase_river_spark.operators.esagg import q_dis_max
+
+    plan = _plan(q_dis_max(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # permitted SinglePartition exchanges: the 1-row corpus-stats aggregate
+    # and the survivor-rank window (<=k rows) — same budget as q_bm25
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_percentile_ranks_single_pass(spark, sf_dir):
+    """All cuts aggregate in ONE partial-agg shuffle (the constant-array
+    explode is map-side): exactly one exchange, keyed on the group, and
+    partial_avg must appear below it."""
+    from elasticsearch_hbase_river_spark.operators.esagg import q_percentile_ranks
+
+    plan = _plan(q_percentile_ranks(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_avg" in plan or "partial_average" in plan
