@@ -106,6 +106,7 @@ HEADLINE = (
     "q_dis_max",
     "q_cardinality",
     "q_percentile_ranks",
+    "q_ann_ivf_indexed",
 )
 
 

@@ -403,3 +403,55 @@ def test_near_dedup_against_sink_history_survives_restarts(spark, sf_dir, tmp_pa
     copy_of_fresh = fresh.select(F.lit(9_000_002).alias("doc_id"), "text")
     acc3 = near_dedup_against_sink(spark, copy_of_fresh, bands)
     assert acc3.count() == 0
+
+
+def test_vector_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
+    """Vector-index maintenance: merging a delta batch latest-version-wins
+    must serve the SAME index a from-scratch build over the merged corpus
+    would — for every serving table (cells assignment and centroids)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hbase_river_spark.operators import vector_index as vx
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = str(tmp_path / "vidx_base")
+    vx.build_vector_index(spark, emb, base_dir)
+
+    # delta: one moved vector (vec 3 gets vec 5's embedding and label) and
+    # one brand-new vector cloned from vec 7
+    moved = (emb.filter(F.col("vec_id") == 5)
+             .select(F.lit(3).cast("long").alias("vec_id"),
+                     "embedding", "label"))
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    new = (emb.filter(F.col("vec_id") == 7)
+           .select(F.lit(max_id + 1).cast("long").alias("vec_id"),
+                   "embedding", "label"))
+    delta = moved.unionByName(new)
+
+    merged_dir = str(tmp_path / "vidx_merged")
+    vx.upsert_vectors(spark, base_dir, delta, merged_dir)
+
+    rebuilt_corpus = (
+        emb.filter(~F.col("vec_id").isin(3))
+        .unionByName(emb.filter(F.col("vec_id") == 5)
+                     .select(F.lit(3).cast("long").alias("vec_id"),
+                             "embedding", "label")
+                     .select("vec_id", "embedding", "label"))
+        .unionByName(new.select("vec_id", "embedding", "label"))
+    )
+    rebuilt_dir = str(tmp_path / "vidx_rebuilt")
+    vx.build_vector_index(spark, rebuilt_corpus, rebuilt_dir)
+
+    def snap_cells(path):
+        return sorted(
+            (r["vec_id"], r["cell"]) for r in
+            vx.read_cells(spark, path).select("vec_id", "cell").collect())
+
+    def snap_centroids(path):
+        return sorted(
+            (r["cell"], tuple(r["centroid"])) for r in
+            vx.read_centroids(spark, path).collect())
+
+    assert snap_cells(merged_dir) == snap_cells(rebuilt_dir)
+    assert snap_centroids(merged_dir) == snap_centroids(rebuilt_dir)

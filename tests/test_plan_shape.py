@@ -406,3 +406,18 @@ def test_percentile_ranks_single_pass(spark, sf_dir):
     plan = _plan(q_percentile_ranks(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_avg" in plan or "partial_average" in plan
+
+
+def test_ann_indexed_prunes_to_probed_cells(spark, sf_dir):
+    """The materialized-vector-index query must read ONLY the probed cell
+    partitions: the cells scan carries a PartitionFilters entry on the
+    literal probe set, the probe relation broadcasts, and nothing plans a
+    cartesian product."""
+    from elasticsearch_hbase_river_spark.operators.vector_index import (
+        q_ann_ivf_indexed,
+    )
+
+    plan = _plan(q_ann_ivf_indexed(spark, sf_dir))
+    assert "PartitionFilters: [cell" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
