@@ -107,6 +107,7 @@ HEADLINE = (
     "q_cardinality",
     "q_percentile_ranks",
     "q_ann_ivf_indexed",
+    "q_hybrid_search_indexed",
 )
 
 

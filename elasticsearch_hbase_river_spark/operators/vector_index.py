@@ -216,3 +216,137 @@ QUERIES = {
 ORACLES = {
     "q_ann_ivf_indexed": _SIM_ORACLES["q_ann_ivf"],
 }
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval served from BOTH persistent indexes (postings + vector):
+# ES's bm25 ⊕ knn hybrid exactly as it ships — the lexical branch reads the
+# materialized inverted index, the semantic branch is the approximate
+# (IVF-probed) kNN over the vector index. Its oracle composes the bm25
+# oracle with an IVF single-query branch, because ES's hybrid knn IS
+# approximate — fusing the brute-force branch would test a different query.
+
+
+def q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search from the two materialized indexes: BM25 top-20 from
+    the postings index (`q_bm25_indexed`) fused via reciprocal-rank fusion
+    with IVF-probed cosine top-20 from the vector index. Both branches are
+    index reads ending in TakeOrderedAndProject; the fusion is a
+    full-outer join of two ≤20-row relations."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        q_bm25_indexed,
+    )
+    from elasticsearch_hbase_river_spark.operators.retrieval import (
+        HYBRID_QVEC,
+        HYBRID_TOP,
+        RRF_K,
+        SEM_TOP,
+    )
+
+    lex = q_bm25_indexed(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank"))
+
+    idx = ensure_vector_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    cent = read_centroids(spark, idx)
+    ccos = roundn_col(_dot(F.col("qe"), F.col("centroid"))
+                      / (F.col("qnorm") * F.col("cnorm")))
+    probed = (qv.crossJoin(F.broadcast(cent))      # 1-row query side
+              .select("cell", ccos.alias("ccos"))
+              .orderBy(F.col("ccos").desc(), "cell").limit(N_PROBE))
+    probe_cells = sorted(r[0] for r in probed.collect())
+    corpus = read_cells(spark, idx, probe_cells)
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    sem_top = (corpus.filter(F.col("vec_id") != HYBRID_QVEC)
+               .crossJoin(F.broadcast(qv))
+               .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+               .orderBy(F.col("cosine").desc(), "doc_id").limit(SEM_TOP))
+    wsem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = (sem_top.withColumn("sem_rank",
+                              F.row_number().over(wsem).cast("long"))
+           .select("doc_id", "sem_rank"))
+
+    rrf = roundn_col(
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)))
+    fused = (lex.join(sem, "doc_id", "full_outer")
+             .select("doc_id", rrf.alias("rrf_score"))
+             .orderBy(F.col("rrf_score").desc(), "doc_id").limit(HYBRID_TOP))
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _hybrid_indexed_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.determinism import roundn_sql
+    from elasticsearch_hbase_river_spark.operators.retrieval import (
+        HYBRID_QVEC,
+        HYBRID_TOP,
+        RRF_K,
+        SEM_TOP,
+    )
+    from elasticsearch_hbase_river_spark.operators.search import (
+        ORACLES as _SEARCH_ORACLES,
+    )
+    from elasticsearch_hbase_river_spark.operators.similarity import (
+        _dot_sql,
+        _norm_sql,
+    )
+
+    sem_ivf = f"""
+WITH dims AS (
+  SELECT label, i AS pos, {roundn_sql('avg(embedding[i]::DOUBLE)', 4)} AS cv
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i),
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+centn AS (
+  SELECT label, centroid, {_norm_sql('centroid')} AS cnorm FROM cent),
+qv AS (
+  SELECT embedding AS qe, {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+probe AS (
+  SELECT label,
+         row_number() OVER (ORDER BY
+           {roundn_sql(_dot_sql('qe', 'centroid') + ' / (qnorm * cnorm)')} DESC,
+           label) AS crank
+  FROM qv, centn),
+probed AS (SELECT label FROM probe WHERE crank <= {N_PROBE}),
+c AS (
+  SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS enorm
+  FROM embeddings),
+scored AS (
+  SELECT vec_id AS doc_id,
+         {roundn_sql(_dot_sql('qe', 'embedding') + ' / (qnorm * enorm)')} AS cosine
+  FROM c JOIN probed USING (label), qv
+  WHERE vec_id <> {HYBRID_QVEC}),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS sem_rank
+  FROM scored)
+SELECT doc_id, sem_rank FROM ranked WHERE sem_rank <= {SEM_TOP}"""
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({_SEARCH_ORACLES["q_bm25"]}) b),
+sem AS ({sem_ivf}),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         {roundn_sql(f"coalesce(1.0 / ({RRF_K} + lex_rank), 0)"
+                     f" + coalesce(1.0 / ({RRF_K} + sem_rank), 0)")}
+           AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+ranked AS (
+  SELECT doc_id, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM fused)
+SELECT * FROM ranked WHERE rank <= {HYBRID_TOP}"""
+
+
+QUERIES["q_hybrid_search_indexed"] = q_hybrid_search_indexed
+ORACLES["q_hybrid_search_indexed"] = _hybrid_indexed_oracle()

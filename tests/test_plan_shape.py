@@ -421,3 +421,17 @@ def test_ann_indexed_prunes_to_probed_cells(spark, sf_dir):
     assert "PartitionFilters: [cell" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_indexed_reads_both_indexes_pruned(spark, sf_dir):
+    """The fully-indexed hybrid must read the postings index pruned to the
+    query terms' buckets AND the vector index pruned to the probed cells —
+    no corpus scan, no postings rebuild (Generate), no cartesian."""
+    from elasticsearch_hbase_river_spark.operators.vector_index import (
+        q_hybrid_search_indexed,
+    )
+
+    plan = _plan(q_hybrid_search_indexed(spark, sf_dir))
+    assert "PartitionFilters: [cell" in plan
+    assert "PartitionFilters: [tbucket" in plan or "tbucket#" in plan
+    assert "CartesianProduct" not in plan
