@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from elasticsearch_hbase_river_spark.config import RiverConfig
@@ -564,3 +565,82 @@ def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
     latest = idx.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
     return (idx.join(latest, ["doc_id", "epoch"])
             .select("token", "doc_id", "tf", "first_pos", "positions"))
+
+
+VEC_SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    # float32 embeddings, matching the embeddings fixture dtype
+    StructField("embedding", ArrayType(FloatType())),
+    StructField("label", IntegerType()),
+    # Optional monotonic producer version stamp (same contract as
+    # DOCS_SCHEMA.ver): feeds without it read as NULL.
+    StructField("ver", LongType()),
+])
+
+
+def start_vector_stream(spark: SparkSession, vec_source_dir: str,
+                        delta_dir: str, checkpoint_dir: str,
+                        available_now: bool = True) -> StreamingQuery:
+    """Maintain the persistent VECTOR index incrementally — the embedding
+    twin of ``start_index_stream``: each micro-batch of (vec_id,
+    embedding, label) upserts lands as one epoch partition of a delta
+    directory, with per-epoch overwrite so a replayed micro-batch
+    rewrites its own partition (exactly-once under checkpointing).
+
+    Same-batch duplicate vec_ids arbitrate latest-wins BEFORE landing,
+    keyed on the producer ``ver`` stamp (falling back to file mtime/path
+    order — deterministic but arbitrary at equal mtimes, same caveat as
+    the document feed). Cross-epoch updates resolve at merge time:
+    ``read_vector_deltas`` keeps each vec_id's newest epoch, and
+    ``apply_vector_deltas`` folds the result into a published index via
+    the batch ``upsert_vectors`` — stream and batch maintenance share one
+    merge semantics."""
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+
+    _tune_session(spark)
+    vecs = (spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 16).parquet(vec_source_dir)
+            .select("vec_id", "embedding", "label", "ver",
+                    F.col("_metadata.file_modification_time").alias("_mtime"),
+                    F.col("_metadata.file_path").alias("_path")))
+
+    def land_delta(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ver").desc_nulls_last(),
+            F.col("_mtime").desc(), F.col("_path").desc())
+        latest = (batch_df.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id", "embedding", "label"))
+        latest.write.mode("overwrite").parquet(f"{delta_dir}/epoch={batch_id}")
+
+    writer = (vecs.writeStream.foreachBatch(land_delta)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_vector_deltas(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """The pending vector upserts with latest-version-wins per vec_id
+    (newest epoch supersedes older ones). Arbitration joins a per-vec_id
+    max-epoch aggregate — one row per touched vector, equi-joined."""
+    d = spark.read.parquet(delta_dir)
+    latest = d.groupBy("vec_id").agg(F.max("epoch").alias("epoch"))
+    return (d.join(latest, ["vec_id", "epoch"])
+            .select("vec_id", "embedding", "label"))
+
+
+def apply_vector_deltas(spark: SparkSession, base_index_dir: str,
+                        delta_dir: str, out_dir: str) -> None:
+    """Fold the streamed epoch deltas into a published vector index —
+    the stream's counterpart of `operators/vector_index.upsert_vectors`
+    (which it delegates to, so batch and streaming maintenance provably
+    share one merge)."""
+    from elasticsearch_hbase_river_spark.operators.vector_index import (
+        upsert_vectors,
+    )
+
+    upsert_vectors(spark, base_index_dir,
+                   read_vector_deltas(spark, delta_dir), out_dir)

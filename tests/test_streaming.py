@@ -506,3 +506,76 @@ def test_connector_river_latency_under_trickle(spark, tmp_path):
     # every append visible within the 30s ceiling (wait_docs enforced it);
     # the median must be well under it — steady-state, not timeout-riding
     assert sorted(latencies)[1] < 15, (cold_start, latencies)
+
+
+def test_streaming_vector_index_maintenance(spark, sf_dir, tmp_path):
+    """Incremental VECTOR-index upkeep: tick 1 lands the initial vectors,
+    tick 2 upserts one moved vector and one new vector; folding the epoch
+    deltas into a base index must equal a from-scratch build over the
+    corpus's latest vector versions. A same-batch double-update (two vers
+    of one vec_id in one tick) must arbitrate by the producer ver stamp."""
+    from elasticsearch_hbase_river_spark.operators import vector_index as vx
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        apply_vector_deltas, read_vector_deltas, start_vector_stream,
+    )
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding", "label").persist())
+    src = str(tmp_path / "vec_src")
+    delta = str(tmp_path / "vec_delta")
+    ckpt = str(tmp_path / "vec_ckpt")
+
+    base_dir = str(tmp_path / "vidx_base")
+    vx.build_vector_index(spark, emb, base_dir)
+
+    def tick():
+        q = start_vector_stream(spark, src, delta, ckpt)
+        q.awaitTermination(120)
+
+    # tick 1: vec 3 takes vec 5's embedding/label — stamped ver, with a
+    # STALE same-batch version (ver=1 carrying the original embedding)
+    # that must lose the arbitration
+    moved = (emb.filter(F.col("vec_id") == 5)
+             .select(F.lit(3).cast("long").alias("vec_id"),
+                     "embedding", "label", F.lit(2).cast("long").alias("ver")))
+    stale = (emb.filter(F.col("vec_id") == 3)
+             .select("vec_id", "embedding", "label",
+                     F.lit(1).cast("long").alias("ver")))
+    moved.unionByName(stale).write.mode("append").parquet(src)
+    tick()
+
+    # tick 2: a brand-new vector cloned from vec 7 (no ver column — feed
+    # without the stamp keeps working via schema evolution)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    new = (emb.filter(F.col("vec_id") == 7)
+           .select(F.lit(max_id + 1).cast("long").alias("vec_id"),
+                   "embedding", "label"))
+    new.write.mode("append").parquet(src)
+    tick()
+
+    pending = {r["vec_id"] for r in
+               read_vector_deltas(spark, delta).select("vec_id").collect()}
+    assert pending == {3, max_id + 1}
+
+    merged_dir = str(tmp_path / "vidx_merged")
+    apply_vector_deltas(spark, base_dir, delta, merged_dir)
+
+    rebuilt_corpus = (
+        emb.filter(F.col("vec_id") != 3)
+        .unionByName(emb.filter(F.col("vec_id") == 5)
+                     .select(F.lit(3).cast("long").alias("vec_id"),
+                             "embedding", "label"))
+        .unionByName(new))
+    rebuilt_dir = str(tmp_path / "vidx_rebuilt")
+    vx.build_vector_index(spark, rebuilt_corpus, rebuilt_dir)
+
+    def snap(path):
+        cells = sorted((r["vec_id"], r["cell"]) for r in
+                       vx.read_cells(spark, path)
+                       .select("vec_id", "cell").collect())
+        cents = sorted((r["cell"], tuple(r["centroid"])) for r in
+                       vx.read_centroids(spark, path).collect())
+        return cells, cents
+
+    assert snap(merged_dir) == snap(rebuilt_dir)
+    emb.unpersist()
