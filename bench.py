@@ -108,6 +108,8 @@ HEADLINE = (
     "q_percentile_ranks",
     "q_ann_ivf_indexed",
     "q_hybrid_search_indexed",
+    "q_pipeline_aggs",
+    "q_composite_agg",
 )
 
 

@@ -210,3 +210,112 @@ SELECT event_type, cut,
 FROM events CROSS JOIN (SELECT unnest([{_CUTS_SQL}]) AS cut)
 GROUP BY event_type, cut""",
 }
+
+
+# ---------------------------------------------------------------------------
+# ES pipeline aggregations + composite aggregation. Pipeline aggs post-
+# process a parent aggregation's bucket SERIES — the corpus pays one
+# partial-agg shuffle; the window functions then run over the bucket
+# relation, which is calendar-sized (hours), not corpus-sized, so the
+# single-partition window is bounded at any corpus scale. The composite
+# agg is ES's keyset pagination over buckets: the page-2 filter is a
+# broadcast 1-row cursor — no OFFSET, no global re-rank.
+
+PIPE_TYPE = "purchase"
+PIPE_HOUR_MS = 3_600_000
+PIPE_MAVG_W = 3          # trailing moving-average window (buckets)
+COMPOSITE_PAGE = 5
+COMPOSITE_DAY_MS = DAY_MS
+
+
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over an hourly date_histogram of one event
+    type: ``cumulative_sum`` of value, ``derivative`` of the count
+    (difference vs the previous bucket), and a trailing 3-bucket
+    ``moving_avg`` — ES's bucket-series post-processing expressed as
+    window functions over the (tiny) bucket relation."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == PIPE_TYPE)
+    bucket = F.expr(f"(ts_ms div {PIPE_HOUR_MS}) * {PIPE_HOUR_MS}")
+    dec = F.col("value").cast("decimal(18,2)")
+    per = (ev.groupBy(bucket.alias("bucket_ms"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec).alias("sum_dec")))
+    w = Window.orderBy("bucket_ms")
+    wm = w.rowsBetween(-(PIPE_MAVG_W - 1), 0)
+    return per.select(
+        "bucket_ms",
+        F.col("n_events").cast("long").alias("n_events"),
+        roundn_col(F.col("sum_dec").cast("double")).alias("sum_value"),
+        roundn_col(F.sum("sum_dec").over(w).cast("double")).alias("cum_value"),
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("derivative"),
+        roundn_col(F.avg(F.col("sum_dec").cast("double")).over(wm))
+        .alias("moving_avg"),
+    )
+
+
+def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation with ``after``-key pagination: buckets
+    over (event_type, day), ordered by the composite key, page 2 of size
+    {COMPOSITE_PAGE} — the buckets strictly after page 1's last key.
+
+    The aggregate is one partial-agg shuffle; page 1's last key is a
+    broadcast 1-row cursor and page 2 is a keyset filter + local top-k
+    over the bucket relation — the deep-pagination shape that never
+    re-ranks or OFFSET-skips at scale."""
+    ev = load_events(spark, sf_dir)
+    day = (F.col("ts_ms") / F.lit(COMPOSITE_DAY_MS)).cast("long")
+    buckets = (ev.groupBy(F.col("event_type"), day.alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    roundn_col(F.sum(F.col("value").cast("decimal(18,2)"))
+                               .cast("double")).alias("sum_value")))
+    page1_last = (buckets.orderBy("event_type", "day").limit(COMPOSITE_PAGE)
+                  .orderBy(F.col("event_type").desc(), F.col("day").desc())
+                  .limit(1)
+                  .select(F.col("event_type").alias("a_type"),
+                          F.col("day").alias("a_day")))
+    after = ((F.col("event_type") > F.col("a_type"))
+             | ((F.col("event_type") == F.col("a_type"))
+                & (F.col("day") > F.col("a_day"))))
+    return (buckets.crossJoin(F.broadcast(page1_last))
+            .filter(after)
+            .select("event_type", "day", "n_events", "sum_value")
+            .orderBy("event_type", "day").limit(COMPOSITE_PAGE))
+
+
+QUERIES["q_pipeline_aggs"] = q_pipeline_aggs
+QUERIES["q_composite_agg"] = q_composite_agg
+
+ORACLES["q_pipeline_aggs"] = f"""
+WITH f AS (
+  SELECT (epoch_ms(ts) // {PIPE_HOUR_MS}) * {PIPE_HOUR_MS} AS bucket_ms, value
+  FROM events WHERE event_type = '{PIPE_TYPE}'),
+per AS (
+  SELECT bucket_ms, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM f GROUP BY bucket_ms)
+SELECT bucket_ms,
+       CAST(n_events AS BIGINT) AS n_events,
+       {roundn_sql('sum_dec::DOUBLE')} AS sum_value,
+       {roundn_sql('CAST(sum(sum_dec) OVER (ORDER BY bucket_ms) AS DOUBLE)')}
+         AS cum_value,
+       n_events - lag(n_events) OVER (ORDER BY bucket_ms) AS derivative,
+       {roundn_sql(f'''avg(sum_dec::DOUBLE) OVER (ORDER BY bucket_ms
+                     ROWS BETWEEN {PIPE_MAVG_W - 1} PRECEDING AND CURRENT ROW)''')}
+         AS moving_avg
+FROM per"""
+
+ORACLES["q_composite_agg"] = f"""
+WITH buckets AS (
+  SELECT event_type, epoch_ms(ts) // {COMPOSITE_DAY_MS} AS day,
+         count(*) AS n_events,
+         {roundn_sql('CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)')}
+           AS sum_value
+  FROM events GROUP BY 1, 2),
+cursor AS (
+  SELECT event_type AS a_type, day AS a_day
+  FROM (SELECT * FROM buckets ORDER BY event_type, day LIMIT {COMPOSITE_PAGE})
+  ORDER BY event_type DESC, day DESC LIMIT 1)
+SELECT event_type, day, n_events, sum_value
+FROM buckets, cursor
+WHERE event_type > a_type OR (event_type = a_type AND day > a_day)
+ORDER BY event_type, day LIMIT {COMPOSITE_PAGE}"""
