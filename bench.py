@@ -142,10 +142,16 @@ def main() -> None:
     # job); its build cost is an offline/maintenance cost, reported as its
     # own line item rather than charged to the term queries that read it.
     from elasticsearch_hbase_river_spark.operators.indexed_search import ensure_index
+    from elasticsearch_hbase_river_spark.operators.vector_index import (
+        ensure_vector_index,
+    )
 
     t0 = time.time()
     ensure_index(spark, SF_DIR)
     index_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    ensure_vector_index(spark, SF_DIR)
+    vindex_build = round(time.time() - t0, 3)
 
     import gc
 
@@ -176,6 +182,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "cpus": CPUS,
         "index_build_sec": index_build,
+        "vindex_build_sec": vindex_build,
     }))
     spark.stop()
 
