@@ -110,6 +110,7 @@ HEADLINE = (
     "q_hybrid_search_indexed",
     "q_pipeline_aggs",
     "q_composite_agg",
+    "q_index_stats",
 )
 
 

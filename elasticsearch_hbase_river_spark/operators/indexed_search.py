@@ -316,3 +316,46 @@ ORACLES = {
     "q_fuzzy_search_indexed": _RETRIEVAL_ORACLES["q_fuzzy_search"],
     "q_suggest_indexed": _RETRIEVAL_ORACLES["q_suggest"],
 }
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_stats`` / ``_cat/indices`` over the materialized index: doc
+    count, vocabulary size, postings count, total token count and average
+    document length — every figure read from the index's own sidecar
+    tables (vocab / doclen / stats), NEVER the corpus. The oracle derives
+    the same numbers from the documents table, so the gate proves the
+    sidecars stay consistent with the corpus they were built from.
+
+    Scale shape: three sidecar aggregates (vocab- and corpus-doc-sized
+    relations, partial-aggregated) combined by broadcasting three 1-row
+    relations — no corpus scan, no shuffle of anything big."""
+    idx = ensure_index(spark, sf_dir)
+    vstats = read_vocab(spark, idx).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("freq").cast("long").alias("total_tokens"))
+    dstats = read_stats(spark, idx).select(
+        F.col("n_docs"), roundn_col(F.col("avgdl")).alias("avgdl"))
+    return F.broadcast(dstats).crossJoin(F.broadcast(vstats)).select(
+        "n_docs", "n_terms", "n_postings", "total_tokens", "avgdl")
+
+
+QUERIES["q_index_stats"] = q_index_stats
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_sql  # noqa: E402
+from elasticsearch_hbase_river_spark.operators.search import _POSTINGS_SQL  # noqa: E402
+
+ORACLES["q_index_stats"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+post AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+v AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_terms,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(sum(tf) AS BIGINT) AS total_tokens
+  FROM post),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         {roundn_sql("avg(len(string_split(text, ' ')))")} AS avgdl
+  FROM documents)
+SELECT n_docs, n_terms, n_postings, total_tokens, avgdl FROM d, v"""
