@@ -190,56 +190,81 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _digest_cols() -> list[Column]:
-    """Two keyed md5 digest arrays per document, staged as REAL columns so
-    each digest is computed exactly once per shingle (computing the md5
-    inside each permutation's lambda re-evaluates it per slice — staging
-    plus slicing roughly halves signature wall time at 10x sf0.1: the md5
-    count per shingle drops from 8 to 2)."""
-    # NB: factory closures, NOT default-arg lambdas — F.transform passes
-    # (element, index) to any two-arg lambda, so `lambda s, d=d:` would
-    # silently bind the element index to d.
-    def dg(prefix: str) -> Column:
-        return F.transform(
-            F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
-
-    return [dg(f"{d}|").alias(f"dg{d}") for d in range(2)]
+#: MinHash permutation family over INTEGER shingle hashes (round-4
+#: rewrite, same family as the winnowing Karp-Rabin change): base hash =
+#: first 8 md5 hex digits of the shingle as an int mod MH_M — ONE md5 per
+#: shingle; the prior digest-slicing scheme needed two — and permutation j
+#: is the universal hash (MH_A[j]·h + MH_B[j]) mod MH_M, pure multiply-add
+#: inside codegen with integer minima instead of hex-string compares.
+#: MH_A < 2^20 keeps every product < 2^51: exact (and identical) in both
+#: engines' 64-bit integers. Constants derive from md5 at import time, so
+#: Spark and the DuckDB oracle inline the same literals.
+MH_M = 2_147_483_647
+BAND_C = 1_000_003
 
 
-def _minhash_cols() -> list[Column]:
-    """k MinHash values over the staged digests: permutation j is the j-th
-    disjoint 32-bit (8-hex) slice of the two keyed digests — the classic k
-    independent permutations at a quarter of the hash cost, min taken over
-    the doc's shingle set (map-side, no explode, no shuffle).
-    Lexicographic min == numeric min on fixed-width hex."""
-    def slice_min(dg: str, off: int) -> Column:
-        return F.array_min(
-            F.transform(F.col(dg), lambda x: F.substring(x, off, 8)))
+def _mh_params() -> tuple[list[int], list[int]]:
+    import hashlib
 
-    return [slice_min(f"dg{j // 4}", 1 + 8 * (j % 4)).alias(f"mh{j}")
-            for j in range(N_HASHES)]
+    a = [int(hashlib.md5(f"mha|{j}".encode()).hexdigest()[:5], 16) | 1
+         for j in range(N_HASHES)]
+    b = [int(hashlib.md5(f"mhb|{j}".encode()).hexdigest()[:8], 16) % MH_M
+         for j in range(N_HASHES)]
+    return a, b
+
+
+MH_A, MH_B = _mh_params()
+
+
+def _base_hash_col() -> Column:
+    """Integer base hash per shingle, staged as a REAL column so the md5
+    runs exactly once per shingle (inside each permutation's lambda it
+    would re-evaluate per permutation)."""
+    return F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long") % MH_M)
+
+
+def _perm_min(j: int) -> Column:
+    # NB: factory closure, NOT a default-arg lambda — F.transform passes
+    # (element, index) to any two-arg lambda, so `lambda h, a=a:` would
+    # silently bind the element index to a.
+    a, b = MH_A[j], MH_B[j]
+
+    def perm(h: Column) -> Column:
+        return (h * a + b) % MH_M
+
+    return F.array_min(F.transform(F.col("hb"), perm)).alias(f"mh{j}")
 
 
 def minhash_signature(sh_df: DataFrame) -> DataFrame:
-    """(doc_id, sh) -> (doc_id, mh0..mh{k-1}): digests staged, then sliced."""
-    return (sh_df.select("doc_id", *_digest_cols())
-                 .select("doc_id", *_minhash_cols()))
+    """(doc_id, sh) -> (doc_id, mh0..mh{k-1}): base hashes staged, then k
+    integer permutation minima (map-side, no explode, no shuffle)."""
+    return (sh_df.select("doc_id", _base_hash_col().alias("hb"))
+                 .select("doc_id", *[_perm_min(j) for j in range(N_HASHES)]))
+
+
+_HB_SQL = f"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MH_M})"
 
 
 def _minhash_sql(j: int) -> str:
-    d, off = j // 4, 1 + 8 * (j % 4)
-    return (f"list_min(list_transform(sh, s -> "
-            f"substr(md5('{d}|' || s), {off}, 8)))")
+    """Permutation-j minimum over a staged ``hb`` integer-hash list."""
+    return (f"list_min(list_transform(hb, h -> "
+            f"(({MH_A[j]} * h + {MH_B[j]}) % {MH_M})))")
+
+
+def _band_col(b: int) -> Column:
+    """Integer band key: the 2-minhash combine as multiply-add mod MH_M."""
+    return ((F.col(f"mh{2 * b}") * BAND_C % MH_M)
+            + F.col(f"mh{2 * b + 1}")) % MH_M
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature + LSH band keys (2 rows/band)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
     sig = minhash_signature(_shingle_df(aug))
-    bands = [
-        F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
-        for b in range(N_BANDS)
-    ]
+    bands = [_band_col(b).alias(f"band{b}") for b in range(N_BANDS)]
     return sig.select("doc_id", *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands)
 
 
@@ -300,8 +325,7 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     mh = F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)])
     withb = sig.select(
         "doc_id", mh.alias("mh"),
-        *[F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
-          .alias(f"band{b}") for b in range(N_BANDS)])
+        *[_band_col(b).alias(f"band{b}") for b in range(N_BANDS)])
     return withb.select(
         "doc_id", "mh",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
@@ -448,14 +472,16 @@ QUERIES = {
 
 _MH_COLS = ",\n         ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(N_HASHES))
 _BAND_COLS = ",\n       ".join(
-    f"md5(mh{2 * b} || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS))
+    f"((mh{2 * b} * {BAND_C} % {MH_M}) + mh{2 * b + 1}) % {MH_M} AS band{b}"
+    for b in range(N_BANDS))
 _SIG_CTE = f"""
 aug AS ({_AUG_SQL_NEAR}),
 shq AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+hbq AS (SELECT doc_id, {_HB_SQL} AS hb FROM shq),
 sig AS (
   SELECT doc_id,
          {_MH_COLS}
-  FROM shq),
+  FROM hbq),
 sigb AS (
   SELECT doc_id, {", ".join(f"mh{j}" for j in range(N_HASHES))},
        {_BAND_COLS}
@@ -542,8 +568,10 @@ inc AS (
   FROM documents WHERE doc_id % {COPY_MOD} = 1),
 hsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM hist),
 ish AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM inc),
-hsig AS (SELECT doc_id, {_MH_COLS} FROM hsh),
-isig AS (SELECT doc_id, {_MH_COLS} FROM ish),
+hhb AS (SELECT doc_id, {_HB_SQL} AS hb FROM hsh),
+ihb AS (SELECT doc_id, {_HB_SQL} AS hb FROM ish),
+hsig AS (SELECT doc_id, {_MH_COLS} FROM hhb),
+isig AS (SELECT doc_id, {_MH_COLS} FROM ihb),
 hm AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh,
        {_BAND_COLS} FROM hsig),
 im AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh,

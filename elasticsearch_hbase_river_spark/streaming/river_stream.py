@@ -236,7 +236,7 @@ def streaming_exact_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 _BAND_STATE_SCHEMA = "members ARRAY<LONG>"
-_BAND_OUT_SCHEMA = "doc_a LONG, doc_b LONG, band_idx INT, band_val STRING"
+_BAND_OUT_SCHEMA = "doc_a LONG, doc_b LONG, band_idx INT, band_val LONG"
 
 #: Hard cap on per-bucket membership. An LSH bucket that keeps attracting
 #: members is either a degenerate band (near-constant text) or an actual
@@ -268,7 +268,7 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from elasticsearch_hbase_river_spark.operators.dedup import (
-        N_BANDS, minhash_signature,
+        N_BANDS, _band_col, minhash_signature,
     )
     from elasticsearch_hbase_river_spark.sources.tables import _tune_session
 
@@ -291,8 +291,7 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
-            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
-            for b in range(N_BANDS)])).alias("band_idx", "band_val"),
+            _band_col(b) for b in range(N_BANDS)])).alias("band_idx", "band_val"),
     )
 
     ttl_ms = state_ttl_ms
