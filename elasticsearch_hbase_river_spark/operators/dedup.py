@@ -118,6 +118,65 @@ list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
   ELSE [text] END)
 """
 
+#: Karp-Rabin integer gram hashing (round-4 rewrite, shared scheme with
+#: winnowing and contamination): token hash = first 8 md5 hex digits as an
+#: int mod KR_M; 3-gram hash = Horner fold base KR_B. ONE md5 per TOKEN
+#: (tokens sit in ~3 shingles each, and MinHash previously paid another
+#: md5 per shingle on top), the folds pure multiply-add in codegen, set
+#: intersections on integers instead of strings. Products stay < 2^52 —
+#: exact and identical in both engines.
+KR_B = 1_000_003
+KR_M = 2_147_483_647
+
+
+def _gram_hash_df(aug: DataFrame) -> DataFrame:
+    """(doc_id, gh): the distinct integer 3-gram hash set per document —
+    the input relation for n-gram Jaccard, the near-dup cluster edges, and
+    the MinHash signature. Token hashes are staged as a real column so the
+    md5 runs once per token; docs under 3 tokens hash their whole text as
+    the single gram (mirroring the [text] fallback of the string shingle
+    path)."""
+    t = aug.select("doc_id", "text",
+                   F.split(F.col("text"), " ").alias("toks"))
+    th = F.transform(
+        F.col("toks"),
+        lambda tk: F.conv(F.substring(F.md5(tk), 1, 8), 16, 10)
+        .cast("long") % KR_M)
+    t2 = t.select("doc_id", "text", th.alias("th"))
+    n = F.size("th")
+
+    def gram(i):
+        acc = F.element_at(F.col("th"), i)
+        for j in (1, 2):
+            acc = (acc * KR_B % KR_M) + F.element_at(F.col("th"), i + j)
+        return acc % KR_M
+
+    whole = (F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+             .cast("long") % KR_M)
+    grams = F.when(
+        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), gram)
+    ).otherwise(F.array(whole))
+    return t2.select("doc_id", F.array_distinct(grams).alias("gh"))
+
+
+_TH_SQL = (f"list_transform(string_split(text, ' '), "
+           f"tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT % {KR_M})")
+
+
+def _gram_horner_sql() -> str:
+    acc = "th[i]"
+    for j in (1, 2):
+        acc = f"(({acc}) * {KR_B} % {KR_M}) + th[i + {j}]"
+    return f"(({acc}) % {KR_M})"
+
+
+#: gh from a relation carrying (text, th) — compose after a `_TH_SQL` CTE.
+_GH_SQL = f"""
+list_distinct(CASE WHEN len(th) >= 3
+  THEN list_transform(range(1, len(th) - 1), i -> {_gram_horner_sql()})
+  ELSE [('0x' || substr(md5(text), 1, 8))::BIGINT % {KR_M}] END)
+"""
+
 
 def candidate_pairs(sh: DataFrame) -> DataFrame:
     """(doc_a, sh_a, doc_b, sh_b) candidate pairs: original↔truncated copy
@@ -156,9 +215,12 @@ def candidate_pairs(sh: DataFrame) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs: each original vs
     its truncated near-copy, plus adjacent-id background pairs. Set algebra
-    via array_intersect on the 3-gram shingle sets."""
+    via array_intersect on the integer 3-gram hash sets (hash collisions in
+    the 2^31 space are negligible for ~10^2-gram documents, and both
+    engines hash identically)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    pairs = candidate_pairs(_shingle_df(aug))
+    pairs = candidate_pairs(
+        _gram_hash_df(aug).withColumnRenamed("gh", "sh"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter / union
@@ -216,16 +278,6 @@ def _mh_params() -> tuple[list[int], list[int]]:
 MH_A, MH_B = _mh_params()
 
 
-def _base_hash_col() -> Column:
-    """Integer base hash per shingle, staged as a REAL column so the md5
-    runs exactly once per shingle (inside each permutation's lambda it
-    would re-evaluate per permutation)."""
-    return F.transform(
-        F.col("sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-        .cast("long") % MH_M)
-
-
 def _perm_min(j: int) -> Column:
     # NB: factory closure, NOT a default-arg lambda — F.transform passes
     # (element, index) to any two-arg lambda, so `lambda h, a=a:` would
@@ -235,22 +287,21 @@ def _perm_min(j: int) -> Column:
     def perm(h: Column) -> Column:
         return (h * a + b) % MH_M
 
-    return F.array_min(F.transform(F.col("hb"), perm)).alias(f"mh{j}")
+    return F.array_min(F.transform(F.col("gh"), perm)).alias(f"mh{j}")
 
 
-def minhash_signature(sh_df: DataFrame) -> DataFrame:
-    """(doc_id, sh) -> (doc_id, mh0..mh{k-1}): base hashes staged, then k
-    integer permutation minima (map-side, no explode, no shuffle)."""
-    return (sh_df.select("doc_id", _base_hash_col().alias("hb"))
-                 .select("doc_id", *[_perm_min(j) for j in range(N_HASHES)]))
-
-
-_HB_SQL = f"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MH_M})"
+def minhash_signature(gh_df: DataFrame) -> DataFrame:
+    """(doc_id, gh) -> (doc_id, mh0..mh{k-1}): k integer permutation
+    minima over the gram-hash set (map-side, no explode, no shuffle, and
+    ZERO hashing — the Karp-Rabin gram hashes from ``_gram_hash_df`` are
+    the base hashes)."""
+    return gh_df.select(
+        "doc_id", *[_perm_min(j) for j in range(N_HASHES)])
 
 
 def _minhash_sql(j: int) -> str:
-    """Permutation-j minimum over a staged ``hb`` integer-hash list."""
-    return (f"list_min(list_transform(hb, h -> "
+    """Permutation-j minimum over a staged ``gh`` integer gram-hash list."""
+    return (f"list_min(list_transform(gh, h -> "
             f"(({MH_A[j]} * h + {MH_B[j]}) % {MH_M})))")
 
 
@@ -263,7 +314,7 @@ def _band_col(b: int) -> Column:
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature + LSH band keys (2 rows/band)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    sig = minhash_signature(_shingle_df(aug))
+    sig = minhash_signature(_gram_hash_df(aug))
     bands = [_band_col(b).alias(f"band{b}") for b in range(N_BANDS)]
     return sig.select("doc_id", *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands)
 
@@ -321,7 +372,7 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     WITHOUT a second lookup — this is the self-contained row shape the
     persistent band table stores (plans/pipeline.py:near_dedup_against_sink)
     and the incremental query joins on."""
-    sig = minhash_signature(_shingle_df(docs))
+    sig = minhash_signature(_gram_hash_df(docs))
     mh = F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)])
     withb = sig.select(
         "doc_id", mh.alias("mh"),
@@ -476,12 +527,12 @@ _BAND_COLS = ",\n       ".join(
     for b in range(N_BANDS))
 _SIG_CTE = f"""
 aug AS ({_AUG_SQL_NEAR}),
-shq AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
-hbq AS (SELECT doc_id, {_HB_SQL} AS hb FROM shq),
+thq AS (SELECT doc_id, text, {_TH_SQL} AS th FROM aug),
+ghq AS (SELECT doc_id, {_GH_SQL} AS gh FROM thq),
 sig AS (
   SELECT doc_id,
          {_MH_COLS}
-  FROM hbq),
+  FROM ghq),
 sigb AS (
   SELECT doc_id, {", ".join(f"mh{j}" for j in range(N_HASHES))},
        {_BAND_COLS}
@@ -497,7 +548,8 @@ FROM aug GROUP BY md5(text)""",
 
     "q_ngram_jaccard": f"""
 WITH aug AS ({_AUG_SQL_NEAR}),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+thq AS (SELECT doc_id, text, {_TH_SQL} AS th FROM aug),
+sh AS (SELECT doc_id, {_GH_SQL} AS sh FROM thq),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.sh, b.sh)) AS i,
@@ -566,12 +618,12 @@ inc AS (
   SELECT doc_id + {2 * COPY_OFFSET},
          array_to_string(list_reverse(string_split(text, ' ')), ' ')
   FROM documents WHERE doc_id % {COPY_MOD} = 1),
-hsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM hist),
-ish AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM inc),
-hhb AS (SELECT doc_id, {_HB_SQL} AS hb FROM hsh),
-ihb AS (SELECT doc_id, {_HB_SQL} AS hb FROM ish),
-hsig AS (SELECT doc_id, {_MH_COLS} FROM hhb),
-isig AS (SELECT doc_id, {_MH_COLS} FROM ihb),
+hth AS (SELECT doc_id, text, {_TH_SQL} AS th FROM hist),
+ith AS (SELECT doc_id, text, {_TH_SQL} AS th FROM inc),
+hgh AS (SELECT doc_id, {_GH_SQL} AS gh FROM hth),
+igh AS (SELECT doc_id, {_GH_SQL} AS gh FROM ith),
+hsig AS (SELECT doc_id, {_MH_COLS} FROM hgh),
+isig AS (SELECT doc_id, {_MH_COLS} FROM igh),
 hm AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh,
        {_BAND_COLS} FROM hsig),
 im AS (SELECT doc_id, [{", ".join(f"mh{j}" for j in range(N_HASHES))}] AS mh,

@@ -32,10 +32,11 @@ from pyspark.sql import functions as F
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
 from elasticsearch_hbase_river_spark.operators.dedup import (
     _AUG_SQL_NEAR,
-    _SHINGLES_SQL,
+    _GH_SQL,
+    _TH_SQL,
     COPY_OFFSET,
     _augmented_docs,
-    _shingle_df,
+    _gram_hash_df,
     candidate_pairs,
 )
 from elasticsearch_hbase_river_spark.sources.tables import load_table
@@ -51,7 +52,8 @@ DIM = 64
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same candidate pairs as ``q_ngram_jaccard`` (original↔truncated copy
     plus adjacent-id background pairs), kept when Jaccard ≥ 0.8."""
-    sh = _shingle_df(_augmented_docs(spark, sf_dir, exact=False))
+    sh = (_gram_hash_df(_augmented_docs(spark, sf_dir, exact=False))
+          .withColumnRenamed("gh", "sh"))
     pairs = candidate_pairs(sh)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
@@ -168,7 +170,8 @@ QUERIES = {
 
 _EDGES_SQL = f"""
 aug AS ({_AUG_SQL_NEAR}),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM aug),
+thq AS (SELECT doc_id, text, {_TH_SQL} AS th FROM aug),
+sh AS (SELECT doc_id, {_GH_SQL} AS sh FROM thq),
 pairs AS (
   SELECT a.doc_id AS src, b.doc_id AS dst,
          len(list_intersect(a.sh, b.sh)) AS i,

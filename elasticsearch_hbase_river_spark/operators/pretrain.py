@@ -46,6 +46,13 @@ from elasticsearch_hbase_river_spark.sources.tables import load_table
 
 PASSAGE_TOKENS = 16      # tokens per passage window (non-overlapping)
 CONTAM_N = 8             # n-gram size for the contamination check
+#: Karp-Rabin gram-hash parameters (same scheme as the winnowing and
+#: MinHash rewrites): token hash = first 8 md5 hex digits as int mod KR_M,
+#: gram hash = Horner fold base KR_B — one md5 per TOKEN instead of one
+#: per 8-gram, the fold itself pure multiply-add in codegen. Products stay
+#: < 2^52: exact in both engines.
+KR_B = 1_000_003
+KR_M = 2_147_483_647
 BENCH_MOD = 97           # doc_id % 97 == 0 -> member of the "benchmark" set
 PII_MOD = 10             # every 10th doc gets a synthetic email appended
 DUP_TOKEN_MAX = 0.30     # Gopher-ish thresholds
@@ -100,15 +107,22 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join + per-doc count is one shuffle on doc_id. Output one row per
     contaminated training doc."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = docs.select("doc_id", _toks().alias("toks"))
+    th = F.transform(
+        _toks(),
+        lambda tk: F.conv(F.substring(F.md5(tk), 1, 8), 16, 10)
+        .cast("long") % KR_M)
+    t = docs.select("doc_id", th.alias("th"))
+
+    def gram(i):
+        acc = F.element_at(F.col("th"), i)
+        for j in range(1, CONTAM_N):
+            acc = (acc * KR_B % KR_M) + F.element_at(F.col("th"), i + j)
+        return acc % KR_M
+
     grams = F.when(
-        F.size("toks") >= CONTAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (CONTAM_N - 1)),
-            lambda i: F.md5(F.concat_ws(
-                " ", F.slice(F.col("toks"), i, CONTAM_N))),
-        ),
-    ).otherwise(F.array())
+        F.size("th") >= CONTAM_N,
+        F.transform(F.sequence(F.lit(1), F.size("th") - (CONTAM_N - 1)), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
     hashed = t.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
     bench = (hashed.filter(F.col("doc_id") % BENCH_MOD == 0)
              .select("gh").distinct())
@@ -358,6 +372,16 @@ QUERIES = {
 
 _TOKS_SQL = "string_split(text, ' ')"
 
+def _contam_gram_horner_sql() -> str:
+    """The same Horner fold ``q_contamination`` runs, as DuckDB SQL text
+    (DuckDB list slices are 1-based inclusive; ``i`` is the 1-based gram
+    start)."""
+    acc = "th[i]"
+    for j in range(1, CONTAM_N):
+        acc = f"(({acc}) * {KR_B} % {KR_M}) + th[i + {j}]"
+    return f"(({acc}) % {KR_M})"
+
+
 ORACLES = {
     "q_passage_dedup": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -375,13 +399,18 @@ SELECT passage_hash,
 FROM p GROUP BY passage_hash HAVING count(DISTINCT doc_id) > 1""",
 
     "q_contamination": f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOKS_SQL},
+                        tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT % {KR_M})
+           AS th
+  FROM documents),
 h AS (
   SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(toks) >= {CONTAM_N}
-                THEN list_transform(range(1, len(toks) - {CONTAM_N - 1} + 1),
-                     i -> md5(array_to_string(toks[i : i + {CONTAM_N - 1}], ' ')))
-                ELSE [] END)) AS gh
+           CASE WHEN len(th) >= {CONTAM_N}
+                THEN list_transform(range(1, len(th) - {CONTAM_N - 1} + 1),
+                     i -> {_contam_gram_horner_sql()})
+                ELSE CAST([] AS BIGINT[]) END)) AS gh
   FROM t),
 bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % {BENCH_MOD} = 0)
 SELECT doc_id, count(*) AS n_shared_ngrams, TRUE AS is_contaminated

@@ -268,7 +268,7 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from elasticsearch_hbase_river_spark.operators.dedup import (
-        N_BANDS, _band_col, minhash_signature,
+        N_BANDS, _band_col, _gram_hash_df, minhash_signature,
     )
     from elasticsearch_hbase_river_spark.sources.tables import _tune_session
 
@@ -277,17 +277,9 @@ def streaming_near_dedup(spark: SparkSession, docs_source_dir: str,
             .schema("doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", files_per_trigger)
             .parquet(docs_source_dir))
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                  F.element_at(toks, i + 1),
-                                  F.element_at(toks, i + 2))),
-    ).otherwise(F.array(F.col("text")))
-    sig = minhash_signature(
-        docs.select("doc_id", F.array_distinct(grams).alias("sh")))
+    # identical map-side gram hashing + signature as the batch
+    # q_minhash_signature — the expressions are streaming-safe
+    sig = minhash_signature(_gram_hash_df(docs))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[

@@ -234,6 +234,10 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_sequence_pack",        # per-block token totals window (k rows)
     "q_date_histogram",       # 1-row bounds agg + calendar explode
     "q_curation_funnel",      # 1-row four-counter aggregate, unstacked
+    "q_pipeline_aggs",        # bucket-series windows over the calendar-
+                              # sized hourly relation (corpus pays ONE
+                              # partial-agg shuffle below them)
+    "q_index_stats",          # 1-row sidecar aggregates (vocab/stats)
 }
 
 
