@@ -92,3 +92,35 @@ def test_find_key_round_trip(qualifier):
         return
     tree = read_data_tree([("f", qualifier, "v")], "::")
     assert find_key_in_data_tree(tree["f"], "::".join(path), "::") == "v"
+
+
+def test_karp_rabin_gram_hashes_agree_across_engines_on_edge_inputs(spark):
+    """The round-4 integer gram hashing (md5-hex-prefix token hash + Horner
+    fold) must produce BIT-IDENTICAL values in Spark and DuckDB on inputs
+    beyond the fixture vocabulary: unicode (md5 runs over UTF-8 bytes in
+    both), empty/short texts (the whole-text fallback gram), repeated
+    tokens, and long texts."""
+    import duckdb
+
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        _GH_SQL, _TH_SQL, _gram_hash_df,
+    )
+
+    texts = ["", "a", "a b", "a b c", "über straße größe viel",
+             "emoji 🎉 test ok done", "x " * 400 + "y",
+             "dup dup dup dup", "tab\tin token here"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: sorted(r["gh"])
+           for r in _gram_hash_df(df).collect()}
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{t}')" for i, t in rows if "'" not in t)
+    sql = f"""
+    WITH docs(doc_id, text) AS (VALUES {values}),
+    thq AS (SELECT doc_id, text, {_TH_SQL} AS th FROM docs),
+    ghq AS (SELECT doc_id, {_GH_SQL} AS gh FROM thq)
+    SELECT doc_id, gh FROM ghq"""
+    want = {r[0]: sorted(r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
