@@ -111,6 +111,7 @@ HEADLINE = (
     "q_pipeline_aggs",
     "q_composite_agg",
     "q_index_stats",
+    "q_knn_filtered",
 )
 
 

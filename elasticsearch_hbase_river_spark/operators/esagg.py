@@ -319,3 +319,79 @@ SELECT event_type, day, n_events, sum_value
 FROM buckets, cursor
 WHERE event_type > a_type OR (event_type = a_type AND day > a_day)
 ORDER BY event_type, day LIMIT {COMPOSITE_PAGE}"""
+
+
+# ---------------------------------------------------------------------------
+# Filtered kNN — ES's `knn` clause with a `filter`: vector search restricted
+# to documents matching a metadata predicate. ES applies the filter DURING
+# the index traversal (pre-filtering) so the top-k is over eligible docs
+# only; the relational analog is a broadcast-joined predicate below the
+# top-k, never a post-filter of an unfiltered top-k (which under-fills k).
+
+KNN_FILTER_LANG = "en"
+KNN_FILTER_TOP = 10
+KNN_FILTER_QVEC = 0
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered kNN: cosine top-10 over embeddings whose paired document
+    (vec_id == doc_id) is in language 'en'. The eligible-id set rides a
+    broadcast semi-join BELOW the scoring and the top-k, so k results are
+    always full (pre-filter semantics) and the filter prunes score work.
+
+    Scale shape: the metadata side projects 1 column; scoring stays a JVM
+    higher-order dot product; the ranking is TakeOrderedAndProject with the
+    rank window over the ≤k survivors."""
+    from elasticsearch_hbase_river_spark.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eligible = (load_table(spark, sf_dir, "documents")
+                .filter(F.col("lang") == KNN_FILTER_LANG)
+                .select(F.col("doc_id").alias("vec_id")))
+    qv = emb.filter(F.col("vec_id") == KNN_FILTER_QVEC).select(
+        F.col("embedding").alias("qe"), _norm(F.col("embedding")).alias("qnorm"))
+    corpus = (emb.join(F.broadcast(eligible), "vec_id", "left_semi")
+              .filter(F.col("vec_id") != KNN_FILTER_QVEC)
+              .select("vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")))
+    cos = roundn_col(F.aggregate(
+        F.zip_with(F.col("qe"), F.col("embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v) / (F.col("qnorm") * F.col("enorm")))
+    top = (corpus.crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+           .orderBy(F.col("cosine").desc(), "doc_id").limit(KNN_FILTER_TOP))
+    w = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+QUERIES["q_knn_filtered"] = q_knn_filtered
+
+
+def _knn_filtered_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.similarity import (
+        _dot_sql, _norm_sql,
+    )
+
+    return f"""
+WITH qv AS (
+  SELECT embedding AS qe, {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id = {KNN_FILTER_QVEC}),
+eligible AS (
+  SELECT doc_id AS vec_id FROM documents WHERE lang = '{KNN_FILTER_LANG}'),
+c AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS enorm
+  FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM eligible)
+    AND vec_id <> {KNN_FILTER_QVEC}),
+scored AS (
+  SELECT vec_id AS doc_id,
+         {roundn_sql(_dot_sql('qe', 'embedding') + ' / (qnorm * enorm)')} AS cosine
+  FROM c, qv),
+ranked AS (
+  SELECT doc_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {KNN_FILTER_TOP}"""
+
+
+ORACLES["q_knn_filtered"] = _knn_filtered_oracle()
