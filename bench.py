@@ -112,6 +112,8 @@ HEADLINE = (
     "q_composite_agg",
     "q_index_stats",
     "q_knn_filtered",
+    "q_tfidf_indexed",
+    "q_more_like_this_indexed",
 )
 
 

@@ -359,3 +359,87 @@ d AS (
          {roundn_sql("avg(len(string_split(text, ' ')))")} AS avgdl
   FROM documents)
 SELECT n_docs, n_terms, n_postings, total_tokens, avgdl FROM d, v"""
+
+
+def _index_tfidf_rel(spark: SparkSession, idx: str) -> DataFrame:
+    """(doc_id, token, tf, df, n_docs): the tf-idf scoring relation read
+    entirely from index tables — the explode + two corpus aggregations the
+    rebuild path pays are already materialized as postings/vocab/stats."""
+    return (read_postings(spark, idx)
+            .select("doc_id", "token", "tf")
+            .join(F.broadcast(read_vocab(spark, idx).select("token", "df")),
+                  "token")
+            .crossJoin(F.broadcast(read_stats(spark, idx).select("n_docs"))))
+
+
+def q_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms served FROM the materialized index:
+    tf from the postings, df from the vocab sidecar, doc length from
+    doclen, N from the 1-row stats table — ZERO corpus scans, zero
+    explodes; the only shuffle is the per-doc rank window. Hash-equal to
+    `q_tfidf` by the shared oracle."""
+    from elasticsearch_hbase_river_spark.operators.text import TFIDF_TOP
+
+    idx = ensure_index(spark, sf_dir)
+    scored = (
+        _index_tfidf_rel(spark, idx)
+        .join(read_doclen(spark, idx), "doc_id")
+        .withColumn("tfidf", roundn_col(
+            (F.col("tf") / F.col("dl"))
+            * F.log(F.col("n_docs").cast("double") / F.col("df")))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= TFIDF_TOP)
+                  .select("doc_id", "token", "tfidf", "rank"))
+
+
+def q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this served FROM the materialized index: the tf-idf
+    weight relation comes from postings ⨝ vocab ⨝ stats (no explode, no
+    per-query corpus aggregation); the query doc's vector broadcasts into
+    the shared-token candidate join exactly like the rebuild path.
+    Hash-equal to `q_more_like_this` by the shared oracle."""
+    from elasticsearch_hbase_river_spark.operators.search import (
+        MLT_DOC_ID, MLT_TOP,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    tfidf = (
+        _index_tfidf_rel(spark, idx)
+        .select("doc_id", "token",
+                (F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                     / F.col("df"))).alias("wt"))
+        # read three times (norms, query vector, similarity join) — the
+        # multi-pass materialization trade, same as the rebuild path
+        .localCheckpoint(eager=True)
+    )
+    norms = tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("norm"))
+    qvec = (tfidf.filter(F.col("doc_id") == MLT_DOC_ID)
+                 .select("token", F.col("wt").alias("qwt")))
+    qnorm = norms.filter(F.col("doc_id") == MLT_DOC_ID).select(
+        F.col("norm").alias("qnorm"))
+    sims = (
+        tfidf.filter(F.col("doc_id") != MLT_DOC_ID)
+        .join(F.broadcast(qvec), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select("doc_id",
+                roundn_col(F.col("dot") / (F.col("norm") * F.col("qnorm")))
+                .alias("cosine"))
+    )
+    top = sims.orderBy(F.col("cosine").desc(), F.col("doc_id")).limit(MLT_TOP)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+from elasticsearch_hbase_river_spark.operators.text import (  # noqa: E402
+    ORACLES as _TEXT_ORACLES,
+)
+
+QUERIES["q_tfidf_indexed"] = q_tfidf_indexed
+QUERIES["q_more_like_this_indexed"] = q_more_like_this_indexed
+ORACLES["q_tfidf_indexed"] = _TEXT_ORACLES["q_tfidf"]
+ORACLES["q_more_like_this_indexed"] = _SEARCH_ORACLES["q_more_like_this"]
