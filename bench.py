@@ -114,6 +114,7 @@ HEADLINE = (
     "q_knn_filtered",
     "q_tfidf_indexed",
     "q_more_like_this_indexed",
+    "q_percolate",
 )
 
 

@@ -395,3 +395,87 @@ SELECT * FROM ranked WHERE rank <= {KNN_FILTER_TOP}"""
 
 
 ORACLES["q_knn_filtered"] = _knn_filtered_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Percolator — ES's reverse search: queries are STORED and incoming
+# documents are matched against them (the alerting/saved-search engine).
+# Stored queries here are synthesized deterministically from the corpus
+# vocabulary (query i = the 2 tokens minimizing md5(i || '|' || token) —
+# identical selection in both engines), and a document matches a query iff
+# it contains ALL the query's terms (AND percolation).
+
+PERC_N_QUERIES = 12
+PERC_TERMS_PER_QUERY = 2
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolate the corpus against {PERC_N_QUERIES} stored 2-term AND
+    queries: per stored query, how many documents match all its terms,
+    with the query's terms listed for auditability.
+
+    Scale shape: the stored-query relation is tiny and BROADCASTS into a
+    semi-filter on the postings (only rows whose token appears in some
+    stored query survive to the shuffle); the AND evaluation is one
+    partial-aggregated groupBy on (doc, query) counting distinct matched
+    terms — never a per-query corpus scan, never a cross join. At 100 TB
+    with millions of stored queries this becomes the classic
+    term-to-query inverted index (ES's percolator does exactly that), and
+    the same broadcast join swaps for a hash join on token."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _postings(docs).select("token").distinct()
+    qids = spark.range(PERC_N_QUERIES).select(F.col("id").alias("query_id"))
+    keyed = qids.crossJoin(F.broadcast(vocab)).select(
+        "query_id", "token",
+        F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
+                       F.col("token"))).alias("h"))
+    wq = Window.partitionBy("query_id").orderBy("h", "token")
+    stored = (keyed.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= PERC_TERMS_PER_QUERY)
+              .select("query_id", "token"))
+    doc_tok = _postings(docs).select("doc_id", "token").distinct()
+    matched = (doc_tok.join(F.broadcast(stored), "token")
+               .groupBy("doc_id", "query_id")
+               .agg(F.count(F.lit(1)).alias("n_terms"))
+               .filter(F.col("n_terms") == PERC_TERMS_PER_QUERY))
+    per_query = (matched.groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_matching_docs")))
+    terms = stored.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list("token")), ",")
+        .alias("terms"))
+    return (terms.join(per_query, "query_id", "left")
+            .select("query_id", "terms",
+                    F.coalesce("n_matching_docs", F.lit(0)).cast("long")
+                    .alias("n_matching_docs")))
+
+
+QUERIES["q_percolate"] = q_percolate
+
+ORACLES["q_percolate"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+vocab AS (SELECT DISTINCT token FROM tok),
+qids AS (SELECT unnest(range(0, {PERC_N_QUERIES})) AS query_id),
+keyed AS (
+  SELECT query_id, token,
+         md5(CAST(query_id AS VARCHAR) || '|' || token) AS h
+  FROM qids CROSS JOIN vocab),
+stored AS (
+  SELECT query_id, token FROM (
+    SELECT query_id, token,
+           row_number() OVER (PARTITION BY query_id ORDER BY h, token) AS r
+    FROM keyed) WHERE r <= {PERC_TERMS_PER_QUERY}),
+doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+matched AS (
+  SELECT doc_id, query_id, count(*) AS n_terms
+  FROM doc_tok JOIN stored USING (token)
+  GROUP BY doc_id, query_id
+  HAVING count(*) = {PERC_TERMS_PER_QUERY}),
+per_query AS (
+  SELECT query_id, count(*) AS n_matching_docs FROM matched GROUP BY query_id),
+terms AS (
+  SELECT query_id,
+         array_to_string(list_sort(list(token)), ',') AS terms
+  FROM stored GROUP BY query_id)
+SELECT t.query_id, t.terms,
+       CAST(coalesce(p.n_matching_docs, 0) AS BIGINT) AS n_matching_docs
+FROM terms t LEFT JOIN per_query p USING (query_id)"""
