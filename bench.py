@@ -115,6 +115,7 @@ HEADLINE = (
     "q_tfidf_indexed",
     "q_more_like_this_indexed",
     "q_percolate",
+    "q_unigram_logprob_indexed",
 )
 
 

@@ -443,3 +443,65 @@ QUERIES["q_tfidf_indexed"] = q_tfidf_indexed
 QUERIES["q_more_like_this_indexed"] = q_more_like_this_indexed
 ORACLES["q_tfidf_indexed"] = _TEXT_ORACLES["q_tfidf"]
 ORACLES["q_more_like_this_indexed"] = _SEARCH_ORACLES["q_more_like_this"]
+
+
+def q_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM quality signal served FROM the materialized index:
+    the LM (per-token corpus frequency + totals) is the vocab sidecar
+    verbatim, and the per-document occurrence relation is the postings'
+    (doc_id, token, tf) — the scoring becomes a tf-weighted mean with no
+    explode and no corpus aggregation. Hash-equal to
+    ``q_unigram_logprob`` by the shared oracle."""
+    idx = ensure_index(spark, sf_dir)
+    vocab = read_vocab(spark, idx)
+    totals = vocab.agg(F.sum("freq").alias("total"),
+                       F.count(F.lit(1)).alias("vocab"))
+    logp = F.log((F.col("freq") + 1.0)
+                 / (F.col("total") + F.col("vocab")).cast("double"))
+    return (
+        read_postings(spark, idx).select("doc_id", "token", "tf")
+        .join(F.broadcast(vocab.select("token", "freq")), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"),
+             (F.sum(F.col("tf") * logp) / F.sum("tf")).alias("alp"))
+        .select("doc_id", "n_tokens",
+                roundn_col(F.col("alp")).alias("avg_logprob"))
+    )
+
+
+QUERIES["q_unigram_logprob_indexed"] = q_unigram_logprob_indexed
+ORACLES["q_unigram_logprob_indexed"] = _TEXT_ORACLES["q_unigram_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# Aliases — ES's zero-downtime reindex primitive: readers resolve a NAME to
+# whatever index the alias currently points at; a reindex builds a brand-new
+# index directory and repoints the alias atomically, so readers never see a
+# partial index and the old generation stays intact for rollback.
+
+
+def write_alias(alias_path: str, index_path: str) -> None:
+    """Atomically point ``alias_path`` at ``index_path`` (tmp + rename —
+    same publish discipline as the index itself)."""
+    tmp = f"{alias_path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"index": index_path}, f)
+    os.replace(tmp, alias_path)
+
+
+def resolve_alias(alias_path: str) -> str:
+    with open(alias_path) as f:
+        return json.load(f)["index"]
+
+
+def reindex(spark: SparkSession, docs: DataFrame, alias_path: str,
+            new_index_path: str) -> str:
+    """ES ``_reindex`` + alias swap: build a NEW index generation from the
+    (possibly transformed/filtered) document relation, then atomically
+    repoint the alias. Readers resolving the alias mid-build keep the old
+    generation; after the swap they get the new one. Returns the new
+    path."""
+    build_index(spark, docs.select("doc_id", "text"), new_index_path)
+    write_alias(alias_path, new_index_path)
+    return new_index_path

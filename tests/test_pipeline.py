@@ -455,3 +455,35 @@ def test_vector_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
 
     assert snap_cells(merged_dir) == snap_cells(rebuilt_dir)
     assert snap_centroids(merged_dir) == snap_centroids(rebuilt_dir)
+
+
+def test_reindex_alias_swap_is_zero_downtime(spark, sf_dir, tmp_path):
+    """ES blue-green reindex: readers resolve the alias to the old index
+    generation until the atomic swap, the new generation serves the
+    transformed corpus afterwards, and the old directory stays intact for
+    rollback."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gen1 = str(tmp_path / "idx_gen1")
+    gen2 = str(tmp_path / "idx_gen2")
+    alias = str(tmp_path / "docs_alias.json")
+
+    ix.build_index(spark, docs, gen1)
+    ix.write_alias(alias, gen1)
+    assert ix.resolve_alias(alias) == gen1
+    n1 = ix.read_doclen(spark, ix.resolve_alias(alias)).count()
+    assert n1 == docs.count()
+
+    # reindex with a filter transform (drop even doc_ids) + swap
+    ix.reindex(spark, docs.filter(F.col("doc_id") % 2 == 1), alias, gen2)
+    assert ix.resolve_alias(alias) == gen2
+    n2 = ix.read_doclen(spark, ix.resolve_alias(alias)).count()
+    assert n2 == docs.filter(F.col("doc_id") % 2 == 1).count()
+    # old generation intact for rollback
+    assert ix.read_doclen(spark, gen1).count() == n1
+    ix.write_alias(alias, gen1)
+    assert ix.resolve_alias(alias) == gen1
