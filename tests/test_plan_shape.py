@@ -225,6 +225,7 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_part_value_concentration",  # 1-row total-value aggregate
     "q_idle_rich_customers",  # 1-row avg-balance aggregate
     "q_unigram_logprob",      # 1-row corpus-token-total
+    "q_unigram_logprob_indexed",  # same 1-row totals, from the vocab sidecar
     "q_tfidf",                # 1-row corpus doc-count (replaces driver count())
     "q_bigram_logprob",       # 1-row vocab-size aggregate (same as unigram)
     "q_domain_mix",           # k-domain aggregate + 1-row totals
