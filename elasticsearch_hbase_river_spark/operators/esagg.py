@@ -124,7 +124,11 @@ def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory), the same trade ES itself makes (its cardinality agg IS a
     HyperLogLog)."""
     ev = load_events(spark, sf_dir)
-    day = (F.col("ts_ms") / F.lit(DAY_MS)).cast("long")
+    # Integer floor division (`div`), matching the oracle's `//` for the
+    # non-negative epoch range and the day-bucket idiom used everywhere
+    # else (q_pipeline_aggs, analytics.py) — double-divide + cast('long')
+    # truncates toward zero and diverges on negative timestamps.
+    day = F.expr(f"ts_ms div {DAY_MS}")
     return (ev.select("event_type", "user_id", day.alias("day"))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -263,7 +267,7 @@ def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the bucket relation — the deep-pagination shape that never
     re-ranks or OFFSET-skips at scale."""
     ev = load_events(spark, sf_dir)
-    day = (F.col("ts_ms") / F.lit(COMPOSITE_DAY_MS)).cast("long")
+    day = F.expr(f"ts_ms div {COMPOSITE_DAY_MS}")  # floor div, oracle `//`
     buckets = (ev.groupBy(F.col("event_type"), day.alias("day"))
                .agg(F.count(F.lit(1)).alias("n_events"),
                     roundn_col(F.sum(F.col("value").cast("decimal(18,2)"))

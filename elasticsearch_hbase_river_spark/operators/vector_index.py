@@ -96,6 +96,13 @@ def _publish(spark: SparkSession, assigned: DataFrame, path: str) -> None:
     One repartition on the cell key so each writer task owns whole cells;
     ``enorm`` is precomputed at build time so queries never re-fold the
     array for the norm."""
+    # A destination that exists BEFORE the build starts is a caller error
+    # (e.g. upsert_vectors into an occupied out_path): proceeding would end
+    # in a failed rename that silently leaves the STALE index in place while
+    # the caller believes the merge landed. Only a destination that appears
+    # DURING the build is a genuine lost race to identical content
+    # (fingerprint-keyed paths), which is safe to concede below.
+    preexisting = os.path.exists(os.path.join(path, META))
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     (assigned
      .select("cell", "vec_id", "embedding",
@@ -113,6 +120,13 @@ def _publish(spark: SparkSession, assigned: DataFrame, path: str) -> None:
         os.rename(tmp, path)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        # Swallowing the failure is only correct for a genuine lost race
+        # (a concurrent builder published the SAME fingerprint-keyed index
+        # while we were building). Pre-existing destination or any other
+        # rename failure: re-raise — stale data standing in for the merge
+        # the caller asked for is silent data loss.
+        if preexisting or not os.path.exists(os.path.join(path, META)):
+            raise
 
 
 def build_vector_index(spark: SparkSession, emb: DataFrame, path: str) -> None:

@@ -18,7 +18,9 @@ upsert is a per-id window rank, and the sink write batches per partition
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -236,6 +238,45 @@ def dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
                   .drop("content_hash"))
 
 
+#: Band-table format version. v2 = BIGINT minhash signatures + BIGINT
+#: band_hash (integer Karp-Rabin gram hashing); v1 (pre-round-4) stored md5
+#: hex STRINGS. The two are join-incompatible (a string-vs-bigint band_hash
+#: equi-join silently matches nothing => historical near-dups stop being
+#: detected) and scan-incompatible (mixed-schema parquet directory), so the
+#: sink carries an explicit marker and appends REFUSE a mismatched history.
+BANDS_FORMAT_VERSION = 2
+_BANDS_META = "_bands_meta.json"
+
+
+def _check_bands_format(bands_path: str) -> None:
+    """Refuse to mix band-table formats: a pre-existing sink must carry a
+    marker with the current version, else the caller has to rebuild (or
+    discard) the history explicitly. Old ``streaming_near_dedup``
+    checkpoints have the same incompatibility (STRING grouping key) and
+    must be discarded alongside."""
+    meta = os.path.join(bands_path, _BANDS_META)
+    found: object = None
+    if os.path.exists(meta):
+        with open(meta) as f:
+            found = json.load(f).get("format_version")
+    if found != BANDS_FORMAT_VERSION:
+        raise ValueError(
+            f"persistent band table at {bands_path} has format_version="
+            f"{found!r}, engine expects {BANDS_FORMAT_VERSION} — appending "
+            "would create a mixed-schema directory with silent join misses. "
+            "Rebuild the band history (re-run doc_bands over the sink "
+            "corpus) or point bands_path at a fresh directory; discard any "
+            "streaming_near_dedup checkpoints from the old format too.")
+
+
+def _stamp_bands_format(bands_path: str) -> None:
+    meta = os.path.join(bands_path, _BANDS_META)
+    tmp = f"{meta}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"format_version": BANDS_FORMAT_VERSION}, f)
+    os.replace(tmp, meta)
+
+
 def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
                             bands_path: str,
                             min_shared: int | None = None) -> DataFrame:
@@ -265,6 +306,7 @@ def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
     threshold = NEAR_DUP_MIN_SHARED if min_shared is None else min_shared
     nb = doc_bands(new_docs.select("doc_id", "text")).persist()
     if os.path.exists(bands_path):
+        _check_bands_format(bands_path)
         dec = near_dup_decisions(nb, spark.read.parquet(bands_path))
         dups = (dec.filter(F.col("n_shared_max") >= threshold)
                 .select("doc_id"))
@@ -273,6 +315,7 @@ def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
         accepted = new_docs
     (nb.join(accepted.select("doc_id"), "doc_id")
        .write.mode("append").parquet(bands_path))
+    _stamp_bands_format(bands_path)
     nb.unpersist()
     return accepted
 

@@ -487,3 +487,61 @@ def test_reindex_alias_swap_is_zero_downtime(spark, sf_dir, tmp_path):
     assert ix.read_doclen(spark, gen1).count() == n1
     ix.write_alias(alias, gen1)
     assert ix.resolve_alias(alias) == gen1
+
+
+def test_band_sink_refuses_incompatible_format(spark, sf_dir, tmp_path):
+    """The persistent band table is stamped with a format-version sidecar;
+    a history written by an older engine version (md5 hex STRING bands)
+    must be refused — appending BIGINT bands would create a mixed-schema
+    directory whose string-vs-bigint join silently misses every
+    historical near-dup."""
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        _BANDS_META, BANDS_FORMAT_VERSION, near_dedup_against_sink,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 20))
+
+    # fresh sink: accepted, and stamped with the current format version
+    bands = str(tmp_path / "bands_ok")
+    near_dedup_against_sink(spark, docs, bands)
+    with open(f"{bands}/{_BANDS_META}") as f:
+        assert json.load(f)["format_version"] == BANDS_FORMAT_VERSION
+    # compatible history: appends fine
+    near_dedup_against_sink(
+        spark, docs.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                           "text"), bands)
+
+    # v1 history (string bands, pre-round-4): refused with guidance
+    legacy = str(tmp_path / "bands_legacy")
+    spark.createDataFrame(
+        [(1, ["aa"], 0, "deadbeef")],
+        "doc_id long, mh array<string>, band_idx int, band_hash string",
+    ).write.parquet(legacy)
+    with pytest.raises(ValueError, match="format_version"):
+        near_dedup_against_sink(spark, docs, legacy)
+
+    # unstamped directory of unknown provenance: also refused
+    unstamped = str(tmp_path / "bands_unstamped")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(unstamped)
+    with pytest.raises(ValueError, match="format_version"):
+        near_dedup_against_sink(spark, docs, unstamped)
+
+
+def test_vector_upsert_into_occupied_out_path_raises(spark, sf_dir, tmp_path):
+    """Publishing a merged vector index into an out_path that ALREADY
+    holds an index must fail loudly — the old behavior silently kept the
+    stale directory while the caller believed the merge landed."""
+    from elasticsearch_hbase_river_spark.operators import vector_index as vx
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_dir = str(tmp_path / "vidx_base")
+    vx.build_vector_index(spark, emb, base_dir)
+
+    delta = emb.filter(F.col("vec_id") == 5).select(
+        F.lit(3).cast("long").alias("vec_id"), "embedding", "label")
+    occupied = str(tmp_path / "vidx_occupied")
+    vx.build_vector_index(spark, emb, occupied)
+    with pytest.raises(OSError):
+        vx.upsert_vectors(spark, base_dir, delta, occupied)
