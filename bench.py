@@ -147,10 +147,21 @@ def main() -> None:
     # maintained continuously by the streaming river (the reference's whole
     # job); its build cost is an offline/maintenance cost, reported as its
     # own line item rather than charged to the term queries that read it.
+    # The builds run COLD by default (fresh per-run index roots) so the
+    # line item is a real measurement, not 0.0 from a fingerprint-keyed
+    # directory left by an earlier process; export RIVER_INDEX_REUSE=1 to
+    # keep the warm-serving behavior instead.
     from elasticsearch_hbase_river_spark.operators.indexed_search import ensure_index
     from elasticsearch_hbase_river_spark.operators.vector_index import (
         ensure_vector_index,
     )
+
+    if not os.environ.get("RIVER_INDEX_REUSE"):
+        import tempfile
+
+        cold = tempfile.mkdtemp(prefix="river_bench_idx_")
+        os.environ.setdefault("RIVER_INDEX_ROOT", os.path.join(cold, "s"))
+        os.environ.setdefault("RIVER_VINDEX_ROOT", os.path.join(cold, "v"))
 
     t0 = time.time()
     ensure_index(spark, SF_DIR)

@@ -7,33 +7,49 @@ ships the index documents; the river never re-derives the index per query).
 the corpus on every call; this module materializes the index ONCE and makes
 term queries read it — the ES-native separation of index build from query.
 
-Layout (a directory, portable parquet — no session catalog needed, so the
-index survives across SparkSessions and processes, unlike an in-memory-
-catalog bucketed table):
+Layout v2 (a directory, portable parquet — no session catalog needed, so
+the index survives across SparkSessions and processes):
 
-- ``postings/tbucket=<0..31>/`` — (token, doc_id, tf, first_pos, positions),
-  hash-partitioned on ``pmod(xxhash64(token), 32)``. A term query computes
-  its terms' buckets (one local job over the literal terms) and reads ONLY
-  those directories — storage-level partition pruning is the postings-list
-  seek of a real inverted index. At 100 TB: more buckets (4096) and many
-  files per bucket; the pruning ratio is what matters.
-- ``vocab/`` — (token, df, freq): document frequency + total term
-  frequency. The vocabulary is orders of magnitude smaller than the corpus;
-  fuzzy expansion and completion suggestions run on it alone.
-- ``doclen/`` — (doc_id, dl): per-document token counts for BM25's length
-  normalization.
-- ``stats/`` — ONE row (n_docs, avgdl), computed at build time so every
-  query reuses the exact same doubles (bit-for-bit reproducible scores).
-- ``_index_meta.json`` — source fingerprint; published atomically.
+- ``postings/tbucket=<0..31>/`` — (token, doc_id, tf, first_pos, positions,
+  **dl**), hash-partitioned on ``pmod(xxhash64(token), 32)``. A term query
+  computes its terms' buckets DRIVER-SIDE (pure-Python xxh64 twin,
+  `functions/xxh64.py` — zero Spark jobs at plan time) and reads ONLY those
+  directories — storage-level partition pruning is the postings-list seek
+  of a real inverted index. ``dl`` (the doc's token count) is denormalized
+  onto every posting row — Lucene's norms-next-to-postings trick — so
+  BM25's length normalization costs no corpus-sized join at query time.
+  At 100 TB: more buckets (4096), many files per bucket; the pruning ratio
+  is what matters.
+- ``tvectors/dbucket=<0..31>/`` — (doc_id, token, tf): the FORWARD index
+  (Lucene term vectors), hash-partitioned on the document. Index
+  maintenance reads a re-indexed document's OLD term contributions from
+  its pruned dbucket instead of re-aggregating the whole postings table.
+- ``vocab/tbucket=<0..31>/`` — (token, df, freq): document frequency +
+  total term frequency, partitioned like the postings so a term's df
+  lookup prunes to one bucket. Fuzzy expansion / suggestions scan the
+  (vocab-sized) table.
+- ``doclen/dbucket=<0..31>/`` — (doc_id, dl): per-document token counts,
+  document-partitioned (maintenance prunes; never a single-file write).
+- ``stats/`` — ONE row (n_docs, sum_dl, avgdl), read driver-side (cached
+  per index path) and injected into query plans as literals — the way a
+  search node holds its segment metadata in memory. ``sum_dl`` makes the
+  maintenance update pure integer arithmetic.
+- ``_index_meta.json`` — layout version + bucket count; published
+  atomically (tmp + rename), losers of a same-path build race discard.
 
 Freshness: the index directory name embeds a fingerprint (size + mtime) of
-the source ``documents.parquet``, so a regenerated fixture can never serve
-a stale index — a new fingerprint is simply a new build. Maintenance
-without full rebuild is ``apply_epoch_deltas``: the streaming maintainer
-(`streaming/river_stream.py:start_index_stream`) lands per-micro-batch
-postings epochs; the delta merge keeps only each doc's newest epoch
-(latest-version-wins, ES upsert semantics) and refreshes the derived
-tables. Reference parity: HBaseParser.java:135-162 (index build),
+the source ``documents.parquet`` plus the layout version, so a regenerated
+fixture or an upgraded engine can never serve a stale/incompatible index.
+Maintenance without full rebuild is ``apply_epoch_deltas``: the streaming
+maintainer (`streaming/river_stream.py:start_index_stream`) lands
+per-micro-batch postings epochs; the merge keeps only each doc's newest
+epoch (latest-version-wins, ES upsert semantics) and refreshes the derived
+tables DELTA-PROPORTIONALLY — old contributions come from the pruned
+forward index, new ones from the epochs, and the vocab/doclen/stats
+updates are add/subtract joins against the base sidecars; the full
+postings relation is never re-aggregated (pinned by
+``tests/test_streaming.py::test_delta_sidecar_refresh_never_reads_postings``).
+Reference parity: HBaseParser.java:135-162 (index build),
 HBaseRiver.java:1-35 (index maintenance as the product).
 """
 
@@ -49,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col
+from elasticsearch_hbase_river_spark.functions.xxh64 import pmod_bucket
 from elasticsearch_hbase_river_spark.operators.retrieval import (
     FUZZY_MAX_DIST,
     FUZZY_TERM,
@@ -73,9 +90,15 @@ from elasticsearch_hbase_river_spark.sources.tables import load_table
 
 N_BUCKETS = 32
 META = "_index_meta.json"
+LAYOUT_VERSION = 2
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
+
+#: Driver-side cache of the 1-row stats sidecar, keyed by index path.
+#: Index directories are immutable once published (fingerprint- or
+#: generation-keyed), so entries never go stale.
+_STATS_CACHE: dict[str, dict[str, float]] = {}
 
 
 def _fingerprint(sf_dir: str) -> str:
@@ -86,22 +109,25 @@ def _fingerprint(sf_dir: str) -> str:
 def index_path_for(sf_dir: str) -> str:
     root = os.environ.get("RIVER_INDEX_ROOT", _DEFAULT_ROOT)
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(root, f"{name}-{_fingerprint(sf_dir)}")
+    return os.path.join(
+        root, f"{name}-{_fingerprint(sf_dir)}-L{LAYOUT_VERSION}")
 
 
 def _tbucket(col) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
-def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
-    """Materialize the serving layout from a (doc_id, text) corpus.
+def _dbucket(col) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
-    Fully distributed: postings are one explode + one partial-aggregated
-    shuffle (the same build `q_inverted_index` runs), then ONE repartition
-    on the bucket key so each writer task owns whole buckets. Derived
-    tables (vocab / doclen / stats) are partial-aggregated shuffles or
-    1-row aggregates — nothing corpus-sized touches the driver."""
-    _materialize_from_postings(spark, inverted_postings(docs), path)
+
+def _terms_buckets(terms: tuple[str, ...]) -> list[int]:
+    """Bucket ids for literal query terms — computed DRIVER-SIDE with the
+    pure-Python xxh64 twin (parity pinned by tests/test_bucketing.py).
+    Query planning costs microseconds and zero Spark jobs; the resulting
+    LITERAL partition filters make the scan prune to the matching bucket
+    directories."""
+    return sorted({pmod_bucket(t, N_BUCKETS) for t in terms})
 
 
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -116,33 +142,144 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _terms_buckets(spark: SparkSession, terms: tuple[str, ...]) -> list[int]:
-    """Buckets for literal query terms — one local job over |terms| rows
-    (query planning, not data processing), yielding LITERAL partition
-    filters so the scan prunes to the matching bucket directories."""
-    df = spark.createDataFrame([(t,) for t in terms], "token string")
-    return sorted({r[0] for r in df.select(_tbucket(F.col("token"))).collect()})
+# ---------------------------------------------------------------------------
+# Read API.
 
 
 def read_postings(spark: SparkSession, path: str,
                   terms: tuple[str, ...] | None = None) -> DataFrame:
     p = spark.read.parquet(os.path.join(path, "postings"))
     if terms:
-        p = p.filter(F.col("tbucket").isin(_terms_buckets(spark, terms))
+        p = p.filter(F.col("tbucket").isin(_terms_buckets(terms))
                      & F.col("token").isin(*terms))
-    return p.select("token", "doc_id", "tf", "first_pos", "positions")
+    return p.select("token", "doc_id", "tf", "first_pos", "positions", "dl")
 
 
-def read_vocab(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "vocab"))
+def read_tvectors(spark: SparkSession, path: str,
+                  dbuckets: list[int] | None = None) -> DataFrame:
+    tv = spark.read.parquet(os.path.join(path, "tvectors"))
+    if dbuckets is not None:
+        tv = tv.filter(F.col("dbucket").isin(dbuckets))
+    return tv.select("doc_id", "token", "tf")
 
 
-def read_doclen(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "doclen"))
+def read_vocab(spark: SparkSession, path: str,
+               terms: tuple[str, ...] | None = None) -> DataFrame:
+    v = spark.read.parquet(os.path.join(path, "vocab"))
+    if terms:
+        v = v.filter(F.col("tbucket").isin(_terms_buckets(terms))
+                     & F.col("token").isin(*terms))
+    return v.select("token", "df", "freq")
+
+
+def read_doclen(spark: SparkSession, path: str,
+                dbuckets: list[int] | None = None) -> DataFrame:
+    d = spark.read.parquet(os.path.join(path, "doclen"))
+    if dbuckets is not None:
+        d = d.filter(F.col("dbucket").isin(dbuckets))
+    return d.select("doc_id", "dl")
 
 
 def read_stats(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "stats"))
+    return (spark.read.parquet(os.path.join(path, "stats"))
+            .select("n_docs", "sum_dl", "avgdl"))
+
+
+def index_stats(path: str) -> dict[str, float]:
+    """The 1-row stats sidecar, read DRIVER-SIDE (DuckDB, no Spark job)
+    and cached per immutable index path — a search node's in-memory
+    segment metadata. Queries inject these as plan literals."""
+    cached = _STATS_CACHE.get(path)
+    if cached is None:
+        import duckdb
+
+        n_docs, sum_dl, avgdl = duckdb.sql(
+            f"SELECT n_docs, sum_dl, avgdl FROM "
+            f"read_parquet('{os.path.join(path, 'stats')}/*.parquet')"
+        ).fetchone()
+        cached = {"n_docs": int(n_docs), "sum_dl": int(sum_dl),
+                  "avgdl": float(avgdl)}
+        _STATS_CACHE[path] = cached
+    return cached
+
+
+# ---------------------------------------------------------------------------
+# Build / publish.
+
+
+def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
+    """Materialize the serving layout from a (doc_id, text) corpus.
+
+    Fully distributed: postings are one explode + one partial-aggregated
+    shuffle (with ``dl`` riding along map-side), then ONE repartition per
+    physical ordering (token-bucketed postings/vocab, doc-bucketed
+    tvectors/doclen) so each writer task owns whole buckets. Derived
+    tables are partial-aggregated shuffles or 1-row aggregates — nothing
+    corpus-sized touches the driver."""
+    preexisting = os.path.exists(os.path.join(path, META))
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    landed = _write_postings_tables(spark, inverted_postings(docs), tmp)
+    _write_vocab(
+        landed.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("freq")), tmp)
+    doclen = landed.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    _write_doclen(doclen, tmp)
+    stats = (doclen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                        F.sum("dl").cast("long").alias("sum_dl"))
+             .select("n_docs", "sum_dl",
+                     (F.col("sum_dl").cast("double")
+                      / F.col("n_docs")).alias("avgdl")))
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "stats"))
+    _publish(tmp, path, preexisting)
+
+
+def _write_postings_tables(spark: SparkSession, post: DataFrame,
+                           tmp: str) -> DataFrame:
+    """Land the postings (token-bucketed) and the forward index
+    (doc-bucketed) — the two corpus-sized serving tables — and return the
+    landed postings for derived-table aggregation."""
+    (post.withColumn("tbucket", _tbucket(F.col("token")))
+         .repartition(N_BUCKETS, "tbucket")
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(tmp, "postings")))
+    landed = spark.read.parquet(os.path.join(tmp, "postings"))
+    (landed.select(_dbucket(F.col("doc_id")).alias("dbucket"),
+                   "doc_id", "token", "tf")
+           .repartition(N_BUCKETS, "dbucket")
+           .write.mode("overwrite").partitionBy("dbucket")
+           .parquet(os.path.join(tmp, "tvectors")))
+    return landed
+
+
+def _write_vocab(vocab: DataFrame, tmp: str) -> None:
+    (vocab.withColumn("tbucket", _tbucket(F.col("token")))
+          .repartition(N_BUCKETS, "tbucket")
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(os.path.join(tmp, "vocab")))
+
+
+def _write_doclen(doclen: DataFrame, tmp: str) -> None:
+    (doclen.withColumn("dbucket", _dbucket(F.col("doc_id")))
+           .repartition(N_BUCKETS, "dbucket")
+           .write.mode("overwrite").partitionBy("dbucket")
+           .parquet(os.path.join(tmp, "doclen")))
+
+
+def _publish(tmp: str, path: str, preexisting: bool) -> None:
+    """Atomic publish, same discipline as the vector index: concurrent
+    builders of the SAME immutable path race safely (first rename wins,
+    losers discard); any other rename failure re-raises — stale data
+    standing in for a requested build is silent data loss."""
+    with open(os.path.join(tmp, META), "w") as f:
+        json.dump({"layout": LAYOUT_VERSION, "n_buckets": N_BUCKETS}, f)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if preexisting or not os.path.exists(os.path.join(path, META)):
+            raise
 
 
 # ---------------------------------------------------------------------------
@@ -151,33 +288,39 @@ def read_stats(spark: SparkSession, path: str) -> DataFrame:
 # path is hash-equal to the per-query rebuild.
 
 
-def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 served FROM the materialized index: term postings come
-    from the pruned bucket directories, df from the vocab table, dl from
-    doclen, and N/avgdl from the 1-row stats table — zero corpus scans,
-    zero postings rebuilds (pinned by ``test_plan_shape.py``: no Generate
-    node in this plan)."""
-    idx = ensure_index(spark, sf_dir)
-    tf = (read_postings(spark, idx, BM25_TERMS)
-          .select("doc_id", "token", "tf"))
-    df_ = (read_vocab(spark, idx)
-           .filter(F.col("token").isin(*BM25_TERMS)).select("token", "df"))
-    scored = (
-        tf.join(F.broadcast(df_), "token")
-        .join(read_doclen(spark, idx), "doc_id")
-        .crossJoin(F.broadcast(read_stats(spark, idx)))
-    )
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+def bm25_from_index(spark: SparkSession, idx: str,
+                    terms: tuple[str, ...] = BM25_TERMS,
+                    top: int = BM25_TOP) -> DataFrame:
+    """BM25 top-k served FROM a materialized index path: term postings come
+    from the pruned bucket directories with ``dl`` already on the rows, df
+    from the pruned vocab bucket, and N/avgdl are plan literals from the
+    driver-cached stats sidecar — zero corpus scans, zero corpus-sized
+    joins, zero planning-time Spark jobs."""
+    st = index_stats(idx)
+    tf = (read_postings(spark, idx, terms)
+          .select("doc_id", "token", "tf", "dl"))
+    df_ = read_vocab(spark, idx, terms).select("token", "df")
+    scored = tf.join(F.broadcast(df_), "token")
+    idf = F.log(F.lit(1.0) + (F.lit(st["n_docs"]) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
     tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        F.col("tf") + BM25_K1 * (1 - BM25_B
+                                 + BM25_B * F.col("dl") / F.lit(st["avgdl"])))
     per_doc = (
         scored.select("doc_id", (idf * tf_norm).alias("contrib"))
         .groupBy("doc_id")
         .agg(roundn_col(F.sum("contrib")).alias("score"))
     )
-    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(BM25_TOP)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 served FROM the materialized index (see
+    :func:`bm25_from_index`; pinned by ``test_plan_shape.py``: no Generate
+    node in this plan)."""
+    return bm25_from_index(spark, ensure_index(spark, sf_dir))
 
 
 def q_phrase_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +381,46 @@ def q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Streaming maintenance: merge start_index_stream's epoch deltas into a new
-# serving snapshot (latest-version-wins), without rebuilding unchanged docs.
+# serving snapshot (latest-version-wins) with DELTA-PROPORTIONAL refresh of
+# the derived tables.
+
+
+def _delta_sidecar_plans(spark: SparkSession, base_path: str,
+                         fresh: DataFrame, changed: DataFrame,
+                         dbuckets: list[int]) -> dict[str, DataFrame]:
+    """The vocab/doclen refresh plans for an epoch merge. Reads ONLY base
+    sidecars (vocab, doclen, the pruned forward index) + the delta — never
+    the full postings table (pinned by test_streaming.py). The update is
+    exact integer add/subtract of per-token (df, freq) and per-doc dl
+    contributions, so merge == rebuild bit-for-bit."""
+    old_contrib = (
+        read_tvectors(spark, base_path, dbuckets)
+        .join(F.broadcast(changed), "doc_id", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_old"),
+             F.sum("tf").cast("long").alias("freq_old")))
+    new_contrib = (
+        fresh.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_new"),
+             F.sum("tf").cast("long").alias("freq_new")))
+    z = F.lit(0).cast("long")
+    vocab_new = (
+        read_vocab(spark, base_path)
+        .join(old_contrib, "token", "full_outer")
+        .join(new_contrib, "token", "full_outer")
+        .select(
+            "token",
+            (F.coalesce("df", z) - F.coalesce("df_old", z)
+             + F.coalesce("df_new", z)).alias("df"),
+            (F.coalesce("freq", z) - F.coalesce("freq_old", z)
+             + F.coalesce("freq_new", z)).alias("freq"))
+        .filter(F.col("df") > 0))
+    fresh_dl = fresh.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    doclen_new = (
+        read_doclen(spark, base_path)
+        .join(F.broadcast(changed), "doc_id", "left_anti")
+        .unionByName(fresh_dl))
+    return {"vocab": vocab_new, "doclen": doclen_new, "fresh_dl": fresh_dl}
 
 
 def apply_epoch_deltas(spark: SparkSession, base_path: str,
@@ -246,58 +428,56 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     """Produce the NEXT index snapshot at ``out_path``: docs re-indexed in
     any epoch keep only their newest epoch's postings (the same
     latest-version-wins of ``read_inverted_index``); all other docs carry
-    over from ``base_path`` untouched. Derived tables are refreshed from
-    the merged postings. Snapshot-and-swap keeps readers consistent: they
-    hold the old directory until the caller republishes the path.
+    over from ``base_path`` untouched. Snapshot-and-swap keeps readers
+    consistent: they hold the old directory until the caller republishes
+    the path (see ``write_alias``).
 
     Scale shape: the carry-over is ONE anti-join of base postings against
     the (small) changed-doc set — proportional to the delta, not the
-    corpus; the changed-doc relation broadcasts."""
+    corpus; the changed-doc relation broadcasts. The derived tables are
+    NOT re-aggregated from the merged postings: old contributions come
+    from the dbucket-pruned forward index, new ones from the epochs, and
+    vocab/doclen/stats update by exact add/subtract against the base
+    sidecars (stats is pure integer arithmetic on the cached 1-row
+    sidecar)."""
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
         read_inverted_index,
     )
 
-    fresh = read_inverted_index(spark, epochs_dir)
+    # Delta-sized; read many times (changed set, merge, contributions) —
+    # materialize once.
+    fresh = read_inverted_index(spark, epochs_dir).localCheckpoint(eager=True)
     changed = fresh.select("doc_id").distinct()
-    base = read_postings(spark, base_path, None)
-    merged = (base.join(F.broadcast(changed), "doc_id", "left_anti")
+    dbuckets = sorted({
+        r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
+
+    preexisting = os.path.exists(os.path.join(out_path, META))
+    tmp = f"{out_path}.tmp-{uuid.uuid4().hex}"
+    merged = (read_postings(spark, base_path)
+              .join(F.broadcast(changed), "doc_id", "left_anti")
               .unionByName(fresh.select("token", "doc_id", "tf",
-                                        "first_pos", "positions")))
-    _materialize_from_postings(spark, merged, out_path)
+                                        "first_pos", "positions", "dl")))
+    _write_postings_tables(spark, merged, tmp)
 
+    plans = _delta_sidecar_plans(spark, base_path, fresh, changed, dbuckets)
+    _write_vocab(plans["vocab"], tmp)
+    _write_doclen(plans["doclen"], tmp)
 
-def _materialize_from_postings(spark: SparkSession, post: DataFrame,
-                               path: str) -> None:
-    """Land a postings relation in the serving layout (the shared tail of
-    ``build_index`` and ``apply_epoch_deltas``). Derived tables are
-    recomputed FROM the landed postings (one pass over the new files); the
-    publish is tmp-dir + atomic rename, so concurrent builders race safely
-    (first rename wins, losers discard) and readers never see a partial
-    index. Note ``dl`` (doc length) equals the sum of the doc's term
-    frequencies, because tokens are exhaustive whitespace splits."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    (post.withColumn("tbucket", _tbucket(F.col("token")))
-         .repartition(N_BUCKETS, "tbucket")
-         .write.mode("overwrite").partitionBy("tbucket")
-         .parquet(os.path.join(tmp, "postings")))
-    landed = spark.read.parquet(os.path.join(tmp, "postings"))
-    (landed.groupBy("token")
-           .agg(F.count(F.lit(1)).cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("freq"))
-           .coalesce(1).write.mode("overwrite")
-           .parquet(os.path.join(tmp, "vocab")))
-    doclen = landed.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    doclen.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
-    (doclen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.avg("dl").alias("avgdl"))
-           .coalesce(1).write.mode("overwrite")
-           .parquet(os.path.join(tmp, "stats")))
-    with open(os.path.join(tmp, META), "w") as f:
-        json.dump({"n_buckets": N_BUCKETS}, f)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    st = index_stats(base_path)
+    removed = (read_doclen(spark, base_path, dbuckets)
+               .join(F.broadcast(changed), "doc_id", "left_semi")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first())
+    added = plans["fresh_dl"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first()
+    n_docs = st["n_docs"] - removed["n"] + added["n"]
+    sum_dl = st["sum_dl"] - removed["dl"] + added["dl"]
+    (spark.createDataFrame([(n_docs, sum_dl, sum_dl / n_docs)],
+                           "n_docs long, sum_dl long, avgdl double")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(tmp, "stats")))
+    _publish(tmp, out_path, preexisting)
 
 
 QUERIES = {
@@ -322,13 +502,15 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_stats`` / ``_cat/indices`` over the materialized index: doc
     count, vocabulary size, postings count, total token count and average
     document length — every figure read from the index's own sidecar
-    tables (vocab / doclen / stats), NEVER the corpus. The oracle derives
-    the same numbers from the documents table, so the gate proves the
-    sidecars stay consistent with the corpus they were built from.
+    tables (vocab / stats), NEVER the corpus. The oracle derives the same
+    numbers from the documents table, so the gate proves the sidecars stay
+    consistent with the corpus they were built from.
 
-    Scale shape: three sidecar aggregates (vocab- and corpus-doc-sized
-    relations, partial-aggregated) combined by broadcasting three 1-row
-    relations — no corpus scan, no shuffle of anything big."""
+    Scale shape: one vocab-sized partial-aggregated sidecar aggregate
+    combined with the broadcast 1-row stats relation — no corpus scan, no
+    shuffle of anything big. (Deliberately kept IN-plan rather than using
+    the driver-side stats cache: this is the audit query that CHECKS the
+    sidecars.)"""
     idx = ensure_index(spark, sf_dir)
     vstats = read_vocab(spark, idx).agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
@@ -362,28 +544,30 @@ SELECT n_docs, n_terms, n_postings, total_tokens, avgdl FROM d, v"""
 
 
 def _index_tfidf_rel(spark: SparkSession, idx: str) -> DataFrame:
-    """(doc_id, token, tf, df, n_docs): the tf-idf scoring relation read
-    entirely from index tables — the explode + two corpus aggregations the
-    rebuild path pays are already materialized as postings/vocab/stats."""
+    """(doc_id, token, tf, dl, df, n_docs): the tf-idf scoring relation
+    read entirely from index tables — the explode + two corpus
+    aggregations the rebuild path pays are already materialized as
+    postings (dl included) and vocab; N is a plan literal from the cached
+    stats sidecar."""
+    st = index_stats(idx)
     return (read_postings(spark, idx)
-            .select("doc_id", "token", "tf")
+            .select("doc_id", "token", "tf", "dl")
             .join(F.broadcast(read_vocab(spark, idx).select("token", "df")),
                   "token")
-            .crossJoin(F.broadcast(read_stats(spark, idx).select("n_docs"))))
+            .withColumn("n_docs", F.lit(st["n_docs"])))
 
 
 def q_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms served FROM the materialized index:
-    tf from the postings, df from the vocab sidecar, doc length from
-    doclen, N from the 1-row stats table — ZERO corpus scans, zero
-    explodes; the only shuffle is the per-doc rank window. Hash-equal to
-    `q_tfidf` by the shared oracle."""
+    tf AND doc length from the postings rows, df from the vocab sidecar,
+    N as a stats literal — ZERO corpus scans, zero explodes, zero
+    corpus-sized joins; the only shuffle is the per-doc rank window.
+    Hash-equal to `q_tfidf` by the shared oracle."""
     from elasticsearch_hbase_river_spark.operators.text import TFIDF_TOP
 
     idx = ensure_index(spark, sf_dir)
     scored = (
         _index_tfidf_rel(spark, idx)
-        .join(read_doclen(spark, idx), "doc_id")
         .withColumn("tfidf", roundn_col(
             (F.col("tf") / F.col("dl"))
             * F.log(F.col("n_docs").cast("double") / F.col("df")))))
@@ -395,9 +579,9 @@ def q_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """more_like_this served FROM the materialized index: the tf-idf
-    weight relation comes from postings ⨝ vocab ⨝ stats (no explode, no
-    per-query corpus aggregation); the query doc's vector broadcasts into
-    the shared-token candidate join exactly like the rebuild path.
+    weight relation comes from postings ⨝ vocab (no explode, no per-query
+    corpus aggregation); the query doc's vector broadcasts into the
+    shared-token candidate join exactly like the rebuild path.
     Hash-equal to `q_more_like_this` by the shared oracle."""
     from elasticsearch_hbase_river_spark.operators.search import (
         MLT_DOC_ID, MLT_TOP,

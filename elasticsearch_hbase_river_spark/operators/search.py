@@ -60,12 +60,21 @@ _POSTINGS_SQL = """
 
 
 def inverted_postings(docs: DataFrame) -> DataFrame:
-    """Per (token, doc_id) posting with term frequency and the sorted
-    position list — the index-build aggregate shared by the batch query
-    and the streaming index maintainer (streaming/river_stream.py)."""
+    """Per (token, doc_id) posting with term frequency, the sorted position
+    list AND the document's total token count ``dl`` — the index-build
+    aggregate shared by the batch query and the streaming index maintainer
+    (streaming/river_stream.py). ``dl`` is computed map-side (array size
+    before the explode) and rides the existing shuffle for free; storing it
+    ON the posting row is Lucene's norms-next-to-postings trick — BM25's
+    length normalization then never needs a corpus-sized doclen join at
+    query time (operators/indexed_search.py)."""
+    toks = F.split(F.col("text"), " ")
+    occ = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"),
+        F.posexplode(toks).alias("pos", "token"),
+    ).select("doc_id", "dl", "token", F.col("pos").cast("long").alias("pos"))
     return (
-        _postings(docs)
-        .groupBy("token", "doc_id")
+        occ.groupBy("token", "doc_id")
         .agg(
             F.count(F.lit(1)).alias("tf"),
             F.min("pos").alias("first_pos"),
@@ -73,6 +82,7 @@ def inverted_postings(docs: DataFrame) -> DataFrame:
                 F.transform(F.sort_array(F.collect_list("pos")),
                             lambda x: x.cast("string")),
                 ",").alias("positions"),
+            F.min("dl").alias("dl"),
         )
     )
 
@@ -80,8 +90,11 @@ def inverted_postings(docs: DataFrame) -> DataFrame:
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the inverted index: per (token, doc_id) posting with term
     frequency and the sorted position list (ES's in-memory postings made
-    relational).  One explode + one partial-aggregated shuffle."""
-    return inverted_postings(load_table(spark, sf_dir, "documents"))
+    relational).  One explode + one partial-aggregated shuffle. The serving
+    build also carries ``dl``; the query surface keeps the oracle's
+    5-column contract."""
+    return inverted_postings(load_table(spark, sf_dir, "documents")).select(
+        "token", "doc_id", "tf", "first_pos", "positions")
 
 
 def _corpus_stats(docs: DataFrame) -> DataFrame:

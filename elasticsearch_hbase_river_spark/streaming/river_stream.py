@@ -555,7 +555,7 @@ def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
     idx = spark.read.parquet(index_dir)
     latest = idx.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
     return (idx.join(latest, ["doc_id", "epoch"])
-            .select("token", "doc_id", "tf", "first_pos", "positions"))
+            .select("token", "doc_id", "tf", "first_pos", "positions", "dl"))
 
 
 VEC_SCHEMA = StructType([

@@ -54,3 +54,40 @@ def test_bucketed_aggregation_reuses_layout(spark, sf_dir):
         assert agg.count() == ev.select("user_id").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_agg")
+
+
+def test_python_xxh64_matches_spark(spark, sf_dir):
+    """The driver-side bucket planner (functions/xxh64.py) must agree with
+    Spark's xxhash64 BIT-FOR-BIT — it decides which postings/vocab bucket
+    directories a term query reads, so one divergent hash silently drops a
+    term's postings. Covers the whole fixture vocabulary plus adversarial
+    lengths 0..40 (every XXH64 tail path: 8-byte words, 4-byte chunk,
+    byte loop, and the >=32 lane path) and multi-byte UTF-8."""
+    import random
+    import string
+
+    from elasticsearch_hbase_river_spark.functions.xxh64 import (
+        pmod_bucket, xxhash64_str,
+    )
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        N_BUCKETS, _terms_buckets,
+    )
+
+    vocab = [r[0] for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.explode(F.split("text", " ")).alias("t"))
+             .distinct().collect()]
+    rng = random.Random(1234)
+    samples = vocab + ["", "a", "ab", "abc", "abcd", "x" * 100] + [
+        "".join(rng.choices(string.ascii_lowercase + "éü∂% ", k=k))
+        for k in range(1, 41)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    rows = df.select(
+        "t", F.xxhash64("t").alias("h"),
+        F.pmod(F.xxhash64("t"), F.lit(N_BUCKETS)).alias("b")).collect()
+    for r in rows:
+        assert xxhash64_str(r.t) == r.h, repr(r.t)
+        assert pmod_bucket(r.t, N_BUCKETS) == r.b, repr(r.t)
+    # the planner helper agrees with a Spark-side computation of the same
+    assert _terms_buckets(tuple(vocab)) == sorted({r.b for r in rows[:len(vocab)]})

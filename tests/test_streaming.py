@@ -579,3 +579,49 @@ def test_streaming_vector_index_maintenance(spark, sf_dir, tmp_path):
 
     assert snap(merged_dir) == snap(rebuilt_dir)
     emb.unpersist()
+
+def test_delta_sidecar_refresh_never_reads_postings(spark, sf_dir, tmp_path):
+    """The derived-table refresh of an epoch merge must be DELTA-
+    PROPORTIONAL: its plans read the base SIDECARS (vocab, doclen, the
+    dbucket-pruned forward index) and the epoch delta — never the full
+    postings table. At 100 TB a full-postings aggregation per maintenance
+    tick would dwarf the delta it applies."""
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_index_stream,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    base_dir = str(tmp_path / "base_idx")
+    ix.build_index(spark, docs.filter(F.col("doc_id") < 100), base_dir)
+
+    src = str(tmp_path / "delta_src")
+    epochs = str(tmp_path / "epochs")
+    ckpt = str(tmp_path / "delta_ckpt")
+    (docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+     .write.mode("append").parquet(src))
+    q = start_index_stream(spark, src, epochs, ckpt)
+    q.awaitTermination(120)
+
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_inverted_index,
+    )
+
+    fresh = read_inverted_index(spark, epochs).localCheckpoint(eager=True)
+    changed = fresh.select("doc_id").distinct()
+    dbkts = sorted({r[0] for r in changed.select(
+        ix._dbucket(F.col("doc_id"))).collect()})
+    plans = ix._delta_sidecar_plans(spark, base_dir, fresh, changed, dbkts)
+
+    for name in ("vocab", "doclen"):
+        files = plans[name].inputFiles()
+        assert files, f"{name} refresh reads no base files at all"
+        assert not any("/postings/" in f for f in files), (
+            f"{name} refresh re-aggregates the full postings table")
+    # the vocab refresh must consult the forward index (old contributions)
+    assert any("/tvectors/" in f for f in plans["vocab"].inputFiles())
+    # and the tvectors read is PRUNED to the changed docs' buckets
+    tv_plan = (ix.read_tvectors(spark, base_dir, dbkts)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in tv_plan and "dbucket" in tv_plan
