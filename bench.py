@@ -116,6 +116,7 @@ HEADLINE = (
     "q_more_like_this_indexed",
     "q_percolate",
     "q_unigram_logprob_indexed",
+    "q_percolate_indexed",
 )
 
 

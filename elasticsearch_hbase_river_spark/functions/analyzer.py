@@ -1,0 +1,55 @@
+"""The search-surface analyzer chain (ES ``standard``-analyzer minimum).
+
+Elasticsearch never indexes raw text: the standard analyzer lowercases and
+splits on non-alphanumeric boundaries before postings are built, and the
+SAME analysis is applied to query terms — the first thing any user of a
+term query hits on real text ("Spark," must match the term ``spark``).
+The reference applies the field-NAME twin of this normalization
+(lowercase + strip, `HBaseRiver.java:314-326`, pinned by
+`HBaseRiverTest.java:37-47`); this module is the field-VALUE analog for
+the engine's search surface (postings build, BM25/phrase/fuzzy/suggest,
+the materialized index and its streaming maintainer).
+
+The chain: lowercase → replace every non-[a-z0-9] run with one space →
+trim → split. Pure JVM-side string expressions (whole-stage codegen, no
+UDF), with a DuckDB SQL twin used verbatim inside every oracle so the
+correctness gate proves both engines analyze identically
+(tests/test_analyzer.py runs both over a deliberately dirty corpus).
+
+Deliberately NOT applied outside the search surface: the dedup family
+(shingles, winnowing), text statistics and pretrain curation define their
+own tokenization — changing their semantics is not the analyzer's job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Token-boundary pattern: any run of characters outside [a-z0-9] (applied
+#: AFTER lowercasing) is a separator. ES's standard analyzer is
+#: Unicode-segmentation-based; for the a-z0-9 corpus this engine serves,
+#: the boundary classes coincide, and the regex stays identical (and
+#: cheap) in both engines.
+TOKEN_SEP_RE = "[^a-z0-9]+"
+
+
+def analyze_tokens(col: Column | str) -> Column:
+    """``array<string>`` of analyzed tokens (empty array for text with no
+    alphanumerics — never an array holding '')."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.trim(F.regexp_replace(F.lower(c), TOKEN_SEP_RE, " "))
+    return F.when(cleaned == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(cleaned, " "))
+
+
+def analyze_toks_sql(expr: str = "text") -> str:
+    """The DuckDB twin of :func:`analyze_tokens` over ``expr``."""
+    cleaned = f"trim(regexp_replace(lower({expr}), '{TOKEN_SEP_RE}', ' ', 'g'))"
+    return (f"CASE WHEN {cleaned} = '' THEN CAST([] AS VARCHAR[]) "
+            f"ELSE string_split({cleaned}, ' ') END")
+
+
+#: The analyzed-token array over the ``documents`` table's text column —
+#: the expression every search-surface oracle builds on.
+ANALYZE_TOKS_SQL = analyze_toks_sql("text")

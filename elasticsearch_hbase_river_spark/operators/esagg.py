@@ -42,6 +42,8 @@ from elasticsearch_hbase_river_spark.operators.search import (
     BM25_B,
     BM25_K1,
     _corpus_stats,
+    _DL_COL,
+    _DL_SQL,
     _postings,
     _POSTINGS_SQL,
 )
@@ -79,7 +81,7 @@ def _per_term_bm25(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> 
     """(doc_id, token, c): per-term BM25 contribution for the given terms —
     the scoring core of ``bm25_scores`` kept per-term instead of summed."""
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    dl = docs.select("doc_id", _DL_COL.alias("dl"))
     tf = (_postings(docs)
           .filter(F.col("token").isin(*terms))
           .groupBy("doc_id", "token")
@@ -175,10 +177,10 @@ GROUP BY doc_id""",
 
     "q_dis_max": f"""
 WITH tok AS ({_POSTINGS_SQL}),
-dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl
        FROM documents),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+                 avg({_DL_SQL}) AS avgdl FROM documents),
 tf AS (
   SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
   FROM tok WHERE token IN ({_DIS_TERMS_SQL}) GROUP BY doc_id, token),
@@ -483,3 +485,101 @@ terms AS (
 SELECT t.query_id, t.terms,
        CAST(coalesce(p.n_matching_docs, 0) AS BIGINT) AS n_matching_docs
 FROM terms t LEFT JOIN per_query p USING (query_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Percolator at registration scale — the stored-QUERY inverted index.
+# q_percolate demonstrates the semantics over a dozen stored queries;
+# production percolation registers thousands-to-millions of alert queries
+# (ES stores them as documents in a dedicated index and matches via a
+# term-to-query inverted index). This variant builds exactly that:
+#
+#   1. stored queries     — a RELATION (query_id, token), synthesized
+#      deterministically (same md5-min selection as q_percolate) so both
+#      engines derive the identical query set;
+#   2. canonicalization   — queries dedupe to their distinct TERM SETS
+#      (md5 of the sorted term list). AND-matching depends only on the
+#      term set, so the corpus-side work is bounded by |distinct sets|,
+#      not |registered queries| — ES's percolator caches canonical query
+#      shapes for the same reason. The fan-back to per-query results is a
+#      hash join on the termset key, never a corpus operation;
+#   3. matching           — term→set postings hash-join the distinct
+#      (doc, token) relation on token, then ONE partial-aggregated
+#      groupBy (doc, set) counts matched terms; a set with all its terms
+#      matched percolates. No per-query corpus scan, no cross join, and
+#      the only corpus-sized shuffle is keyed on (doc_id, termset).
+
+PERC_IDX_N_QUERIES = 10_000
+
+
+def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolate the corpus against {PERC_IDX_N_QUERIES} stored 2-term AND
+    queries via the stored-query inverted index: per registered query, how
+    many documents match all its terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _postings(docs).select("token").distinct()
+    qids = spark.range(PERC_IDX_N_QUERIES).select(F.col("id").alias("query_id"))
+    keyed = qids.crossJoin(F.broadcast(vocab)).select(
+        "query_id", "token",
+        F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
+                       F.col("token"))).alias("h"))
+    wq = Window.partitionBy("query_id").orderBy("h", "token")
+    stored = (keyed.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= PERC_TERMS_PER_QUERY)
+              .select("query_id", "token"))
+    # canonical term sets: the percolation unit
+    qsets = (stored.groupBy("query_id")
+             .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
+                  .alias("terms"))
+             .withColumn("set_key", F.md5("terms"))
+             .localCheckpoint(eager=True))  # read twice: postings + fan-back
+    set_postings = (qsets.select("set_key",
+                                 F.explode(F.split("terms", ",")).alias("token"))
+                    .distinct())
+    doc_tok = _postings(docs).select("doc_id", "token").distinct()
+    per_set = (doc_tok.join(set_postings, "token")
+               .groupBy("doc_id", "set_key")
+               .agg(F.count(F.lit(1)).alias("n_terms"))
+               .filter(F.col("n_terms") == PERC_TERMS_PER_QUERY)
+               .groupBy("set_key")
+               .agg(F.count(F.lit(1)).alias("n_matching_docs")))
+    return (qsets.join(per_set, "set_key", "left")
+            .select("query_id", "terms",
+                    F.coalesce("n_matching_docs", F.lit(0)).cast("long")
+                    .alias("n_matching_docs")))
+
+
+QUERIES["q_percolate_indexed"] = q_percolate_indexed
+
+ORACLES["q_percolate_indexed"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+vocab AS (SELECT DISTINCT token FROM tok),
+qids AS (SELECT unnest(range(0, {PERC_IDX_N_QUERIES})) AS query_id),
+keyed AS (
+  SELECT query_id, token,
+         md5(CAST(query_id AS VARCHAR) || '|' || token) AS h
+  FROM qids CROSS JOIN vocab),
+stored AS (
+  SELECT query_id, token FROM (
+    SELECT query_id, token,
+           row_number() OVER (PARTITION BY query_id ORDER BY h, token) AS r
+    FROM keyed) WHERE r <= {PERC_TERMS_PER_QUERY}),
+qsets AS (
+  SELECT query_id,
+         array_to_string(list_sort(list(token)), ',') AS terms,
+         md5(array_to_string(list_sort(list(token)), ',')) AS set_key
+  FROM stored GROUP BY query_id),
+set_postings AS (
+  SELECT DISTINCT set_key, unnest(string_split(terms, ',')) AS token
+  FROM qsets),
+doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+per_set AS (
+  SELECT set_key, count(*) AS n_matching_docs FROM (
+    SELECT doc_id, set_key
+    FROM doc_tok JOIN set_postings USING (token)
+    GROUP BY doc_id, set_key
+    HAVING count(*) = {PERC_TERMS_PER_QUERY})
+  GROUP BY set_key)
+SELECT q.query_id, q.terms,
+       CAST(coalesce(p.n_matching_docs, 0) AS BIGINT) AS n_matching_docs
+FROM qsets q LEFT JOIN per_set p USING (set_key)"""

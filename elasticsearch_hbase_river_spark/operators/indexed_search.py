@@ -216,6 +216,10 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
     tvectors/doclen) so each writer task owns whole buckets. Derived
     tables are partial-aggregated shuffles or 1-row aggregates — nothing
     corpus-sized touches the driver."""
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens,
+    )
+
     preexisting = os.path.exists(os.path.join(path, META))
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     landed = _write_postings_tables(spark, inverted_postings(docs), tmp)
@@ -223,16 +227,27 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
         landed.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"),
              F.sum("tf").cast("long").alias("freq")), tmp)
-    doclen = landed.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    # doclen comes from the CORPUS, not the postings: zero-token documents
+    # (empty / punctuation-only text) have no postings rows but are still
+    # indexed documents — they count toward N and avgdl, exactly as in ES
+    # (and in the oracle, which aggregates over `documents`).
+    doclen = docs.select(
+        "doc_id",
+        F.size(analyze_tokens(F.col("text"))).cast("long").alias("dl"))
     _write_doclen(doclen, tmp)
-    stats = (doclen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                        F.sum("dl").cast("long").alias("sum_dl"))
-             .select("n_docs", "sum_dl",
-                     (F.col("sum_dl").cast("double")
-                      / F.col("n_docs")).alias("avgdl")))
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "stats"))
+    _write_stats_from_doclen(spark, doclen, tmp)
     _publish(tmp, path, preexisting)
+
+
+def _write_stats_from_doclen(spark: SparkSession, doclen: DataFrame,
+                             tmp: str) -> None:
+    (doclen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"))
+     .select("n_docs", "sum_dl",
+             (F.col("sum_dl").cast("double")
+              / F.col("n_docs")).alias("avgdl"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(tmp, "stats")))
 
 
 def _write_postings_tables(spark: SparkSession, post: DataFrame,
@@ -386,13 +401,17 @@ def q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _delta_sidecar_plans(spark: SparkSession, base_path: str,
-                         fresh: DataFrame, changed: DataFrame,
+                         fresh: DataFrame, fresh_docs: DataFrame,
                          dbuckets: list[int]) -> dict[str, DataFrame]:
     """The vocab/doclen refresh plans for an epoch merge. Reads ONLY base
     sidecars (vocab, doclen, the pruned forward index) + the delta — never
     the full postings table (pinned by test_streaming.py). The update is
     exact integer add/subtract of per-token (df, freq) and per-doc dl
-    contributions, so merge == rebuild bit-for-bit."""
+    contributions, so merge == rebuild bit-for-bit. ``fresh_docs`` is the
+    epoch DOC MANIFEST (doc_id, dl) — the changed-doc authority, covering
+    re-indexes that emptied a document (no postings rows, still a
+    change)."""
+    changed = fresh_docs.select("doc_id")
     old_contrib = (
         read_tvectors(spark, base_path, dbuckets)
         .join(F.broadcast(changed), "doc_id", "left_semi")
@@ -415,12 +434,11 @@ def _delta_sidecar_plans(spark: SparkSession, base_path: str,
             (F.coalesce("freq", z) - F.coalesce("freq_old", z)
              + F.coalesce("freq_new", z)).alias("freq"))
         .filter(F.col("df") > 0))
-    fresh_dl = fresh.groupBy("doc_id").agg(F.min("dl").alias("dl"))
     doclen_new = (
         read_doclen(spark, base_path)
         .join(F.broadcast(changed), "doc_id", "left_anti")
-        .unionByName(fresh_dl))
-    return {"vocab": vocab_new, "doclen": doclen_new, "fresh_dl": fresh_dl}
+        .unionByName(fresh_docs.select("doc_id", "dl")))
+    return {"vocab": vocab_new, "doclen": doclen_new}
 
 
 def apply_epoch_deltas(spark: SparkSession, base_path: str,
@@ -441,13 +459,17 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     sidecars (stats is pure integer arithmetic on the cached 1-row
     sidecar)."""
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_epoch_docs,
         read_inverted_index,
     )
 
     # Delta-sized; read many times (changed set, merge, contributions) —
-    # materialize once.
+    # materialize once. The doc manifest (not the postings) is the
+    # changed-doc authority: it also carries re-indexes that emptied a
+    # document.
     fresh = read_inverted_index(spark, epochs_dir).localCheckpoint(eager=True)
-    changed = fresh.select("doc_id").distinct()
+    fresh_docs = read_epoch_docs(spark, epochs_dir).localCheckpoint(eager=True)
+    changed = fresh_docs.select("doc_id")
     dbuckets = sorted({
         r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
 
@@ -459,7 +481,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
                                         "first_pos", "positions", "dl")))
     _write_postings_tables(spark, merged, tmp)
 
-    plans = _delta_sidecar_plans(spark, base_path, fresh, changed, dbuckets)
+    plans = _delta_sidecar_plans(spark, base_path, fresh, fresh_docs, dbuckets)
     _write_vocab(plans["vocab"], tmp)
     _write_doclen(plans["doclen"], tmp)
 
@@ -468,7 +490,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
                .join(F.broadcast(changed), "doc_id", "left_semi")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first())
-    added = plans["fresh_dl"].agg(
+    added = fresh_docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first()
     n_docs = st["n_docs"] - removed["n"] + added["n"]
@@ -525,7 +547,10 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_index_stats"] = q_index_stats
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_sql  # noqa: E402
-from elasticsearch_hbase_river_spark.operators.search import _POSTINGS_SQL  # noqa: E402
+from elasticsearch_hbase_river_spark.operators.search import (  # noqa: E402
+    _DL_SQL,
+    _POSTINGS_SQL,
+)
 
 ORACLES["q_index_stats"] = f"""
 WITH tok AS ({_POSTINGS_SQL}),
@@ -538,7 +563,7 @@ v AS (
   FROM post),
 d AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         {roundn_sql("avg(len(string_split(text, ' ')))")} AS avgdl
+         {roundn_sql(f"avg({_DL_SQL})")} AS avgdl
   FROM documents)
 SELECT n_docs, n_terms, n_postings, total_tokens, avgdl FROM d, v"""
 

@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_hbase_river_spark.functions.analyzer import (
+    ANALYZE_TOKS_SQL,
+    analyze_tokens,
+)
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
 from elasticsearch_hbase_river_spark.operators.search import ORACLES as _SEARCH_ORACLES
 from elasticsearch_hbase_river_spark.operators.search import (
@@ -122,7 +126,7 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2× fan-out, map-side) and a single partial-aggregated shuffle on
     (facet, bucket) — never one corpus groupBy per facet."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.array_contains(F.split("text", " "), FACET_TERM))
+        F.array_contains(analyze_tokens(F.col("text")), FACET_TERM))
     melted = docs.select(
         "n_chars",
         F.explode(F.array(*[
@@ -139,7 +143,7 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based position of its first occurrence and a snippet of ±3 tokens
     around it. Pure array projection — pipelines behind the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = analyze_tokens(F.col("text"))
     pos = F.array_position(toks, HL_TERM)
     start = F.greatest(pos - HL_CONTEXT, F.lit(1))
     snippet = F.array_join(
@@ -445,7 +449,7 @@ SELECT * FROM ranked WHERE rank <= {HYBRID_TOP}""",
     "q_search_facets": f"""
 WITH m AS (
   SELECT lang, source, n_chars FROM documents
-  WHERE list_contains(string_split(text, ' '), '{FACET_TERM}')),
+  WHERE list_contains({ANALYZE_TOKS_SQL}, '{FACET_TERM}')),
 u AS (
   SELECT 'lang' AS facet, lang AS bucket, n_chars FROM m
   UNION ALL
@@ -456,10 +460,9 @@ FROM u GROUP BY facet, bucket""",
 
     "q_highlight": f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks,
-         CAST(list_position(string_split(text, ' '), '{HL_TERM}') AS BIGINT)
-           AS term_pos
-  FROM documents)
+  SELECT doc_id, toks,
+         CAST(list_position(toks, '{HL_TERM}') AS BIGINT) AS term_pos
+  FROM (SELECT doc_id, {ANALYZE_TOKS_SQL} AS toks FROM documents))
 SELECT doc_id, term_pos,
        array_to_string(
          toks[greatest(term_pos - {HL_CONTEXT}, 1) : term_pos + {HL_CONTEXT}],

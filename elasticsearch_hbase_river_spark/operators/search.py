@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_hbase_river_spark.functions.analyzer import (
+    ANALYZE_TOKS_SQL,
+    analyze_tokens,
+)
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
 from elasticsearch_hbase_river_spark.sources.tables import load_table
 
@@ -46,17 +50,28 @@ BM25_B = 0.75
 
 
 def _postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, token, pos): one row per token occurrence, 0-based position."""
+    """(doc_id, token, pos): one row per ANALYZED token occurrence, 0-based
+    position. Every search-surface consumer (postings build, BM25, phrase,
+    percolator, the materialized index) tokenizes through the standard
+    analyzer chain (`functions/analyzer.py`) — lowercase + boundary split,
+    the minimum ES applies before indexing anything."""
     return docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        F.posexplode(analyze_tokens(F.col("text"))).alias("pos", "token"),
     ).select("doc_id", "token", F.col("pos").cast("long").alias("pos"))
 
 
-_POSTINGS_SQL = """
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
-         CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos
-  FROM documents"""
+#: Analyzed document length (BM25's ``dl``) — array size BEFORE the explode.
+_DL_COL = F.size(analyze_tokens(F.col("text"))).cast("long")
+
+#: DuckDB twins: the analyzed token array / its length over ``documents``.
+_TOKS_SQL = ANALYZE_TOKS_SQL
+_DL_SQL = f"len({ANALYZE_TOKS_SQL})"
+
+_POSTINGS_SQL = f"""
+  SELECT doc_id, unnest(toks) AS token,
+         CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)"""
 
 
 def inverted_postings(docs: DataFrame) -> DataFrame:
@@ -68,7 +83,7 @@ def inverted_postings(docs: DataFrame) -> DataFrame:
     ON the posting row is Lucene's norms-next-to-postings trick — BM25's
     length normalization then never needs a corpus-sized doclen join at
     query time (operators/indexed_search.py)."""
-    toks = F.split(F.col("text"), " ")
+    toks = analyze_tokens(F.col("text"))
     occ = docs.select(
         "doc_id", F.size(toks).cast("long").alias("dl"),
         F.posexplode(toks).alias("pos", "token"),
@@ -99,7 +114,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_stats(docs: DataFrame) -> DataFrame:
     """1-row (n_docs, avgdl) aggregate — broadcast into per-doc scoring."""
-    return docs.select(F.size(F.split("text", " ")).alias("dl")).agg(
+    return docs.select(_DL_COL.alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -109,7 +124,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full (doc_id, score) BM25-scored relation for the fixed query —
     shared by the top-k query and keyset pagination (retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    dl = docs.select("doc_id", _DL_COL.alias("dl"))
     tf = (
         _postings(docs)
         .filter(F.col("token").isin(*BM25_TERMS))
@@ -292,10 +307,10 @@ FROM tok GROUP BY token, doc_id""",
 
     "q_bm25": f"""
 WITH tok AS ({_POSTINGS_SQL}),
-dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl
        FROM documents),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+                 avg({_DL_SQL}) AS avgdl FROM documents),
 tf AS (
   SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
   FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),

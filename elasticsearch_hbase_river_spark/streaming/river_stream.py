@@ -530,14 +530,32 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
     def build_delta(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        from elasticsearch_hbase_river_spark.functions.analyzer import (
+            analyze_tokens,
+        )
+
         w = Window.partitionBy("doc_id").orderBy(
             F.col("ver").desc_nulls_last(),
             F.col("_mtime").desc(), F.col("_path").desc(),
             F.col("text").desc())
         latest = (batch_df.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1).select("doc_id", "text"))
+                  .filter(F.col("rn") == 1).select("doc_id", "text")
+                  .persist())
         (inverted_postings(latest)
-         .write.mode("overwrite").parquet(f"{index_dir}/epoch={batch_id}"))
+         .write.mode("overwrite")
+         .parquet(f"{index_dir}/postings/epoch={batch_id}"))
+        # Per-epoch DOC MANIFEST: one row per document carried by this
+        # batch, INCLUDING zero-token documents (an update that empties a
+        # doc has no postings rows but must still register as a change,
+        # and the doc still counts toward N / avgdl — ES indexes empty
+        # documents). The manifest is also the latest-epoch arbitration
+        # authority for the merged read.
+        (latest.select(
+            "doc_id",
+            F.size(analyze_tokens(F.col("text"))).cast("long").alias("dl"))
+         .write.mode("overwrite")
+         .parquet(f"{index_dir}/docs/epoch={batch_id}"))
+        latest.unpersist()
 
     writer = (docs.writeStream.foreachBatch(build_delta)
               .option("checkpointLocation", checkpoint_dir))
@@ -550,12 +568,28 @@ def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The merged index with latest-version-wins per document: postings are
     kept only from each doc_id's newest epoch (a doc's re-index supersedes
     all its older postings, exactly like an ES upsert replaces the old
-    document). The arbitration side is one row per (doc_id, epoch) — tiny
-    next to the postings, and the join is an equi-join on (doc_id, epoch)."""
-    idx = spark.read.parquet(index_dir)
-    latest = idx.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    document). Arbitration reads the DOC MANIFEST, not the postings —
+    a doc whose newest version has zero tokens keeps NO postings (its
+    manifest epoch outranks every postings epoch). The manifest side is
+    one row per (doc_id, epoch) — tiny next to the postings, and the join
+    is an equi-join on (doc_id, epoch)."""
+    idx = spark.read.parquet(f"{index_dir}/postings")
+    latest = (spark.read.parquet(f"{index_dir}/docs")
+              .groupBy("doc_id").agg(F.max("epoch").alias("epoch")))
     return (idx.join(latest, ["doc_id", "epoch"])
             .select("token", "doc_id", "tf", "first_pos", "positions", "dl"))
+
+
+def read_epoch_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged doc manifest (doc_id, dl), latest epoch wins — the
+    authoritative changed-doc set for ``apply_epoch_deltas`` (covers
+    zero-token re-indexes that have no postings rows)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{index_dir}/docs")
+    w = Window.partitionBy("doc_id").orderBy(F.col("epoch").desc())
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("doc_id", "dl"))
 
 
 VEC_SCHEMA = StructType([

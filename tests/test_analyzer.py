@@ -1,0 +1,130 @@
+"""Analyzer-chain tests: the search surface must tokenize DIRTY text
+identically in both engines (the fixture corpus is pre-clean, so these
+tests supply the punctuation/case the fixtures can't).
+
+Reference parity: the analyzer is the field-VALUE twin of the reference's
+field-NAME normalization (HBaseRiver.java:314-326, pinned by
+HBaseRiverTest.java:37-47)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.analyzer import (
+    ANALYZE_TOKS_SQL,
+    analyze_tokens,
+)
+
+DIRTY = [
+    ("Hello, World!", ["hello", "world"]),
+    ("  Spark--JOIN  window.  ", ["spark", "join", "window"]),
+    ("", []),
+    ("!!!...---", []),
+    ("CamelCase and123 mixed_case", ["camelcase", "and123", "mixed", "case"]),
+    ("a  b\tc\nd", ["a", "b", "c", "d"]),
+    ("ALL CAPS", ["all", "caps"]),
+]
+
+
+def test_analyze_tokens_semantics(spark):
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(DIRTY)],
+                               "i long, text string")
+    got = {r.i: r.toks for r in
+           df.select("i", analyze_tokens(F.col("text")).alias("toks")).collect()}
+    for i, (_, want) in enumerate(DIRTY):
+        assert got[i] == want, f"{DIRTY[i][0]!r} -> {got[i]}"
+
+
+def test_analyze_sql_twin_matches(spark):
+    con = duckdb.connect()
+    for s, want in DIRTY:
+        lit = "'" + s.replace("'", "''") + "'"
+        got = con.execute(
+            "SELECT " + ANALYZE_TOKS_SQL.replace("text", lit)).fetchone()[0]
+        assert list(got) == want, f"{s!r} -> {got}"
+    con.close()
+
+
+@pytest.fixture()
+def dirty_sf_dir(spark, tmp_path):
+    """A miniature sf-dir whose documents.parquet is deliberately dirty:
+    casing, punctuation, tabs, runs of separators — plus the fixed query
+    terms the search operators target."""
+    rows = [
+        (0, "Spark JOIN window; spark (join) WINDOW data Window!", "en", "web", 50),
+        (1, "the data window... slows, Slow SLOW? join", "en", "web", 40),
+        (2, "spark-join-window data window", "de", "wiki", 29),
+        (3, "Nothing relevant here, truly.", "en", "wiki", 28),
+        (4, "sort/scan & merge: spark? spark!! join", "fr", "web", 37),
+        (5, "window data   spark\tjoin data window", "en", "news", 36),
+        (6, "", "en", "news", 0),
+        (7, "!!!", "de", "news", 3),
+        (8, "spa data window rk JOIN spark", "en", "web", 29),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Order-insensitive value compare against DuckDB on the dirty corpus
+    (documents view only — the shared harness wants every fixture table)."""
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files.
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    du = con.execute(oracle_sql).df()
+    con.close()
+    sp = spark_df.toPandas()
+    assert sorted(sp.columns) == sorted(du.columns)
+    cols = sorted(sp.columns)
+
+    def canon(df):
+        out = []
+        for t in df[cols].itertuples(index=False):
+            out.append(tuple(
+                round(v, 6) if isinstance(v, float) else v for v in t))
+        return Counter(out)
+
+    assert canon(sp) == canon(du)
+
+
+SEARCH_QUERIES = (
+    "q_inverted_index", "q_bm25", "q_boolean_search", "q_phrase_match",
+    "q_significant_terms", "q_highlight", "q_search_facets", "q_suggest",
+    "q_fuzzy_search", "q_wildcard_search", "q_dis_max",
+)
+
+
+def test_search_surface_parity_on_dirty_corpus(spark, dirty_sf_dir):
+    """Every analyzer-consuming search query must match its oracle on text
+    the fixtures never exercise: mixed case, punctuation runs, tabs,
+    empty/punctuation-only documents."""
+    from elasticsearch_hbase_river_spark.registry import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    for name in SEARCH_QUERIES:
+        _compare(queries[name](spark, dirty_sf_dir), oracles[name],
+                 dirty_sf_dir)
+
+
+def test_indexed_search_analyzes_identically(spark, dirty_sf_dir, tmp_path, monkeypatch):
+    """The materialized index build must run the SAME analyzer as the
+    per-query rebuild: the indexed BM25 over the dirty corpus has to be
+    row-identical to q_bm25 (and to the shared oracle)."""
+    monkeypatch.setenv("RIVER_INDEX_ROOT", str(tmp_path / "idx_root"))
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        q_bm25_indexed,
+    )
+    from elasticsearch_hbase_river_spark.operators.search import ORACLES, q_bm25
+
+    _compare(q_bm25_indexed(spark, dirty_sf_dir), ORACLES["q_bm25"],
+             dirty_sf_dir)
+    a = sorted(map(tuple, q_bm25(spark, dirty_sf_dir).collect()))
+    b = sorted(map(tuple, q_bm25_indexed(spark, dirty_sf_dir).collect()))
+    assert a == b

@@ -605,14 +605,15 @@ def test_delta_sidecar_refresh_never_reads_postings(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
 
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_epoch_docs,
         read_inverted_index,
     )
 
     fresh = read_inverted_index(spark, epochs).localCheckpoint(eager=True)
-    changed = fresh.select("doc_id").distinct()
-    dbkts = sorted({r[0] for r in changed.select(
+    fresh_docs = read_epoch_docs(spark, epochs).localCheckpoint(eager=True)
+    dbkts = sorted({r[0] for r in fresh_docs.select(
         ix._dbucket(F.col("doc_id"))).collect()})
-    plans = ix._delta_sidecar_plans(spark, base_dir, fresh, changed, dbkts)
+    plans = ix._delta_sidecar_plans(spark, base_dir, fresh, fresh_docs, dbkts)
 
     for name in ("vocab", "doclen"):
         files = plans[name].inputFiles()
@@ -625,3 +626,70 @@ def test_delta_sidecar_refresh_never_reads_postings(spark, sf_dir, tmp_path):
     tv_plan = (ix.read_tvectors(spark, base_dir, dbkts)
                ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in tv_plan and "dbucket" in tv_plan
+
+def test_freshness_loop_stream_merge_swap_serves_new_docs(spark, sf_dir, tmp_path):
+    """The reference's actual promise closed over the native index
+    (HBaseParser.java:49-73: new rows become searchable after the next
+    river tick): trickle NEW documents through the streaming index
+    maintainer, merge the epochs into the next index generation, repoint
+    the serving alias — and the BM25 query THROUGH THE ALIAS must surface
+    the new documents, while readers that resolved before the swap keep a
+    consistent old view."""
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_index_stream,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    gen1 = str(tmp_path / "idx_gen1")
+    alias = str(tmp_path / "serving_alias.json")
+    ix.build_index(spark, docs.filter(F.col("doc_id") < 100), gen1)
+    ix.write_alias(alias, gen1)
+
+    # Tick 1: a new doc saturated with the query terms — must become the
+    # top BM25 hit once it is searchable.
+    hot_id = 9_000_000
+    src = str(tmp_path / "src")
+    epochs = str(tmp_path / "epochs")
+    ckpt = str(tmp_path / "ckpt")
+    hot_text = " ".join(["spark join window"] * 8)
+    spark.createDataFrame([(hot_id, hot_text)],
+                          "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    q = start_index_stream(spark, src, epochs, ckpt)
+    q.awaitTermination(120)
+
+    # Before the swap: the alias still serves gen1 — no hot doc.
+    pre = {r.doc_id for r in
+           ix.bm25_from_index(spark, ix.resolve_alias(alias)).collect()}
+    assert hot_id not in pre
+
+    # Merge + atomic alias repoint (one maintenance tick).
+    gen2 = str(tmp_path / "idx_gen2")
+    ix.apply_epoch_deltas(spark, ix.resolve_alias(alias), epochs, gen2)
+    ix.write_alias(alias, gen2)
+
+    post = ix.bm25_from_index(spark, ix.resolve_alias(alias)).collect()
+    assert post[0].doc_id == hot_id, "freshly indexed doc must rank first"
+    # Old generation remains intact (readers mid-flight + rollback).
+    assert hot_id not in {
+        r.doc_id for r in ix.bm25_from_index(spark, gen1).collect()}
+
+    # Tick 2: an UPDATE through the same loop — the hot doc is re-indexed
+    # to PUNCTUATION-ONLY text (zero tokens after analysis; carried by the
+    # epoch doc manifest, not by any postings row); after merge+swap it
+    # must vanish from the result while the doc count stays constant —
+    # an emptied document is still an indexed document (ES semantics).
+    spark.createDataFrame([(hot_id, "?!...", 2)],
+                          "doc_id long, text string, ver long") \
+        .write.mode("append").parquet(src)
+    q = start_index_stream(spark, src, epochs, ckpt)
+    q.awaitTermination(120)
+    gen3 = str(tmp_path / "idx_gen3")
+    ix.apply_epoch_deltas(spark, ix.resolve_alias(alias), epochs, gen3)
+    ix.write_alias(alias, gen3)
+    final = {r.doc_id for r in
+             ix.bm25_from_index(spark, ix.resolve_alias(alias)).collect()}
+    assert hot_id not in final
+    assert ix.index_stats(gen3)["n_docs"] == ix.index_stats(gen2)["n_docs"]
