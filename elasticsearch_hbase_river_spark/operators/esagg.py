@@ -42,7 +42,7 @@ from elasticsearch_hbase_river_spark.operators.search import (
     BM25_B,
     BM25_K1,
     _corpus_stats,
-    _DL_COL,
+    _dl_col,
     _DL_SQL,
     _postings,
     _POSTINGS_SQL,
@@ -81,7 +81,7 @@ def _per_term_bm25(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> 
     """(doc_id, token, c): per-term BM25 contribution for the given terms —
     the scoring core of ``bm25_scores`` kept per-term instead of summed."""
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", _DL_COL.alias("dl"))
+    dl = docs.select("doc_id", _dl_col().alias("dl"))
     tf = (_postings(docs)
           .filter(F.col("token").isin(*terms))
           .groupBy("doc_id", "token")

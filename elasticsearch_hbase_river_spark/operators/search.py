@@ -61,8 +61,11 @@ def _postings(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "token", F.col("pos").cast("long").alias("pos"))
 
 
-#: Analyzed document length (BM25's ``dl``) — array size BEFORE the explode.
-_DL_COL = F.size(analyze_tokens(F.col("text"))).cast("long")
+def _dl_col() -> Column:
+    """Analyzed document length (BM25's ``dl``) — array size BEFORE the
+    explode. A function, not a module constant: building a Column requires
+    an active SparkContext, and this module imports fine without one."""
+    return F.size(analyze_tokens(F.col("text"))).cast("long")
 
 #: DuckDB twins: the analyzed token array / its length over ``documents``.
 _TOKS_SQL = ANALYZE_TOKS_SQL
@@ -114,7 +117,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_stats(docs: DataFrame) -> DataFrame:
     """1-row (n_docs, avgdl) aggregate — broadcast into per-doc scoring."""
-    return docs.select(_DL_COL.alias("dl")).agg(
+    return docs.select(_dl_col().alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -124,7 +127,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full (doc_id, score) BM25-scored relation for the fixed query —
     shared by the top-k query and keyset pagination (retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", _DL_COL.alias("dl"))
+    dl = docs.select("doc_id", _dl_col().alias("dl"))
     tf = (
         _postings(docs)
         .filter(F.col("token").isin(*BM25_TERMS))
