@@ -117,6 +117,9 @@ HEADLINE = (
     "q_percolate",
     "q_unigram_logprob_indexed",
     "q_percolate_indexed",
+    "q_term_vectors",
+    "q_phrase_slop",
+    "q_boosting",
 )
 
 

@@ -94,3 +94,17 @@ def xxhash64_str(s: str, seed: int = SPARK_SEED) -> int:
 def pmod_bucket(s: str, n_buckets: int) -> int:
     """``pmod(xxhash64(s), n_buckets)`` twin (non-negative bucket id)."""
     return xxhash64_str(s) % n_buckets
+
+
+def xxhash64_long(v: int, seed: int = SPARK_SEED) -> int:
+    """``F.xxhash64(long_col)`` twin: Spark hashes the value as one
+    8-byte little-endian word (XxHash64.hashLong)."""
+    import struct
+
+    h = xxh64(struct.pack("<q", v), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def pmod_bucket_long(v: int, n_buckets: int) -> int:
+    """``pmod(xxhash64(long), n_buckets)`` twin (doc-bucket pruning)."""
+    return xxhash64_long(v) % n_buckets

@@ -589,3 +589,107 @@ per_set AS (
 SELECT q.query_id, q.terms,
        CAST(coalesce(p.n_matching_docs, 0) AS BIGINT) AS n_matching_docs
 FROM qsets q LEFT JOIN per_set p USING (set_key)"""
+
+
+# ---------------------------------------------------------------------------
+# span_near + boosting — the two remaining everyday compound-query shapes.
+
+SLOP_TERMS = ("data", "window")   # in-order proximity pair
+SLOP = 2                          # max tokens BETWEEN the two terms
+BOOST_POS = "table"               # boosting.positive term
+BOOST_NEG = "slow"                # boosting.negative term
+BOOST_FACTOR = 0.5                # negative_boost
+
+
+def q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_near`` / ``match_phrase`` with ``slop``: in-order
+    occurrences of ("data" .. "window") with at most {SLOP} tokens between
+    them, per document — with the tightest gap found.
+
+    Scale shape: both sides are single-term slices of the positional
+    postings (below-shuffle term filters), equi-joined on doc_id with the
+    proximity window as a post-join range predicate — a few rows per
+    matching doc ever shuffle, and the aggregate is one partial-agg
+    groupBy. The phrase (slop=0) query stays the pure (doc_id, pos+1)
+    equi-join; slop>0 pays the doc-keyed join, exactly like Lucene's
+    SpanNearQuery position intersection."""
+    p = _postings(load_table(spark, sf_dir, "documents"))
+    w1 = p.filter(F.col("token") == SLOP_TERMS[0]).select("doc_id", F.col("pos").alias("p1"))
+    w2 = p.filter(F.col("token") == SLOP_TERMS[1]).select("doc_id", F.col("pos").alias("p2"))
+    gap = F.col("p2") - F.col("p1") - 1
+    return (w1.join(w2, "doc_id")
+            .filter((F.col("p2") > F.col("p1")) & (gap <= SLOP))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.min(gap).cast("long").alias("min_gap")))
+
+
+def q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: BM25 on the positive term, demoted by
+    ``negative_boost`` for documents also matching the negative term
+    (down-rank, not exclude — the difference from bool.must_not).
+
+    Scale shape: the positive branch is the per-term BM25 core (term
+    filter below the shuffle, broadcast df/stats); the negative doc set is
+    another single-term postings slice, LEFT semi-style via a left join on
+    doc_id + null test; ranking is TakeOrderedAndProject."""
+    pos = (_per_term_bm25(spark, sf_dir, (BOOST_POS,))
+           .groupBy("doc_id").agg(F.sum("c").alias("pos_score")))
+    neg = (_postings(load_table(spark, sf_dir, "documents"))
+           .filter(F.col("token") == BOOST_NEG)
+           .select("doc_id").distinct()
+           .withColumn("is_neg", F.lit(1)))
+    scored = (pos.join(neg, "doc_id", "left")
+              .select("doc_id",
+                      roundn_col(F.when(F.col("is_neg").isNotNull(),
+                                        F.col("pos_score") * BOOST_FACTOR)
+                                 .otherwise(F.col("pos_score")))
+                      .alias("score")))
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(DIS_MAX_TOP)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+QUERIES["q_phrase_slop"] = q_phrase_slop
+QUERIES["q_boosting"] = q_boosting
+
+ORACLES["q_phrase_slop"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+w1 AS (SELECT doc_id, pos AS p1 FROM tok WHERE token = '{SLOP_TERMS[0]}'),
+w2 AS (SELECT doc_id, pos AS p2 FROM tok WHERE token = '{SLOP_TERMS[1]}')
+SELECT doc_id, count(*) AS n_spans,
+       CAST(min(p2 - p1 - 1) AS BIGINT) AS min_gap
+FROM w1 JOIN w2 USING (doc_id)
+WHERE p2 > p1 AND p2 - p1 - 1 <= {SLOP}
+GROUP BY doc_id"""
+
+ORACLES["q_boosting"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl
+       FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg({_DL_SQL}) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token = '{BOOST_POS}' GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+pos AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+         AS pos_score
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE token = '{BOOST_NEG}'),
+scored AS (
+  SELECT p.doc_id,
+         {roundn_sql(f"CASE WHEN n.doc_id IS NOT NULL "
+                     f"THEN p.pos_score * {BOOST_FACTOR} "
+                     f"ELSE p.pos_score END")} AS score
+  FROM pos p LEFT JOIN neg n USING (doc_id)),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {DIS_MAX_TOP}"""

@@ -714,3 +714,48 @@ def reindex(spark: SparkSession, docs: DataFrame, alias_path: str,
     build_index(spark, docs.select("doc_id", "text"), new_index_path)
     write_alias(alias_path, new_index_path)
     return new_index_path
+
+
+# ---------------------------------------------------------------------------
+# ES _termvectors — per-document term statistics served from the FORWARD
+# index (the tvectors table layout v2 added for delta maintenance doubles
+# as the _termvectors serving store, exactly like Lucene term vectors).
+
+TV_DOC_ID = 7
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` for one document with ``term_statistics=true``:
+    the doc's terms with their in-doc tf and corpus-wide df/total freq.
+
+    Scale shape: the forward-index read prunes to the ONE dbucket holding
+    the document (bucket id computed driver-side with the long-typed
+    xxh64 twin — zero planning jobs); its handful of term rows then
+    hash-join the vocab sidecar (Catalyst broadcasts the tiny doc side).
+    The corpus and the postings table are never touched."""
+    from elasticsearch_hbase_river_spark.functions.xxh64 import (
+        pmod_bucket_long,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    dterms = (read_tvectors(spark, idx, [pmod_bucket_long(TV_DOC_ID, N_BUCKETS)])
+              .filter(F.col("doc_id") == TV_DOC_ID)
+              .select("token", F.col("tf").cast("long").alias("tf")))
+    return (dterms.join(read_vocab(spark, idx), "token")
+            .select("token", "tf", "df", "freq"))
+
+
+QUERIES["q_term_vectors"] = q_term_vectors
+
+ORACLES["q_term_vectors"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+post AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY token, doc_id),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS freq
+  FROM post GROUP BY token)
+SELECT p.token, p.tf, v.df, v.freq
+FROM post p JOIN vocab v USING (token)
+WHERE p.doc_id = {TV_DOC_ID}"""

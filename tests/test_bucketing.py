@@ -91,3 +91,17 @@ def test_python_xxh64_matches_spark(spark, sf_dir):
         assert pmod_bucket(r.t, N_BUCKETS) == r.b, repr(r.t)
     # the planner helper agrees with a Spark-side computation of the same
     assert _terms_buckets(tuple(vocab)) == sorted({r.b for r in rows[:len(vocab)]})
+
+    # long twin (doc-bucket pruning for the forward index / doclen)
+    from elasticsearch_hbase_river_spark.functions.xxh64 import (
+        pmod_bucket_long, xxhash64_long,
+    )
+
+    lvals = [0, 1, -1, 7, 123_456_789, -987_654_321, 2**62, -(2**62),
+             2**63 - 1, -(2**63)]
+    ldf = spark.createDataFrame([(v,) for v in lvals], "v long")
+    for r in ldf.select(
+            "v", F.xxhash64("v").alias("h"),
+            F.pmod(F.xxhash64("v"), F.lit(N_BUCKETS)).alias("b")).collect():
+        assert xxhash64_long(r.v) == r.h, r.v
+        assert pmod_bucket_long(r.v, N_BUCKETS) == r.b, r.v
