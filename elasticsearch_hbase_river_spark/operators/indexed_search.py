@@ -644,14 +644,40 @@ def q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-from elasticsearch_hbase_river_spark.operators.text import (  # noqa: E402
-    ORACLES as _TEXT_ORACLES,
-)
-
 QUERIES["q_tfidf_indexed"] = q_tfidf_indexed
 QUERIES["q_more_like_this_indexed"] = q_more_like_this_indexed
-ORACLES["q_tfidf_indexed"] = _TEXT_ORACLES["q_tfidf"]
 ORACLES["q_more_like_this_indexed"] = _SEARCH_ORACLES["q_more_like_this"]
+
+
+def _tfidf_indexed_oracle() -> str:
+    """Analyzer-aware twin of text.py's q_tfidf oracle: the INDEX serves
+    ANALYZED tokens (it is the search surface), whereas text.py's
+    statistics keep their own whitespace tokenization. Identical on the
+    clean fixture; this oracle stays correct on dirty corpora too
+    (pinned by tests/test_analyzer.py)."""
+    from elasticsearch_hbase_river_spark.operators.text import TFIDF_TOP
+
+    return f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS doc_len FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         {roundn_sql("(tf.n::DOUBLE / dl.doc_len)"
+                     " * ln((SELECT count(*) FROM documents)::DOUBLE / dfr.df)")}
+           AS tfidf
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id)),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {TFIDF_TOP}"""
+
+
+ORACLES["q_tfidf_indexed"] = _tfidf_indexed_oracle()
 
 
 def q_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,7 +706,18 @@ def q_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_unigram_logprob_indexed"] = q_unigram_logprob_indexed
-ORACLES["q_unigram_logprob_indexed"] = _TEXT_ORACLES["q_unigram_logprob"]
+#: Analyzer-aware twin of text.py's q_unigram_logprob oracle (the index
+#: serves analyzed tokens; identical on the clean fixture, correct on
+#: dirty corpora — see _tfidf_indexed_oracle).
+ORACLES["q_unigram_logprob_indexed"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM freq)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       {roundn_sql('avg(ln((freq.cnt + 1.0) / (t.total + t.vocab)))')}
+         AS avg_logprob
+FROM tok JOIN freq USING (token) CROSS JOIN t
+GROUP BY tok.doc_id"""
 
 
 # ---------------------------------------------------------------------------

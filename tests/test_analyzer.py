@@ -118,13 +118,16 @@ def test_indexed_search_analyzes_identically(spark, dirty_sf_dir, tmp_path, monk
     per-query rebuild: the indexed BM25 over the dirty corpus has to be
     row-identical to q_bm25 (and to the shared oracle)."""
     monkeypatch.setenv("RIVER_INDEX_ROOT", str(tmp_path / "idx_root"))
-    from elasticsearch_hbase_river_spark.operators.indexed_search import (
-        q_bm25_indexed,
-    )
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
     from elasticsearch_hbase_river_spark.operators.search import ORACLES, q_bm25
 
-    _compare(q_bm25_indexed(spark, dirty_sf_dir), ORACLES["q_bm25"],
+    _compare(ix.q_bm25_indexed(spark, dirty_sf_dir), ORACLES["q_bm25"],
              dirty_sf_dir)
     a = sorted(map(tuple, q_bm25(spark, dirty_sf_dir).collect()))
-    b = sorted(map(tuple, q_bm25_indexed(spark, dirty_sf_dir).collect()))
+    b = sorted(map(tuple, ix.q_bm25_indexed(spark, dirty_sf_dir).collect()))
     assert a == b
+    # index-native derived queries carry analyzer-aware oracles of their own
+    for name in ("q_tfidf_indexed", "q_unigram_logprob_indexed",
+                 "q_index_stats", "q_term_vectors"):
+        _compare(ix.QUERIES[name](spark, dirty_sf_dir), ix.ORACLES[name],
+                 dirty_sf_dir)
