@@ -540,13 +540,29 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("terms"))
              .withColumn("set_key", F.xxhash64("terms"))
              .localCheckpoint(eager=True))  # read twice: postings + fan-back
-    set_postings = (qsets.select("set_key",
-                                 F.explode(F.split("terms", ",")).alias("token"))
-                    .distinct())
-    per_set = (doc_tok.join(F.broadcast(set_postings), "token")
-               .groupBy("doc_id", "set_key")
-               .agg(F.count(F.lit(1)).alias("n_terms"))
-               .filter(F.col("n_terms") == PERC_TERMS_PER_QUERY)
+    # AND-matching as a PAIR INTERSECTION: per term position, candidates =
+    # doc_tok ⋈ (set, term) — then one sort-merge equi-join on
+    # (set_key, doc_id) whose aggregate state is |term sets|, TINY. The
+    # earlier groupBy(doc_id, set_key) HAVING-count shape (general-k AND)
+    # holds ~|docs × sets-per-token| distinct groups in the partial-agg
+    # hash map — measured OOM on a default 1 GB driver at sf1. For k>2
+    # terms this chains k-1 pair joins (or ES's rarest-term candidate
+    # generation + per-doc verify); both sides here are corpus-expansion
+    # sized, so the join is PINNED sort-merge (never an auto-broadcast —
+    # the round-4 discipline).
+    pairs = qsets.select(
+        "set_key",
+        F.split("terms", ",").getItem(0).alias("t1"),
+        F.split("terms", ",").getItem(1).alias("t2")).distinct()
+    a = (doc_tok.join(F.broadcast(pairs.select("set_key",
+                                               F.col("t1").alias("token"))),
+                      "token")
+         .select("set_key", "doc_id"))
+    b = (doc_tok.join(F.broadcast(pairs.select("set_key",
+                                               F.col("t2").alias("token"))),
+                      "token")
+         .select("set_key", "doc_id"))
+    per_set = (a.hint("merge").join(b, ["set_key", "doc_id"])
                .groupBy("set_key")
                .agg(F.count(F.lit(1)).alias("n_matching_docs")))
     return (qsets.join(per_set, "set_key", "left")
