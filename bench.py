@@ -120,6 +120,8 @@ HEADLINE = (
     "q_term_vectors",
     "q_phrase_slop",
     "q_boosting",
+    "q_top_hits",
+    "q_collapse",
 )
 
 

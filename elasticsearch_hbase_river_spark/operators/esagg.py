@@ -709,3 +709,101 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
   FROM scored)
 SELECT * FROM ranked WHERE rank <= {DIS_MAX_TOP}"""
+
+
+# ---------------------------------------------------------------------------
+# top_hits aggregation + field collapsing — the last two result-shaping
+# DSL features an ES user reaches for routinely.
+
+TOP_HITS_PER_BUCKET = 2
+COLLAPSE_FIELD = "source"
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` aggregation: per ``lang`` bucket, the top
+    {TOP_HITS_PER_BUCKET} documents by length (n_chars desc, doc_id asc)
+    with their in-bucket rank.
+
+    Scale shape: ONE window keyed on the bucket field — partitioned rank,
+    never a global sort; at 100 TB the per-bucket top-k is exactly the
+    partial top-k ES's shards compute."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (docs.select("lang", "doc_id", "n_chars")
+            .withColumn("bucket_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("bucket_rank") <= TOP_HITS_PER_BUCKET))
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: the BM25 ranking collapsed to ONE hit per
+    ``{COLLAPSE_FIELD}`` (the best-scoring doc of each source), re-ranked
+    — search-result diversification as ES ships it.
+
+    Scale shape: the scored relation is the shared BM25 core (term filter
+    below the shuffle); collapsing is a per-field window over docs that
+    MATCHED the query (a tiny fraction of the corpus), and the final
+    ranking is a TakeOrderedAndProject over one row per field value."""
+    from elasticsearch_hbase_river_spark.operators.search import bm25_scores
+
+    scored = bm25_scores(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", COLLAPSE_FIELD)
+    wc = Window.partitionBy(COLLAPSE_FIELD).orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    best = (scored.join(src, "doc_id")
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select(COLLAPSE_FIELD, "doc_id", "score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (best.orderBy(F.col("score").desc(), F.col("doc_id"))
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+QUERIES["q_top_hits"] = q_top_hits
+QUERIES["q_collapse"] = q_collapse
+
+ORACLES["q_top_hits"] = f"""
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS bucket_rank
+FROM documents
+QUALIFY bucket_rank <= {TOP_HITS_PER_BUCKET}"""
+
+
+def _collapse_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        _BM25_TERMS_SQL, _POSTINGS_SQL,
+    )
+
+    return f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl
+       FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg({_DL_SQL}) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         {roundn_sql(f'''sum(ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))''')}
+         AS score
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id),
+best AS (
+  SELECT {COLLAPSE_FIELD}, doc_id, score FROM (
+    SELECT d.{COLLAPSE_FIELD}, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY d.{COLLAPSE_FIELD}
+                              ORDER BY s.score DESC, s.doc_id) AS rn
+    FROM scored s JOIN documents d USING (doc_id))
+  WHERE rn = 1)
+SELECT {COLLAPSE_FIELD}, doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM best"""
+
+
+ORACLES["q_collapse"] = _collapse_oracle()

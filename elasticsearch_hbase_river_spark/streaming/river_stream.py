@@ -669,3 +669,55 @@ def apply_vector_deltas(spark: SparkSession, base_index_dir: str,
 
     upsert_vectors(spark, base_index_dir,
                    read_vector_deltas(spark, delta_dir), out_dir)
+
+
+def start_percolate_stream(spark: SparkSession, docs_source_dir: str,
+                           stored_queries: DataFrame, alerts_dir: str,
+                           checkpoint_dir: str,
+                           available_now: bool = True) -> StreamingQuery:
+    """Streaming percolation — the alerting engine ES's percolator exists
+    for: every micro-batch of incoming documents is matched against the
+    registered (query_id, token) AND-queries and the hits land as one
+    alert epoch ``alerts_dir/epoch=<id>`` with (doc_id, query_id).
+
+    Per batch: analyzed distinct (doc, token) ⋈ broadcast stored terms →
+    one partial-aggregated AND count (docs are complete within their
+    batch, so the per-batch aggregate is exact — the same reason
+    ``start_index_stream`` can build whole postings per epoch). Epoch
+    overwrite keeps replays exactly-once. At registration scale the
+    broadcast swaps for the canonical-term-set hash join of
+    ``q_percolate_indexed`` — same relation shapes. The stored-query
+    relation is captured at stream start; re-registering queries means
+    restarting the stream, exactly like reloading a percolator index."""
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens,
+    )
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+
+    _tune_session(spark)
+    n_terms = (stored_queries.groupBy("query_id")
+               .agg(F.count_distinct("token").alias("need")))
+    rules = (stored_queries.select("query_id", "token").distinct()
+             .join(n_terms, "query_id").persist())
+    rules.count()  # materialize once; every batch broadcasts this
+
+    docs = (spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 16).parquet(docs_source_dir)
+            .select("doc_id", "text"))
+
+    def match(batch_df: DataFrame, batch_id: int) -> None:
+        doc_tok = (batch_df.select(
+            "doc_id", F.explode(analyze_tokens(F.col("text"))).alias("token"))
+            .distinct())
+        hits = (doc_tok.join(F.broadcast(rules), "token")
+                .groupBy("doc_id", "query_id", "need")
+                .agg(F.count(F.lit(1)).alias("got"))
+                .filter(F.col("got") == F.col("need"))
+                .select("doc_id", "query_id"))
+        hits.write.mode("overwrite").parquet(f"{alerts_dir}/epoch={batch_id}")
+
+    writer = (docs.writeStream.foreachBatch(match)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -693,3 +693,48 @@ def test_freshness_loop_stream_merge_swap_serves_new_docs(spark, sf_dir, tmp_pat
              ix.bm25_from_index(spark, ix.resolve_alias(alias)).collect()}
     assert hot_id not in final
     assert ix.index_stats(gen3)["n_docs"] == ix.index_stats(gen2)["n_docs"]
+
+def test_streaming_percolate_alerts_match_batch_semantics(spark, sf_dir, tmp_path):
+    """The percolator as an alerting STREAM: stored AND-queries registered
+    up front; each micro-batch of documents emits (doc_id, query_id)
+    alert epochs. Alerts must equal the batch AND-semantics over the same
+    docs, analyzer included; an idle tick adds nothing; a second batch
+    alerts independently."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_percolate_stream,
+    )
+
+    stored = spark.createDataFrame(
+        [(0, "spark"), (0, "join"), (1, "window"), (2, "spark"), (2, "nosuchtoken")],
+        "query_id long, token string")
+    src = str(tmp_path / "src")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, "Spark JOIN ahead"),          # q0 (analyzer folds case)
+         (2, "the window, the window"),    # q1
+         (3, "spark alone"),               # none (q2 needs nosuchtoken too)
+         (4, "nothing at all")],
+        "doc_id long, text string")
+    batch1.write.mode("append").parquet(src)
+    q = start_percolate_stream(spark, src, stored, alerts, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.query_id)
+           for r in spark.read.parquet(alerts).select("doc_id", "query_id").collect()}
+    assert got == {(1, 0), (2, 1)}
+
+    # idle tick: no new files, no new alerts
+    q = start_percolate_stream(spark, src, stored, alerts, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(alerts).count() == 2
+
+    # batch 2: one more match for q1
+    spark.createDataFrame([(9, "a Window!")], "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    q = start_percolate_stream(spark, src, stored, alerts, ckpt)
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.query_id)
+           for r in spark.read.parquet(alerts).select("doc_id", "query_id").collect()}
+    assert got == {(1, 0), (2, 1), (9, 1)}
