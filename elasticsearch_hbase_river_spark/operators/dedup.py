@@ -33,7 +33,11 @@ from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, ro
 from elasticsearch_hbase_river_spark.sources.tables import load_table
 
 COPY_MOD = 50          # every 50th doc gets a synthetic duplicate
-COPY_OFFSET = 1_000_000
+COPY_OFFSET = 1_000_000_000  # far above any scale-fixture replica id
+                             # (make_scale_fixtures strides doc_id by 1e5
+                             # per replica, so 1e6 collided at K >= 11 —
+                             # groupBy(doc_id) then merged two real docs
+                             # while the per-row oracle kept both)
 TRUNCATE = 5           # near-dup copies drop the last 5 tokens
 N_HASHES = 8           # MinHash permutations
 N_BANDS = 4            # LSH bands (2 rows per band)

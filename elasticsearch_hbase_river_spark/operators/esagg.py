@@ -743,7 +743,10 @@ def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the scored relation is the shared BM25 core (term filter
     below the shuffle); collapsing is a per-field window over docs that
     MATCHED the query (a tiny fraction of the corpus), and the final
-    ranking is a TakeOrderedAndProject over one row per field value."""
+    ranking takes only the request's ``size`` hits (ES default-page
+    semantics) as a TakeOrderedAndProject — never a global sort over one
+    row per field value, whose cardinality is unbounded (collapse on a
+    user-id-like field is corpus-sized)."""
     from elasticsearch_hbase_river_spark.operators.search import bm25_scores
 
     scored = bm25_scores(spark, sf_dir)
@@ -754,9 +757,9 @@ def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(wc))
             .filter(F.col("rn") == 1)
             .select(COLLAPSE_FIELD, "doc_id", "score"))
+    top = best.orderBy(F.col("score").desc(), F.col("doc_id")).limit(DIS_MAX_TOP)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (best.orderBy(F.col("score").desc(), F.col("doc_id"))
-            .withColumn("rank", F.row_number().over(w).cast("long")))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 QUERIES["q_top_hits"] = q_top_hits
@@ -803,7 +806,8 @@ best AS (
   WHERE rn = 1)
 SELECT {COLLAPSE_FIELD}, doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-FROM best"""
+FROM best
+QUALIFY rank <= {DIS_MAX_TOP}"""
 
 
 ORACLES["q_collapse"] = _collapse_oracle()

@@ -46,13 +46,13 @@ def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct("lang", "source")).alias("meta"),
     )
     image = docs.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("asset_id"),
+        (F.col("doc_id") + 1_000_000_000).alias("asset_id"),
         F.lit("image").alias("modality"),
         F.encode("text", "UTF-8").alias("payload"),
         F.to_json(F.struct("lang", "source")).alias("meta"),
     )
     video = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 20_000_000).alias("asset_id"),
+        (F.col("doc_id") + 2_000_000_000).alias("asset_id"),
         F.lit("video").alias("modality"),
         F.encode("text", "UTF-8").alias("payload"),
         F.to_json(F.struct("lang", "source")).alias("meta"),
@@ -206,10 +206,10 @@ _FRAME_SQL = """
   SELECT doc_id AS asset_id, 'text' AS modality, encode(text) AS payload
   FROM documents
   UNION ALL
-  SELECT doc_id + 10000000, 'image', encode(text)
+  SELECT doc_id + 1000000000, 'image', encode(text)
   FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id + 20000000, 'video', encode(text)
+  SELECT doc_id + 2000000000, 'video', encode(text)
   FROM documents WHERE doc_id % 5 = 0
 """
 
@@ -251,7 +251,7 @@ FROM b""",
 
     "q_media_framesample": f"""
 WITH vids AS (
-  SELECT doc_id + 20000000 AS asset_id,
+  SELECT doc_id + 2000000000 AS asset_id,
          octet_length(encode(text)) AS n
   FROM documents WHERE doc_id % 5 = 0)
 SELECT asset_id,

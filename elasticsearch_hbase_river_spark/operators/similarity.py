@@ -30,7 +30,7 @@ from elasticsearch_hbase_river_spark.sources.tables import load_table
 N_QUERIES = 8      # query vectors: vec_id < 8
 TOP_K = 10
 DUP_MOD = 25       # q_embedding_dedup synthetic copies: every 25th vector
-DUP_OFFSET = 1_000_000
+DUP_OFFSET = 1_000_000_000  # collision-free vs scale-fixture vec_id strides
 N_PROBE = 2        # IVF cells probed
 IVF_TOP_K = 5
 
