@@ -1,0 +1,366 @@
+"""ES query-DSL pack 2: scoring functions, parent-join, and the remaining
+aggregations an ES user reaches for.
+
+The reference's whole purpose is serving the river's documents to the ES
+query DSL (`HBaseRiver.java:1-35`, `import.sh:4-15`); `search.py` /
+`esagg.py` cover the text-scoring and bucket-agg surface. This module
+closes out:
+
+- ``q_function_score``   : ES ``function_score`` — the BM25 query score
+  reshaped by ``field_value_factor`` (ln1p of a numeric field) and a
+  ``gauss`` decay on the same field, ``score_mode: multiply`` /
+  ``boost_mode: multiply`` — "boost by popularity/recency", the single
+  most-used non-trivial scoring feature.
+- ``q_has_child``        : ES parent-join ``has_child`` query
+  (``score_mode: sum``, ``min_children``): parent docs ranked by the sum
+  of their matching children's scores. Parents = ``orders``, children =
+  ``lineitem`` — exactly ES's join-field modeling of a 1:N relation.
+- ``q_has_parent``       : the inverse ``has_parent`` query: child hits
+  inheriting the matching parent's score.
+- ``q_adjacency_matrix`` : ES ``adjacency_matrix`` aggregation over
+  user behavior profiles: one bucket per named filter (event type) and
+  one per pairwise intersection (users who did BOTH), ES's ``A&B`` keys.
+- ``q_extended_stats``   : ES ``extended_stats`` per bucket (count, min,
+  max, sum, avg, sum_of_squares, population variance/std).
+- ``q_rare_terms``       : ES ``rare_terms`` aggregation — the long-tail
+  complement of ``terms`` (buckets with document frequency at or below a
+  cutoff, rarest first).
+- ``q_nested_match``     : ES ``nested`` query over the assembled cell
+  documents: a parent row matches only if ONE nested element satisfies
+  ALL sub-predicates (qualifier AND value) — Lucene's block-join. The
+  cells relation IS the block-join layout (nested elements stored as
+  their own rows), so the query is an element-level filter + semi-join,
+  never an array cross-match.
+
+Scale shapes:
+- function_score: the per-doc function factors are map-side column math on
+  the (tiny) BM25-matched relation; ranking is TakeOrderedAndProject.
+- has_child/has_parent: the child/parent predicate is pushed below the
+  shuffle into the parquet scan; scoring is ONE partial-aggregated
+  groupBy on the join key; the parent-child equi-join shuffles on the
+  orderkey both sides already share (bucket both tables on orderkey and
+  it is shuffle-free); ranking is a distributed top-k.
+- adjacency_matrix: ONE corpus shuffle (groupBy user) builds the per-user
+  distinct-type set (bounded by the named-filter count k); singleton and
+  pair buckets expand map-side from that set (≤ k + k(k-1)/2 rows per
+  user) — never a corpus×corpus self-join.
+- rare_terms: vocab-sized aggregation over the postings (df per token),
+  cutoff relative to the 1-row broadcast corpus size, rarest-first top-k.
+- nested_match: element predicate at the scan, one semi-join keyed on the
+  parent row key, parent re-assembly only for surviving rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
+from elasticsearch_hbase_river_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    _BM25_TERMS_SQL,
+    _DL_SQL,
+    _POSTINGS_SQL,
+    _postings,
+    bm25_scores,
+)
+from elasticsearch_hbase_river_spark.sources.cells import CELLS_CTE, cells_from_events
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+# function_score knobs (ES: functions=[field_value_factor(ln1p),
+# gauss(origin/scale/decay)], score_mode=multiply, boost_mode=multiply).
+FS_ORIGIN = 300.0        # gauss origin on n_chars
+FS_SCALE = 150.0         # gauss scale (decay 0.5 at |x-origin| = scale)
+FS_TOP = 10
+_LN2 = math.log(2.0)     # same IEEE literal in both engines
+
+# has_child / has_parent knobs.
+HC_MIN_QTY = 45.0        # child query: l_quantity >= 45 AND l_returnflag='N'
+HC_MIN_CHILDREN = 2
+HC_TOP = 15
+HP_PRIORITY = "1-URGENT"  # parent query
+HP_MIN_TOTAL = 300_000.0
+HP_TOP = 20
+
+# rare_terms: ES max_doc_count made corpus-relative (1% of docs) so the
+# cutoff is invariant under the K-replica scale fixtures.
+RARE_DF_FRACTION = 0.01
+RARE_TOP = 20
+
+# nested query sub-predicates (ONE cell must satisfy both).
+NESTED_QUALIFIER = "props"
+NESTED_VALUE_PREFIX = '{"k": 9'   # k = 9 or 90..99
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score``: BM25 relevance × ln1p(field) × gauss(field),
+    top-{FS_TOP}. All three factors are columns on the BM25-matched
+    relation (a tiny fraction of the corpus — the term filter sits below
+    the shuffle inside ``bm25_scores``); the final ranking is a
+    distributed top-k."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    x = F.col("n_chars").cast("double")
+    fvf = F.log(F.lit(1.0) + x)
+    dx = x - F.lit(FS_ORIGIN)
+    gauss = F.exp(-(dx * dx) * F.lit(_LN2) / F.lit(FS_SCALE * FS_SCALE))
+    scored = (bm25_scores(spark, sf_dir)
+              .join(docs, "doc_id")
+              .select("doc_id",
+                      roundn_col(F.col("score") * fvf * gauss).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(FS_TOP)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` (parents = orders, children = lineitem): orders
+    with at least {HC_MIN_CHILDREN} children matching the child query,
+    scored ``score_mode: sum`` over the children's revenue scores,
+    top-{HC_TOP} parents."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_quantity") >= HC_MIN_QTY)
+                  & (F.col("l_returnflag") == "N"))
+          .select("l_orderkey",
+                  (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                  .alias("child_score")))
+    per_parent = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        roundn_col(F.sum("child_score")).alias("score"),
+    ).filter(F.col("n_children") >= HC_MIN_CHILDREN)
+    parents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    hits = per_parent.join(parents, "l_orderkey").select(
+        F.col("l_orderkey").alias("o_orderkey"), "o_orderpriority",
+        "n_children", "score")
+    top = hits.orderBy(F.col("score").desc(), "o_orderkey").limit(HC_TOP)
+    w = Window.orderBy(F.col("score").desc(), "o_orderkey")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_parent``: child hits (lineitems) whose parent order matches
+    the parent query, each child inheriting the parent's score
+    (``score: true``), top-{HP_TOP} children."""
+    parents = (load_table(spark, sf_dir, "orders")
+               .filter((F.col("o_orderpriority") == HP_PRIORITY)
+                       & (F.col("o_totalprice") > HP_MIN_TOTAL))
+               .select(F.col("o_orderkey").alias("l_orderkey"),
+                       F.col("o_totalprice").alias("parent_score")))
+    children = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    hits = children.join(parents, "l_orderkey")
+    # (l_orderkey, l_linenumber) is not unique in the fixture — include
+    # l_quantity so the ranking is total.
+    top = hits.orderBy(F.col("parent_score").desc(), "l_orderkey",
+                       "l_linenumber", "l_quantity").limit(HP_TOP)
+    w = Window.orderBy(F.col("parent_score").desc(), "l_orderkey",
+                       "l_linenumber", "l_quantity")
+    return top.select("l_orderkey", "l_linenumber", "l_quantity",
+                      "parent_score") \
+              .withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` over user profiles: for named filters =
+    event types, one bucket per filter (users who did it) and one per
+    pairwise intersection, keyed ``a&b`` as ES emits them.
+
+    ONE corpus shuffle: groupBy(user) builds the sorted distinct-type set
+    (≤ filter-count elements); singles and pairs expand map-side from it."""
+    sets = (load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_set("event_type")).alias("ts")))
+    singles = (sets.select(F.explode("ts").alias("key"))
+               .groupBy("key").agg(F.count(F.lit(1)).alias("doc_count")))
+    pair_arr = F.flatten(F.transform(
+        F.col("ts"),
+        lambda a, i: F.filter(
+            F.transform(F.col("ts"),
+                        lambda b, j: F.when(j > i, F.concat_ws("&", a, b))),
+            lambda p: p.isNotNull()),
+    ))
+    pairs = (sets.select(F.explode(pair_arr).alias("key"))
+             .groupBy("key").agg(F.count(F.lit(1)).alias("doc_count")))
+    return singles.unionByName(pairs)
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` aggregation on ``value`` per event type:
+    count/min/max/sum/avg/sum_of_squares/variance/std_deviation
+    (population, as ES computes them). One partial-aggregated shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        roundn_col(F.min("value")).alias("min_v"),
+        roundn_col(F.max("value")).alias("max_v"),
+        roundn_col(F.sum("value")).alias("sum_v"),
+        roundn_col(F.avg("value")).alias("avg_v"),
+        roundn_col(F.sum(F.col("value") * F.col("value"))).alias("sum_sq"),
+        roundn_col(F.var_pop("value")).alias("variance"),
+        roundn_col(F.stddev_pop("value")).alias("std_dev"),
+    )
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms``: analyzed tokens whose document frequency is at or
+    below {RARE_DF_FRACTION:.0%} of the corpus (ES's ``max_doc_count``
+    knob, made corpus-relative), rarest first, top-{RARE_TOP}. Vocab-sized
+    aggregation; the corpus size rides in as a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    df_ = (_postings(docs).select("token", "doc_id").distinct()
+           .groupBy("token").agg(F.count(F.lit(1)).alias("doc_count")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (df_.crossJoin(F.broadcast(n))
+            .filter(F.col("doc_count")
+                    <= F.greatest(F.lit(1),
+                                  F.floor(F.lit(RARE_DF_FRACTION) * F.col("n_docs"))))
+            .select("token", "doc_count"))
+    return rare.orderBy("doc_count", "token").limit(RARE_TOP)
+
+
+def q_nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` query over the assembled cell documents: parent rows
+    where ONE nested cell has qualifier = {NESTED_QUALIFIER!r} AND value
+    starting {NESTED_VALUE_PREFIX!r} (both sub-predicates on the SAME
+    element — block-join semantics, which the cells layout gives exactly).
+    Returns each matching parent with its cell count and the matched
+    value; inner_hits = the matched element."""
+    cells = cells_from_events(spark, sf_dir)
+    matched = (cells.filter((F.col("qualifier") == NESTED_QUALIFIER)
+                            & F.col("value").startswith(NESTED_VALUE_PREFIX))
+               .select("row_key", F.col("value").alias("inner_hit")))
+    per_row = cells.groupBy("row_key").agg(
+        F.count(F.lit(1)).alias("n_cells"))
+    return (per_row.join(matched, "row_key")
+            .select("row_key", "n_cells", "inner_hit"))
+
+
+QUERIES = {
+    "q_function_score": q_function_score,
+    "q_has_child": q_has_child,
+    "q_has_parent": q_has_parent,
+    "q_adjacency_matrix": q_adjacency_matrix,
+    "q_extended_stats": q_extended_stats,
+    "q_rare_terms": q_rare_terms,
+    "q_nested_match": q_nested_match,
+}
+
+
+_FS_GAUSS_SQL = (f"exp(-((CAST(n_chars AS DOUBLE) - {FS_ORIGIN}) * "
+                 f"(CAST(n_chars AS DOUBLE) - {FS_ORIGIN})) * {_LN2!r} / "
+                 f"{FS_SCALE * FS_SCALE!r})")
+
+ORACLES = {
+    "q_function_score": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg({_DL_SQL}) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+base AS (
+  SELECT tf.doc_id,
+         {roundn_sql(f'''sum(ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))''')}
+         AS score
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id),
+fs AS (
+  SELECT b.doc_id,
+         {roundn_sql(f"b.score * ln(1.0 + CAST(d.n_chars AS DOUBLE)) * {_FS_GAUSS_SQL}")}
+           AS score
+  FROM base b JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM fs)
+SELECT * FROM ranked WHERE rank <= {FS_TOP}""",
+
+    "q_has_child": f"""
+WITH per_parent AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_children,
+         {roundn_sql("sum(l_extendedprice * (1.0 - l_discount))")} AS score
+  FROM lineitem
+  WHERE l_quantity >= {HC_MIN_QTY} AND l_returnflag = 'N'
+  GROUP BY l_orderkey
+  HAVING count(*) >= {HC_MIN_CHILDREN}),
+hits AS (
+  SELECT o.o_orderkey, o.o_orderpriority, p.n_children, p.score
+  FROM per_parent p JOIN orders o ON o.o_orderkey = p.l_orderkey),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY score DESC, o_orderkey) AS BIGINT)
+           AS rank
+  FROM hits)
+SELECT * FROM ranked WHERE rank <= {HC_TOP}""",
+
+    "q_has_parent": f"""
+WITH parents AS (
+  SELECT o_orderkey, o_totalprice AS parent_score
+  FROM orders
+  WHERE o_orderpriority = '{HP_PRIORITY}' AND o_totalprice > {HP_MIN_TOTAL}),
+hits AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.parent_score
+  FROM lineitem l JOIN parents p ON l.l_orderkey = p.o_orderkey),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY parent_score DESC, l_orderkey,
+                                 l_linenumber, l_quantity) AS BIGINT) AS rank
+  FROM hits)
+SELECT * FROM ranked WHERE rank <= {HP_TOP}""",
+
+    "q_adjacency_matrix": """
+WITH r AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
+FROM r GROUP BY event_type
+UNION ALL
+SELECT a.event_type || '&' || b.event_type,
+       CAST(count(*) AS BIGINT)
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type""",
+
+    "q_extended_stats": f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql("min(value)")} AS min_v,
+       {roundn_sql("max(value)")} AS max_v,
+       {roundn_sql("sum(value)")} AS sum_v,
+       {roundn_sql("avg(value)")} AS avg_v,
+       {roundn_sql("sum(value * value)")} AS sum_sq,
+       {roundn_sql("var_pop(value)")} AS variance,
+       {roundn_sql("stddev_pop(value)")} AS std_dev
+FROM events GROUP BY event_type""",
+
+    "q_rare_terms": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dfr AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+  FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, doc_count
+FROM dfr, n
+WHERE doc_count <= greatest(1, floor({RARE_DF_FRACTION} * n_docs))
+ORDER BY doc_count, token
+LIMIT {RARE_TOP}""",
+
+    "q_nested_match": f"""
+{CELLS_CTE},
+matched AS (
+  SELECT row_key, value AS inner_hit
+  FROM cells
+  WHERE qualifier = '{NESTED_QUALIFIER}'
+    AND value LIKE '{NESTED_VALUE_PREFIX}%'),
+per_row AS (
+  SELECT row_key, CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells GROUP BY row_key)
+SELECT p.row_key, p.n_cells, m.inner_hit
+FROM per_row p JOIN matched m USING (row_key)""",
+}
