@@ -122,6 +122,13 @@ HEADLINE = (
     "q_boosting",
     "q_top_hits",
     "q_collapse",
+    "q_function_score",
+    "q_has_child",
+    "q_has_parent",
+    "q_adjacency_matrix",
+    "q_extended_stats",
+    "q_rare_terms",
+    "q_nested_match",
 )
 
 
