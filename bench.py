@@ -129,6 +129,7 @@ HEADLINE = (
     "q_extended_stats",
     "q_rare_terms",
     "q_nested_match",
+    "q_bm25_english",
 )
 
 

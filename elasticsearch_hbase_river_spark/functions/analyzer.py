@@ -53,3 +53,66 @@ def analyze_toks_sql(expr: str = "text") -> str:
 #: The analyzed-token array over the ``documents`` table's text column —
 #: the expression every search-surface oracle builds on.
 ANALYZE_TOKS_SQL = analyze_toks_sql("text")
+
+
+# ---------------------------------------------------------------------------
+# The ``english`` analyzer: standard chain + stopword removal + S-stemming.
+# ES's english analyzer adds a stop filter and a stemmer on top of the
+# standard tokenizer; the stemmer here is Harman's S-stemmer (the rule set
+# of Lucene's minimal_english): crude by design, exactly expressible as
+# portable string CASEs in both engines.
+
+#: Lucene's ENGLISH_STOP_WORDS_SET (the ES `_english_` stopword list).
+EN_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+
+def _s_stem(t: Column) -> Column:
+    """Harman S-stemmer: ies→y (not eies/aies); es→e (not aes/ees/oes);
+    s→'' (not us/ss)."""
+    n = F.length(t)
+    return (
+        F.when(t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies"),
+               F.concat(t.substr(F.lit(1), n - 3), F.lit("y")))
+        .when(t.endswith("es") & ~t.endswith("aes") & ~t.endswith("ees")
+              & ~t.endswith("oes"),
+              t.substr(F.lit(1), n - 1))
+        .when(t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+              t.substr(F.lit(1), n - 1))
+        .otherwise(t)
+    )
+
+
+def analyze_tokens_en(col: Column | str) -> Column:
+    """``array<string>`` of english-analyzed tokens: the standard chain,
+    then stopword removal (duplicates and order preserved — tf matters),
+    then per-token S-stemming. Pure higher-order-function expressions —
+    whole-stage codegen, no UDF."""
+    toks = analyze_tokens(col)
+    kept = F.filter(toks, lambda t: ~t.isin(*EN_STOPWORDS))
+    return F.transform(kept, _s_stem)
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+_S_STEM_SQL = """CASE
+  WHEN ends_with(t, 'ies') AND NOT ends_with(t, 'eies')
+       AND NOT ends_with(t, 'aies')
+    THEN substr(t, 1, length(t) - 3) || 'y'
+  WHEN ends_with(t, 'es') AND NOT ends_with(t, 'aes')
+       AND NOT ends_with(t, 'ees') AND NOT ends_with(t, 'oes')
+    THEN substr(t, 1, length(t) - 1)
+  WHEN ends_with(t, 's') AND NOT ends_with(t, 'us')
+       AND NOT ends_with(t, 'ss')
+    THEN substr(t, 1, length(t) - 1)
+  ELSE t END"""
+
+
+def analyze_toks_en_sql(expr: str = "text") -> str:
+    """The DuckDB twin of :func:`analyze_tokens_en` over ``expr``."""
+    return (f"list_transform(list_filter({analyze_toks_sql(expr)}, "
+            f"t -> t NOT IN ({_EN_STOP_SQL})), t -> {_S_STEM_SQL})")

@@ -238,8 +238,51 @@ def q_nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("row_key", "n_cells", "inner_hit"))
 
 
+EN_TOP = 10
+
+
+def q_bm25_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the ``english`` analyzer chain (standard + stopword
+    removal + S-stemming, `functions/analyzer.py`): ES's most common
+    text-field configuration. Stopword removal changes every document
+    length (and so every score) relative to ``q_bm25`` — the analyzer is
+    load-bearing here, not a pass-through. Same scale shape as the
+    standard-analyzer BM25: term filter below the shuffle, broadcast
+    df/stats, distributed top-k."""
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens_en,
+    )
+    from elasticsearch_hbase_river_spark.operators.search import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = analyze_tokens_en(F.col("text"))
+    dl = F.size(toks).cast("long")
+    occ = (docs.select("doc_id", dl.alias("dl"),
+                       F.explode(toks).alias("token"))
+           .filter(F.col("token").isin(*BM25_TERMS)))
+    tf = occ.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = docs.select(dl.alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(df_), "token")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", (idf * tf_norm).alias("contrib"))
+              .groupBy("doc_id")
+              .agg(roundn_col(F.sum("contrib")).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(EN_TOP)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 QUERIES = {
     "q_function_score": q_function_score,
+    "q_bm25_english": q_bm25_english,
     "q_has_child": q_has_child,
     "q_has_parent": q_has_parent,
     "q_adjacency_matrix": q_adjacency_matrix,
@@ -252,6 +295,37 @@ QUERIES = {
 _FS_GAUSS_SQL = (f"exp(-((CAST(n_chars AS DOUBLE) - {FS_ORIGIN}) * "
                  f"(CAST(n_chars AS DOUBLE) - {FS_ORIGIN})) * {_LN2!r} / "
                  f"{FS_SCALE * FS_SCALE!r})")
+
+def _bm25_english_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_toks_en_sql,
+    )
+
+    en = analyze_toks_en_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {en} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg(len(toks)) AS avgdl FROM t),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         {roundn_sql(f'''sum(ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))''')}
+         AS score
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {EN_TOP}"""
+
 
 ORACLES = {
     "q_function_score": f"""
@@ -350,6 +424,8 @@ FROM dfr, n
 WHERE doc_count <= greatest(1, floor({RARE_DF_FRACTION} * n_docs))
 ORDER BY doc_count, token
 LIMIT {RARE_TOP}""",
+
+    "q_bm25_english": _bm25_english_oracle(),
 
     "q_nested_match": f"""
 {CELLS_CTE},

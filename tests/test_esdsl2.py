@@ -81,3 +81,36 @@ def test_nested_match_inner_hits_satisfy_both_predicates(spark, sf_dir):
     rows = q_nested_match(spark, sf_dir).collect()
     assert rows, "expected nested matches in the fixture"
     assert all(r.inner_hit.startswith(NESTED_VALUE_PREFIX) for r in rows)
+
+
+def test_english_analyzer_stems_and_stops_identically_in_both_engines(spark):
+    """The english chain (stop filter + S-stemmer) must produce identical
+    token arrays in Spark and DuckDB over dirty text, and obey the
+    S-stemmer rules: ies->y, es->e, plural s dropped, us/ss kept,
+    stopwords removed with duplicates preserved."""
+    import duckdb
+
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens_en,
+        analyze_toks_en_sql,
+    )
+
+    texts = [
+        "The Queries and the Tables!",
+        "Sparks, classes; the bus hits glass",
+        "a a a joins",
+        "THE AND OF",          # all stopwords -> empty
+        "",                    # empty -> empty
+    ]
+    sp = [r.toks for r in
+          spark.createDataFrame([(t,) for t in texts], "text string")
+          .select(analyze_tokens_en(F.col("text")).alias("toks")).collect()]
+    con = duckdb.connect()
+    du = [r[0] for r in con.execute(
+        f"SELECT {analyze_toks_en_sql('t')} FROM (SELECT unnest(?) AS t)",
+        [texts]).fetchall()]
+    assert sp == du
+    assert sp[0] == ["query", "table"]
+    assert sp[1] == ["spark", "classe", "bus", "hit", "glass"]
+    assert sp[2] == ["join"]
+    assert sp[3] == [] and sp[4] == []
