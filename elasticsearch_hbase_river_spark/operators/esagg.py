@@ -503,11 +503,12 @@ FROM terms t LEFT JOIN per_query p USING (query_id)"""
 #      not |registered queries| — ES's percolator caches canonical query
 #      shapes for the same reason. The fan-back to per-query results is a
 #      hash join on the termset key, never a corpus operation;
-#   3. matching           — term→set postings hash-join the distinct
-#      (doc, token) relation on token, then ONE partial-aggregated
-#      groupBy (doc, set) counts matched terms; a set with all its terms
-#      matched percolates. No per-query corpus scan, no cross join, and
-#      the only corpus-sized shuffle is keyed on (doc_id, termset).
+#   3. matching           — per document, the registered-token set builds
+#      in ONE shuffle keyed on doc_id; its ordered pairs expand map-side,
+#      survive a broadcast membership join against the termset dictionary,
+#      and partial-aggregate straight down to |termsets| counts. No
+#      per-query corpus scan, no cross join, no corpus-sized join or sort
+#      anywhere — the only corpus-sized shuffle is keyed on doc_id.
 
 PERC_IDX_N_QUERIES = 10_000
 
@@ -540,29 +541,42 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("terms"))
              .withColumn("set_key", F.xxhash64("terms"))
              .localCheckpoint(eager=True))  # read twice: postings + fan-back
-    # AND-matching as a PAIR INTERSECTION: per term position, candidates =
-    # doc_tok ⋈ (set, term) — then one sort-merge equi-join on
-    # (set_key, doc_id) whose aggregate state is |term sets|, TINY. The
-    # earlier groupBy(doc_id, set_key) HAVING-count shape (general-k AND)
-    # holds ~|docs × sets-per-token| distinct groups in the partial-agg
-    # hash map — measured OOM on a default 1 GB driver at sf1. For k>2
-    # terms this chains k-1 pair joins (or ES's rarest-term candidate
-    # generation + per-doc verify); both sides here are corpus-expansion
-    # sized, so the join is PINNED sort-merge (never an auto-broadcast —
-    # the round-4 discipline).
+    # AND-matching WITHOUT a corpus-sized join: per document, build the
+    # set of its tokens that any stored query registers (semi-join against
+    # the broadcast query vocabulary, one shuffle keyed on doc_id), expand
+    # its ordered token PAIRS map-side (≤ C(|qt|,2) per doc), keep only
+    # pairs that ARE a registered termset (broadcast hash join — no
+    # shuffle), and collapse them immediately in a partial agg whose
+    # distinct-group count is |termsets| — the per-task hash map stays
+    # tiny and nothing corpus-sized is ever sorted. Two earlier shapes
+    # both failed a scale notch: groupBy(doc_id, set_key) HAVING-count
+    # held |docs × sets-per-token| groups (driver OOM at sf1), and the
+    # pair-intersection sort-merge join built the same-sized JOIN
+    # intermediate instead (spill-to-death at sf3). For k>2 terms the
+    # pair expansion generalizes to ES's rarest-term candidate generation
+    # + per-doc verify over the (broadcast) stored sets.
     pairs = qsets.select(
         "set_key",
         F.split("terms", ",").getItem(0).alias("t1"),
         F.split("terms", ",").getItem(1).alias("t2")).distinct()
-    a = (doc_tok.join(F.broadcast(pairs.select("set_key",
-                                               F.col("t1").alias("token"))),
-                      "token")
-         .select("set_key", "doc_id"))
-    b = (doc_tok.join(F.broadcast(pairs.select("set_key",
-                                               F.col("t2").alias("token"))),
-                      "token")
-         .select("set_key", "doc_id"))
-    per_set = (a.hint("merge").join(b, ["set_key", "doc_id"])
+    qvocab = (pairs.select(F.col("t1").alias("token"))
+              .unionByName(pairs.select(F.col("t2").alias("token")))
+              .distinct())
+    doc_terms = (doc_tok.join(F.broadcast(qvocab), "token", "left_semi")
+                 .groupBy("doc_id")
+                 .agg(F.sort_array(F.collect_set("token")).alias("qt")))
+    ordered_pairs = F.flatten(F.transform(
+        F.col("qt"),
+        lambda a, i: F.filter(
+            F.transform(F.col("qt"),
+                        lambda b, j: F.when(j > i, F.struct(
+                            a.alias("t1"), b.alias("t2")))),
+            lambda s: s.isNotNull()),
+    ))
+    doc_pairs = (doc_terms.select("doc_id",
+                                  F.explode(ordered_pairs).alias("p"))
+                 .select("doc_id", "p.t1", "p.t2"))
+    per_set = (doc_pairs.join(F.broadcast(pairs), ["t1", "t2"])
                .groupBy("set_key")
                .agg(F.count(F.lit(1)).alias("n_matching_docs")))
     return (qsets.join(per_set, "set_key", "left")
