@@ -555,13 +555,19 @@ WITH aug AS ({_AUG_SQL_NEAR}),
 thq AS (SELECT doc_id, text, {_TH_SQL} AS th FROM aug),
 sh AS (SELECT doc_id, {_GH_SQL} AS sh FROM thq),
 pairs AS (
+  -- two equi-joins unioned, NOT one OR-join: the OR has no extractable
+  -- equi keys and DuckDB nested-loops it (quadratic at scale fixtures),
+  -- exactly why the Spark side splits the joins (candidate_pairs).
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.sh, b.sh)) AS i,
          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
-  FROM sh a JOIN sh b
-    ON b.doc_id = a.doc_id + {COPY_OFFSET}
-    OR (b.doc_id = a.doc_id + 1 AND a.doc_id < {COPY_OFFSET}
-        AND b.doc_id < {COPY_OFFSET}))
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + {COPY_OFFSET}
+  UNION ALL
+  SELECT a.doc_id, b.doc_id,
+         len(list_intersect(a.sh, b.sh)),
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < {COPY_OFFSET} AND b.doc_id < {COPY_OFFSET})
 SELECT doc_a, doc_b,
        {roundn_sql('i / u')} AS jaccard,
        {roundn_sql('i / u')} >= 0.8 AS is_near_dup
