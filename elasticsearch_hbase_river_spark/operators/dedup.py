@@ -26,7 +26,7 @@ hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
@@ -41,6 +41,13 @@ COPY_OFFSET = 1_000_000_000  # far above any scale-fixture replica id
 TRUNCATE = 5           # near-dup copies drop the last 5 tokens
 N_HASHES = 8           # MinHash permutations
 N_BANDS = 4            # LSH bands (2 rows per band)
+#: Per-bucket pair-expansion cap for the batch LSH self-joins (MinHash and
+#: SimHash): each doc compares against the bucket's first CAP members by
+#: doc_id — the batch twin of the streaming MAX_BUCKET_OCCUPANCY and the
+#: winnowing WINNOW_MAX_DF. Uncapped, a dup-rich corpus emits
+#: O(occupancy^2) pairs per bucket (measured executor OOM at the
+#: 100-replica fixture); capped, the expansion is O(cap * bands).
+LSH_BUCKET_CAP = 64
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
@@ -338,11 +345,29 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
         .alias("band_idx", "band_hash"),
     )
+    # Bucket-occupancy cap, batch twin of the streaming operator's
+    # MAX_BUCKET_OCCUPANCY and the winnowing df-cap: the bucket self-join
+    # emits O(occupancy²) pairs per bucket, and a dup-rich corpus (the
+    # 100-replica scale fixture; at 100 TB any templated text) grows
+    # buckets without bound — measured executor OOM at sf10. Buckets at or
+    # under the cap keep their full pair clique (small-scale semantics
+    # unchanged); an over-cap bucket is a mega-cluster, and every member
+    # pairs against its MIN doc_id only (a star, not a clique) — the
+    # connected-components consumer still groups the whole bucket through
+    # the star edges while the pair expansion stays linear in occupancy.
+    # The windows share the join's shuffle key. Mirrored verbatim in the
+    # oracle.
+    wb = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    wc = Window.partitionBy("band_idx", "band_hash")
+    reps = (bands.withColumn("r", F.row_number().over(wb))
+            .withColumn("occ", F.count(F.lit(1)).over(wc))
+            .filter((F.col("occ") <= LSH_BUCKET_CAP) | (F.col("r") == 1))
+            .drop("r", "occ"))
     # corpus-sized band relation on both sides: pin sort-merge (unhinted,
     # Catalyst auto-broadcasts whichever side its estimate says fits — OK
     # at sf0.1, driver/task OOM at 10x, wrong at any real scale)
     cand = (
-        bands.alias("x").hint("merge")
+        reps.alias("x").hint("merge")
         .join(bands.alias("y"),
               (F.col("x.band_idx") == F.col("y.band_idx"))
               & (F.col("x.band_hash") == F.col("y.band_hash"))
@@ -498,8 +523,18 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, 3), b -> (simhash div shiftleft(CAST(1 AS BIGINT), 8*b)) % 256)"
         )).alias("band_idx", "band_val"),
     )
+    # Same clique-or-star occupancy cap as q_near_dedup: 8-bit bands make
+    # bucket sizes O(corpus/256) by construction, so the uncapped
+    # self-join is quadratic at any dup-rich scale; over-cap buckets pair
+    # against their min member only. Mirrored in the oracle.
+    wb = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+    wc = Window.partitionBy("band_idx", "band_val")
+    reps = (bands.withColumn("r", F.row_number().over(wb))
+            .withColumn("occ", F.count(F.lit(1)).over(wc))
+            .filter((F.col("occ") <= LSH_BUCKET_CAP) | (F.col("r") == 1))
+            .drop("r", "occ"))
     cand = (
-        bands.alias("x").hint("merge")
+        reps.alias("x").hint("merge")
         .join(bands.alias("y"),
               (F.col("x.band_idx") == F.col("y.band_idx"))
               & (F.col("x.band_val") == F.col("y.band_val"))
@@ -600,9 +635,16 @@ bands AS (
   FROM sigb, LATERAL (
     {" UNION ALL ".join(f"SELECT {b} AS band_idx, band{b} AS band_hash" for b in range(N_BANDS))}
   ) b),
+reps AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT doc_id, band_idx, band_hash,
+           row_number() OVER (PARTITION BY band_idx, band_hash
+                              ORDER BY doc_id) AS r,
+           count(*) OVER (PARTITION BY band_idx, band_hash) AS occ
+    FROM bands) WHERE occ <= {LSH_BUCKET_CAP} OR r = 1),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
+  FROM reps x JOIN bands y
     ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
    AND x.doc_id < y.doc_id),
 scored AS (
@@ -680,10 +722,17 @@ bands AS (
   SELECT doc_id, simhash, b AS band_idx,
          (simhash // (1::BIGINT << (8 * b))) % 256 AS band_val
   FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS b)),
+reps AS (
+  SELECT doc_id, simhash, band_idx, band_val FROM (
+    SELECT doc_id, simhash, band_idx, band_val,
+           row_number() OVER (PARTITION BY band_idx, band_val
+                              ORDER BY doc_id) AS r,
+           count(*) OVER (PARTITION BY band_idx, band_val) AS occ
+    FROM bands) WHERE occ <= {LSH_BUCKET_CAP} OR r = 1),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
                   y.doc_id AS doc_b, y.simhash AS sim_b
-  FROM bands x JOIN bands y
+  FROM reps x JOIN bands y
     ON x.band_idx = y.band_idx AND x.band_val = y.band_val
    AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, sim_a, sim_b,
