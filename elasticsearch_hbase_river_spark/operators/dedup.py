@@ -423,7 +423,16 @@ def near_dup_decisions(incoming_bands: DataFrame,
     corpus and the accept/reject verdict. Candidates come from the
     (band_idx, band_hash) equi-join — output-bounded by bucket occupancy,
     never |incoming| x |history| — and each candidate pair verifies from
-    the signatures already ON the band rows (zero extra joins)."""
+    the signatures already ON the band rows (zero extra joins). The
+    history side is capped at the bucket's first {LSH_BUCKET_CAP} members
+    (the batch twin of the streaming operator's MAX_BUCKET_OCCUPANCY —
+    this query IS its batch form): a dup-rich corpus grows history
+    buckets without bound and the uncapped join OOMed the 100-replica
+    fixture; incoming docs still verify against the capped member set."""
+    wb = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    history_bands = (history_bands.withColumn("r", F.row_number().over(wb))
+                     .filter(F.col("r") <= LSH_BUCKET_CAP)
+                     .drop("r"))
     n, h = incoming_bands.alias("n"), history_bands.alias("h")
     pairs = (n.hint("merge")
              .join(h, (F.col("n.band_idx") == F.col("h.band_idx"))
@@ -688,10 +697,16 @@ ib AS (
   SELECT doc_id, mh, b.band_idx, b.band_hash FROM im, LATERAL (
     {" UNION ALL ".join(f"SELECT {b} AS band_idx, band{b} AS band_hash" for b in range(N_BANDS))}
   ) b),
+hbc AS (
+  SELECT doc_id, mh, band_idx, band_hash FROM (
+    SELECT doc_id, mh, band_idx, band_hash,
+           row_number() OVER (PARTITION BY band_idx, band_hash
+                              ORDER BY doc_id) AS r
+    FROM hb) WHERE r <= {LSH_BUCKET_CAP}),
 pairs AS (
   SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS hist_id,
                   n.mh AS mh_n, h.mh AS mh_h
-  FROM ib n JOIN hb h
+  FROM ib n JOIN hbc h
     ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash),
 best AS (
   SELECT doc_id,
