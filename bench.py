@@ -202,6 +202,10 @@ def main() -> None:
         # checkpoint blocks inflated a later explode-heavy query 5x).
         spark.catalog.clearCache()
         gc.collect()
+        # Direct ByteBuffers (parquet vectored IO) are only reclaimed at JVM
+        # GC; an idle heap never triggers one and allocation can hit
+        # -XX:MaxDirectMemorySize mid-run at larger SFs.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

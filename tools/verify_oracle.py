@@ -66,6 +66,20 @@ def main() -> int:
             results[name] = "ERR"
             print(f"--- {name} ERR:\n{traceback.format_exc(limit=4)}")
         print(f"{name}: {results[name]} ({time.time() - t0:.1f}s)", flush=True)
+        # Same cache hygiene as bench.py: persisted/checkpointed blocks
+        # from one query otherwise linger for the rest of the sweep,
+        # shrinking execution memory for every later query (leaked blocks
+        # caused spurious memory failures in large-sf sweeps).
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        # Direct ByteBuffers from parquet vectored IO are released by their
+        # Cleaner only at JVM GC; with a mostly-idle heap GC never fires and
+        # allocation hits -XX:MaxDirectMemorySize mid-sweep (observed at
+        # sf10: 52 MB row-group fetches failing at a 1 GB cap with ~1 GB
+        # already allocated by earlier queries).
+        spark.sparkContext._jvm.System.gc()
 
     bad = [k for k, v in results.items() if v in ("FAIL", "ERR")]
     npass = sum(1 for v in results.values() if v == "PASS")
