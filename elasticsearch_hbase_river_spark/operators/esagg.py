@@ -605,17 +605,29 @@ qsets AS (
          array_to_string(list_sort(list(token)), ',') AS terms,
          md5(array_to_string(list_sort(list(token)), ',')) AS set_key
   FROM stored GROUP BY query_id),
-set_postings AS (
-  SELECT DISTINCT set_key, unnest(string_split(terms, ',')) AS token
+-- Match via the same bounded pair-expansion shape as the Spark side:
+-- the naive (doc, set) GROUP BY ... HAVING holds |docs| x |sets-per-token|
+-- groups (a ~230M-group hash aggregate at the 100x fixture that ground
+-- DuckDB to tens of minutes and ~90 GB); expanding each document's
+-- ordered registered-token pairs and probing the <=C(vocab,2) distinct
+-- pair dictionary streams the same answer through a tiny aggregate.
+set_pairs AS (
+  SELECT DISTINCT set_key,
+         string_split(terms, ',')[1] AS t1,
+         string_split(terms, ',')[2] AS t2
   FROM qsets),
+qvocab AS (
+  SELECT t1 AS token FROM set_pairs UNION SELECT t2 FROM set_pairs),
 doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+doc_tok_q AS (SELECT doc_id, token FROM doc_tok JOIN qvocab USING (token)),
+doc_pairs AS (
+  SELECT a.doc_id, a.token AS t1, b.token AS t2
+  FROM doc_tok_q a JOIN doc_tok_q b
+    ON a.doc_id = b.doc_id AND a.token < b.token),
 per_set AS (
-  SELECT set_key, count(*) AS n_matching_docs FROM (
-    SELECT doc_id, set_key
-    FROM doc_tok JOIN set_postings USING (token)
-    GROUP BY doc_id, set_key
-    HAVING count(*) = {PERC_TERMS_PER_QUERY})
-  GROUP BY set_key)
+  SELECT p.set_key, count(*) AS n_matching_docs
+  FROM doc_pairs d JOIN set_pairs p ON d.t1 = p.t1 AND d.t2 = p.t2
+  GROUP BY p.set_key)
 SELECT q.query_id, q.terms,
        CAST(coalesce(p.n_matching_docs, 0) AS BIGINT) AS n_matching_docs
 FROM qsets q LEFT JOIN per_set p USING (set_key)"""
