@@ -518,11 +518,14 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries via the stored-query inverted index: per registered query, how
     many documents match all its terms."""
     docs = load_table(spark, sf_dir, "documents")
-    # one corpus tokenization, materialized once; the vocabulary derives
-    # from it (not a second explode)
-    doc_tok = (_postings(docs).select("doc_id", "token").distinct()
-               .localCheckpoint(eager=True))
-    vocab = doc_tok.select("token").distinct()
+    # Two corpus scans (vocab derivation + matching), deliberately NOT a
+    # cached/checkpointed shared tokenization: the corpus-sized doc_tok
+    # relation pinned in the block manager OOMed a default 1 GB driver at
+    # the 100x fixture, and caching corpus-sized data is the wrong trade
+    # at any scale — each scan reduces immediately to something small
+    # (a vocab distinct; a per-doc registered-token set).
+    posts = _postings(docs).select("doc_id", "token")
+    vocab = posts.select("token").distinct()
     qids = spark.range(PERC_IDX_N_QUERIES).select(F.col("id").alias("query_id"))
     keyed = qids.crossJoin(F.broadcast(vocab)).select(
         "query_id", "token",
@@ -562,7 +565,7 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvocab = (pairs.select(F.col("t1").alias("token"))
               .unionByName(pairs.select(F.col("t2").alias("token")))
               .distinct())
-    doc_terms = (doc_tok.join(F.broadcast(qvocab), "token", "left_semi")
+    doc_terms = (posts.join(F.broadcast(qvocab), "token", "left_semi")
                  .groupBy("doc_id")
                  .agg(F.sort_array(F.collect_set("token")).alias("qt")))
     ordered_pairs = F.flatten(F.transform(
