@@ -130,6 +130,11 @@ HEADLINE = (
     "q_rare_terms",
     "q_nested_match",
     "q_bm25_english",
+    "q_matrix_stats",
+    "q_terms_set",
+    "q_diversified_sampler",
+    "q_geo_distance",
+    "q_geotile_grid",
 )
 
 

@@ -239,6 +239,9 @@ _ALLOWED_SINGLE_PARTITION = {
                               # sized hourly relation (corpus pays ONE
                               # partial-agg shuffle below them)
     "q_index_stats",          # 1-row sidecar aggregates (vocab/stats)
+    "q_matrix_stats",         # 1-row decimal moment sums (corpus pays one
+                              # partial-agg scan; pair matrix expands
+                              # map-side from that row)
 }
 
 
