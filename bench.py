@@ -135,6 +135,11 @@ HEADLINE = (
     "q_diversified_sampler",
     "q_geo_distance",
     "q_geotile_grid",
+    "q_rank_eval",
+    "q_boxplot",
+    "q_median_abs_deviation",
+    "q_weighted_avg",
+    "q_t_test",
 )
 
 

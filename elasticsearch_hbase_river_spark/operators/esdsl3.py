@@ -378,3 +378,318 @@ FROM geo_users GROUP BY 1, 2"""
 
 
 ORACLES["q_geotile_grid"] = _geotile_oracle()
+
+# ---------------------------------------------------------------------------
+# rank_eval — ES's search-quality evaluation API: a batch of queries runs
+# against the engine, each ranked list is joined with graded relevance
+# judgments, and precision@k / reciprocal rank / NDCG@k come back per
+# query. Judgments here derive from a stable content hash (md5 of
+# query|doc), so both engines evaluate the identical labeled set; on a
+# real deployment they are a (query, doc_id, rating) table and the hash
+# column swaps for a join.
+#
+# Scale shape: each query's candidate set is the postings of its term
+# (bounded by df, never the corpus); ranking/metrics are windows
+# partitioned BY QUERY over those candidates, so the work per query is
+# df-proportional and queries evaluate in parallel. The final relation is
+# |queries| rows.
+
+RE_QUERIES = ("vector", "stream", "window", "merge", "filter", "sort")
+RE_K = 10          # evaluate the top-10 of each ranked list
+RE_RELEVANT = 2    # rating >= 2 counts as relevant (gradings are 0..3)
+_LN2 = 0.6931471805599453   # math.log(2.0) — same IEEE literal both engines
+
+
+def _zero_safe_ratio(num: F.Column, den: F.Column) -> F.Column:
+    """0.0 when the denominator is 0 (an all-zero-rating list): Spark's
+    0/0 is NULL while DuckDB's is NaN, so both sides guard explicitly."""
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
+def _rating_sql(instr: str, strtype: str) -> str:
+    """Portable 0..3 grade from md5(token|doc_id) (hex-digit arithmetic,
+    same idiom as the curation split buckets)."""
+    h = f"md5(CONCAT(token, '|', CAST(doc_id AS {strtype})))"
+    b = (f"(({instr}('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+         f" + ({instr}('{_HEX}', substr({h}, 2, 1)) - 1))")
+    return f"({b} % 4)"
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        _dl_col,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(_dl_col()).alias("avgdl"))
+    dl = docs.select("doc_id", _dl_col().alias("dl"))
+    tf = (_postings(docs)
+          .filter(F.col("token").isin(*RE_QUERIES))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfr), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("score",
+                          F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                / (F.col("df") + 0.5))
+                          * (F.col("tf") * (BM25_K1 + 1))
+                          / (F.col("tf") + BM25_K1
+                             * (1 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl")))))
+    w = Window.partitionBy("token").orderBy(F.col("score").desc(), "doc_id")
+    hits = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RE_K)
+            .withColumn("rating",
+                        F.expr(_rating_sql("instr", "STRING"))))
+    wi = Window.partitionBy("token").orderBy(F.col("rating").desc(),
+                                             "doc_id")
+    gain = (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+    per_q = (hits.withColumn("irank", F.row_number().over(wi))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+                  roundn_col(F.sum((F.col("rating") >= RE_RELEVANT)
+                                   .cast("double"))
+                             / F.count(F.lit(1))).alias("precision_at_k"),
+                  roundn_col(F.coalesce(
+                      F.max(F.when(F.col("rating") >= RE_RELEVANT,
+                                   1.0 / F.col("rank"))),
+                      F.lit(0.0))).alias("reciprocal_rank"),
+                  roundn_col(_zero_safe_ratio(
+                      F.sum(gain / (F.log(F.col("rank") + 1.0)
+                                    / F.lit(_LN2))),
+                      F.sum(gain / (F.log(F.col("irank") + 1.0)
+                                    / F.lit(_LN2)))
+                  )).alias("ndcg_at_k")))
+    return per_q.withColumnRenamed("token", "query_term")
+
+
+QUERIES["q_rank_eval"] = q_rank_eval
+
+_RE_LIST = ", ".join(f"'{t}'" for t in RE_QUERIES)
+
+
+def _rank_eval_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        _DL_SQL,
+    )
+    rating = _rating_sql("strpos", "VARCHAR")
+    return f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg({_DL_SQL}) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_RE_LIST}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1}
+            * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS score
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id)
+  CROSS JOIN stats),
+hits AS (
+  SELECT token, doc_id, rank, {rating} AS rating
+  FROM (SELECT token, doc_id, score,
+               row_number() OVER (PARTITION BY token
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+  WHERE rank <= {RE_K}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY token
+                               ORDER BY rating DESC, doc_id) AS irank
+  FROM hits)
+SELECT token AS query_term,
+       CAST(count(*) AS BIGINT) AS n_retrieved,
+       {roundn_sql(f"sum(CASE WHEN rating >= {RE_RELEVANT} THEN 1.0 ELSE 0.0 END) / count(*)")}
+         AS precision_at_k,
+       {roundn_sql(f"coalesce(max(CASE WHEN rating >= {RE_RELEVANT} THEN 1.0 / rank END), 0.0)")}
+         AS reciprocal_rank,
+       {roundn_sql(
+           f"CASE WHEN sum((pow(2.0, rating) - 1.0) / (ln(irank + 1.0) / {_LN2!r})) = 0.0"
+           f" THEN 0.0"
+           f" ELSE sum((pow(2.0, rating) - 1.0) / (ln(rank + 1.0) / {_LN2!r}))"
+           f" / sum((pow(2.0, rating) - 1.0) / (ln(irank + 1.0) / {_LN2!r})) END")}
+         AS ndcg_at_k
+FROM ranked GROUP BY token"""
+
+
+ORACLES["q_rank_eval"] = _rank_eval_oracle()
+
+# ---------------------------------------------------------------------------
+# Remaining ES metric aggregations: boxplot, median_absolute_deviation,
+# weighted_avg, t_test. All are single-pass (or two-pass for MAD, whose
+# second pass joins a broadcast k-row median table) partial-aggregated
+# shuffles keyed on the bucket field; the t statistic derives from exact
+# decimal moment sums with the identical double formula in both engines
+# (ES computes these with TDigest sketches server-side; the exact form
+# here is the sort-based/ moment-sum analog, the same trade documented on
+# q_value_quantiles).
+
+WA_MOD = 10          # weighted_avg weight = (user_id % WA_MOD) + 1
+TT_TYPE_A = "purchase"
+TT_TYPE_B = "click"
+
+
+def q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boxplot`` aggregation per event type: min / q1 / median / q3 /
+    max over ``value`` (exact linear-interpolated quantiles)."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 roundn_col(F.min("value")).alias("min_v"),
+                 roundn_col(F.expr("percentile(value, 0.25)")).alias("q1"),
+                 roundn_col(F.expr("percentile(value, 0.5)")).alias("median_v"),
+                 roundn_col(F.expr("percentile(value, 0.75)")).alias("q3"),
+                 roundn_col(F.max("value")).alias("max_v")))
+
+
+QUERIES["q_boxplot"] = q_boxplot
+
+ORACLES["q_boxplot"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('min(value)')} AS min_v,
+       {roundn_sql('quantile_cont(value, 0.25)')} AS q1,
+       {roundn_sql('quantile_cont(value, 0.5)')} AS median_v,
+       {roundn_sql('quantile_cont(value, 0.75)')} AS q3,
+       {roundn_sql('max(value)')} AS max_v
+FROM events GROUP BY event_type"""
+
+
+def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|value - median(value)|)
+    per event type. Two passes over events; the per-type medians are a
+    k-row broadcast between them."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir)
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    return (ev.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 roundn_col(F.min("med")).alias("median_v"),
+                 roundn_col(F.expr("percentile(abs(value - med), 0.5)"))
+                 .alias("mad")))
+
+
+QUERIES["q_median_abs_deviation"] = q_median_abs_deviation
+
+ORACLES["q_median_abs_deviation"] = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('min(med)')} AS median_v,
+       {roundn_sql('quantile_cont(abs(value - med), 0.5)')} AS mad
+FROM events JOIN med USING (event_type)
+GROUP BY event_type"""
+
+
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` per event type: ``value`` weighted by a
+    per-user importance weight ((user_id % {WA_MOD}) + 1 here; a real
+    deployment joins its own weight field). Exact decimal numerator."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir)
+    w = (F.col("user_id") % WA_MOD + 1).cast("long")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(w).cast("long").alias("sum_w"),
+                 roundn_col(F.sum(dec * w).cast("double")
+                            / F.sum(w).cast("double")).alias("weighted_avg")))
+
+
+QUERIES["q_weighted_avg"] = q_weighted_avg
+
+ORACLES["q_weighted_avg"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((user_id % {WA_MOD}) + 1) AS BIGINT) AS sum_w,
+       {roundn_sql(f"CAST(sum(CAST(value AS DECIMAL(18,2))"
+                   f" * ((user_id % {WA_MOD}) + 1)) AS DOUBLE)"
+                   f" / CAST(sum((user_id % {WA_MOD}) + 1) AS DOUBLE)")}
+         AS weighted_avg
+FROM events GROUP BY event_type"""
+
+
+def q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch): is the mean
+    ``value`` of '{TT_TYPE_A}' events different from '{TT_TYPE_B}'?
+    One conditional-aggregate scan down to exact decimal moment sums;
+    the t statistic is pure double math on that single row."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin(TT_TYPE_A, TT_TYPE_B))
+    dec = F.col("value").cast("decimal(18,2)")
+    is_a = F.col("event_type") == TT_TYPE_A
+
+    def moments(cond: F.Column, suffix: str) -> list:
+        d = F.when(cond, dec)
+        return [F.count(F.when(cond, F.lit(1))).cast("long").alias(f"n_{suffix}"),
+                F.sum(d).alias(f"s_{suffix}"),
+                F.sum(d * d).alias(f"ss_{suffix}")]
+
+    m = ev.agg(*moments(is_a, "a"), *moments(~is_a, "b"))
+
+    def stat(s: str) -> tuple:
+        n = F.col(f"n_{s}").cast("double")
+        mean = F.col(f"s_{s}").cast("double") / n
+        var = ((F.col(f"ss_{s}").cast("double")
+                - F.col(f"s_{s}").cast("double")
+                * F.col(f"s_{s}").cast("double") / n) / (n - 1.0))
+        return n, mean, var
+
+    na, ma, va = stat("a")
+    nb, mb, vb = stat("b")
+    t = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return m.select(
+        F.lit(TT_TYPE_A).alias("type_a"), F.lit(TT_TYPE_B).alias("type_b"),
+        F.col("n_a"), F.col("n_b"),
+        roundn_col(ma).alias("mean_a"), roundn_col(mb).alias("mean_b"),
+        roundn_col(t).alias("t_stat"))
+
+
+QUERIES["q_t_test"] = q_t_test
+
+
+def _t_test_oracle() -> str:
+    def moments(cond: str, s: str) -> str:
+        d = f"CASE WHEN {cond} THEN CAST(value AS DECIMAL(18,2)) END"
+        return (f"count(CASE WHEN {cond} THEN 1 END) AS n_{s}, "
+                f"sum({d}) AS s_{s}, "
+                f"sum(({d}) * ({d})) AS ss_{s}")
+
+    def stat(s: str) -> tuple:
+        n = f"CAST(n_{s} AS DOUBLE)"
+        mean = f"(CAST(s_{s} AS DOUBLE) / {n})"
+        var = (f"((CAST(ss_{s} AS DOUBLE) - CAST(s_{s} AS DOUBLE)"
+               f" * CAST(s_{s} AS DOUBLE) / {n}) / ({n} - 1.0))")
+        return n, mean, var
+
+    na, ma, va = stat("a")
+    nb, mb, vb = stat("b")
+    t = f"(({ma} - {mb}) / sqrt({va} / {na} + {vb} / {nb}))"
+    return f"""
+WITH m AS (
+  SELECT {moments(f"event_type = '{TT_TYPE_A}'", 'a')},
+         {moments(f"event_type = '{TT_TYPE_B}'", 'b')}
+  FROM events
+  WHERE event_type IN ('{TT_TYPE_A}', '{TT_TYPE_B}'))
+SELECT '{TT_TYPE_A}' AS type_a, '{TT_TYPE_B}' AS type_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {roundn_sql(ma)} AS mean_a, {roundn_sql(mb)} AS mean_b,
+       {roundn_sql(t)} AS t_stat
+FROM m"""
+
+
+ORACLES["q_t_test"] = _t_test_oracle()

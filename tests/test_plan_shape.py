@@ -242,6 +242,11 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_matrix_stats",         # 1-row decimal moment sums (corpus pays one
                               # partial-agg scan; pair matrix expands
                               # map-side from that row)
+    "q_t_test",               # 1-row two-population moment sums (same
+                              # single-scan shape as q_matrix_stats)
+    "q_rank_eval",            # 1-row corpus stats (n_docs/avgdl) broadcast
+                              # into per-query scoring — the same funnel
+                              # q_bm25 carries under its TakeOrdered
 }
 
 
