@@ -140,6 +140,10 @@ HEADLINE = (
     "q_median_abs_deviation",
     "q_weighted_avg",
     "q_t_test",
+    "q_top_metrics",
+    "q_geo_centroid",
+    "q_auto_date_histogram",
+    "q_string_stats",
 )
 
 

@@ -278,12 +278,19 @@ def _h16_sql(tag: str, instr: str, strtype: str = "STRING") -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+# NOTE the e0 exponent literals: Spark SQL parses a bare `65536.0` as a
+# DECIMAL literal, so `int / 65536.0` runs limited-scale DECIMAL division
+# while DuckDB runs double division — the derived coordinates differed by
+# ~1e-5 degrees (caught by the 4-dp centroid oracle). `65536e0` is a
+# DOUBLE literal in both dialects, and h/2^16 is then IEEE-exact.
+
+
 def _geo_users_sql(instr: str) -> str:
     lat16 = _h16_sql("lat", instr, "VARCHAR")
     lon16 = _h16_sql("lon", instr, "VARCHAR")
     return (f"SELECT DISTINCT user_id,"
-            f" (-80.0 + 160.0 * ({lat16} / 65536.0)) AS lat,"
-            f" (-180.0 + 360.0 * ({lon16} / 65536.0)) AS lon"
+            f" (-80e0 + 160e0 * ({lat16} / 65536e0)) AS lat,"
+            f" (-180e0 + 360e0 * ({lon16} / 65536e0)) AS lon"
             f" FROM events")
 
 
@@ -292,8 +299,8 @@ def _geo_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat16, lon16 = _h16_sql("lat", "instr"), _h16_sql("lon", "instr")
     return ev.select("user_id").distinct().select(
         "user_id",
-        F.expr(f"-80.0 + 160.0 * ({lat16} / 65536.0)").alias("lat"),
-        F.expr(f"-180.0 + 360.0 * ({lon16} / 65536.0)").alias("lon"))
+        F.expr(f"-80e0 + 160e0 * ({lat16} / 65536e0)").alias("lat"),
+        F.expr(f"-180e0 + 360e0 * ({lon16} / 65536e0)").alias("lon"))
 
 
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
@@ -693,3 +700,195 @@ FROM m"""
 
 
 ORACLES["q_t_test"] = _t_test_oracle()
+
+# ---------------------------------------------------------------------------
+# top_metrics, geo_centroid, auto_date_histogram, string_stats — the last
+# everyday aggregation shapes.
+
+TM_K = 1  # ES top_metrics default size
+
+
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_metrics``: per event type, the metric value carried by the
+    LATEST event (sort on ts desc; event_id breaks ties deterministically
+    — ES leaves sort ties unspecified, this engine does not).
+
+    Scale shape: the standard group-top-k window inside each type's own
+    shuffle partition."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc())
+    return (ev.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= TM_K)
+            .select("event_type", F.col("ts_ms").alias("top_ts_ms"),
+                    roundn_col(F.col("value")).alias("top_value")))
+
+
+QUERIES["q_top_metrics"] = q_top_metrics
+
+ORACLES["q_top_metrics"] = f"""
+WITH e AS (SELECT event_id, event_type, value, epoch_ms(ts) AS ts_ms
+           FROM events)
+SELECT event_type, ts_ms AS top_ts_ms,
+       {roundn_sql('value')} AS top_value
+FROM (SELECT event_type, ts_ms, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts_ms DESC, event_id DESC) AS r
+      FROM e)
+WHERE r <= {TM_K}"""
+
+
+def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_centroid`` sub-aggregation under geotile_grid: per tile,
+    the member count and centroid (mean lat/lon). The derived coordinates
+    are pure-IEEE doubles (no libm), so 4-dp per-row quantization into
+    exact decimal sums makes the centroid identical cross-engine."""
+    users = _geo_users(spark, sf_dir)
+    tx, ty = _tile_sql()
+    q = (users.select(F.expr(tx).alias("tile_x"), F.expr(ty).alias("tile_y"),
+                      F.expr(roundn_sql("lat", 4)).cast("decimal(18,4)")
+                      .alias("lat_r"),
+                      F.expr(roundn_sql("lon", 4)).cast("decimal(18,4)")
+                      .alias("lon_r")))
+    n = F.count(F.lit(1))
+    return (q.groupBy("tile_x", "tile_y")
+            .agg(n.cast("long").alias("n_users"),
+                 roundn_col(F.sum("lat_r").cast("double") / n, 4)
+                 .alias("centroid_lat"),
+                 roundn_col(F.sum("lon_r").cast("double") / n, 4)
+                 .alias("centroid_lon")))
+
+
+QUERIES["q_geo_centroid"] = q_geo_centroid
+
+
+def _geo_centroid_oracle() -> str:
+    tx, ty = _tile_sql()
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")}),
+q AS (SELECT {tx} AS tile_x, {ty} AS tile_y,
+             CAST({roundn_sql('lat', 4)} AS DECIMAL(18,4)) AS lat_r,
+             CAST({roundn_sql('lon', 4)} AS DECIMAL(18,4)) AS lon_r
+      FROM geo_users)
+SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_users,
+       {roundn_sql('CAST(sum(lat_r) AS DOUBLE) / count(*)', 4)}
+         AS centroid_lat,
+       {roundn_sql('CAST(sum(lon_r) AS DOUBLE) / count(*)', 4)}
+         AS centroid_lon
+FROM q GROUP BY tile_x, tile_y"""
+
+
+ORACLES["q_geo_centroid"] = _geo_centroid_oracle()
+
+# auto_date_histogram: ES picks the smallest calendar interval that keeps
+# the bucket count at or under the target. Pure integer arithmetic over
+# epoch millis, so both engines pick the identical interval.
+
+ADH_TARGET = 20
+ADH_LADDER_MS = (1_000, 5_000, 10_000, 30_000, 60_000, 300_000, 600_000,
+                 1_800_000, 3_600_000, 10_800_000, 43_200_000, 86_400_000,
+                 604_800_000, 2_592_000_000, 7_776_000_000, 31_536_000_000)
+
+
+def _adh_interval_case(span: str, intdiv: str) -> str:
+    """SQL CASE choosing the smallest ladder interval whose bucket count
+    ceil((span+1)/interval) stays at or under the target — pure integer
+    arithmetic (``intdiv``: Spark ``div``, DuckDB ``//``)."""
+    whens = " ".join(
+        f"WHEN (({span} + {iv}) {intdiv} {iv}) <= {ADH_TARGET} THEN {iv}"
+        for iv in ADH_LADDER_MS[:-1])
+    return f"(CASE {whens} ELSE {ADH_LADDER_MS[-1]} END)"
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``auto_date_histogram``: bucket events so that at most
+    {ADH_TARGET} buckets result, picking the interval from a fixed ladder
+    (integer arithmetic over epoch millis, so both engines pick the
+    identical interval; the chosen interval rides along in every output
+    row, as ES reports it).
+
+    Scale shape: a 1-row min/max aggregate broadcasts into the bucket
+    expression; the corpus pays one partial-agg shuffle on the bucket."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    case = _adh_interval_case("(hi - lo)", "div")
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(case).cast("long").alias("interval_ms"),
+        F.expr(f"CAST(lo + (((ts_ms - lo) div {case}) * {case}) AS BIGINT)")
+        .alias("bucket_start"))
+    return (b.groupBy("interval_ms", "bucket_start")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
+QUERIES["q_auto_date_histogram"] = q_auto_date_histogram
+
+
+def _adh_oracle() -> str:
+    case = _adh_interval_case("(hi - lo)", "//")
+    return f"""
+WITH e AS (SELECT epoch_ms(ts) AS ts_ms FROM events),
+bounds AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM e)
+SELECT CAST({case} AS BIGINT) AS interval_ms,
+       CAST(lo + (((ts_ms - lo) // {case}) * {case}) AS BIGINT)
+         AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e CROSS JOIN bounds
+GROUP BY 1, 2"""
+
+
+ORACLES["q_auto_date_histogram"] = _adh_oracle()
+
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` (with ``show_distribution``'s entropy) per
+    language: doc count, min/avg/max length, and the Shannon entropy of
+    the analyzed-token distribution — the corpus-quality signal a
+    curation pipeline reads per language slice.
+
+    Scale shape: postings partial-agg to (lang, token) counts
+    (vocab x languages rows), entropy is a second tiny agg over that."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (_postings(docs).join(docs.select("doc_id", "lang"), "doc_id")
+           .groupBy("lang", "token")
+           .agg(F.count(F.lit(1)).alias("c")))
+    wl = Window.partitionBy("lang")
+    ent = (tok.withColumn("tot", F.sum("c").over(wl))
+           .groupBy("lang")
+           .agg(roundn_col(-F.sum((F.col("c") / F.col("tot"))
+                                  * (F.log(F.col("c") / F.col("tot"))
+                                     / F.lit(_LN2)))).alias("token_entropy"),
+                F.first("tot").cast("long").alias("n_tokens")))
+    lens = (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("n_chars").cast("long").alias("min_len"),
+                 F.max("n_chars").cast("long").alias("max_len"),
+                 roundn_col(F.sum("n_chars").cast("double")
+                            / F.count(F.lit(1))).alias("avg_len")))
+    return lens.join(ent, "lang")
+
+
+QUERIES["q_string_stats"] = q_string_stats
+
+ORACLES["q_string_stats"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+tc AS (
+  SELECT d.lang, t.token, count(*) AS c
+  FROM tok t JOIN documents d USING (doc_id)
+  GROUP BY d.lang, t.token),
+ent AS (
+  SELECT lang,
+         {roundn_sql(f"-sum((c * 1.0 / tot) * (ln(c * 1.0 / tot) / {_LN2!r}))")}
+           AS token_entropy,
+         CAST(min(tot) AS BIGINT) AS n_tokens
+  FROM (SELECT lang, c, sum(c) OVER (PARTITION BY lang) AS tot FROM tc)
+  GROUP BY lang),
+lens AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(n_chars) AS BIGINT) AS min_len,
+         CAST(max(n_chars) AS BIGINT) AS max_len,
+         {roundn_sql('CAST(sum(n_chars) AS DOUBLE) / count(*)')} AS avg_len
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, min_len, max_len, avg_len, token_entropy, n_tokens
+FROM lens JOIN ent USING (lang)"""

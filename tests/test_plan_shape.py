@@ -247,6 +247,8 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_rank_eval",            # 1-row corpus stats (n_docs/avgdl) broadcast
                               # into per-query scoring — the same funnel
                               # q_bm25 carries under its TakeOrdered
+    "q_auto_date_histogram",  # 1-row min/max bounds broadcast into the
+                              # bucket expression (same as q_date_histogram)
 }
 
 
