@@ -404,7 +404,11 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     sig = minhash_signature(_gram_hash_df(docs))
     mh = F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)])
     withb = sig.select(
-        "doc_id", mh.alias("mh"),
+        # Canonical LONG doc_id: the persistent band table is an append-only
+        # parquet log, and a caller handing int32 ids (e.g. literal ids)
+        # would otherwise create a mixed INT32/INT64 directory that fails to
+        # read whenever schema inference lands on the narrow file.
+        F.col("doc_id").cast("long").alias("doc_id"), mh.alias("mh"),
         *[_band_col(b).alias(f"band{b}") for b in range(N_BANDS)])
     return withb.select(
         "doc_id", "mh",

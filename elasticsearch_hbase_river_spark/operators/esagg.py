@@ -516,7 +516,13 @@ PERC_IDX_N_QUERIES = 10_000
 def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolate the corpus against {PERC_IDX_N_QUERIES} stored 2-term AND
     queries via the stored-query inverted index: per registered query, how
-    many documents match all its terms."""
+    many documents match all its terms.
+
+    NOT the indexed twin of ``q_percolate``'s workload: that query
+    evaluates 12 stored queries, this one registers 10,000 — bench times
+    are not comparable between the two. The point of this variant is that
+    its cost is bounded by |distinct term sets| and per-doc set size,
+    independent of registration count."""
     docs = load_table(spark, sf_dir, "documents")
     # Two corpus scans (vocab derivation + matching), deliberately NOT a
     # cached/checkpointed shared tokenization: the corpus-sized doc_tok
