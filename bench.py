@@ -144,6 +144,8 @@ HEADLINE = (
     "q_geo_centroid",
     "q_auto_date_histogram",
     "q_string_stats",
+    "q_explain_score",
+    "q_multi_terms",
 )
 
 

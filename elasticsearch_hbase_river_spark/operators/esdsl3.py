@@ -871,6 +871,117 @@ def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_string_stats"] = q_string_stats
 
+# ---------------------------------------------------------------------------
+# _explain — ES's score-explanation API: the per-term BM25 contribution
+# breakdown for the top-ranked hits of the fixed query (same corpus
+# relations as q_bm25; the explain surface just refuses to collapse the
+# per-term contributions before ranking).
+
+
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP,
+        _corpus_stats,
+        _dl_col,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", _dl_col().alias("dl"))
+    tf = (_postings(docs)
+          .filter(F.col("token").isin(*BM25_TERMS))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    contrib = (tf.join(F.broadcast(df_), "token")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(_corpus_stats(docs)))
+               .select("doc_id", "token", (idf * tf_norm).alias("c")))
+    per_doc = contrib.groupBy("doc_id").agg(
+        *[roundn_col(F.sum(F.when(F.col("token") == t, F.col("c"))
+                           .otherwise(0.0))).alias(f"c_{t}")
+          for t in BM25_TERMS],
+        roundn_col(F.sum("c")).alias("score"))
+    return (per_doc.orderBy(F.col("score").desc(), "doc_id")
+            .limit(BM25_TOP))
+
+
+QUERIES["q_explain_score"] = q_explain_score
+
+
+def _explain_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP,
+        _DL_SQL,
+    )
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    ccols = ", ".join(
+        roundn_sql(f"sum(CASE WHEN token = '{t}' THEN c ELSE 0.0 END)")
+        + f" AS c_{t}" for t in BM25_TERMS)
+    return f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg({_DL_SQL}) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({terms}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1}
+            * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id)
+  CROSS JOIN stats)
+SELECT doc_id, {ccols}, {roundn_sql('sum(c)')} AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {BM25_TOP}"""
+
+
+ORACLES["q_explain_score"] = _explain_oracle()
+
+# multi_terms aggregation: top-N buckets keyed on a COMPOSITE of fields,
+# ranked by count — the shape `terms` can't express without a script.
+
+MT_TOP = 15
+_DAY_MS = 86_400_000
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms``: top-{MT_TOP} (event_type, day) buckets by doc
+    count, deterministic (count desc, keys) ordering — one partial-agg
+    shuffle then a bounded TakeOrdered."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    ev = load_events(spark, sf_dir)
+    return (ev.select("event_type",
+                      F.expr(f"ts_ms div {_DAY_MS}").alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "event_type", "day")
+            .limit(MT_TOP))
+
+
+QUERIES["q_multi_terms"] = q_multi_terms
+
+ORACLES["q_multi_terms"] = f"""
+WITH e AS (SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS day FROM events)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY event_type, day
+ORDER BY n DESC, event_type, day LIMIT {MT_TOP}"""
+
+
 ORACLES["q_string_stats"] = f"""
 WITH tok AS ({_POSTINGS_SQL}),
 tc AS (
