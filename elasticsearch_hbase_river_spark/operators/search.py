@@ -86,10 +86,14 @@ def inverted_postings(docs: DataFrame) -> DataFrame:
     ON the posting row is Lucene's norms-next-to-postings trick — BM25's
     length normalization then never needs a corpus-sized doclen join at
     query time (operators/indexed_search.py)."""
-    toks = analyze_tokens(F.col("text"))
-    occ = docs.select(
-        "doc_id", F.size(toks).cast("long").alias("dl"),
-        F.posexplode(toks).alias("pos", "token"),
+    # Tokenize ONCE into a named column: an expensive expression sharing a
+    # select with posexplode() re-evaluates per exploded row inside the
+    # projection above Generate (the q_tfidf pathology, measured 5x) —
+    # and this is the index-build hot path.
+    arr = docs.select("doc_id", analyze_tokens(F.col("text")).alias("toks"))
+    occ = arr.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"),
+        F.posexplode("toks").alias("pos", "token"),
     ).select("doc_id", "dl", "token", F.col("pos").cast("long").alias("pos"))
     return (
         occ.groupBy("token", "doc_id")

@@ -176,8 +176,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N rides in as a broadcast 1-row aggregate (pruned count-only scan) —
     # one plan, no separate driver-side count() job per tick.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok = docs.select("doc_id", F.explode(_toks()).alias("token"),
-                      F.size(_toks()).alias("doc_len"))
+    # Tokenize ONCE into a named column before exploding: an expensive
+    # expression sharing a select with explode() lands in the projection
+    # above Generate and re-evaluates per EXPLODED row (~doc_len regex
+    # tokenizations per document — measured 5x on this query at sf1).
+    arr = docs.select("doc_id", _toks().alias("toks"))
+    tok = arr.select("doc_id", F.explode("toks").alias("token"),
+                     F.size("toks").alias("doc_len"))
     tf = (tok.groupBy("doc_id", "token")
              .agg(F.count(F.lit(1)).alias("n"), F.first("doc_len").alias("doc_len")))
     df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
