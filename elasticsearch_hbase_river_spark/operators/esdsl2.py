@@ -257,8 +257,13 @@ def q_bm25_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = analyze_tokens_en(F.col("text"))
     dl = F.size(toks).cast("long")
-    occ = (docs.select("doc_id", dl.alias("dl"),
-                       F.explode(toks).alias("token"))
+    # Analyze ONCE into a named column before exploding — a sibling
+    # size(analyze(..)) in the explode's select re-evaluates the whole
+    # english chain (stopwords + stemmer) per exploded row (the q_tfidf
+    # Generate-projection pathology).
+    arr = docs.select("doc_id", toks.alias("toks"))
+    occ = (arr.select("doc_id", F.size("toks").cast("long").alias("dl"),
+                      F.explode("toks").alias("token"))
            .filter(F.col("token").isin(*BM25_TERMS)))
     tf = occ.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
