@@ -31,6 +31,14 @@ N_QUERIES = 8      # query vectors: vec_id < 8
 TOP_K = 10
 DUP_MOD = 25       # q_embedding_dedup synthetic copies: every 25th vector
 DUP_OFFSET = 1_000_000_000  # collision-free vs scale-fixture vec_id strides
+#: Max VERIFIERS per (label, SRP-bucket) block: pairs form between the
+#: block's EMB_BLOCK_CAP smallest-id members and everyone — the keep
+#: rule prefers smaller ids, so every dup-cluster's keeper is inside the
+#: capped set by construction, while pair volume stays LINEAR in block
+#: occupancy (the uncapped self-join went quadratic on duplicate-rich
+#: corpora: 5x superlinear wall at the 300x fixture). Same discipline as
+#: the MinHash/SimHash bucket caps and the incremental history cap.
+EMB_BLOCK_CAP = 64
 N_PROBE = 2        # IVF cells probed
 IVF_TOP_K = 5
 
@@ -117,12 +125,19 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is O(B²) on corpus-proportional blocks; adding the 8-bit
     signed-random-projection bucket (identical vectors hash identically, so
     exact/near copies still collide) caps each block at ~1/256 of its
-    label. Synthetic exact copies guarantee hits."""
+    label. Synthetic exact copies guarantee hits. Verifier side capped at
+    the EMB_BLOCK_CAP smallest ids per block (see the constant) so a
+    duplicate-rich block stays linear, never quadratic."""
+    from pyspark.sql import Window
+
     aug = _augmented_embeddings(spark, sf_dir)
     sides = aug.select("vec_id", "label", "embedding",
                        _srp_bucket_col().alias("bucket"),
                        _norm(F.col("embedding")).alias("nrm"))
-    a, b = sides.alias("a"), sides.alias("b")
+    wb = Window.partitionBy("label", "bucket").orderBy("vec_id")
+    capped = (sides.withColumn("r", F.row_number().over(wb))
+              .filter(F.col("r") <= EMB_BLOCK_CAP).drop("r"))
+    a, b = capped.alias("a"), sides.alias("b")
     cos = roundn_col(_dot(F.col("a.embedding"), F.col("b.embedding"))
                      / (F.col("a.nrm") * F.col("b.nrm")))
     return (
@@ -322,11 +337,16 @@ WITH aug AS (
   FROM embeddings WHERE vec_id % {DUP_MOD} = 0),
 s AS (SELECT vec_id, label, embedding, {_srp_bucket_sql()} AS bucket,
              {_norm_sql('embedding')} AS nrm FROM aug),
+sc AS (
+  SELECT vec_id, label, embedding, bucket, nrm FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY label, bucket
+                                   ORDER BY vec_id) AS r FROM s)
+  WHERE r <= {EMB_BLOCK_CAP}),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          {roundn_sql(_dot_sql('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)')} AS cosine
-  FROM s a JOIN s b ON a.label = b.label AND a.bucket = b.bucket
-                   AND a.vec_id < b.vec_id)
+  FROM sc a JOIN s b ON a.label = b.label AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id)
 SELECT * FROM p WHERE cosine >= 0.95""",
 
     "q_ann_lsh": f"""
