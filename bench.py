@@ -203,7 +203,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
         fn = queries[name]
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -220,8 +220,12 @@ def main() -> None:
         gc.collect()
         # Direct ByteBuffers (parquet vectored IO) are only reclaimed at JVM
         # GC; an idle heap never triggers one and allocation can hit
-        # -XX:MaxDirectMemorySize mid-run at larger SFs.
-        spark.sparkContext._jvm.System.gc()
+        # -XX:MaxDirectMemorySize mid-run at larger SFs. Throttled to every
+        # 10th query: a full stop-the-world GC costs the NEXT timed query
+        # ~70 ms of cache warm-up (measured), and buffers accumulate far
+        # slower than that cadence.
+        if qi % 10 == 9:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
