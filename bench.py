@@ -146,6 +146,7 @@ HEADLINE = (
     "q_string_stats",
     "q_explain_score",
     "q_multi_terms",
+    "q_geo_bounds",
 )
 
 

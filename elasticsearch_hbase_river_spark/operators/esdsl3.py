@@ -763,6 +763,37 @@ def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_geo_centroid"] = q_geo_centroid
 
 
+def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounds`` sub-aggregation under geotile_grid: the bounding
+    box (min/max lat/lon) of each tile's members plus the member count —
+    pure min/max of IEEE-exact doubles, no rounding needed."""
+    users = _geo_users(spark, sf_dir)
+    tx, ty = _tile_sql()
+    return (users.select(F.expr(tx).alias("tile_x"),
+                         F.expr(ty).alias("tile_y"), "lat", "lon")
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.min("lat").alias("south"), F.max("lat").alias("north"),
+                 F.min("lon").alias("west"), F.max("lon").alias("east")))
+
+
+QUERIES["q_geo_bounds"] = q_geo_bounds
+
+
+def _geo_bounds_oracle() -> str:
+    tx, ty = _tile_sql()
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")})
+SELECT {tx} AS tile_x, {ty} AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_users,
+       min(lat) AS south, max(lat) AS north,
+       min(lon) AS west, max(lon) AS east
+FROM geo_users GROUP BY 1, 2"""
+
+
+ORACLES["q_geo_bounds"] = _geo_bounds_oracle()
+
+
 def _geo_centroid_oracle() -> str:
     tx, ty = _tile_sql()
     return f"""
