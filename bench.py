@@ -147,6 +147,7 @@ HEADLINE = (
     "q_explain_score",
     "q_multi_terms",
     "q_geo_bounds",
+    "q_geohash_grid",
 )
 
 

@@ -763,6 +763,63 @@ def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_geo_centroid"] = q_geo_centroid
 
 
+# geohash_grid: ES's original geo bucketing — base32 cells from the
+# interleaved lon/lat bit expansion (lon takes the even bit positions).
+# Precision 4 = 20 bits = 10 per axis; everything below is pure integer
+# arithmetic plus substr() into the geohash alphabet, identical SQL text
+# in both engines.
+
+GEOHASH_PRECISION = 4
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(intdiv: str) -> str:
+    bits_per_axis = GEOHASH_PRECISION * 5 // 2  # 10 for precision 4
+    lon_b = f"CAST(floor((lon + 180e0) / 360e0 * {2 ** bits_per_axis}) AS BIGINT)"
+    lat_b = f"CAST(floor((lat + 90e0) / 180e0 * {2 ** bits_per_axis}) AS BIGINT)"
+    # Interleave: total bit t (MSB-first, t=0 highest) takes lon bit for
+    # even t, lat bit for odd t. Axis bit index (from its own MSB) is t//2.
+    total_bits = GEOHASH_PRECISION * 5
+    chars = []
+    for c in range(GEOHASH_PRECISION):
+        terms = []
+        for b in range(5):
+            t = c * 5 + b
+            src = lon_b if t % 2 == 0 else lat_b
+            axis_bit = t // 2                      # from the axis MSB
+            shift = bits_per_axis - 1 - axis_bit   # from the LSB
+            terms.append(
+                f"((({src} {intdiv} {2 ** shift}) % 2) * {2 ** (4 - b)})")
+        v = " + ".join(terms)
+        chars.append(f"substr('{_GEOHASH32}', ({v}) + 1, 1)")
+    assert total_bits == GEOHASH_PRECISION * 5
+    return "CONCAT(" + ", ".join(chars) + ")"
+
+
+def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geohash_grid`` aggregation at precision {GEOHASH_PRECISION}:
+    member counts per base32 geohash cell. The cell id derives from the
+    interleaved lon/lat bit expansion — integer-exact, so both engines
+    bucket identically; one partial-agg shuffle on the cell."""
+    users = _geo_users(spark, sf_dir)
+    return (users.select(F.expr(_geohash_sql("div")).alias("geohash"))
+            .groupBy("geohash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+QUERIES["q_geohash_grid"] = q_geohash_grid
+
+def _geohash_grid_oracle() -> str:
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")})
+SELECT {_geohash_sql("//")} AS geohash,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM geo_users GROUP BY 1"""
+
+
+ORACLES["q_geohash_grid"] = _geohash_grid_oracle()
+
+
 def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``geo_bounds`` sub-aggregation under geotile_grid: the bounding
     box (min/max lat/lon) of each tile's members plus the member count —
