@@ -775,8 +775,13 @@ _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 def _geohash_sql(intdiv: str) -> str:
     bits_per_axis = GEOHASH_PRECISION * 5 // 2  # 10 for precision 4
-    lon_b = f"CAST(floor((lon + 180e0) / 360e0 * {2 ** bits_per_axis}) AS BIGINT)"
-    lat_b = f"CAST(floor((lat + 90e0) / 180e0 * {2 ** bits_per_axis}) AS BIGINT)"
+    # least() clamps the inclusive upper boundary (lat=90 / lon=180 would
+    # otherwise index one past the last cell).
+    hi = 2 ** bits_per_axis - 1
+    lon_b = (f"least({hi}, CAST(floor((lon + 180e0) / 360e0"
+             f" * {2 ** bits_per_axis}) AS BIGINT))")
+    lat_b = (f"least({hi}, CAST(floor((lat + 90e0) / 180e0"
+             f" * {2 ** bits_per_axis}) AS BIGINT))")
     # Interleave: total bit t (MSB-first, t=0 highest) takes lon bit for
     # even t, lat bit for odd t. Axis bit index (from its own MSB) is t//2.
     total_bits = GEOHASH_PRECISION * 5

@@ -31,6 +31,55 @@ FIELD = st.text(
 SEP = st.sampled_from(["::", ".", "|", None])
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.floats(min_value=-90.0, max_value=90.0,
+                 allow_nan=False, allow_infinity=False),
+       st.floats(min_value=-180.0, max_value=180.0,
+                 allow_nan=False, allow_infinity=False))
+def test_geohash_sql_matches_bisection_reference(lat, lon):
+    """The bit-interleave geohash encoder (shared SQL text, evaluated
+    here through DuckDB) must equal the canonical bisection encoding for
+    any coordinate, including the inclusive lat=90 / lon=180 boundary.
+    Coordinates within a float-ulp of a cell edge are excluded: there the
+    multiply-based encoding (Lucene's own) and pure bisection legitimately
+    disagree about which side absorbs the rounding."""
+    import duckdb
+    from hypothesis import assume
+
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        GEOHASH_PRECISION,
+        _GEOHASH32,
+        _geohash_sql,
+    )
+
+    cells = 2 ** (GEOHASH_PRECISION * 5 // 2)
+    for v, span, lo in ((lat, 180.0, -90.0), (lon, 360.0, -180.0)):
+        frac = (v - lo) / span * cells
+        assume(abs(frac - round(frac)) > 1e-6 or v in (lo, lo + span))
+
+    got = duckdb.sql(
+        f"SELECT {_geohash_sql('//')} AS g FROM "
+        f"(SELECT {lat!r}::DOUBLE AS lat, {lon!r}::DOUBLE AS lon)"
+    ).fetchone()[0]
+
+    lat_i, lon_i = (-90.0, 90.0), (-180.0, 180.0)
+    bits, even = [], True
+    while len(bits) < GEOHASH_PRECISION * 5:
+        if even:
+            mid = (lon_i[0] + lon_i[1]) / 2
+            bits.append(1 if lon >= mid else 0)
+            lon_i = (mid, lon_i[1]) if lon >= mid else (lon_i[0], mid)
+        else:
+            mid = (lat_i[0] + lat_i[1]) / 2
+            bits.append(1 if lat >= mid else 0)
+            lat_i = (mid, lat_i[1]) if lat >= mid else (lat_i[0], mid)
+        even = not even
+    want = "".join(
+        _GEOHASH32[int("".join(map(str, bits[i * 5:i * 5 + 5])), 2)]
+        for i in range(GEOHASH_PRECISION))
+    assert got == want, (lat, lon, got, want)
+
+
 @given(FIELD, SEP)
 def test_normalize_is_idempotent(name, sep):
     once = normalize_field_py(name, sep)
