@@ -148,6 +148,7 @@ HEADLINE = (
     "q_multi_terms",
     "q_geo_bounds",
     "q_geohash_grid",
+    "q_rank_eval_indexed",
 )
 
 

@@ -422,6 +422,38 @@ def _rating_sql(instr: str, strtype: str) -> str:
     return f"({b} % 4)"
 
 
+def rank_eval_metrics(scored: DataFrame) -> DataFrame:
+    """precision@k / reciprocal rank / NDCG@k per query over a
+    ``(doc_id, token, score)`` relation — shared by the rebuild path
+    (:func:`q_rank_eval`) and the index-served twin
+    (`indexed_search.q_rank_eval_indexed`)."""
+    w = Window.partitionBy("token").orderBy(F.col("score").desc(), "doc_id")
+    hits = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RE_K)
+            .withColumn("rating",
+                        F.expr(_rating_sql("instr", "STRING"))))
+    wi = Window.partitionBy("token").orderBy(F.col("rating").desc(),
+                                             "doc_id")
+    gain = (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+    per_q = (hits.withColumn("irank", F.row_number().over(wi))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+                  roundn_col(F.sum((F.col("rating") >= RE_RELEVANT)
+                                   .cast("double"))
+                             / F.count(F.lit(1))).alias("precision_at_k"),
+                  roundn_col(F.coalesce(
+                      F.max(F.when(F.col("rating") >= RE_RELEVANT,
+                                   1.0 / F.col("rank"))),
+                      F.lit(0.0))).alias("reciprocal_rank"),
+                  roundn_col(_zero_safe_ratio(
+                      F.sum(gain / (F.log(F.col("rank") + 1.0)
+                                    / F.lit(_LN2))),
+                      F.sum(gain / (F.log(F.col("irank") + 1.0)
+                                    / F.lit(_LN2)))
+                  )).alias("ndcg_at_k")))
+    return per_q.withColumnRenamed("token", "query_term")
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elasticsearch_hbase_river_spark.operators.search import (
         BM25_B,
@@ -448,31 +480,7 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (F.col("tf") + BM25_K1
                              * (1 - BM25_B
                                 + BM25_B * F.col("dl") / F.col("avgdl")))))
-    w = Window.partitionBy("token").orderBy(F.col("score").desc(), "doc_id")
-    hits = (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= RE_K)
-            .withColumn("rating",
-                        F.expr(_rating_sql("instr", "STRING"))))
-    wi = Window.partitionBy("token").orderBy(F.col("rating").desc(),
-                                             "doc_id")
-    gain = (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
-    per_q = (hits.withColumn("irank", F.row_number().over(wi))
-             .groupBy("token")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"),
-                  roundn_col(F.sum((F.col("rating") >= RE_RELEVANT)
-                                   .cast("double"))
-                             / F.count(F.lit(1))).alias("precision_at_k"),
-                  roundn_col(F.coalesce(
-                      F.max(F.when(F.col("rating") >= RE_RELEVANT,
-                                   1.0 / F.col("rank"))),
-                      F.lit(0.0))).alias("reciprocal_rank"),
-                  roundn_col(_zero_safe_ratio(
-                      F.sum(gain / (F.log(F.col("rank") + 1.0)
-                                    / F.lit(_LN2))),
-                      F.sum(gain / (F.log(F.col("irank") + 1.0)
-                                    / F.lit(_LN2)))
-                  )).alias("ndcg_at_k")))
-    return per_q.withColumnRenamed("token", "query_term")
+    return rank_eval_metrics(scored.select("doc_id", "token", "score"))
 
 
 QUERIES["q_rank_eval"] = q_rank_eval

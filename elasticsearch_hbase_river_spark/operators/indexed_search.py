@@ -796,3 +796,46 @@ vocab AS (
 SELECT p.token, p.tf, v.df, v.freq
 FROM post p JOIN vocab v USING (token)
 WHERE p.doc_id = {TV_DOC_ID}"""
+
+
+def q_rank_eval_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_eval`` served FROM the materialized index: each query
+    term's postings come from their pruned buckets with ``dl`` already on
+    the rows, df from the pruned vocab bucket, and N/avgdl are plan
+    literals from the stats sidecar — the whole eval batch costs the sum
+    of its terms' document frequencies, never a corpus scan. The metric
+    stage is shared with the rebuild path (`esdsl3.rank_eval_metrics`),
+    and the oracle is q_rank_eval's verbatim: index-served search-quality
+    metrics == rebuild, hash-for-hash."""
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        RE_QUERIES,
+        rank_eval_metrics,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    st = index_stats(idx)
+    tf = read_postings(spark, idx, RE_QUERIES).select(
+        "doc_id", "token", "tf", "dl")
+    df_ = read_vocab(spark, idx, RE_QUERIES).select("token", "df")
+    idf = F.log(F.lit(1.0) + (F.lit(st["n_docs"]) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B
+                                 + BM25_B * F.col("dl") / F.lit(st["avgdl"])))
+    scored = (tf.join(F.broadcast(df_), "token")
+              .withColumn("score", idf * tf_norm))
+    return rank_eval_metrics(scored.select("doc_id", "token", "score"))
+
+
+QUERIES["q_rank_eval_indexed"] = q_rank_eval_indexed
+
+
+def _rank_eval_indexed_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        ORACLES as _ESDSL3_ORACLES,
+    )
+
+    return _ESDSL3_ORACLES["q_rank_eval"]
+
+
+ORACLES["q_rank_eval_indexed"] = _rank_eval_indexed_oracle()
