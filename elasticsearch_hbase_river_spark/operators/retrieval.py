@@ -359,12 +359,17 @@ def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(window · phrase frequency), independent of corpus size."""
     base = q_bm25(spark, sf_dir).select("doc_id", "score")
     base_ids = base.select("doc_id")
-    p = _postings(load_table(spark, sf_dir, "documents"))
-    w1 = (p.filter(F.col("token") == RESCORE_PHRASE[0])
-          .join(F.broadcast(base_ids), "doc_id", "left_semi")
+    # ONE postings pass for both phrase terms (two separate filters over
+    # _postings make Catalyst tokenize the corpus twice); the branch split
+    # happens on the already-filtered window-sized relation.
+    occ = (_postings(load_table(spark, sf_dir, "documents"))
+           .filter(F.col("token").isin(*RESCORE_PHRASE))
+           .join(F.broadcast(base_ids), "doc_id", "left_semi")
+           .select("doc_id", "token", "pos")
+           .localCheckpoint(eager=True))  # window-sized: ≤k docs' term rows
+    w1 = (occ.filter(F.col("token") == RESCORE_PHRASE[0])
           .select("doc_id", "pos"))
-    w2 = (p.filter(F.col("token") == RESCORE_PHRASE[1])
-          .join(F.broadcast(base_ids), "doc_id", "left_semi")
+    w2 = (occ.filter(F.col("token") == RESCORE_PHRASE[1])
           .select("doc_id", (F.col("pos") - 1).alias("pos")))
     ph = (w1.join(w2, ["doc_id", "pos"])
           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_phrase")))
