@@ -149,6 +149,49 @@ HEADLINE = (
     "q_geo_bounds",
     "q_geohash_grid",
     "q_rank_eval_indexed",
+    "q_ann_recall",
+    "q_approx_stats",
+    "q_boolean_search",
+    "q_cellstore_scan",
+    "q_dedup_keep",
+    "q_delete_candidates",
+    "q_disjunctive_revenue",
+    "q_edit_distance",
+    "q_embedding_dedup",
+    "q_excess_shippers",
+    "q_failed_anti_join",
+    "q_family_filter",
+    "q_fingerprint",
+    "q_highlight",
+    "q_histogram",
+    "q_id_extract",
+    "q_idle_rich_customers",
+    "q_incremental_near_dedup",
+    "q_incremental_scan",
+    "q_json_extract",
+    "q_lang_id",
+    "q_media_framesample",
+    "q_minhash_signature",
+    "q_multimodal_schema",
+    "q_nation_trade_volume",
+    "q_ngram_jaccard",
+    "q_normalize",
+    "q_part_value_concentration",
+    "q_phrase_match",
+    "q_priority_mix",
+    "q_product_profit",
+    "q_qualifier_filter",
+    "q_qualifier_split",
+    "q_quality_score",
+    "q_row_assembly",
+    "q_sink_reconcile",
+    "q_small_quantity_revenue",
+    "q_stratified_sample",
+    "q_supplier_part_counts",
+    "q_token_count",
+    "q_top_supplier",
+    "q_trailing_window",
+    "q_watermark",
 )
 
 
