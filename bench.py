@@ -233,9 +233,14 @@ def main() -> None:
     )
 
     if not os.environ.get("RIVER_INDEX_REUSE"):
+        import atexit
+        import shutil
         import tempfile
 
         cold = tempfile.mkdtemp(prefix="river_bench_idx_")
+        # a full postings+vector index copy lands here per run — remove it
+        # on exit (atexit, so an exception mid-bench still cleans up)
+        atexit.register(shutil.rmtree, cold, ignore_errors=True)
         os.environ.setdefault("RIVER_INDEX_ROOT", os.path.join(cold, "s"))
         os.environ.setdefault("RIVER_VINDEX_ROOT", os.path.join(cold, "v"))
 

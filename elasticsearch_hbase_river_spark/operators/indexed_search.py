@@ -193,9 +193,11 @@ def index_stats(path: str) -> dict[str, float]:
     if cached is None:
         import duckdb
 
+        # single-quote-escape the path: RIVER_INDEX_ROOT is user-controlled
+        # and a quote in it would otherwise break (or inject into) the SQL.
+        glob = os.path.join(path, "stats", "*.parquet").replace("'", "''")
         n_docs, sum_dl, avgdl = duckdb.sql(
-            f"SELECT n_docs, sum_dl, avgdl FROM "
-            f"read_parquet('{os.path.join(path, 'stats')}/*.parquet')"
+            f"SELECT n_docs, sum_dl, avgdl FROM read_parquet('{glob}')"
         ).fetchone()
         cached = {"n_docs": int(n_docs), "sum_dl": int(sum_dl),
                   "avgdl": float(avgdl)}

@@ -36,6 +36,56 @@ from pyspark.sql.types import (
 from elasticsearch_hbase_river_spark.config import RiverConfig
 from elasticsearch_hbase_river_spark.plans.pipeline import assemble_documents
 
+#: Epochs-directory layout version. v2 = index_dir/{postings,docs}/epoch=N
+#: (the doc-manifest layout); v1 (pre-round-5) was index_dir/epoch=N with
+#: no manifest. The two are silently incompatible: a v2 writer resumed over
+#: a v1 directory writes beside the old epochs and read_inverted_index
+#: drops them without an error — so the directory carries an explicit
+#: marker (same discipline as the band table's _bands_meta.json) and both
+#: writer and readers refuse a mismatch.
+EPOCHS_LAYOUT_VERSION = 2
+_EPOCHS_META = "_epochs_meta.json"
+
+
+def _check_epochs_layout(index_dir: str) -> None:
+    """Refuse mixed-layout epoch directories: a populated directory must
+    carry the current layout marker. Fresh/empty directories pass (the
+    writer stamps them on first use)."""
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(index_dir, _EPOCHS_META)
+    found: object = None
+    if _os.path.exists(meta):
+        with open(meta) as f:
+            found = _json.load(f).get("layout")
+    if found == EPOCHS_LAYOUT_VERSION:
+        return
+    if found is None and not _os.path.exists(index_dir):
+        return  # nothing written yet; the writer will stamp it
+    if found is None and not any(
+            e for e in _os.listdir(index_dir) if not e.startswith(".")):
+        return
+    raise ValueError(
+        f"index epochs directory {index_dir} has layout={found!r}, engine "
+        f"expects {EPOCHS_LAYOUT_VERSION} — resuming a stream (or merging "
+        "epochs) over a foreign layout silently drops the old epochs. "
+        "Rebuild the index stream into a fresh directory (and discard its "
+        "checkpoint), or migrate the old epochs explicitly.")
+
+
+def _stamp_epochs_layout(index_dir: str) -> None:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(index_dir, exist_ok=True)
+    meta = _os.path.join(index_dir, _EPOCHS_META)
+    tmp = f"{meta}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        _json.dump({"layout": EPOCHS_LAYOUT_VERSION}, f)
+    _os.replace(tmp, meta)
+
 CELLS_SCHEMA = StructType([
     StructField("row_key", StringType()),
     StructField("family", StringType()),
@@ -534,6 +584,11 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
             analyze_tokens,
         )
 
+        # foreachBatch runs driver-side: refuse a foreign-layout epochs
+        # directory BEFORE writing beside it, then stamp the marker.
+        _check_epochs_layout(index_dir)
+        _stamp_epochs_layout(index_dir)
+
         w = Window.partitionBy("doc_id").orderBy(
             F.col("ver").desc_nulls_last(),
             F.col("_mtime").desc(), F.col("_path").desc(),
@@ -573,6 +628,7 @@ def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
     manifest epoch outranks every postings epoch). The manifest side is
     one row per (doc_id, epoch) — tiny next to the postings, and the join
     is an equi-join on (doc_id, epoch)."""
+    _check_epochs_layout(index_dir)
     idx = spark.read.parquet(f"{index_dir}/postings")
     latest = (spark.read.parquet(f"{index_dir}/docs")
               .groupBy("doc_id").agg(F.max("epoch").alias("epoch")))
@@ -586,6 +642,7 @@ def read_epoch_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     zero-token re-indexes that have no postings rows)."""
     from pyspark.sql import Window
 
+    _check_epochs_layout(index_dir)
     d = spark.read.parquet(f"{index_dir}/docs")
     w = Window.partitionBy("doc_id").orderBy(F.col("epoch").desc())
     return (d.withColumn("rn", F.row_number().over(w))

@@ -738,3 +738,46 @@ def test_streaming_percolate_alerts_match_batch_semantics(spark, sf_dir, tmp_pat
     got = {(r.doc_id, r.query_id)
            for r in spark.read.parquet(alerts).select("doc_id", "query_id").collect()}
     assert got == {(1, 0), (2, 1), (9, 1)}
+
+
+def test_epochs_layout_marker_refuses_foreign_directory(spark, tmp_path):
+    """A populated epochs directory without (or with a wrong) layout marker
+    must be refused by both the stream writer and the merged readers — a
+    v2 writer resumed over a pre-marker layout would otherwise write
+    beside the old epochs and silently drop them at read time."""
+    import os
+
+    import pytest
+
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        EPOCHS_LAYOUT_VERSION,
+        read_epoch_docs,
+        read_inverted_index,
+        start_index_stream,
+    )
+
+    # old-layout directory: epoch partitions directly under the root
+    old = tmp_path / "old_index"
+    (old / "epoch=0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="layout"):
+        read_inverted_index(spark, str(old))
+    with pytest.raises(ValueError, match="layout"):
+        read_epoch_docs(spark, str(old))
+
+    # the stream writer stamps fresh directories and then reads fine
+    src = str(tmp_path / "src")
+    index = str(tmp_path / "index")
+    spark.createDataFrame([(1, "spark join window", None)],
+                          "doc_id long, text string, ver long") \
+        .write.mode("append").parquet(src)
+    q = start_index_stream(spark, src, index, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert os.path.exists(os.path.join(index, "_epochs_meta.json"))
+    assert read_inverted_index(spark, index).count() == 3
+
+    # a future-version marker is refused too (no silent downgrade)
+    meta = os.path.join(index, "_epochs_meta.json")
+    with open(meta, "w") as f:
+        json.dump({"layout": EPOCHS_LAYOUT_VERSION + 1}, f)
+    with pytest.raises(ValueError, match="layout"):
+        read_inverted_index(spark, index)
