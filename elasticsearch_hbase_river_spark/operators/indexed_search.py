@@ -90,7 +90,13 @@ from elasticsearch_hbase_river_spark.sources.tables import load_table
 
 N_BUCKETS = 32
 META = "_index_meta.json"
-LAYOUT_VERSION = 2
+#: v3 adds the FIELDED columns for multi_match serving: postings/tvectors
+#: carry ``tf_title`` (occurrences in the first TITLE_LEN document
+#: positions — the title/body split of multifield.py, derived from the
+#: stored position lists), vocab carries ``df_title``/``df_body``, and
+#: stats carries per-field doc counts + length sums. The version rides the
+#: index path fingerprint, so v2 directories are never served or appended.
+LAYOUT_VERSION = 3
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -147,12 +153,16 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def read_postings(spark: SparkSession, path: str,
-                  terms: tuple[str, ...] | None = None) -> DataFrame:
+                  terms: tuple[str, ...] | None = None,
+                  fields: bool = False) -> DataFrame:
     p = spark.read.parquet(os.path.join(path, "postings"))
     if terms:
         p = p.filter(F.col("tbucket").isin(_terms_buckets(terms))
                      & F.col("token").isin(*terms))
-    return p.select("token", "doc_id", "tf", "first_pos", "positions", "dl")
+    cols = ["token", "doc_id", "tf", "first_pos", "positions", "dl"]
+    if fields:
+        cols.append("tf_title")
+    return p.select(*cols)
 
 
 def read_tvectors(spark: SparkSession, path: str,
@@ -160,16 +170,20 @@ def read_tvectors(spark: SparkSession, path: str,
     tv = spark.read.parquet(os.path.join(path, "tvectors"))
     if dbuckets is not None:
         tv = tv.filter(F.col("dbucket").isin(dbuckets))
-    return tv.select("doc_id", "token", "tf")
+    return tv.select("doc_id", "token", "tf", "tf_title")
 
 
 def read_vocab(spark: SparkSession, path: str,
-               terms: tuple[str, ...] | None = None) -> DataFrame:
+               terms: tuple[str, ...] | None = None,
+               fields: bool = False) -> DataFrame:
     v = spark.read.parquet(os.path.join(path, "vocab"))
     if terms:
         v = v.filter(F.col("tbucket").isin(_terms_buckets(terms))
                      & F.col("token").isin(*terms))
-    return v.select("token", "df", "freq")
+    cols = ["token", "df", "freq"]
+    if fields:
+        cols += ["df_title", "df_body"]
+    return v.select(*cols)
 
 
 def read_doclen(spark: SparkSession, path: str,
@@ -196,17 +210,40 @@ def index_stats(path: str) -> dict[str, float]:
         # single-quote-escape the path: RIVER_INDEX_ROOT is user-controlled
         # and a quote in it would otherwise break (or inject into) the SQL.
         glob = os.path.join(path, "stats", "*.parquet").replace("'", "''")
-        n_docs, sum_dl, avgdl = duckdb.sql(
-            f"SELECT n_docs, sum_dl, avgdl FROM read_parquet('{glob}')"
+        (n_docs, sum_dl, avgdl, n_title, sum_title, n_body,
+         sum_body) = duckdb.sql(
+            f"SELECT n_docs, sum_dl, avgdl, n_title, sum_title, n_body, "
+            f"sum_body FROM read_parquet('{glob}')"
         ).fetchone()
         cached = {"n_docs": int(n_docs), "sum_dl": int(sum_dl),
-                  "avgdl": float(avgdl)}
+                  "avgdl": float(avgdl),
+                  "n_title": int(n_title), "sum_title": int(sum_title),
+                  "n_body": int(n_body), "sum_body": int(sum_body),
+                  # per-field avgdl as Lucene computes it (sum over docs
+                  # having the field / their count); 0-doc fields divide
+                  # nothing downstream because their df is always 0 too.
+                  "avgdl_title": (sum_title / n_title) if n_title else 1.0,
+                  "avgdl_body": (sum_body / n_body) if n_body else 1.0}
         _STATS_CACHE[path] = cached
     return cached
 
 
 # ---------------------------------------------------------------------------
 # Build / publish.
+
+
+def _tf_title_col() -> F.Column:
+    """Occurrences of this posting's token within the first TITLE_LEN
+    document positions, derived from the stored (sorted) position list —
+    the fielded split of `operators/multifield.py`, computed once at
+    build/merge time so fielded queries never re-parse positions."""
+    from elasticsearch_hbase_river_spark.operators.multifield import (
+        TITLE_LEN,
+    )
+
+    return F.size(F.filter(
+        F.transform(F.split("positions", ","), lambda s: s.cast("int")),
+        lambda p: p < TITLE_LEN)).cast("long")
 
 
 def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
@@ -228,7 +265,11 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
     _write_vocab(
         landed.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"),
-             F.sum("tf").cast("long").alias("freq")), tmp)
+             F.sum("tf").cast("long").alias("freq"),
+             F.sum(F.when(F.col("tf_title") > 0, 1).otherwise(0))
+             .cast("long").alias("df_title"),
+             F.sum(F.when(F.col("tf") > F.col("tf_title"), 1).otherwise(0))
+             .cast("long").alias("df_body")), tmp)
     # doclen comes from the CORPUS, not the postings: zero-token documents
     # (empty / punctuation-only text) have no postings rows but are still
     # indexed documents — they count toward N and avgdl, exactly as in ES
@@ -243,11 +284,31 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
 
 def _write_stats_from_doclen(spark: SparkSession, doclen: DataFrame,
                              tmp: str) -> None:
-    (doclen.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("dl").cast("long").alias("sum_dl"))
+    """The 1-row stats sidecar, including the per-FIELD doc counts and
+    length sums (layout v3): ``n_title``/``sum_title`` over docs with any
+    tokens (title = first TITLE_LEN), ``n_body``/``sum_body`` over docs
+    longer than TITLE_LEN. All integers, so delta maintenance updates
+    them with exact add/subtract arithmetic."""
+    from elasticsearch_hbase_river_spark.operators.multifield import (
+        TITLE_LEN,
+    )
+
+    z = F.lit(0).cast("long")
+    (doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_title"),
+        F.coalesce(F.sum(F.least(F.col("dl"), F.lit(TITLE_LEN))), z)
+        .cast("long").alias("sum_title"),
+        F.sum(F.when(F.col("dl") > TITLE_LEN, 1).otherwise(0)).cast("long")
+        .alias("n_body"),
+        F.coalesce(F.sum(F.greatest(F.col("dl") - TITLE_LEN, F.lit(0))), z)
+        .cast("long").alias("sum_body"))
      .select("n_docs", "sum_dl",
              (F.col("sum_dl").cast("double")
-              / F.col("n_docs")).alias("avgdl"))
+              / F.col("n_docs")).alias("avgdl"),
+             "n_title", "sum_title", "n_body", "sum_body")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(tmp, "stats")))
 
@@ -257,13 +318,15 @@ def _write_postings_tables(spark: SparkSession, post: DataFrame,
     """Land the postings (token-bucketed) and the forward index
     (doc-bucketed) — the two corpus-sized serving tables — and return the
     landed postings for derived-table aggregation."""
+    if "tf_title" not in post.columns:
+        post = post.withColumn("tf_title", _tf_title_col())
     (post.withColumn("tbucket", _tbucket(F.col("token")))
          .repartition(N_BUCKETS, "tbucket")
          .write.mode("overwrite").partitionBy("tbucket")
          .parquet(os.path.join(tmp, "postings")))
     landed = spark.read.parquet(os.path.join(tmp, "postings"))
     (landed.select(_dbucket(F.col("doc_id")).alias("dbucket"),
-                   "doc_id", "token", "tf")
+                   "doc_id", "token", "tf", "tf_title")
            .repartition(N_BUCKETS, "dbucket")
            .write.mode("overwrite").partitionBy("dbucket")
            .parquet(os.path.join(tmp, "tvectors")))
@@ -414,27 +477,37 @@ def _delta_sidecar_plans(spark: SparkSession, base_path: str,
     re-indexes that emptied a document (no postings rows, still a
     change)."""
     changed = fresh_docs.select("doc_id")
-    old_contrib = (
+
+    def _contribs(rel: DataFrame, sfx: str) -> DataFrame:
+        return rel.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias(f"df_{sfx}"),
+            F.sum("tf").cast("long").alias(f"freq_{sfx}"),
+            F.sum(F.when(F.col("tf_title") > 0, 1).otherwise(0))
+            .cast("long").alias(f"dft_{sfx}"),
+            F.sum(F.when(F.col("tf") > F.col("tf_title"), 1).otherwise(0))
+            .cast("long").alias(f"dfb_{sfx}"))
+
+    old_contrib = _contribs(
         read_tvectors(spark, base_path, dbuckets)
-        .join(F.broadcast(changed), "doc_id", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("df_old"),
-             F.sum("tf").cast("long").alias("freq_old")))
-    new_contrib = (
-        fresh.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("df_new"),
-             F.sum("tf").cast("long").alias("freq_new")))
+        .join(F.broadcast(changed), "doc_id", "left_semi"), "old")
+    new_contrib = _contribs(
+        fresh.withColumn("tf_title", _tf_title_col()), "new")
     z = F.lit(0).cast("long")
+
+    def upd(col: str, old: str, new: str) -> F.Column:
+        return (F.coalesce(col, z) - F.coalesce(old, z)
+                + F.coalesce(new, z))
+
     vocab_new = (
-        read_vocab(spark, base_path)
+        read_vocab(spark, base_path, fields=True)
         .join(old_contrib, "token", "full_outer")
         .join(new_contrib, "token", "full_outer")
         .select(
             "token",
-            (F.coalesce("df", z) - F.coalesce("df_old", z)
-             + F.coalesce("df_new", z)).alias("df"),
-            (F.coalesce("freq", z) - F.coalesce("freq_old", z)
-             + F.coalesce("freq_new", z)).alias("freq"))
+            upd("df", "df_old", "df_new").alias("df"),
+            upd("freq", "freq_old", "freq_new").alias("freq"),
+            upd("df_title", "dft_old", "dft_new").alias("df_title"),
+            upd("df_body", "dfb_old", "dfb_new").alias("df_body"))
         .filter(F.col("df") > 0))
     doclen_new = (
         read_doclen(spark, base_path)
@@ -477,28 +550,55 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
 
     preexisting = os.path.exists(os.path.join(out_path, META))
     tmp = f"{out_path}.tmp-{uuid.uuid4().hex}"
-    merged = (read_postings(spark, base_path)
+    merged = (read_postings(spark, base_path, fields=True)
               .join(F.broadcast(changed), "doc_id", "left_anti")
-              .unionByName(fresh.select("token", "doc_id", "tf",
-                                        "first_pos", "positions", "dl")))
+              .unionByName(fresh
+                           .withColumn("tf_title", _tf_title_col())
+                           .select("token", "doc_id", "tf", "first_pos",
+                                   "positions", "dl", "tf_title")))
     _write_postings_tables(spark, merged, tmp)
 
     plans = _delta_sidecar_plans(spark, base_path, fresh, fresh_docs, dbuckets)
     _write_vocab(plans["vocab"], tmp)
     _write_doclen(plans["doclen"], tmp)
 
+    from elasticsearch_hbase_river_spark.operators.multifield import (
+        TITLE_LEN,
+    )
+
     st = index_stats(base_path)
-    removed = (read_doclen(spark, base_path, dbuckets)
-               .join(F.broadcast(changed), "doc_id", "left_semi")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first())
-    added = fresh_docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first()
+
+    def _doc_moments(rel: DataFrame):
+        zero = F.lit(0)
+        return rel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), zero).alias("dl"),
+            F.coalesce(F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)),
+                       zero).alias("nt"),
+            F.coalesce(F.sum(F.least(F.col("dl"), F.lit(TITLE_LEN))),
+                       zero).alias("st"),
+            F.coalesce(F.sum(F.when(F.col("dl") > TITLE_LEN, 1)
+                             .otherwise(0)), zero).alias("nb"),
+            F.coalesce(F.sum(F.greatest(F.col("dl") - TITLE_LEN,
+                                        F.lit(0))), zero).alias("sb")).first()
+
+    removed = _doc_moments(
+        read_doclen(spark, base_path, dbuckets)
+        .join(F.broadcast(changed), "doc_id", "left_semi"))
+    added = _doc_moments(fresh_docs)
+
+    def _u(base: int, key: str) -> int:
+        return base - removed[key] + added[key]
+
     n_docs = st["n_docs"] - removed["n"] + added["n"]
     sum_dl = st["sum_dl"] - removed["dl"] + added["dl"]
-    (spark.createDataFrame([(n_docs, sum_dl, sum_dl / n_docs)],
-                           "n_docs long, sum_dl long, avgdl double")
+    row = (n_docs, sum_dl, sum_dl / n_docs,
+           _u(st["n_title"], "nt"), _u(st["sum_title"], "st"),
+           _u(st["n_body"], "nb"), _u(st["sum_body"], "sb"))
+    (spark.createDataFrame(
+        [row],
+        "n_docs long, sum_dl long, avgdl double, n_title long, "
+        "sum_title long, n_body long, sum_body long")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(tmp, "stats")))
     _publish(tmp, out_path, preexisting)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from elasticsearch_hbase_river_spark.functions.normalize import normalize_field_py
@@ -31,18 +31,39 @@ FIELD = st.text(
 SEP = st.sampled_from(["::", ".", "|", None])
 
 
+def _cell_interior(lo: float, span: float):
+    """Coordinates constructed to sit strictly INSIDE a geohash cell: draw
+    an integer cell index plus an interior offset in [0.05, 0.95] of the
+    cell width. Every drawn example is valid by construction — the old
+    strategy drew arbitrary floats and ``assume()``-rejected near-edge
+    ones, which failed hypothesis's filter_too_much health check whenever
+    the shrinker drifted to round numbers (the round-5 flake)."""
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        GEOHASH_PRECISION,
+    )
+
+    cells = 2 ** (GEOHASH_PRECISION * 5 // 2)
+    return st.builds(
+        lambda i, f: lo + (i + f) * span / cells,
+        st.integers(min_value=0, max_value=cells - 1),
+        st.floats(min_value=0.05, max_value=0.95))
+
+
 @settings(max_examples=60, deadline=None)
-@given(st.floats(min_value=-90.0, max_value=90.0,
-                 allow_nan=False, allow_infinity=False),
-       st.floats(min_value=-180.0, max_value=180.0,
-                 allow_nan=False, allow_infinity=False))
+@given(_cell_interior(-90.0, 180.0), _cell_interior(-180.0, 360.0))
+@example(90.0, 180.0)       # inclusive upper boundary (least() clamp)
+@example(-90.0, -180.0)     # lower corner
+@example(0.0, 0.0)          # exact cell edge: floor and >=-bisection agree
+@example(90.0, -180.0)
+@example(-90.0, 180.0)
 def test_geohash_sql_matches_bisection_reference(lat, lon):
     """The bit-interleave geohash encoder (shared SQL text, evaluated
     here through DuckDB) must equal the canonical bisection encoding for
-    any coordinate, including the inclusive lat=90 / lon=180 boundary.
-    Coordinates within a float-ulp of a cell edge are excluded: there the
-    multiply-based encoding (Lucene's own) and pure bisection legitimately
-    disagree about which side absorbs the rounding."""
+    cell-interior coordinates and the exact domain boundaries. Within a
+    float-ulp of a cell edge the multiply-based encoding (Lucene's own)
+    and pure bisection legitimately disagree about which side absorbs the
+    rounding — the strategy generates interior points by construction, so
+    the guard below should never reject (and cannot starve the run)."""
     import duckdb
     from hypothesis import assume
 
@@ -55,7 +76,7 @@ def test_geohash_sql_matches_bisection_reference(lat, lon):
     cells = 2 ** (GEOHASH_PRECISION * 5 // 2)
     for v, span, lo in ((lat, 180.0, -90.0), (lon, 360.0, -180.0)):
         frac = (v - lo) / span * cells
-        assume(abs(frac - round(frac)) > 1e-6 or v in (lo, lo + span))
+        assume(abs(frac - round(frac)) > 1e-6 or frac == round(frac))
 
     got = duckdb.sql(
         f"SELECT {_geohash_sql('//')} AS g FROM "
@@ -78,6 +99,65 @@ def test_geohash_sql_matches_bisection_reference(lat, lon):
         _GEOHASH32[int("".join(map(str, bits[i * 5:i * 5 + 5])), 2)]
         for i in range(GEOHASH_PRECISION))
     assert got == want, (lat, lon, got, want)
+
+
+#: Engine-independent golden vectors for the geo cell encoders. The
+#: q_geohash_grid / q_geotile_grid oracles share their generated SQL text
+#: between Spark and DuckDB (esdsl3.py), so engine-vs-oracle parity cannot
+#: catch an encoder bug — these constants anchor the shared text to
+#: known-good PUBLIC values instead.
+#:
+#: Geohash strings are the published reference examples: geohash.org's
+#: canonical demo coordinate (42.605, -5.603) -> "ezs42" and Wikipedia's
+#: worked example (57.64911, 10.40744) -> "u4pruydqqvj", truncated to the
+#: engine's precision 4; the corners/origin follow from the alphabet
+#: definition (all-zero bits -> '0', all-one bits -> 'z', 0N/0E splits
+#: upper halves -> 's').
+GEOHASH_GOLDEN = (
+    (42.605, -5.603, "ezs4"),
+    (57.64911, 10.40744, "u4pr"),
+    (0.0, 0.0, "s000"),
+    (90.0, 180.0, "zzzz"),
+    (-90.0, -180.0, "0000"),
+)
+
+#: Slippy-map tiles at the engine's zoom 4 (GEO_ZOOM_N = 16), from the
+#: OpenStreetMap "Slippy map tilenames" formula evaluated by hand for the
+#: wiki's own example coordinate (41.85, -87.65 -> tile 4/5 at z=4), the
+#: Wikipedia geohash coordinate, and the origin (0,0 -> the 8/8 tile — the
+#: first tile south-east of the equator/meridian crossing).
+GEOTILE_GOLDEN = (
+    (41.85, -87.65, 4, 5),
+    (57.64911, 10.40744, 8, 4),
+    (0.0, 0.0, 8, 8),
+)
+
+
+def test_geo_cell_sql_matches_public_golden_vectors():
+    """The generated geohash/geotile SQL (the text BOTH engines run) must
+    reproduce published known-good cell assignments — the independent
+    anchor the shared-implementation oracles need."""
+    import duckdb
+
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        _geohash_sql,
+        _tile_sql,
+    )
+
+    for lat, lon, want in GEOHASH_GOLDEN:
+        got = duckdb.sql(
+            f"SELECT {_geohash_sql('//')} FROM "
+            f"(SELECT {lat!r}::DOUBLE AS lat, {lon!r}::DOUBLE AS lon)"
+        ).fetchone()[0]
+        assert got == want, (lat, lon, got, want)
+
+    tx, ty = _tile_sql()
+    for lat, lon, wx, wy in GEOTILE_GOLDEN:
+        gx, gy = duckdb.sql(
+            f"SELECT {tx}, {ty} FROM "
+            f"(SELECT {lat!r}::DOUBLE AS lat, {lon!r}::DOUBLE AS lon)"
+        ).fetchone()
+        assert (gx, gy) == (wx, wy), (lat, lon, gx, gy, wx, wy)
 
 
 @given(FIELD, SEP)
