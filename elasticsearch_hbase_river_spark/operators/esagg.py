@@ -41,7 +41,6 @@ from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, ro
 from elasticsearch_hbase_river_spark.operators.search import (
     BM25_B,
     BM25_K1,
-    _corpus_stats,
     _dl_col,
     _DL_SQL,
     _postings,
@@ -87,9 +86,13 @@ def _per_term_bm25(spark: SparkSession, sf_dir: str, terms: tuple[str, ...]) -> 
           .groupBy("doc_id", "token")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # stats from the dl relation (see search.bm25_scores): avoids a third
+    # full-corpus tokenization per query.
+    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
     scored = (tf.join(F.broadcast(df_), "token")
               .join(dl, "doc_id")
-              .crossJoin(F.broadcast(_corpus_stats(docs))))
+              .crossJoin(F.broadcast(stats)))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))

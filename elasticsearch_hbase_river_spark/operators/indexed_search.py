@@ -66,9 +66,19 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col
 from elasticsearch_hbase_river_spark.functions.xxh64 import pmod_bucket
+from elasticsearch_hbase_river_spark.operators.esagg import (
+    WILDCARD_SQL_LIKE,
+)
+from elasticsearch_hbase_river_spark.operators.esagg import (
+    ORACLES as _ESAGG_ORACLES,
+)
 from elasticsearch_hbase_river_spark.operators.retrieval import (
     FUZZY_MAX_DIST,
     FUZZY_TERM,
+    RESCORE_PHRASE,
+    RESCORE_TOP,
+    RESCORE_W_PRIMARY,
+    RESCORE_W_SECONDARY,
     SUGGEST_PREFIX,
     SUGGEST_TOP,
 )
@@ -94,9 +104,14 @@ META = "_index_meta.json"
 #: carry ``tf_title`` (occurrences in the first TITLE_LEN document
 #: positions — the title/body split of multifield.py, derived from the
 #: stored position lists), vocab carries ``df_title``/``df_body``, and
-#: stats carries per-field doc counts + length sums. The version rides the
-#: index path fingerprint, so v2 directories are never served or appended.
-LAYOUT_VERSION = 3
+#: stats carries per-field doc counts + length sums. v4 adds the
+#: ``vkeys`` sidecar — the SymSpell delete-1 neighborhood keys of the
+#: vocabulary, key-bucket-partitioned, so fuzzy query rewrite reads a
+#: pruned slice instead of running levenshtein over the whole term
+#: dictionary (the ES analog: walking the FST automaton instead of the
+#: term list). The version rides the index path fingerprint, so older
+#: directories are never served or appended.
+LAYOUT_VERSION = 4
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -194,6 +209,39 @@ def read_doclen(spark: SparkSession, path: str,
     return d.select("doc_id", "dl")
 
 
+#: SQL fragment generating a token's delete-1 neighborhood (itself + every
+#: single-character deletion) — evaluated over the vocab at build time.
+_VKEYS_EXPR = (
+    "array_distinct(concat(array(token), "
+    "transform(sequence(1, length(token)), "
+    "i -> concat(substr(token, 1, i-1), substr(token, i+1, length(token))))))"
+)
+
+
+def delete_neighborhood(term: str) -> list[str]:
+    """Pure-Python twin of :data:`_VKEYS_EXPR` for the QUERY side (driver,
+    zero Spark jobs): the term plus each single-deletion variant. SymSpell
+    guarantee: lev(x, y) <= 1 ⟹ their delete-1 neighborhoods intersect,
+    so probing these keys yields a candidate superset of the edit-distance
+    ball, verified with one levenshtein over the (tiny) candidates."""
+    return sorted({term} | {term[:i] + term[i + 1:]
+                            for i in range(len(term))})
+
+
+def read_vkeys(spark: SparkSession, path: str,
+               keys: list[str] | None = None) -> DataFrame:
+    """(key, token) delete-neighborhood sidecar. With ``keys``, the scan
+    prunes to the keys' kbucket directories (bucket ids computed
+    driver-side with the xxh64 twin) — the bounded-slice read the fuzzy
+    rewrite needs."""
+    vk = spark.read.parquet(os.path.join(path, "vkeys"))
+    if keys is not None:
+        kb = sorted({pmod_bucket(k, N_BUCKETS) for k in keys})
+        vk = vk.filter(F.col("kbucket").isin(kb)
+                       & F.col("key").isin(*keys))
+    return vk.select("key", "token")
+
+
 def read_stats(spark: SparkSession, path: str) -> DataFrame:
     return (spark.read.parquet(os.path.join(path, "stats"))
             .select("n_docs", "sum_dl", "avgdl"))
@@ -270,6 +318,9 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
              .cast("long").alias("df_title"),
              F.sum(F.when(F.col("tf") > F.col("tf_title"), 1).otherwise(0))
              .cast("long").alias("df_body")), tmp)
+    _write_vkeys(
+        _vkeys_rel(spark.read.parquet(os.path.join(tmp, "vocab"))
+                   .select("token")), tmp)
     # doclen comes from the CORPUS, not the postings: zero-token documents
     # (empty / punctuation-only text) have no postings rows but are still
     # indexed documents — they count toward N and avgdl, exactly as in ES
@@ -338,6 +389,21 @@ def _write_vocab(vocab: DataFrame, tmp: str) -> None:
           .repartition(N_BUCKETS, "tbucket")
           .write.mode("overwrite").partitionBy("tbucket")
           .parquet(os.path.join(tmp, "vocab")))
+
+
+def _vkeys_rel(tokens: DataFrame) -> DataFrame:
+    """(key, token) rows: each vocab token under every key of its delete-1
+    neighborhood. Vocab-sized × (avg token length + 1) — map-side explode
+    over the vocabulary, never the corpus."""
+    return tokens.select(
+        F.explode(F.expr(_VKEYS_EXPR)).alias("key"), "token")
+
+
+def _write_vkeys(vkeys: DataFrame, tmp: str) -> None:
+    (vkeys.withColumn("kbucket", _tbucket(F.col("key")))
+          .repartition(N_BUCKETS, "kbucket")
+          .write.mode("overwrite").partitionBy("kbucket")
+          .parquet(os.path.join(tmp, "vkeys")))
 
 
 def _write_doclen(doclen: DataFrame, tmp: str) -> None:
@@ -422,15 +488,25 @@ def q_phrase_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy term query from the index: edit-distance expansion runs on the
-    vocab TABLE (vocab-sized, the ES query-rewrite phase), the expanded
-    terms come back to the driver (bounded: the within-distance-1
-    neighborhood of one term — a handful of literals, exactly what ES's
-    rewrite produces) and become partition-pruning filters on the
-    postings."""
+    """Fuzzy term query from the index — the FST-shaped rewrite: the query
+    term's delete-1 neighborhood keys (computed driver-side, ≤len+1
+    literals) prune the ``vkeys`` sidecar to their kbucket directories;
+    the candidate tokens that come back are a bounded superset of the
+    edit-distance ball (SymSpell guarantee), verified with one
+    levenshtein over that tiny slice — the full vocabulary is never
+    scanned, the way ES walks its FST automaton instead of the term list.
+    The verified terms (a handful of literals, ES's rewrite output)
+    become partition-pruning filters on the postings. Distances > 1 fall
+    back to the vocab-sized levenshtein scan (delete-1 keys only cover
+    the distance-1 ball)."""
     idx = ensure_index(spark, sf_dir)
+    if FUZZY_MAX_DIST == 1:
+        cand = (read_vkeys(spark, idx, delete_neighborhood(FUZZY_TERM))
+                .select("token").distinct())
+    else:
+        cand = read_vocab(spark, idx).select("token")
     matched = tuple(sorted(
-        r[0] for r in read_vocab(spark, idx)
+        r[0] for r in cand
         .filter(F.levenshtein(F.col("token"), F.lit(FUZZY_TERM))
                 <= FUZZY_MAX_DIST)
         .select("token").collect()))
@@ -498,11 +574,12 @@ def _delta_sidecar_plans(spark: SparkSession, base_path: str,
         return (F.coalesce(col, z) - F.coalesce(old, z)
                 + F.coalesce(new, z))
 
-    vocab_new = (
+    joined = (
         read_vocab(spark, base_path, fields=True)
         .join(old_contrib, "token", "full_outer")
-        .join(new_contrib, "token", "full_outer")
-        .select(
+        .join(new_contrib, "token", "full_outer"))
+    vocab_new = (
+        joined.select(
             "token",
             upd("df", "df_old", "df_new").alias("df"),
             upd("freq", "freq_old", "freq_new").alias("freq"),
@@ -513,7 +590,20 @@ def _delta_sidecar_plans(spark: SparkSession, base_path: str,
         read_doclen(spark, base_path)
         .join(F.broadcast(changed), "doc_id", "left_anti")
         .unionByName(fresh_docs.select("doc_id", "dl")))
-    return {"vocab": vocab_new, "doclen": doclen_new}
+    # vkeys refresh: membership changes only among delta-touched tokens —
+    # drop the keys of tokens whose df hit 0, add keys for tokens the
+    # epoch introduced. Base vkeys are read once; the arrival/departure
+    # relations are delta-sized broadcasts.
+    base_df = F.coalesce("df", z)
+    new_df = upd("df", "df_old", "df_new")
+    removed_tokens = (joined.filter((base_df > 0) & (new_df <= 0))
+                      .select("token"))
+    added_tokens = (joined.filter((base_df <= 0) & (new_df > 0))
+                    .select("token"))
+    vkeys_new = (read_vkeys(spark, base_path)
+                 .join(F.broadcast(removed_tokens), "token", "left_anti")
+                 .unionByName(_vkeys_rel(added_tokens)))
+    return {"vocab": vocab_new, "doclen": doclen_new, "vkeys": vkeys_new}
 
 
 def apply_epoch_deltas(spark: SparkSession, base_path: str,
@@ -561,6 +651,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     plans = _delta_sidecar_plans(spark, base_path, fresh, fresh_docs, dbuckets)
     _write_vocab(plans["vocab"], tmp)
     _write_doclen(plans["doclen"], tmp)
+    _write_vkeys(plans["vkeys"], tmp)
 
     from elasticsearch_hbase_river_spark.operators.multifield import (
         TITLE_LEN,
@@ -604,11 +695,77 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     _publish(tmp, out_path, preexisting)
 
 
+def q_rescore_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` served FROM the materialized index: the primary
+    window is :func:`bm25_from_index` (pruned postings + stats literals);
+    the secondary exact-phrase scorer unpacks the phrase terms' STORED
+    position lists (the `q_phrase_match_indexed` machinery) semi-joined
+    to the ≤k window ids — the corpus is never re-tokenized, which is the
+    whole cost of the rebuild path's rescore (the round-5 analyzer-trio
+    regression). Hash-equal to ``q_rescore`` by the shared oracle."""
+    idx = ensure_index(spark, sf_dir)
+    base = bm25_from_index(spark, idx).select("doc_id", "score")
+    base_ids = base.select("doc_id")
+    occ = (read_postings(spark, idx, RESCORE_PHRASE)
+           .join(F.broadcast(base_ids), "doc_id", "left_semi")
+           .select("token", "doc_id",
+                   F.explode(F.split("positions", ",")).alias("pos_s"))
+           .select("token", "doc_id",
+                   F.col("pos_s").cast("long").alias("pos"))
+           .localCheckpoint(eager=True))  # window-sized: ≤k docs' terms
+    w1 = (occ.filter(F.col("token") == RESCORE_PHRASE[0])
+          .select("doc_id", "pos"))
+    w2 = (occ.filter(F.col("token") == RESCORE_PHRASE[1])
+          .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    ph = (w1.join(w2, ["doc_id", "pos"])
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_phrase")))
+    resc = (
+        base.join(F.broadcast(ph), "doc_id", "left")
+        .select("doc_id", roundn_col(
+            F.lit(RESCORE_W_PRIMARY) * F.col("score")
+            + F.lit(RESCORE_W_SECONDARY)
+            * F.log1p(F.coalesce("n_phrase", F.lit(0)))).alias("rescore")))
+    top = (resc.orderBy(F.col("rescore").desc(), F.col("doc_id"))
+           .limit(RESCORE_TOP))
+    w = Window.orderBy(F.col("rescore").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+#: Lucene-style multi-term rewrite bound: beyond this many matched
+#: dictionary terms the rewrite stops enumerating literals (no partition
+#: pruning) and streams the matched vocab through a broadcast join
+#: instead — never an unbounded driver collect.
+WILDCARD_MAX_EXPANSIONS = 1024
+
+
+def q_wildcard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wildcard`` served FROM the index: the pattern rewrite runs on
+    the vocab SIDECAR (Lucene's term-dictionary scan — vocab-sized, no
+    corpus tokenization), the matched terms become partition-pruning
+    literals on the postings (capped at {WILDCARD_MAX_EXPANSIONS}; above
+    the cap the matched-vocab relation broadcast-joins the postings
+    instead). Hash-equal to ``q_wildcard_search`` by the shared oracle."""
+    idx = ensure_index(spark, sf_dir)
+    mv = (read_vocab(spark, idx)
+          .filter(F.col("token").like(WILDCARD_SQL_LIKE)).select("token"))
+    matched = tuple(sorted(
+        r[0] for r in mv.limit(WILDCARD_MAX_EXPANSIONS + 1).collect()))
+    if 0 < len(matched) <= WILDCARD_MAX_EXPANSIONS:
+        post = read_postings(spark, idx, matched)
+    else:
+        post = read_postings(spark, idx).join(F.broadcast(mv), "token")
+    return (post.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_hits"),
+                 F.count_distinct("token").cast("long").alias("n_terms")))
+
+
 QUERIES = {
     "q_bm25_indexed": q_bm25_indexed,
     "q_phrase_match_indexed": q_phrase_match_indexed,
     "q_fuzzy_search_indexed": q_fuzzy_search_indexed,
     "q_suggest_indexed": q_suggest_indexed,
+    "q_rescore_indexed": q_rescore_indexed,
+    "q_wildcard_indexed": q_wildcard_indexed,
 }
 
 #: The indexed variants answer the SAME questions as the rebuild-per-query
@@ -619,6 +776,8 @@ ORACLES = {
     "q_phrase_match_indexed": _SEARCH_ORACLES["q_phrase_match"],
     "q_fuzzy_search_indexed": _RETRIEVAL_ORACLES["q_fuzzy_search"],
     "q_suggest_indexed": _RETRIEVAL_ORACLES["q_suggest"],
+    "q_rescore_indexed": _RETRIEVAL_ORACLES["q_rescore"],
+    "q_wildcard_indexed": _ESAGG_ORACLES["q_wildcard_search"],
 }
 
 

@@ -139,10 +139,16 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # stats aggregate over the dl RELATION, not a third corpus scan —
+    # `_corpus_stats(docs)` would re-run the analyzer over every document
+    # a third time (the postings explode and the dl join already each pay
+    # one tokenization; measured part of the round-5 analyzer regression).
+    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
     scored = (
         tf.join(F.broadcast(df_), "token")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(_corpus_stats(docs)))
+        .crossJoin(F.broadcast(stats))
     )
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (

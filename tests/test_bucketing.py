@@ -105,3 +105,22 @@ def test_python_xxh64_matches_spark(spark, sf_dir):
             F.pmod(F.xxhash64("v"), F.lit(N_BUCKETS)).alias("b")).collect():
         assert xxhash64_long(r.v) == r.h, r.v
         assert pmod_bucket_long(r.v, N_BUCKETS) == r.b, r.v
+
+
+def test_delete_neighborhood_python_twin_matches_spark_expr(spark):
+    """The driver-side delete-1 neighborhood (query rewrite) and the
+    Spark-side _VKEYS_EXPR (sidecar build) must generate IDENTICAL key
+    sets — a divergence silently drops fuzzy candidates (pruned buckets
+    that are never probed)."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        _VKEYS_EXPR, delete_neighborhood,
+    )
+
+    tokens = ["spark", "a", "ab", "aaa", "x9z", "0", "sparkly",
+              "mississippi", "zz9pluralzalpha"]
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    got = {r["token"]: sorted(r["keys"])
+           for r in df.select("token",
+                              F.expr(_VKEYS_EXPR).alias("keys")).collect()}
+    for t in tokens:
+        assert got[t] == delete_neighborhood(t), t

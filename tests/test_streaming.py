@@ -615,7 +615,7 @@ def test_delta_sidecar_refresh_never_reads_postings(spark, sf_dir, tmp_path):
         ix._dbucket(F.col("doc_id"))).collect()})
     plans = ix._delta_sidecar_plans(spark, base_dir, fresh, fresh_docs, dbkts)
 
-    for name in ("vocab", "doclen"):
+    for name in ("vocab", "doclen", "vkeys"):
         files = plans[name].inputFiles()
         assert files, f"{name} refresh reads no base files at all"
         assert not any("/postings/" in f for f in files), (
