@@ -847,3 +847,148 @@ QUALIFY rank <= {DIS_MAX_TOP}"""
 
 
 ORACLES["q_collapse"] = _collapse_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Percolator, k=3 terms — ES's actual multi-term percolation strategy:
+# the pair expansion of q_percolate_indexed is exact for 2-term sets but
+# C(|qt|,k) explodes for k>=3; production percolators instead generate
+# candidates from each stored query's RAREST term (its shortest postings
+# list — Lucene's term-at-a-time cost ordering) and verify the remaining
+# terms per candidate document.
+
+PERC_K3_N_QUERIES = 10_000
+PERC_K3_TERMS = 3
+
+
+def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolate the corpus against {PERC_K3_N_QUERIES} stored 3-term AND
+    queries: per registered query, how many documents match ALL three
+    terms — rarest-term candidate generation + per-doc set verify.
+
+    Scale shape: stored queries canonicalize to distinct term SETS (the
+    percolation unit, bounded by |registered sets| not |queries|); each
+    set's candidates are the documents holding its RAREST term (cost =
+    Σ min-df, the smallest possible candidate stream — never the corpus
+    and never C(|qt|,3) pair expansion); verification joins the per-doc
+    registered-token set (ONE corpus shuffle keyed on doc_id, shared
+    with candidate generation) and checks the two remaining terms with
+    array membership against the broadcast set dictionary. No cross
+    join, no corpus-sized sort, no per-query corpus work."""
+    docs = load_table(spark, sf_dir, "documents")
+    posts = _postings(docs).select("doc_id", "token")
+    vocab = posts.select("token").distinct()
+    qids = spark.range(PERC_K3_N_QUERIES).select(
+        F.col("id").alias("query_id"))
+    keyed = qids.crossJoin(F.broadcast(vocab)).select(
+        "query_id", "token",
+        F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
+                       F.col("token"))).alias("h"))
+    wq = Window.partitionBy("query_id").orderBy("h", "token")
+    stored = (keyed.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= PERC_K3_TERMS)
+              .select("query_id", "token"))
+    qsets = (stored.groupBy("query_id")
+             .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
+                  .alias("terms"))
+             .withColumn("set_key", F.xxhash64("terms"))
+             .localCheckpoint(eager=True))  # read twice: sets + fan-back
+    t = F.split("terms", ",")
+    sets = (qsets.select("set_key",
+                         t.getItem(0).alias("t1"),
+                         t.getItem(1).alias("t2"),
+                         t.getItem(2).alias("t3")).distinct())
+    qvocab = (sets.select(F.col("t1").alias("token"))
+              .unionByName(sets.select(F.col("t2").alias("token")))
+              .unionByName(sets.select(F.col("t3").alias("token")))
+              .distinct())
+    # registered-token slice of the corpus, shared (via checkpoint) by
+    # df ranking, candidate generation and the per-doc verify sets —
+    # delta-sized vs the corpus (only registered tokens survive)
+    dtq = (posts.join(F.broadcast(qvocab), "token", "left_semi")
+           .distinct().localCheckpoint(eager=True))
+    dfr = dtq.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    melted = sets.select(
+        "set_key", "t1", "t2", "t3",
+        F.explode(F.array("t1", "t2", "t3")).alias("token"))
+    wr = Window.partitionBy("set_key").orderBy("df", "token")
+    rare = (melted.join(F.broadcast(dfr), "token")
+            .withColumn("r", F.row_number().over(wr))
+            .filter(F.col("r") == 1)
+            .select("set_key", F.col("token").alias("rarest"),
+                    F.filter(F.array("t1", "t2", "t3"),
+                             lambda x: x != F.col("token")).alias("others"))
+            .select("set_key", F.col("rarest").alias("token"),
+                    F.col("others").getItem(0).alias("o1"),
+                    F.col("others").getItem(1).alias("o2")))
+    doc_qt = dtq.groupBy("doc_id").agg(F.collect_set("token").alias("qt"))
+    cand = dtq.join(F.broadcast(rare), "token").select(
+        "doc_id", "set_key", "o1", "o2")
+    per_set = (cand.join(doc_qt, "doc_id")
+               .filter(F.array_contains("qt", F.col("o1"))
+                       & F.array_contains("qt", F.col("o2")))
+               .groupBy("set_key")
+               .agg(F.count(F.lit(1)).alias("n_matching_docs")))
+    return (qsets.join(per_set, "set_key", "left")
+            .select("query_id", "terms",
+                    F.coalesce("n_matching_docs", F.lit(0)).cast("long")
+                    .alias("n_matching_docs")))
+
+
+QUERIES["q_percolate_k3"] = q_percolate_k3
+
+ORACLES["q_percolate_k3"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+vocab AS (SELECT DISTINCT token FROM tok),
+qids AS (SELECT unnest(range(0, {PERC_K3_N_QUERIES})) AS query_id),
+keyed AS (
+  SELECT query_id, token,
+         md5(CAST(query_id AS VARCHAR) || '|' || token) AS h
+  FROM qids CROSS JOIN vocab),
+stored AS (
+  SELECT query_id, token FROM (
+    SELECT query_id, token,
+           row_number() OVER (PARTITION BY query_id ORDER BY h, token) AS r
+    FROM keyed) WHERE r <= {PERC_K3_TERMS}),
+qsets AS (
+  SELECT query_id,
+         array_to_string(list_sort(list(token)), ',') AS terms
+  FROM stored GROUP BY query_id),
+sets AS (
+  SELECT DISTINCT terms,
+         string_split(terms, ',')[1] AS t1,
+         string_split(terms, ',')[2] AS t2,
+         string_split(terms, ',')[3] AS t3
+  FROM qsets),
+qvocab AS (
+  SELECT t1 AS token FROM sets
+  UNION SELECT t2 FROM sets
+  UNION SELECT t3 FROM sets),
+doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+dtq AS (SELECT doc_id, token FROM doc_tok JOIN qvocab USING (token)),
+dfr AS (SELECT token, count(*) AS df FROM dtq GROUP BY token),
+melted AS (
+  SELECT terms, t1, t2, t3, unnest([t1, t2, t3]) AS token FROM sets),
+rare AS (
+  SELECT terms, token AS rarest,
+         list_filter([t1, t2, t3], x -> x <> token)[1] AS o1,
+         list_filter([t1, t2, t3], x -> x <> token)[2] AS o2
+  FROM (
+    SELECT m.terms, m.t1, m.t2, m.t3, m.token,
+           row_number() OVER (PARTITION BY m.terms
+                              ORDER BY dfr.df, m.token) AS r
+    FROM melted m JOIN dfr USING (token))
+  WHERE r = 1),
+doc_qt AS (SELECT doc_id, list(token) AS qt FROM dtq GROUP BY doc_id),
+cand AS (
+  SELECT d.doc_id, r.terms, r.o1, r.o2
+  FROM dtq d JOIN rare r ON d.token = r.rarest),
+per_set AS (
+  SELECT c.terms, count(*) AS n
+  FROM cand c JOIN doc_qt q USING (doc_id)
+  WHERE list_contains(q.qt, c.o1) AND list_contains(q.qt, c.o2)
+  GROUP BY c.terms)
+SELECT q.query_id, q.terms,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_matching_docs
+FROM qsets q LEFT JOIN per_set p USING (terms)"""
