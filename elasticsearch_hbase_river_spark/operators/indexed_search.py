@@ -640,13 +640,35 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
 
     preexisting = os.path.exists(os.path.join(out_path, META))
     tmp = f"{out_path}.tmp-{uuid.uuid4().hex}"
-    merged = (read_postings(spark, base_path, fields=True)
+    # Carry-over WITHOUT a global shuffle: the base postings are already
+    # tbucket-partitioned on disk, so reading them WITH the partition
+    # column and writing partitionBy(tbucket) keeps each carry-over task
+    # writing into the buckets it read (bucket-pure once buckets exceed
+    # the split size — the 100 TB case); the delta-sized fresh side
+    # computes its buckets map-side and lands beside them. The initial
+    # build's repartition exchange (corpus-sized, per epoch) is gone —
+    # the merge only moves the bytes it rewrites. Fresh-side tasks can
+    # write a small file per bucket (segment-file fragmentation, bounded
+    # by delta size per epoch); rebuild_index compacts when it matters.
+    pcols = ["token", "doc_id", "tf", "first_pos", "positions", "dl",
+             "tf_title"]
+    base_p = (spark.read.parquet(os.path.join(base_path, "postings"))
               .join(F.broadcast(changed), "doc_id", "left_anti")
-              .unionByName(fresh
-                           .withColumn("tf_title", _tf_title_col())
-                           .select("token", "doc_id", "tf", "first_pos",
-                                   "positions", "dl", "tf_title")))
-    _write_postings_tables(spark, merged, tmp)
+              .select(*pcols, F.col("tbucket").cast("int").alias("tbucket")))
+    fresh_p = (fresh.withColumn("tf_title", _tf_title_col())
+               .select(*pcols, _tbucket(F.col("token")).alias("tbucket")))
+    (base_p.unionByName(fresh_p)
+     .write.mode("overwrite").partitionBy("tbucket")
+     .parquet(os.path.join(tmp, "postings")))
+    tvcols = ["doc_id", "token", "tf", "tf_title"]
+    base_tv = (spark.read.parquet(os.path.join(base_path, "tvectors"))
+               .join(F.broadcast(changed), "doc_id", "left_anti")
+               .select(*tvcols, F.col("dbucket").cast("int").alias("dbucket")))
+    fresh_tv = (fresh_p.select(*tvcols,
+                               _dbucket(F.col("doc_id")).alias("dbucket")))
+    (base_tv.unionByName(fresh_tv)
+     .write.mode("overwrite").partitionBy("dbucket")
+     .parquet(os.path.join(tmp, "tvectors")))
 
     plans = _delta_sidecar_plans(spark, base_path, fresh, fresh_docs, dbuckets)
     _write_vocab(plans["vocab"], tmp)
