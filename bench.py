@@ -215,6 +215,11 @@ def main() -> None:
     from elasticsearch_hbase_river_spark.registry import all_queries
 
     queries = all_queries()
+    # The tuple above fixes a stable measurement ORDER (subsystems
+    # interleaved); completeness comes from the registry itself — any
+    # query registered after the list was last touched is appended
+    # automatically so the bench never silently under-counts.
+    headline = HEADLINE + tuple(sorted(set(queries) - set(HEADLINE)))
 
     # Warm up the JVM / parquet footers once so q1 isn't charged for JIT.
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
@@ -254,7 +259,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE):
+    for qi, name in enumerate(headline):
         fn = queries[name]
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -249,6 +249,16 @@ _ALLOWED_SINGLE_PARTITION = {
                               # q_bm25 carries under its TakeOrdered
     "q_auto_date_histogram",  # 1-row min/max bounds broadcast into the
                               # bucket expression (same as q_date_histogram)
+    "q_filters_agg",          # 1-row conditional aggregate (named buckets
+                              # unpivot map-side from that single row)
+    "q_global_agg",           # 1-row query+global conditional aggregate
+    "q_rate_agg",             # 1-row time-span bounds broadcast into the
+                              # per-type relation
+    "q_serial_diff",          # window over the hourly BUCKET relation —
+                              # bucket-count-sized (thousands of rows at
+                              # 100 TB), the corpus only pays the keyed
+                              # partial-agg shuffle below it
+    "q_moving_fn",            # same bucket-relation window shape
 }
 
 
