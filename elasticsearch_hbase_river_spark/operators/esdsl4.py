@@ -35,6 +35,13 @@ Bucket / metric aggregations:
   ``shard_size`` documents, sub-aggregation over the sample only.
 - ``q_random_sampler``      : ES ``random_sampler`` — deterministic
   md5-bucket p=1/4 sample with 1/p-corrected estimates.
+- ``q_frequent_item_sets``  : ES ``frequent_item_sets`` — per-(user,
+  day) event-type itemsets (size 1..3) above a support floor, map-side
+  candidate expansion.
+- ``q_terms_lookup``        : ES ``terms`` query with terms LOOKUP —
+  the term list fetched from another document, broadcast.
+- ``q_prefix_search``       : ES ``prefix`` query — leading-anchor
+  token match.
 
 Pipeline aggregations (bucket-series post-processing):
 - ``q_serial_diff``         : ``serial_diff`` with lag {SDIFF_LAG} on the
@@ -705,7 +712,137 @@ ORDER BY abs(a - b) DESC, split_after
 LIMIT 1"""
 
 
+# ---------------------------------------------------------------------------
+# frequent_item_sets / terms lookup / prefix query.
+
+FIS_MIN_SUPPORT = 0.04  # frequent_item_sets minimum support
+FIS_MAX_SIZE = 3        # itemset sizes 1..3 (ES default size cap region)
+LOOKUP_DOC_ID = 0       # terms-lookup source document
+PREFIX_QUERY = "sp"     # prefix query string
+
+
+def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation: itemsets of size 1..{FIS_MAX_SIZE}
+    of event types co-occurring within a user's history, with support ≥
+    {FIS_MIN_SUPPORT}. Transactions are per-(user, day) sorted distinct
+    type sets; candidate expansion is MAP-SIDE position math over each
+    transaction's own (bounded-cardinality) set — ≤ C(m,1..3) rows per
+    transaction for m distinct types, never an apriori join cascade —
+    followed by ONE (itemset, size) partial-agg shuffle. The transaction
+    count rides in as a 1-row broadcast."""
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts_ms div {24 * HOUR_MS}")
+    s = (ev.groupBy(F.col("user_id"), day.alias("day"))
+         .agg(F.array_sort(F.collect_set("event_type")).alias("items")))
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n_tx"))
+    n1 = F.size("items") - 1
+    idx = lambda v: F.element_at("items", v + 1)  # noqa: E731
+    p1 = s.select("items",
+                  F.explode(F.sequence(F.lit(0), n1)).alias("i"))
+    p2 = (p1.select("items", "i",
+                    F.explode(F.sequence(F.lit(0), n1)).alias("j"))
+          .filter(F.col("i") < F.col("j")))
+    p3 = (p2.select("items", "i", "j",
+                    F.explode(F.sequence(F.lit(0), n1)).alias("k"))
+          .filter(F.col("j") < F.col("k")))
+    sets = (p1.select(idx(F.col("i")).alias("itemset"),
+                      F.lit(1).alias("size"))
+            .unionByName(p2.select(
+                F.concat_ws(",", idx(F.col("i")), idx(F.col("j")))
+                .alias("itemset"), F.lit(2).alias("size")))
+            .unionByName(p3.select(
+                F.concat_ws(",", idx(F.col("i")), idx(F.col("j")),
+                            idx(F.col("k"))).alias("itemset"),
+                F.lit(3).alias("size"))))
+    counted = (sets.groupBy("itemset", "size")
+               .agg(F.count(F.lit(1)).alias("doc_count")))
+    return (counted.crossJoin(F.broadcast(tot))
+            .filter(F.col("doc_count")
+                    >= F.lit(FIS_MIN_SUPPORT) * F.col("n_tx"))
+            .select("itemset", F.col("size").cast("long").alias("size"),
+                    "doc_count",
+                    roundn_col(F.col("doc_count").cast("double")
+                               / F.col("n_tx")).alias("support")))
+
+
+ORACLES["q_frequent_item_sets"] = f"""
+WITH s AS (
+  SELECT user_id, epoch_ms(ts) // {24 * HOUR_MS} AS day,
+         list_sort(list_distinct(list(event_type))) AS items
+  FROM events GROUP BY user_id, day),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tx FROM s),
+p1 AS (SELECT items, unnest(range(len(items))) AS i FROM s),
+p2 AS (SELECT items, i, unnest(range(len(items))) AS j FROM p1),
+p3 AS (SELECT items, i, j, unnest(range(len(items))) AS k FROM p2
+       WHERE i < j),
+sets AS (
+  SELECT items[i + 1] AS itemset, 1 AS size FROM p1
+  UNION ALL
+  SELECT items[i + 1] || ',' || items[j + 1], 2 FROM p2 WHERE i < j
+  UNION ALL
+  SELECT items[i + 1] || ',' || items[j + 1] || ',' || items[k + 1], 3
+  FROM p3 WHERE j < k),
+counted AS (
+  SELECT itemset, CAST(size AS BIGINT) AS size,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM sets GROUP BY itemset, size)
+SELECT itemset, size, doc_count,
+       {roundn_sql("doc_count::DOUBLE / n_tx")} AS support
+FROM counted, tot
+WHERE doc_count >= {FIS_MIN_SUPPORT} * n_tx"""
+
+
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` query with TERMS LOOKUP: the term list is fetched from
+    another document (doc {LOOKUP_DOC_ID}'s analyzed tokens) rather than
+    inlined — documents sharing at least one term, with the overlap count.
+    The lookup doc's term set is one-document-sized and broadcasts; the
+    corpus pays one semi-filtered distinct + doc-keyed agg."""
+    p = (_postings(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", "token").distinct())
+    lookup = (p.filter(F.col("doc_id") == LOOKUP_DOC_ID)
+              .select("token"))
+    return (p.filter(F.col("doc_id") != LOOKUP_DOC_ID)
+            .join(F.broadcast(lookup), "token", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+
+
+ORACLES["q_terms_lookup"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dt AS (SELECT DISTINCT doc_id, token FROM tok),
+lookup AS (SELECT token FROM dt WHERE doc_id = {LOOKUP_DOC_ID})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM dt
+WHERE doc_id != {LOOKUP_DOC_ID}
+  AND token IN (SELECT token FROM lookup)
+GROUP BY doc_id"""
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``prefix`` query: documents with an analyzed token starting
+    {PREFIX_QUERY!r} — the degenerate (leading-anchor) wildcard, matched
+    directly on the token stream map-side."""
+    hits = (_postings(load_table(spark, sf_dir, "documents"))
+            .filter(F.col("token").startswith(PREFIX_QUERY)))
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.array_join(F.sort_array(F.collect_set("token")), ",")
+                 .alias("matched_terms")))
+
+
+ORACLES["q_prefix_search"] = f"""
+WITH tok AS ({_POSTINGS_SQL})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       string_agg(DISTINCT token, ',' ORDER BY token) AS matched_terms
+FROM tok WHERE token LIKE '{PREFIX_QUERY}%'
+GROUP BY doc_id"""
+
+
 QUERIES.update({
+    "q_frequent_item_sets": q_frequent_item_sets,
+    "q_terms_lookup": q_terms_lookup,
+    "q_prefix_search": q_prefix_search,
     "q_regexp_search": q_regexp_search,
     "q_match_phrase_prefix": q_match_phrase_prefix,
     "q_span_first": q_span_first,

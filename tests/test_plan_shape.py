@@ -259,6 +259,8 @@ _ALLOWED_SINGLE_PARTITION = {
                               # 100 TB), the corpus only pays the keyed
                               # partial-agg shuffle below it
     "q_moving_fn",            # same bucket-relation window shape
+    "q_frequent_item_sets",   # 1-row transaction-count aggregate broadcast
+                              # into the (bounded) itemset relation
 }
 
 
