@@ -725,42 +725,52 @@ def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``frequent_item_sets`` aggregation: itemsets of size 1..{FIS_MAX_SIZE}
     of event types co-occurring within a user's history, with support ≥
     {FIS_MIN_SUPPORT}. Transactions are per-(user, day) sorted distinct
-    type sets; candidate expansion is MAP-SIDE position math over each
-    transaction's own (bounded-cardinality) set — ≤ C(m,1..3) rows per
-    transaction for m distinct types, never an apriori join cascade —
-    followed by ONE (itemset, size) partial-agg shuffle. The transaction
-    count rides in as a 1-row broadcast."""
+    type sets; ALL candidate itemsets expand MAP-SIDE from each
+    transaction's own (bounded-cardinality) set in one higher-order
+    expression — ≤ C(m,1..3) rows per transaction for m distinct types,
+    never an apriori join cascade — so the plan is exactly ONE corpus
+    scan, one transaction shuffle and one (itemset, size) partial-agg
+    shuffle. A per-transaction sentinel itemset makes the transaction
+    count a 1-row slice of the SAME aggregate (checkpointed at ≤ C(m,≤3)
+    rows), not a second corpus pass."""
     ev = load_events(spark, sf_dir)
     day = F.expr(f"ts_ms div {24 * HOUR_MS}")
     s = (ev.groupBy(F.col("user_id"), day.alias("day"))
          .agg(F.array_sort(F.collect_set("event_type")).alias("items")))
-    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n_tx"))
-    n1 = F.size("items") - 1
-    idx = lambda v: F.element_at("items", v + 1)  # noqa: E731
-    p1 = s.select("items",
-                  F.explode(F.sequence(F.lit(0), n1)).alias("i"))
-    p2 = (p1.select("items", "i",
-                    F.explode(F.sequence(F.lit(0), n1)).alias("j"))
-          .filter(F.col("i") < F.col("j")))
-    p3 = (p2.select("items", "i", "j",
-                    F.explode(F.sequence(F.lit(0), n1)).alias("k"))
-          .filter(F.col("j") < F.col("k")))
-    sets = (p1.select(idx(F.col("i")).alias("itemset"),
-                      F.lit(1).alias("size"))
-            .unionByName(p2.select(
-                F.concat_ws(",", idx(F.col("i")), idx(F.col("j")))
-                .alias("itemset"), F.lit(2).alias("size")))
-            .unionByName(p3.select(
-                F.concat_ws(",", idx(F.col("i")), idx(F.col("j")),
-                            idx(F.col("k"))).alias("itemset"),
-                F.lit(3).alias("size"))))
-    counted = (sets.groupBy("itemset", "size")
-               .agg(F.count(F.lit(1)).alias("doc_count")))
-    return (counted.crossJoin(F.broadcast(tot))
+    m = "size(items)"
+    subsets = f"""concat(
+      array(struct('' AS itemset, 0 AS size)),
+      transform(items, x -> struct(x AS itemset, 1 AS size)),
+      transform(
+        filter(transform(sequence(0, {m} * {m} - 1),
+                         p -> struct(CAST(p div {m} AS INT) AS i,
+                                     CAST(p % {m} AS INT) AS j)),
+               t -> t.i < t.j),
+        t -> struct(concat_ws(',', element_at(items, t.i + 1),
+                              element_at(items, t.j + 1)) AS itemset,
+                    2 AS size)),
+      transform(
+        filter(transform(sequence(0, {m} * {m} * {m} - 1),
+                         p -> struct(CAST(p div ({m} * {m}) AS INT) AS i,
+                                     CAST((p div {m}) % {m} AS INT) AS j,
+                                     CAST(p % {m} AS INT) AS k)),
+               t -> t.i < t.j AND t.j < t.k),
+        t -> struct(concat_ws(',', element_at(items, t.i + 1),
+                              element_at(items, t.j + 1),
+                              element_at(items, t.k + 1)) AS itemset,
+                    3 AS size)))"""
+    counted = (s.select(F.explode(F.expr(subsets)).alias("e"))
+               .groupBy(F.col("e.itemset").alias("itemset"),
+                        F.col("e.size").cast("long").alias("size"))
+               .agg(F.count(F.lit(1)).alias("doc_count"))
+               .localCheckpoint(eager=True))  # ≤ C(m,≤3)+1 rows, read twice
+    tot = (counted.filter(F.col("size") == 0)
+           .select(F.col("doc_count").alias("n_tx")))
+    return (counted.filter(F.col("size") > 0)
+            .crossJoin(F.broadcast(tot))
             .filter(F.col("doc_count")
                     >= F.lit(FIS_MIN_SUPPORT) * F.col("n_tx"))
-            .select("itemset", F.col("size").cast("long").alias("size"),
-                    "doc_count",
+            .select("itemset", "size", "doc_count",
                     roundn_col(F.col("doc_count").cast("double")
                                / F.col("n_tx")).alias("support")))
 
