@@ -15,6 +15,10 @@ Term-level / full-text:
   first N positions of the field.
 - ``q_span_near``           : ES ``span_near`` (``in_order=false``) —
   two terms within ``slop`` positions, either order.
+- ``q_span_not``            : ES ``span_not`` — include-term occurrences
+  outside the exclusion distance of the exclude term.
+- ``q_distance_feature``    : ES ``distance_feature`` — recency boost
+  ``boost * pivot / (pivot + |ts - origin|)``, top-k.
 - ``q_query_string``        : Lucene query-string subset — ``+must``
   ``-must_not`` and bare *should* terms parsed driver-side
   (`_parse_query_string`), coord-style score = distinct matched terms.
@@ -849,7 +853,79 @@ FROM tok WHERE token LIKE '{PREFIX_QUERY}%'
 GROUP BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# span_not / distance_feature.
+
+SPAN_NOT = ("table", "value", 2)   # include term, exclude term, distance
+DF_ORIGIN_MS = DATE_RANGE_ANCHOR_MS   # distance_feature origin (fixed)
+DF_PIVOT_MS = 7 * 24 * HOUR_MS        # pivot: score halves at 7 days
+DF_BOOST = 2.0
+DF_TOP = 20
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_not``: occurrences of {SPAN_NOT[0]!r} EXCLUDING those
+    within {SPAN_NOT[2]} positions of {SPAN_NOT[1]!r} (``pre``/``post``
+    symmetric). The violating include-occurrences come from one
+    posting-sized proximity join; survivors are a left-anti on the
+    (doc, position) key — both sides term-filtered below the joins."""
+    p = _postings(load_table(spark, sf_dir, "documents"))
+    a = (p.filter(F.col("token") == SPAN_NOT[0])
+         .select("doc_id", "pos"))
+    b = (p.filter(F.col("token") == SPAN_NOT[1])
+         .select("doc_id", F.col("pos").alias("pos_b")))
+    bad = (a.join(b, "doc_id")
+           .filter(F.abs(F.col("pos") - F.col("pos_b")) <= SPAN_NOT[2])
+           .select("doc_id", "pos").distinct())
+    return (a.join(bad, ["doc_id", "pos"], "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_clean"),
+                 F.min("pos").alias("first_clean_pos")))
+
+
+ORACLES["q_span_not"] = f"""
+WITH tok AS ({_POSTINGS_SQL}),
+a AS (SELECT doc_id, pos FROM tok WHERE token = '{SPAN_NOT[0]}'),
+b AS (SELECT doc_id, pos AS pos_b FROM tok WHERE token = '{SPAN_NOT[1]}'),
+bad AS (
+  SELECT DISTINCT doc_id, pos
+  FROM a JOIN b USING (doc_id)
+  WHERE abs(pos - pos_b) <= {SPAN_NOT[2]})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean,
+       min(pos) AS first_clean_pos
+FROM a ANTI JOIN bad USING (doc_id, pos)
+GROUP BY doc_id"""
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``distance_feature`` query on a date field: score =
+    {DF_BOOST} * pivot / (pivot + |ts - origin|) with a fixed origin and
+    a {DF_PIVOT_MS // (24 * HOUR_MS)}-day pivot — recency boosting as
+    pure map-side integer distance feeding one double divide, ranked
+    top-{DF_TOP} (distributed TakeOrdered)."""
+    ev = load_events(spark, sf_dir)
+    dist = F.abs(F.col("ts_ms") - F.lit(DF_ORIGIN_MS))
+    score = (F.lit(DF_BOOST) * F.lit(float(DF_PIVOT_MS))
+             / (F.lit(float(DF_PIVOT_MS)) + dist))
+    return (ev.select("event_id", "event_type",
+                      roundn_col(score).alias("score"))
+            .orderBy(F.desc("score"), "event_id").limit(DF_TOP))
+
+
+ORACLES["q_distance_feature"] = f"""
+SELECT event_id, event_type,
+       {roundn_sql(
+           f"{DF_BOOST} * {float(DF_PIVOT_MS)} / "
+           f"({float(DF_PIVOT_MS)} + abs(epoch_ms(ts) - {DF_ORIGIN_MS}))")}
+         AS score
+FROM events
+ORDER BY score DESC, event_id
+LIMIT {DF_TOP}"""
+
+
 QUERIES.update({
+    "q_span_not": q_span_not,
+    "q_distance_feature": q_distance_feature,
     "q_frequent_item_sets": q_frequent_item_sets,
     "q_terms_lookup": q_terms_lookup,
     "q_prefix_search": q_prefix_search,
