@@ -19,6 +19,10 @@ Term-level / full-text:
   outside the exclusion distance of the exclude term.
 - ``q_distance_feature``    : ES ``distance_feature`` — recency boost
   ``boost * pivot / (pivot + |ts - origin|)``, top-k.
+- ``q_rank_feature``        : ES ``rank_feature`` — saturation / log /
+  sigmoid scoring over a numeric feature field.
+- ``q_pinned``              : ES ``pinned`` — promoted ids at fixed
+  ranks, organic BM25 hits fill the remaining slots.
 - ``q_query_string``        : Lucene query-string subset — ``+must``
   ``-must_not`` and bare *should* terms parsed driver-side
   (`_parse_query_string`), coord-style score = distinct matched terms.
@@ -923,7 +927,128 @@ ORDER BY score DESC, event_id
 LIMIT {DF_TOP}"""
 
 
+# ---------------------------------------------------------------------------
+# rank_feature / pinned.
+
+RF_PIVOT = 500.0   # rank_feature pivot (chars)
+RF_SCALE = 0.01    # rank_feature log-variant scaling factor
+RF_TOP = 20
+PINNED_IDS = (3, 7, 11)   # pinned query: promoted ids, in THIS order
+PIN_TOP = 10
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` query over the ``n_chars`` feature — all three
+    published scoring functions side by side: ``saturation``
+    S/(S+pivot), ``log`` ln(1 + scale·S), ``sigmoid`` with exponent 0.5
+    (√S — exactly-rounded IEEE, engine-portable). Pure map-side feature
+    math from an integer field; top-{RF_TOP} is a distributed
+    TakeOrdered. The log variant rounds at 4 dp (libm ln differs ~1e-8
+    relative between engines); the others are exact-input divisions at
+    6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.col("n_chars").cast("double")
+    return (docs.select(
+        "doc_id",
+        roundn_col(s / (s + F.lit(RF_PIVOT))).alias("saturation"),
+        roundn_col(F.log(F.lit(1.0) + F.lit(RF_SCALE) * s), 4).alias("log_score"),
+        roundn_col(F.sqrt(s) / (F.sqrt(s) + F.lit(RF_PIVOT ** 0.5)))
+        .alias("sigmoid"))
+        .orderBy(F.desc("saturation"), "doc_id").limit(RF_TOP))
+
+
+ORACLES["q_rank_feature"] = f"""
+SELECT doc_id,
+       {roundn_sql(f"n_chars::DOUBLE / (n_chars::DOUBLE + {RF_PIVOT})")}
+         AS saturation,
+       {roundn_sql(f"ln(1.0 + {RF_SCALE} * n_chars::DOUBLE)", 4)}
+         AS log_score,
+       {roundn_sql(
+           f"sqrt(n_chars::DOUBLE) / (sqrt(n_chars::DOUBLE) + {RF_PIVOT ** 0.5})")}
+         AS sigmoid
+FROM documents
+ORDER BY saturation DESC, doc_id
+LIMIT {RF_TOP}"""
+
+
+def q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``pinned`` query: the promoted ids {PINNED_IDS} occupy ranks
+    1..{len(PINNED_IDS)} in their GIVEN order regardless of score;
+    organic BM25 hits (promoted ids excluded) fill the remaining
+    top-{PIN_TOP} slots in score order. The promoted list is
+    user-input-sized (a literal relation joined broadcast against the
+    scored docs for their reference scores); the organic side is the
+    shared `bm25_scores` relation under a bounded TakeOrdered, with the
+    rank window confined to the ≤ {PIN_TOP} survivors."""
+    from elasticsearch_hbase_river_spark.operators.search import bm25_scores
+
+    scored = bm25_scores(spark, sf_dir)
+    pins = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(PINNED_IDS)],
+        "doc_id long, rank long")
+    pinned = (F.broadcast(pins).join(scored, "doc_id", "left")
+              .select("doc_id", "rank", "score",
+                      F.lit("pinned").alias("source")))
+    n_org = PIN_TOP - len(PINNED_IDS)
+    org_top = (scored.filter(~F.col("doc_id").isin(*PINNED_IDS))
+               .orderBy(F.desc("score"), "doc_id").limit(n_org))
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    organic = org_top.select(
+        "doc_id",
+        (F.row_number().over(w) + len(PINNED_IDS)).cast("long").alias("rank"),
+        "score", F.lit("organic").alias("source"))
+    return pinned.unionByName(organic)
+
+
+def _pinned_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        BM25_K1,
+        BM25_B,
+        BM25_TERMS,
+        _DL_SQL,
+    )
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    ids = ", ".join(str(d) for d in PINNED_IDS)
+    vals = ", ".join(f"({d}, {i + 1})" for i, d in enumerate(PINNED_IDS))
+    n_org = PIN_TOP - len(PINNED_IDS)
+    return f"""
+WITH tok AS ({_POSTINGS_SQL}),
+dl AS (SELECT doc_id, CAST({_DL_SQL} AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg({_DL_SQL}) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({terms}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         AS c
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats),
+scored AS (
+  SELECT doc_id, {roundn_sql('sum(c)')} AS score FROM contrib GROUP BY doc_id),
+pins AS (SELECT CAST(p.col0 AS BIGINT) AS doc_id, CAST(p.col1 AS BIGINT) AS rank
+         FROM (VALUES {vals}) p(col0, col1)),
+org AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scored WHERE doc_id NOT IN ({ids}))
+SELECT pins.doc_id, pins.rank, scored.score, 'pinned' AS source
+FROM pins LEFT JOIN scored USING (doc_id)
+UNION ALL
+SELECT doc_id, CAST(rn + {len(PINNED_IDS)} AS BIGINT) AS rank, score,
+       'organic' AS source
+FROM org WHERE rn <= {n_org}"""
+
+
+ORACLES["q_pinned"] = _pinned_oracle()
+
+
 QUERIES.update({
+    "q_rank_feature": q_rank_feature,
+    "q_pinned": q_pinned,
     "q_span_not": q_span_not,
     "q_distance_feature": q_distance_feature,
     "q_frequent_item_sets": q_frequent_item_sets,
