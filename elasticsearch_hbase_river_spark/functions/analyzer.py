@@ -34,6 +34,33 @@ from pyspark.sql import functions as F
 TOKEN_SEP_RE = "[^a-z0-9]+"
 
 
+#: Characters outside 7-bit ASCII — anything the analyzer would treat as a
+#: separator even when it is a LETTER in the document's language.
+_NON_ASCII_RE = "[^\\x00-\\x7F]"
+
+
+def assert_ascii_corpus(df, col: str = "text", sample: int = 1000) -> None:
+    """Fail loudly on a corpus the analyzer cannot analyze faithfully.
+
+    :data:`TOKEN_SEP_RE` treats every non-[a-z0-9] character as a
+    separator, so non-ASCII letters (any real multilingual corpus) would
+    silently degrade into split tokens — and every oracle mirrors the same
+    approximation, so the correctness gate cannot catch it. This guard
+    samples the first ``sample`` documents (one bounded scan, no shuffle)
+    and raises if any contains a non-ASCII character, naming the documented
+    scope instead of mis-tokenizing through a green gate."""
+    bad = (df.select(F.col(col).alias("_t")).limit(sample)
+           .filter(F.col("_t").rlike(_NON_ASCII_RE)).limit(1).collect())
+    if bad:
+        snippet = bad[0][0][:80]
+        raise ValueError(
+            "corpus contains non-ASCII text (sample: "
+            f"{snippet!r}) — the analyzer chain is scoped to [a-z0-9] "
+            "corpora (TOKEN_SEP_RE treats all other characters as "
+            "separators); a multilingual corpus needs a Unicode-"
+            "segmentation tokenizer before the search surface is valid")
+
+
 def analyze_tokens(col: Column | str) -> Column:
     """``array<string>`` of analyzed tokens (empty array for text with no
     alphanumerics — never an array holding '').

@@ -410,12 +410,98 @@ ORACLES["q_knn_filtered"] = _knn_filtered_oracle()
 # Percolator — ES's reverse search: queries are STORED and incoming
 # documents are matched against them (the alerting/saved-search engine).
 # Stored queries here are synthesized deterministically from the corpus
-# vocabulary (query i = the 2 tokens minimizing md5(i || '|' || token) —
-# identical selection in both engines), and a document matches a query iff
-# it contains ALL the query's terms (AND percolation).
+# vocabulary in O(|Q|·k): the vocabulary hashes into a BOUNDED slot
+# dictionary (≤ PERC_SLOTS rows, min-token per slot), and query i selects
+# its k slots as the arithmetic progression base(i) + j·step(i) (mod S) —
+# distinct slots ⇒ distinct terms, both hashes md5-derived so DuckDB
+# synthesizes the identical query set. No |Q|×|V| expansion anywhere: the
+# earlier per-query md5-min window ranked the FULL vocabulary once per
+# stored query (a |Q|×|V| crossJoin that dominated the bench and would
+# grow with corpus vocabulary); the slot dictionary caps the synthesis-side
+# relation at a constant regardless of corpus size. A document matches a
+# query iff it contains ALL the query's terms (AND percolation).
 
 PERC_N_QUERIES = 12
 PERC_TERMS_PER_QUERY = 2
+#: Hash-slot dictionary size for stored-query synthesis. Bounds the
+#: single-partition row_number (sid assignment) at a CONSTANT ≤8192-row
+#: relation — Heap's-law vocab growth never reaches the synthesis plan.
+PERC_SLOTS = 8192
+
+
+def _hash32(col) -> F.Column:
+    """Cross-engine 32-bit hash: first 8 md5 hex chars as a BIGINT
+    (DuckDB twin: ``('0x' || substr(md5(x), 1, 8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _stored_queries(spark: SparkSession, vocab: DataFrame,
+                    n_queries: int, k: int) -> DataFrame:
+    """(query_id, token): k distinct deterministic terms per stored query,
+    synthesized in O(|Q|·k) + one vocab pass. The vocab pass is a
+    partial-aggregated groupBy onto ≤ PERC_SLOTS groups; the only global
+    ordering runs over that constant-bounded dictionary; the |Q|·k slot
+    picks join the broadcast dictionary. Distinctness: slots are an
+    arithmetic progression mod S with step ∈ [1, S-1] and 2·step ≢ 0
+    (mod S) (guarded for even S), so for k ≤ 3 the k slots — hence the k
+    tokens, one per slot — never collide."""
+    slot = F.pmod(_hash32(F.col("token")), F.lit(PERC_SLOTS)).alias("slot")
+    sdict = vocab.groupBy(slot).agg(F.min("token").alias("token"))
+    w = Window.orderBy("slot")
+    sidx = sdict.select(
+        (F.row_number().over(w) - 1).cast("long").alias("sid"), "token")
+    s_count = sidx.agg(F.count(F.lit(1)).alias("S"))
+    qid_s = F.col("query_id").cast("string")
+    base = F.pmod(_hash32(F.concat(F.lit("b|"), qid_s)), F.col("S"))
+    step0 = F.lit(1) + F.pmod(_hash32(F.concat(F.lit("s|"), qid_s)),
+                              F.col("S") - 1)
+    step = F.when((F.pmod(F.col("S"), F.lit(2)) == 0)
+                  & (F.col("step0") == F.floor(F.col("S") / 2)),
+                  F.col("step0") + 1).otherwise(F.col("step0"))
+    picks = (spark.range(n_queries).select(F.col("id").alias("query_id"))
+             .crossJoin(F.broadcast(s_count))
+             .select("query_id", "S", base.alias("base"),
+                     step0.alias("step0"))
+             .select("query_id", "S", "base", step.alias("step"))
+             .select("query_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+                     "S", "base", "step")
+             .select("query_id",
+                     F.pmod(F.col("base") + F.col("j") * F.col("step"),
+                            F.col("S")).alias("sid")))
+    return (picks.join(F.broadcast(sidx), "sid")
+            .select("query_id", "token"))
+
+
+def _stored_sql(n_queries: int, k: int) -> str:
+    """DuckDB twin of :func:`_stored_queries` — CTE chain ending in
+    ``stored(query_id, token)``; splice after a ``vocab(token)`` CTE."""
+    return f"""
+sdict AS (
+  SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT % {PERC_SLOTS} AS slot,
+         min(token) AS token
+  FROM vocab GROUP BY 1),
+sidx AS (
+  SELECT row_number() OVER (ORDER BY slot) - 1 AS sid, token FROM sdict),
+scount AS (SELECT count(*) AS S FROM sidx),
+qids AS (SELECT unnest(range(0, {n_queries})) AS query_id),
+qbase AS (
+  SELECT query_id, S,
+         ('0x' || substr(md5('b|' || CAST(query_id AS VARCHAR)), 1, 8))::BIGINT
+           % S AS base,
+         1 + ('0x' || substr(md5('s|' || CAST(query_id AS VARCHAR)), 1, 8))::BIGINT
+           % (S - 1) AS step0
+  FROM qids, scount),
+qstep AS (
+  SELECT query_id, S, base,
+         CASE WHEN S % 2 = 0 AND step0 = S // 2 THEN step0 + 1
+              ELSE step0 END AS step
+  FROM qbase),
+stored AS (
+  SELECT s.query_id, sidx.token FROM (
+    SELECT q.query_id, (q.base + j.j * q.step) % q.S AS sid
+    FROM qstep q CROSS JOIN (SELECT unnest(range(0, {k})) AS j) j) s
+  JOIN sidx USING (sid))"""
 
 
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,15 +519,8 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same broadcast join swaps for a hash join on token."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = _postings(docs).select("token").distinct()
-    qids = spark.range(PERC_N_QUERIES).select(F.col("id").alias("query_id"))
-    keyed = qids.crossJoin(F.broadcast(vocab)).select(
-        "query_id", "token",
-        F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
-                       F.col("token"))).alias("h"))
-    wq = Window.partitionBy("query_id").orderBy("h", "token")
-    stored = (keyed.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= PERC_TERMS_PER_QUERY)
-              .select("query_id", "token"))
+    stored = _stored_queries(spark, vocab, PERC_N_QUERIES,
+                             PERC_TERMS_PER_QUERY)
     doc_tok = _postings(docs).select("doc_id", "token").distinct()
     matched = (doc_tok.join(F.broadcast(stored), "token")
                .groupBy("doc_id", "query_id")
@@ -463,16 +542,7 @@ QUERIES["q_percolate"] = q_percolate
 ORACLES["q_percolate"] = f"""
 WITH tok AS ({_POSTINGS_SQL}),
 vocab AS (SELECT DISTINCT token FROM tok),
-qids AS (SELECT unnest(range(0, {PERC_N_QUERIES})) AS query_id),
-keyed AS (
-  SELECT query_id, token,
-         md5(CAST(query_id AS VARCHAR) || '|' || token) AS h
-  FROM qids CROSS JOIN vocab),
-stored AS (
-  SELECT query_id, token FROM (
-    SELECT query_id, token,
-           row_number() OVER (PARTITION BY query_id ORDER BY h, token) AS r
-    FROM keyed) WHERE r <= {PERC_TERMS_PER_QUERY}),
+{_stored_sql(PERC_N_QUERIES, PERC_TERMS_PER_QUERY)},
 doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
 matched AS (
   SELECT doc_id, query_id, count(*) AS n_terms
@@ -498,8 +568,8 @@ FROM terms t LEFT JOIN per_query p USING (query_id)"""
 # term-to-query inverted index). This variant builds exactly that:
 #
 #   1. stored queries     — a RELATION (query_id, token), synthesized
-#      deterministically (same md5-min selection as q_percolate) so both
-#      engines derive the identical query set;
+#      deterministically (same O(|Q|·k) hash-slot selection as
+#      q_percolate) so both engines derive the identical query set;
 #   2. canonicalization   — queries dedupe to their distinct TERM SETS
 #      (md5 of the sorted term list). AND-matching depends only on the
 #      term set, so the corpus-side work is bounded by |distinct sets|,
@@ -535,15 +605,8 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a vocab distinct; a per-doc registered-token set).
     posts = _postings(docs).select("doc_id", "token")
     vocab = posts.select("token").distinct()
-    qids = spark.range(PERC_IDX_N_QUERIES).select(F.col("id").alias("query_id"))
-    keyed = qids.crossJoin(F.broadcast(vocab)).select(
-        "query_id", "token",
-        F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
-                       F.col("token"))).alias("h"))
-    wq = Window.partitionBy("query_id").orderBy("h", "token")
-    stored = (keyed.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= PERC_TERMS_PER_QUERY)
-              .select("query_id", "token"))
+    stored = _stored_queries(spark, vocab, PERC_IDX_N_QUERIES,
+                             PERC_TERMS_PER_QUERY)
     # canonical term sets: the percolation unit. The INTERNAL set key is a
     # 64-bit hash (long group keys shuffle ~40% cheaper than md5 strings
     # here); only (query_id, terms, count) ever leaves the query, so the
@@ -600,16 +663,7 @@ QUERIES["q_percolate_indexed"] = q_percolate_indexed
 ORACLES["q_percolate_indexed"] = f"""
 WITH tok AS ({_POSTINGS_SQL}),
 vocab AS (SELECT DISTINCT token FROM tok),
-qids AS (SELECT unnest(range(0, {PERC_IDX_N_QUERIES})) AS query_id),
-keyed AS (
-  SELECT query_id, token,
-         md5(CAST(query_id AS VARCHAR) || '|' || token) AS h
-  FROM qids CROSS JOIN vocab),
-stored AS (
-  SELECT query_id, token FROM (
-    SELECT query_id, token,
-           row_number() OVER (PARTITION BY query_id ORDER BY h, token) AS r
-    FROM keyed) WHERE r <= {PERC_TERMS_PER_QUERY}),
+{_stored_sql(PERC_IDX_N_QUERIES, PERC_TERMS_PER_QUERY)},
 qsets AS (
   SELECT query_id,
          array_to_string(list_sort(list(token)), ',') AS terms,
@@ -878,16 +932,7 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     posts = _postings(docs).select("doc_id", "token")
     vocab = posts.select("token").distinct()
-    qids = spark.range(PERC_K3_N_QUERIES).select(
-        F.col("id").alias("query_id"))
-    keyed = qids.crossJoin(F.broadcast(vocab)).select(
-        "query_id", "token",
-        F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
-                       F.col("token"))).alias("h"))
-    wq = Window.partitionBy("query_id").orderBy("h", "token")
-    stored = (keyed.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= PERC_K3_TERMS)
-              .select("query_id", "token"))
+    stored = _stored_queries(spark, vocab, PERC_K3_N_QUERIES, PERC_K3_TERMS)
     qsets = (stored.groupBy("query_id")
              .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
                   .alias("terms"))
@@ -941,16 +986,7 @@ QUERIES["q_percolate_k3"] = q_percolate_k3
 ORACLES["q_percolate_k3"] = f"""
 WITH tok AS ({_POSTINGS_SQL}),
 vocab AS (SELECT DISTINCT token FROM tok),
-qids AS (SELECT unnest(range(0, {PERC_K3_N_QUERIES})) AS query_id),
-keyed AS (
-  SELECT query_id, token,
-         md5(CAST(query_id AS VARCHAR) || '|' || token) AS h
-  FROM qids CROSS JOIN vocab),
-stored AS (
-  SELECT query_id, token FROM (
-    SELECT query_id, token,
-           row_number() OVER (PARTITION BY query_id ORDER BY h, token) AS r
-    FROM keyed) WHERE r <= {PERC_K3_TERMS}),
+{_stored_sql(PERC_K3_N_QUERIES, PERC_K3_TERMS)},
 qsets AS (
   SELECT query_id,
          array_to_string(list_sort(list(token)), ',') AS terms

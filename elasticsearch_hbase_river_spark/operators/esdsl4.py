@@ -245,14 +245,18 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     must, must_not, should = _parse_query_string(QUERY_STRING)
     p = (_postings(load_table(spark, sf_dir, "documents"))
          .select("doc_id", "token").distinct())
-    interesting = must + must_not + should
-    per_doc = (p.filter(F.col("token").isin(*interesting))
+
+    def _isin(ts: list) -> F.Column:
+        # any clause class may parse empty — isin(*[]) raises
+        return F.col("token").isin(*ts) if ts else F.lit(False)
+
+    per_doc = (p.filter(_isin(must + must_not + should))
                .groupBy("doc_id")
-               .agg(F.sum(F.when(F.col("token").isin(*must), 1)
+               .agg(F.sum(F.when(_isin(must), 1)
                           .otherwise(0)).alias("n_must"),
-                    F.sum(F.when(F.col("token").isin(*must_not), 1)
+                    F.sum(F.when(_isin(must_not), 1)
                           .otherwise(0)).alias("n_not"),
-                    F.sum(F.when(F.col("token").isin(*(must + should)), 1)
+                    F.sum(F.when(_isin(must + should), 1)
                           .otherwise(0)).cast("long").alias("score")))
     return (per_doc.filter((F.col("n_must") == len(must))
                            & (F.col("n_not") == 0))
@@ -262,17 +266,20 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _qs_oracle() -> str:
     must, must_not, should = _parse_query_string(QUERY_STRING)
-    def inlist(ts):
-        return ", ".join(f"'{t}'" for t in ts)
+    def inpred(ts):
+        # empty clause class renders 'token IN ()' — a syntax error
+        if not ts:
+            return "FALSE"
+        return "token IN ({})".format(", ".join(f"'{t}'" for t in ts))
     return f"""
 WITH tok AS ({_POSTINGS_SQL}),
 dt AS (SELECT DISTINCT doc_id, token FROM tok
-       WHERE token IN ({inlist(must + must_not + should)})),
+       WHERE {inpred(must + must_not + should)}),
 per AS (
   SELECT doc_id,
-         count(*) FILTER (token IN ({inlist(must)})) AS n_must,
-         count(*) FILTER (token IN ({inlist(must_not)})) AS n_not,
-         CAST(count(*) FILTER (token IN ({inlist(must + should)}))
+         count(*) FILTER ({inpred(must)}) AS n_must,
+         count(*) FILTER ({inpred(must_not)}) AS n_not,
+         CAST(count(*) FILTER ({inpred(must + should)})
               AS BIGINT) AS score
   FROM dt GROUP BY doc_id)
 SELECT doc_id, score FROM per
@@ -433,10 +440,13 @@ def q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("doc_count"))
     bounds = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    # span clamped to >= 1 ms: a degenerate corpus whose events share one
+    # timestamp would divide by zero, where Spark and DuckDB double
+    # semantics (null/inf) diverge and break oracle parity
+    span = F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
     return (per.crossJoin(F.broadcast(bounds))
             .select("event_type", "doc_count",
-                    roundn_col(F.col("doc_count") * float(HOUR_MS)
-                               / (F.col("hi") - F.col("lo")))
+                    roundn_col(F.col("doc_count") * float(HOUR_MS) / span)
                     .alias("per_hour")))
 
 
@@ -444,7 +454,8 @@ ORACLES["q_rate_agg"] = f"""
 WITH bounds AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi
                 FROM events)
 SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
-       {roundn_sql(f"count(*) * {float(HOUR_MS)} / (hi - lo)")} AS per_hour
+       {roundn_sql(f"count(*) * {float(HOUR_MS)} / greatest(hi - lo, 1)")}
+         AS per_hour
 FROM events, bounds
 GROUP BY event_type, lo, hi"""
 

@@ -305,8 +305,12 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
     corpus-sized touches the driver."""
     from elasticsearch_hbase_river_spark.functions.analyzer import (
         analyze_tokens,
+        assert_ascii_corpus,
     )
 
+    # fail loudly on corpora outside the analyzer's documented [a-z0-9]
+    # scope — a multilingual corpus would mis-tokenize through a green gate
+    assert_ascii_corpus(docs)
     preexisting = os.path.exists(os.path.join(path, META))
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     landed = _write_postings_tables(spark, inverted_postings(docs), tmp)

@@ -63,9 +63,20 @@ def _check_epochs_layout(index_dir: str) -> None:
         return
     if found is None and not _os.path.exists(index_dir):
         return  # nothing written yet; the writer will stamp it
-    if found is None and not any(
-            e for e in _os.listdir(index_dir) if not e.startswith(".")):
-        return
+    if found is None:
+        entries = [e for e in _os.listdir(index_dir)
+                   if not e.startswith(".") and e != _EPOCHS_META]
+        if not entries:
+            return
+        # A populated but marker-less directory that already HAS the v2
+        # shape (postings/ + docs/ subdirs, no v1 epoch=N at the root) was
+        # written by this engine immediately before the marker existed —
+        # stamp it in place instead of forcing a rebuild; the error below
+        # is reserved for genuine v1 (or foreign) layouts.
+        if (all(e in ("postings", "docs") for e in entries)
+                and not any(e.startswith("epoch=") for e in entries)):
+            _stamp_epochs_layout(index_dir)
+            return
     raise ValueError(
         f"index epochs directory {index_dir} has layout={found!r}, engine "
         f"expects {EPOCHS_LAYOUT_VERSION} — resuming a stream (or merging "

@@ -131,3 +131,32 @@ def test_indexed_search_analyzes_identically(spark, dirty_sf_dir, tmp_path, monk
                  "q_index_stats", "q_term_vectors"):
         _compare(ix.QUERIES[name](spark, dirty_sf_dir), ix.ORACLES[name],
                  dirty_sf_dir)
+
+
+def test_ascii_guard_rejects_non_ascii_corpus(spark):
+    """The analyzer's [a-z0-9] scope is enforced at index build: a corpus
+    with non-ASCII letters must fail loudly (it would silently
+    mis-tokenize, and the oracles mirror the same approximation, so the
+    correctness gate cannot catch it)."""
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        assert_ascii_corpus,
+    )
+
+    ok = spark.createDataFrame([("plain ascii text 123",)], "text string")
+    assert_ascii_corpus(ok)  # no raise
+    bad = spark.createDataFrame(
+        [("clean line",), ("café au lait",)], "text string")
+    with pytest.raises(ValueError, match="non-ASCII"):
+        assert_ascii_corpus(bad)
+
+
+def test_index_build_runs_ascii_guard(spark, tmp_path):
+    """build_index refuses a non-ASCII corpus outright."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ein schönes Dokument")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-ASCII"):
+        build_index(spark, docs, str(tmp_path / "idx"))

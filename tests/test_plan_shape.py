@@ -261,6 +261,11 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_moving_fn",            # same bucket-relation window shape
     "q_frequent_item_sets",   # 1-row transaction-count aggregate broadcast
                               # into the (bounded) itemset relation
+    "q_percolate",            # sid row_number over the stored-query slot
+                              # dictionary — constant-bounded (≤ PERC_SLOTS
+                              # = 8192 rows) regardless of corpus size
+    "q_percolate_indexed",    # same slot-dictionary window
+    "q_percolate_k3",         # same slot-dictionary window
 }
 
 

@@ -775,8 +775,17 @@ def test_epochs_layout_marker_refuses_foreign_directory(spark, tmp_path):
     assert os.path.exists(os.path.join(index, "_epochs_meta.json"))
     assert read_inverted_index(spark, index).count() == 3
 
-    # a future-version marker is refused too (no silent downgrade)
+    # a marker-less directory that already HAS the v2 shape (postings/ +
+    # docs/, no epoch=N at root — written by this engine just before the
+    # marker existed) is stamped in place, not refused
     meta = os.path.join(index, "_epochs_meta.json")
+    os.remove(meta)
+    assert read_inverted_index(spark, index).count() == 3
+    assert os.path.exists(meta)
+    with open(meta) as f:
+        assert json.load(f)["layout"] == EPOCHS_LAYOUT_VERSION
+
+    # a future-version marker is refused too (no silent downgrade)
     with open(meta, "w") as f:
         json.dump({"layout": EPOCHS_LAYOUT_VERSION + 1}, f)
     with pytest.raises(ValueError, match="layout"):

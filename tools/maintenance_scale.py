@@ -67,19 +67,29 @@ def main() -> None:
         # churn epoch: churn_pct% re-indexed with changed text, new_pct%
         # brand-new docs (ids past the existing range)
         max_id = docs.agg(F.max("doc_id")).first()[0]
+        # round, don't truncate: churn_pct below 0.1 would int() to a zero
+        # threshold and the campaign would time a no-op delta yet report pass
+        churn_thresh = round(churn_pct * 10)
+        new_thresh = round(new_pct * 10)
+        assert churn_thresh > 0 and new_thresh > 0, (
+            f"churn_pct={churn_pct} / new_pct={new_pct} select no docs at "
+            "pmod-1000 granularity — raise them or refine the selector")
         changed = (docs.filter(F.pmod(F.xxhash64("doc_id"), 1000)
-                               < int(churn_pct * 10))
+                               < churn_thresh)
                    .select("doc_id",
                            F.concat("text", F.lit(" refreshed epoch"))
                            .alias("text"), F.lit(1).cast("long").alias("ver")))
         fresh_new = (docs.filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), 1000)
-                                 < int(new_pct * 10))
+                                 < new_thresh)
                      .select((F.col("doc_id") + max_id + 1).alias("doc_id"),
                              F.concat("text", F.lit(" newly arrived"))
                              .alias("text"),
                              F.lit(1).cast("long").alias("ver")))
         delta_docs = changed.unionByName(fresh_new)
         out["churn_docs"] = changed.count()
+        assert out["churn_docs"] > 0, (
+            "churn selector matched no documents — the merge timing below "
+            "would measure a no-op delta")
         out["new_docs"] = fresh_new.count()
 
         src = os.path.join(work, "src")
