@@ -105,13 +105,17 @@ META = "_index_meta.json"
 #: positions — the title/body split of multifield.py, derived from the
 #: stored position lists), vocab carries ``df_title``/``df_body``, and
 #: stats carries per-field doc counts + length sums. v4 adds the
-#: ``vkeys`` sidecar — the SymSpell delete-1 neighborhood keys of the
+#: ``vkeys`` sidecar — the SymSpell delete-neighborhood keys of the
 #: vocabulary, key-bucket-partitioned, so fuzzy query rewrite reads a
 #: pruned slice instead of running levenshtein over the whole term
 #: dictionary (the ES analog: walking the FST automaton instead of the
-#: term list). The version rides the index path fingerprint, so older
-#: directories are never served or appended.
-LAYOUT_VERSION = 4
+#: term list). v5 deepens vkeys to the delete-≤2 neighborhood (SymSpell's
+#: published d=2 generalization), so fuzziness 2 rewrites are pruned-slice
+#: reads too; a key's delete depth is implicit in length(token) −
+#: length(key), letting d=1 queries read the same tight slice as before.
+#: The version rides the index path fingerprint, so older directories are
+#: never served or appended.
+LAYOUT_VERSION = 5
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -209,23 +213,42 @@ def read_doclen(spark: SparkSession, path: str,
     return d.select("doc_id", "dl")
 
 
-#: SQL fragment generating a token's delete-1 neighborhood (itself + every
-#: single-character deletion) — evaluated over the vocab at build time.
+def _del1_sql(t: str) -> str:
+    """SQL array of every single-character deletion of ``t``."""
+    return (f"transform(sequence(1, length({t})), "
+            f"i -> concat(substr({t}, 1, i-1), "
+            f"substr({t}, i+1, length({t}))))")
+
+
+#: SQL fragment generating a token's delete-≤2 neighborhood (itself, every
+#: single-character deletion, and every two-character deletion) — evaluated
+#: over the vocab at build time. SymSpell's published generalization: with
+#: delete-depth-2 keys on BOTH sides, lev(x, y) ≤ 2 guarantees the
+#: neighborhoods intersect, so the d=2 rewrite never scans the vocabulary.
+#: A key's delete depth is implicit: length(token) - length(key).
 _VKEYS_EXPR = (
     "array_distinct(concat(array(token), "
-    "transform(sequence(1, length(token)), "
-    "i -> concat(substr(token, 1, i-1), substr(token, i+1, length(token))))))"
+    + _del1_sql("token") + ", "
+    "flatten(transform(filter(" + _del1_sql("token") + ", "
+    "s -> length(s) > 0), s -> " + _del1_sql("s") + "))))"
 )
 
 
-def delete_neighborhood(term: str) -> list[str]:
+def delete_neighborhood(term: str, max_dist: int = 1) -> list[str]:
     """Pure-Python twin of :data:`_VKEYS_EXPR` for the QUERY side (driver,
-    zero Spark jobs): the term plus each single-deletion variant. SymSpell
-    guarantee: lev(x, y) <= 1 ⟹ their delete-1 neighborhoods intersect,
-    so probing these keys yields a candidate superset of the edit-distance
-    ball, verified with one levenshtein over the (tiny) candidates."""
-    return sorted({term} | {term[:i] + term[i + 1:]
-                            for i in range(len(term))})
+    zero Spark jobs): the term plus every variant reachable by up to
+    ``max_dist`` character deletions. SymSpell guarantee: lev(x, y) <= d ⟹
+    the delete-≤d neighborhoods intersect, so probing these keys yields a
+    candidate superset of the edit-distance ball, verified with one
+    levenshtein over the (tiny) candidates. ≤ 1 + L + C(L,2) keys for
+    max_dist 2 — a bounded literal list, never a vocab operation."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_dist):
+        frontier = {s[:i] + s[i + 1:] for s in frontier
+                    for i in range(len(s))}
+        out |= frontier
+    return sorted(out)
 
 
 def read_vkeys(spark: SparkSession, path: str,
@@ -396,9 +419,10 @@ def _write_vocab(vocab: DataFrame, tmp: str) -> None:
 
 
 def _vkeys_rel(tokens: DataFrame) -> DataFrame:
-    """(key, token) rows: each vocab token under every key of its delete-1
-    neighborhood. Vocab-sized × (avg token length + 1) — map-side explode
-    over the vocabulary, never the corpus."""
+    """(key, token) rows: each vocab token under every key of its
+    delete-≤2 neighborhood (≤ 1 + L + C(L,2) keys per token). Vocab-sized
+    × O(avg-token-length²) — map-side explode over the vocabulary, never
+    the corpus."""
     return tokens.select(
         F.explode(F.expr(_VKEYS_EXPR)).alias("key"), "token")
 
@@ -491,29 +515,32 @@ def q_phrase_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences")))
 
 
-def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy term query from the index — the FST-shaped rewrite: the query
-    term's delete-1 neighborhood keys (computed driver-side, ≤len+1
-    literals) prune the ``vkeys`` sidecar to their kbucket directories;
-    the candidate tokens that come back are a bounded superset of the
-    edit-distance ball (SymSpell guarantee), verified with one
-    levenshtein over that tiny slice — the full vocabulary is never
-    scanned, the way ES walks its FST automaton instead of the term list.
-    The verified terms (a handful of literals, ES's rewrite output)
-    become partition-pruning filters on the postings. Distances > 1 fall
-    back to the vocab-sized levenshtein scan (delete-1 keys only cover
-    the distance-1 ball)."""
-    idx = ensure_index(spark, sf_dir)
-    if FUZZY_MAX_DIST == 1:
-        cand = (read_vkeys(spark, idx, delete_neighborhood(FUZZY_TERM))
-                .select("token").distinct())
-    else:
-        cand = read_vocab(spark, idx).select("token")
-    matched = tuple(sorted(
+def _fuzzy_rewrite(spark: SparkSession, idx: str, term: str,
+                   max_dist: int) -> tuple[str, ...]:
+    """ES's fuzzy-query rewrite served from the vkeys sidecar: the query
+    term's delete-≤d neighborhood keys (computed driver-side, ≤
+    1 + L + C(L,2) literals for d=2) prune the sidecar to their kbucket
+    directories; the candidate tokens that come back are a bounded
+    superset of the edit-distance ball (SymSpell guarantee, valid to
+    d=2 with the delete-≤2 sidecar), verified with one levenshtein over
+    that tiny slice — the full vocabulary is never scanned, the way ES
+    walks its FST automaton instead of the term list. The depth filter
+    (length(token) − length(key) ≤ d) keeps the d=1 slice as tight as a
+    delete-1-only sidecar would."""
+    assert max_dist <= 2, "vkeys sidecar stores the delete-<=2 neighborhood"
+    cand = (read_vkeys(spark, idx, delete_neighborhood(term, max_dist))
+            .filter(F.length("token") - F.length("key") <= max_dist)
+            .select("token").distinct())
+    return tuple(sorted(
         r[0] for r in cand
-        .filter(F.levenshtein(F.col("token"), F.lit(FUZZY_TERM))
-                <= FUZZY_MAX_DIST)
+        .filter(F.levenshtein(F.col("token"), F.lit(term)) <= max_dist)
         .select("token").collect()))
+
+
+def _fuzzy_hits(spark: SparkSession, idx: str,
+                matched: tuple[str, ...]) -> DataFrame:
+    """Per-doc hit counts for the rewrite's verified terms — a handful of
+    literals becoming partition-pruning filters on the postings."""
     if not matched:
         return (read_postings(spark, idx, None).limit(0)
                 .select("doc_id", F.lit(0).cast("long").alias("n_hits"),
@@ -524,6 +551,28 @@ def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array_join(
                      F.array_sort(F.array_distinct(F.collect_list("token"))),
                      ",").alias("matched_terms")))
+
+
+def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term query (fuzziness {FUZZY_MAX_DIST}) from the index via
+    the FST-shaped vkeys rewrite — see :func:`_fuzzy_rewrite`."""
+    idx = ensure_index(spark, sf_dir)
+    return _fuzzy_hits(
+        spark, idx, _fuzzy_rewrite(spark, idx, FUZZY_TERM, FUZZY_MAX_DIST))
+
+
+def q_fuzzy_search_d2_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term query with fuzziness 2 from the index: the delete-≤2
+    vkeys sidecar prunes the rewrite to a bounded slice (SymSpell's d=2
+    generalization) — the distance-2 ball never scans the vocabulary."""
+    from elasticsearch_hbase_river_spark.operators.retrieval import (
+        FUZZY2_MAX_DIST,
+        FUZZY2_TERM,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    return _fuzzy_hits(
+        spark, idx, _fuzzy_rewrite(spark, idx, FUZZY2_TERM, FUZZY2_MAX_DIST))
 
 
 def q_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +838,7 @@ QUERIES = {
     "q_bm25_indexed": q_bm25_indexed,
     "q_phrase_match_indexed": q_phrase_match_indexed,
     "q_fuzzy_search_indexed": q_fuzzy_search_indexed,
+    "q_fuzzy_search_d2_indexed": q_fuzzy_search_d2_indexed,
     "q_suggest_indexed": q_suggest_indexed,
     "q_rescore_indexed": q_rescore_indexed,
     "q_wildcard_indexed": q_wildcard_indexed,
@@ -801,6 +851,7 @@ ORACLES = {
     "q_bm25_indexed": _SEARCH_ORACLES["q_bm25"],
     "q_phrase_match_indexed": _SEARCH_ORACLES["q_phrase_match"],
     "q_fuzzy_search_indexed": _RETRIEVAL_ORACLES["q_fuzzy_search"],
+    "q_fuzzy_search_d2_indexed": _RETRIEVAL_ORACLES["q_fuzzy_search_d2"],
     "q_suggest_indexed": _RETRIEVAL_ORACLES["q_suggest"],
     "q_rescore_indexed": _RETRIEVAL_ORACLES["q_rescore"],
     "q_wildcard_indexed": _ESAGG_ORACLES["q_wildcard_search"],

@@ -1,0 +1,505 @@
+"""Search over the river's OWN assembled nested documents.
+
+The reference's product is making NESTED multi-field HBase documents
+searchable: ``readDataTree`` pivots each row's cells into a nested JSON
+document (`HBaseParser.java:204-216`), ``readQualifierStructure`` splits
+qualifiers into nested sub-trees (`HBaseParser.java:226-244`), and the
+river bootstraps an ES mapping for those dynamic fields
+(`HBaseRiver.java:217-232`) so users can run field-scoped ES queries
+against them. The engine assembles those documents (`assemble.py:61,80`)
+and separately has fielded search (`multifield.py`); this module marries
+the two halves: the FIELD column here comes from real families/qualifiers
+(plus the dynamically-discovered JSON leaf keys inside the ``props``
+cell), not a synthetic title/body split.
+
+The corpus is the SPARSE cells view: HBase rows are naturally sparse
+(writers emit only the columns they own), while the dense ``events``
+fixture melts to all four cells for every row — so the module derives a
+deterministic writer-conditioned sparsity, identical in both engines:
+
+- ``data:value``  is written only by ``purchase`` / ``click`` events
+  (the metric-bearing writers);
+- ``data:props``  is written by every writer EXCEPT ``signup``;
+- ``meta:*``      is always written.
+
+Field paths are the ES dotted form ``family.qualifier``; the ``props``
+JSON object is an interior node whose LEAVES become dynamic fields
+(``data.props.<key>`` — exactly the trees ``readDataTree`` builds), so
+the searchable field set is data-discovered, not declared.
+
+Queries (each with a DuckDB oracle over the same derived view):
+
+- ``q_nested_field_search``  : ES ``multi_match`` across ALL dynamic
+  fields with per-field BM25 statistics (the search an ES user runs
+  against the river's mapping), top-10.
+- ``q_nested_path_match``    : ES ``nested`` path-scoped match — term
+  match confined to one nested leaf (``data.props.k``).
+- ``q_exists_field``         : ES ``exists`` per field path — how many
+  documents carry each field with a non-null, non-empty value (the
+  mapping-bootstrap view of the corpus).
+- ``q_ids``                  : ES ``ids`` query — fetch the ASSEMBLED
+  documents (same single-shuffle fold as `plans/pipeline.py`) for a
+  literal id list, missing ids silently absent.
+- ``q_nested_field_search_indexed`` / ``q_exists_field_indexed``: the
+  same answers served from a materialized FIELDED index whose postings
+  carry the real qualifier-derived field column — built once per corpus
+  fingerprint, token-bucket-partitioned so term queries prune to their
+  buckets (same discipline as `indexed_search.py`). Both share the
+  rebuild oracles: the gate proves index-served == rebuild, hash-equal.
+
+Scale shape: the fielded melt is a narrow projection + one generator per
+cell class (no shuffle); postings build is one explode + one
+partial-aggregated shuffle keyed (doc, field, token); per-field stats
+and df relations are field-count-sized broadcasts; ranking is a top-k
+over the ≤|terms|-filtered survivors. The index build writes each
+posting bucket from its own writer task (repartition on tbucket); term
+serving reads only the query terms' bucket directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.analyzer import (
+    analyze_tokens,
+    analyze_toks_sql,
+)
+from elasticsearch_hbase_river_spark.functions.determinism import (
+    roundn_col,
+    roundn_sql,
+)
+from elasticsearch_hbase_river_spark.functions.xxh64 import pmod_bucket
+from elasticsearch_hbase_river_spark.operators.search import BM25_B, BM25_K1
+from elasticsearch_hbase_river_spark.sources.tables import (
+    load_table,
+    ts_ms_col,
+)
+
+#: multi_match terms over the dynamic fields: "error" hits only
+#: meta.event_type; "87" hits meta.user_id, data.value integer parts and
+#: the data.props.k leaf — cross-field by construction.
+NFS_TERMS = ("error", "87")
+NFS_TOP = 10
+
+#: nested path-scoped match: path data.props, leaf field data.props.k.
+NESTED_PATH_FIELD = "data.props.k"
+NESTED_PATH_TERM = "87"
+
+#: ids query literals — "no_such_row" can never equal a cast(event_id).
+IDS_LIST = ("7", "19", "23", "no_such_row")
+
+NESTED_LAYOUT_VERSION = 1
+N_FBUCKETS = 32
+_META = "_nested_index_meta.json"
+
+
+# ---------------------------------------------------------------------------
+# The sparse cells view and its fielded melt (shared by every query here).
+
+
+def sparse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer-conditioned sparse cells relation (see module doc).
+    Same canonical schema as `sources/cells.py`; the sparsity predicate
+    filters map-side on the melted rows (the event_type column rides the
+    melt and is dropped after)."""
+    from elasticsearch_hbase_river_spark.sources.cells import _MELT
+
+    ev = load_table(spark, sf_dir, "events")
+    melted = ev.select(
+        F.col("event_id").cast("string").alias("row_key"),
+        ts_ms_col(ev).alias("ts_ms"),
+        F.col("event_type").alias("_et"),
+        F.expr(_MELT),
+    )
+    is_value = (F.col("family") == "data") & (F.col("qualifier") == "value")
+    is_props = (F.col("family") == "data") & (F.col("qualifier") == "props")
+    keep = (
+        ~(is_value & ~F.col("_et").isin("purchase", "click"))
+        & ~(is_props & (F.col("_et") == "signup")))
+    return (melted.filter(keep)
+            .select("row_key", "family", "qualifier", "value", "ts_ms"))
+
+
+#: DuckDB twin of :func:`sparse_cells` — keep in lockstep.
+SPARSE_CELLS_SQL = """
+SELECT CAST(event_id AS VARCHAR) AS row_key, 'meta' AS family,
+       'event_type' AS qualifier, event_type AS value, epoch_ms(ts) AS ts_ms
+FROM events
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'meta', 'user_id',
+       CAST(user_id AS VARCHAR), epoch_ms(ts)
+FROM events
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'data', 'value',
+       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), epoch_ms(ts)
+FROM events WHERE event_type IN ('purchase', 'click')
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'data', 'props', props, epoch_ms(ts)
+FROM events WHERE event_type <> 'signup'
+"""
+
+
+def fielded_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, field, value): the dynamic fielded view of the assembled
+    documents. Leaf cells map to ``family.qualifier``; the ``props`` JSON
+    object expands to its leaves ``data.props.<key>`` (interior nodes are
+    not fields, as in ES object mappings). Map-side only: a filter + a
+    from_json map explode, no shuffle."""
+    cells = sparse_cells(spark, sf_dir)
+    is_props = (F.col("family") == "data") & (F.col("qualifier") == "props")
+    leaves = (cells.filter(~is_props)
+              .select(F.col("row_key").alias("doc_id"),
+                      F.concat_ws(".", "family", "qualifier").alias("field"),
+                      "value"))
+    props = (cells.filter(is_props)
+             .select(F.col("row_key").alias("doc_id"),
+                     F.explode(F.from_json("value", "map<string,string>"))
+                     .alias("key", "val"))
+             .select("doc_id",
+                     F.concat(F.lit("data.props."), F.col("key"))
+                     .alias("field"),
+                     F.col("val").alias("value")))
+    return leaves.unionByName(props)
+
+
+#: DuckDB twin of :func:`fielded_cells` (expects a ``sparse`` CTE).
+FCELLS_SQL = """
+SELECT row_key AS doc_id, family || '.' || qualifier AS field, value
+FROM sparse WHERE NOT (family = 'data' AND qualifier = 'props')
+UNION ALL
+SELECT row_key, 'data.props.' || k,
+       json_extract_string(value, '$.' || k)
+FROM (SELECT row_key, value, unnest(json_keys(value)) AS k
+      FROM sparse WHERE family = 'data' AND qualifier = 'props') j
+"""
+
+#: Shared oracle prefix: sparse view + fielded melt + analyzed postings.
+_FIELDED_CTES = f"""
+sparse AS ({SPARSE_CELLS_SQL}),
+fcells AS ({FCELLS_SQL}),
+ftoks AS (SELECT doc_id, field, {analyze_toks_sql('value')} AS toks
+          FROM fcells),
+fdl AS (SELECT doc_id, field, CAST(len(toks) AS BIGINT) AS dl
+        FROM ftoks WHERE len(toks) > 0),
+occ AS (SELECT doc_id, field, unnest(toks) AS token FROM ftoks)"""
+
+
+def _fpostings(fcells: DataFrame) -> DataFrame:
+    """(doc_id, field, token, tf, dl): analyzed per-field postings. The
+    token array is staged as its own projection so size() beside
+    explode() doesn't re-evaluate per exploded row."""
+    toks = fcells.select(
+        "doc_id", "field", analyze_tokens(F.col("value")).alias("toks"))
+    occ = (toks.filter(F.size("toks") > 0)
+           .select("doc_id", "field",
+                   F.size("toks").cast("long").alias("dl"),
+                   F.explode("toks").alias("token")))
+    return (occ.groupBy("doc_id", "field", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                 F.min("dl").alias("dl")))
+
+
+# ---------------------------------------------------------------------------
+# Rebuild-path queries.
+
+
+def _score_fielded(tf: DataFrame, fdl: DataFrame,
+                   fstats: DataFrame, dfr: DataFrame) -> DataFrame:
+    """Per-field-statistics BM25, summed per doc across fields, top-k.
+    ``fstats`` and ``dfr`` are field-count-sized — broadcast."""
+    scored = (tf.join(F.broadcast(dfr), ["field", "token"])
+              .join(fdl, ["doc_id", "field"])
+              .join(F.broadcast(fstats), "field"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfnorm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B
+                                 + BM25_B * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.select("doc_id", (idf * tfnorm).alias("c"))
+               .groupBy("doc_id")
+               .agg(roundn_col(F.sum("c")).alias("score")))
+    top = (per_doc.orderBy(F.col("score").desc(), "doc_id").limit(NFS_TOP))
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_nested_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` across the river's DYNAMIC fields (real
+    family/qualifier paths + discovered JSON leaves): per-field BM25
+    statistics (df/N/avgdl per field path), contributions summed per doc,
+    top-{NFS_TOP}. Term filter sits below the postings shuffle; stats and
+    df are field-count-sized broadcasts."""
+    fc = fielded_cells(spark, sf_dir)
+    p = _fpostings(fc)
+    tf = p.filter(F.col("token").isin(*NFS_TERMS)) \
+          .select("doc_id", "field", "token", "tf")
+    fdl = p.select("doc_id", "field", "dl").distinct()
+    fstats = (fdl.groupBy("field")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   (F.sum("dl").cast("double") / F.count(F.lit(1)))
+                   .alias("avgdl")))
+    dfr = (tf.groupBy("field", "token")
+           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    return _score_fielded(tf, fdl, fstats, dfr)
+
+
+def q_nested_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` query: a match scoped to ONE nested leaf path
+    ({NESTED_PATH_FIELD} = {NESTED_PATH_TERM}) — the field filter and the
+    term filter are both map-side on the fielded melt; the only shuffle
+    is the per-doc tf aggregation."""
+    fc = fielded_cells(spark, sf_dir)
+    toks = fc.filter(F.col("field") == NESTED_PATH_FIELD).select(
+        "doc_id", F.explode(analyze_tokens(F.col("value"))).alias("token"))
+    return (toks.filter(F.col("token") == NESTED_PATH_TERM)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+
+
+def q_exists_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``exists`` per field path: documents carrying each field with a
+    non-null, non-empty value — the mapping-bootstrap view of the corpus
+    (each doc contributes a field at most once, so the count is a doc
+    count). One partial-aggregated shuffle onto |fields| groups."""
+    fc = fielded_cells(spark, sf_dir)
+    return (fc.filter(F.col("value").isNotNull() & (F.col("value") != ""))
+            .groupBy("field")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
+
+
+def q_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ids`` query: the ASSEMBLED nested documents for a literal id
+    list (missing ids absent, as in ES). The id filter lands BELOW the
+    assembly fold — the groupBy(row_key) shuffle carries only the
+    requested rows, and the predicate pushes into the events scan."""
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        assemble_documents,
+    )
+
+    cells = sparse_cells(spark, sf_dir).filter(F.col("row_key").isin(*IDS_LIST))
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator=None, normalize_fields=False)
+    return assemble_documents(cells, cfg).select(
+        F.col("row_key").alias("doc_id"), "doc_ts_ms", "doc_json")
+
+
+# ---------------------------------------------------------------------------
+# The materialized fielded index (field column = real qualifiers).
+
+
+def _default_root() -> str:
+    import tempfile
+
+    return os.environ.get(
+        "RIVER_INDEX_ROOT",
+        os.path.join(tempfile.gettempdir(), "river_search_index"))
+
+
+def nested_index_path_for(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        _default_root(),
+        f"nested-{name}-{st.st_size}-{st.st_mtime_ns}"
+        f"-L{NESTED_LAYOUT_VERSION}")
+
+
+def _tbucket(col) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_FBUCKETS)).cast("int")
+
+
+def build_nested_index(spark: SparkSession, fcells: DataFrame,
+                       path: str) -> None:
+    """Materialize the fielded serving layout: ``fpostings`` (doc_id,
+    field, token, tf, dl) token-bucket-partitioned so term queries prune;
+    ``fvocab`` (field, token, df) the same way; ``fstats`` one row per
+    field (n_docs, avgdl, n_exists — the exists count uses ES's raw
+    non-null/non-empty notion, independent of analyzability). Fully
+    distributed; the only driver work is the atomic publish rename."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    p = _fpostings(fcells)
+    (p.withColumn("tbucket", _tbucket(F.col("token")))
+     .repartition(N_FBUCKETS, "tbucket")
+     .write.mode("overwrite").partitionBy("tbucket")
+     .parquet(os.path.join(tmp, "fpostings")))
+    landed = spark.read.parquet(os.path.join(tmp, "fpostings"))
+    (landed.groupBy("field", "token")
+     .agg(F.count(F.lit(1)).cast("long").alias("df"))
+     .withColumn("tbucket", _tbucket(F.col("token")))
+     .repartition(N_FBUCKETS, "tbucket")
+     .write.mode("overwrite").partitionBy("tbucket")
+     .parquet(os.path.join(tmp, "fvocab")))
+    fdl = landed.select("doc_id", "field", "dl").distinct()
+    stats = (fdl.groupBy("field")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  (F.sum("dl").cast("double") / F.count(F.lit(1)))
+                  .alias("avgdl")))
+    exists = (fcells.filter(F.col("value").isNotNull()
+                            & (F.col("value") != ""))
+              .groupBy("field")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_exists")))
+    (stats.join(exists, "field", "full_outer")
+     .select("field",
+             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+             F.coalesce("avgdl", F.lit(0.0)).alias("avgdl"),
+             F.coalesce("n_exists", F.lit(0)).alias("n_exists"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(tmp, "fstats")))
+    with open(os.path.join(tmp, _META), "w") as f:
+        json.dump({"layout": NESTED_LAYOUT_VERSION,
+                   "n_buckets": N_FBUCKETS}, f)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, _META)):
+            raise
+
+
+def ensure_nested_index(spark: SparkSession, sf_dir: str) -> str:
+    path = nested_index_path_for(sf_dir)
+    if not os.path.exists(os.path.join(path, _META)):
+        build_nested_index(spark, fielded_cells(spark, sf_dir), path)
+    return path
+
+
+def read_fpostings(spark: SparkSession, path: str,
+                   terms: tuple[str, ...]) -> DataFrame:
+    buckets = sorted({pmod_bucket(t, N_FBUCKETS) for t in terms})
+    return (spark.read.parquet(os.path.join(path, "fpostings"))
+            .filter(F.col("tbucket").isin(buckets)
+                    & F.col("token").isin(*terms))
+            .select("doc_id", "field", "token", "tf", "dl"))
+
+
+def read_fvocab(spark: SparkSession, path: str,
+                terms: tuple[str, ...]) -> DataFrame:
+    buckets = sorted({pmod_bucket(t, N_FBUCKETS) for t in terms})
+    return (spark.read.parquet(os.path.join(path, "fvocab"))
+            .filter(F.col("tbucket").isin(buckets)
+                    & F.col("token").isin(*terms))
+            .select("field", "token", "df"))
+
+
+def read_fstats(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.read.parquet(os.path.join(path, "fstats"))
+            .select("field", "n_docs", "avgdl", "n_exists"))
+
+
+def q_nested_field_search_indexed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The dynamic-field ``multi_match`` served FROM the fielded index:
+    the query terms' postings come from their pruned token buckets with
+    ``dl`` riding along, per-field df from the pruned fvocab slice,
+    per-field N/avgdl from the fstats sidecar — zero corpus scans.
+    Hash-equal to ``q_nested_field_search`` by the shared oracle."""
+    idx = ensure_nested_index(spark, sf_dir)
+    p = read_fpostings(spark, idx, NFS_TERMS)
+    tf = p.select("doc_id", "field", "token", "tf")
+    fdl = p.select("doc_id", "field", "dl").distinct()
+    fstats = read_fstats(spark, idx).select("field", "n_docs", "avgdl")
+    dfr = read_fvocab(spark, idx, NFS_TERMS)
+    return _score_fielded(tf, fdl, fstats, dfr)
+
+
+def q_exists_field_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``exists`` served from the fstats sidecar alone — the corpus is
+    never touched (the mapping view is index metadata, as in ES)."""
+    idx = ensure_nested_index(spark, sf_dir)
+    return (read_fstats(spark, idx)
+            .filter(F.col("n_exists") > 0)
+            .select("field", F.col("n_exists").alias("doc_count")))
+
+
+# ---------------------------------------------------------------------------
+# Registration + oracles.
+
+QUERIES = {
+    "q_nested_field_search": q_nested_field_search,
+    "q_nested_path_match": q_nested_path_match,
+    "q_exists_field": q_exists_field,
+    "q_ids": q_ids,
+    "q_nested_field_search_indexed": q_nested_field_search_indexed,
+    "q_exists_field_indexed": q_exists_field_indexed,
+}
+
+_NFS_TERMS_SQL = ", ".join(f"'{t}'" for t in NFS_TERMS)
+
+_TFNORM_SQL = (f"(tf * ({BM25_K1} + 1)) / (tf + {BM25_K1}"
+               f" * (1 - {BM25_B} + {BM25_B} * dl / avgdl))")
+
+ORACLES = {
+    "q_nested_field_search": f"""
+WITH {_FIELDED_CTES},
+fstats AS (
+  SELECT field, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM fdl GROUP BY field),
+ftf AS (
+  SELECT doc_id, field, token, CAST(count(*) AS BIGINT) AS tf
+  FROM occ WHERE token IN ({_NFS_TERMS_SQL})
+  GROUP BY 1, 2, 3),
+dfr AS (
+  SELECT field, token, CAST(count(*) AS BIGINT) AS df
+  FROM ftf GROUP BY field, token),
+contrib AS (
+  SELECT ftf.doc_id,
+         ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * {_TFNORM_SQL} AS c
+  FROM ftf
+  JOIN dfr USING (field, token)
+  JOIN fdl USING (doc_id, field)
+  JOIN fstats s USING (field)),
+scored AS (
+  SELECT doc_id, {roundn_sql('sum(c)')} AS score
+  FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {NFS_TOP}""",
+
+    "q_nested_path_match": f"""
+WITH {_FIELDED_CTES}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM occ
+WHERE field = '{NESTED_PATH_FIELD}' AND token = '{NESTED_PATH_TERM}'
+GROUP BY doc_id""",
+
+    "q_exists_field": f"""
+WITH sparse AS ({SPARSE_CELLS_SQL}),
+fcells AS ({FCELLS_SQL})
+SELECT field, CAST(count(*) AS BIGINT) AS doc_count
+FROM fcells WHERE value IS NOT NULL AND value <> ''
+GROUP BY field""",
+}
+
+_IDS_SQL = ", ".join(f"'{i}'" for i in IDS_LIST)
+_ESC_V = r"""replace(replace(value, '\', '\\'), '"', '\"')"""
+
+ORACLES["q_ids"] = f"""
+WITH sparse AS ({SPARSE_CELLS_SQL}),
+hit AS (SELECT * FROM sparse WHERE row_key IN ({_IDS_SQL})),
+fam AS (
+  SELECT row_key, family, min(ts_ms) AS fam_ts,
+         '"' || family || '":{{' ||
+         string_agg('"' || qualifier || '":"' || {_ESC_V} || '"', ','
+                    ORDER BY '"' || qualifier || '":"' || {_ESC_V} || '"')
+         || '}}' AS fam_json
+  FROM hit GROUP BY row_key, family)
+SELECT row_key AS doc_id, min(fam_ts) AS doc_ts_ms,
+       '{{' || string_agg(fam_json, ',' ORDER BY fam_json) || '}}' AS doc_json
+FROM fam GROUP BY row_key"""
+
+#: Indexed twins answer the same question — shared oracles prove the
+#: index-served fielded surface == the per-query rebuild, hash-for-hash.
+ORACLES["q_nested_field_search_indexed"] = ORACLES["q_nested_field_search"]
+ORACLES["q_exists_field_indexed"] = ORACLES["q_exists_field"]

@@ -290,6 +290,31 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ",").alias("matched_terms")))
 
 
+FUZZY2_TERM = "spark"
+FUZZY2_MAX_DIST = 2
+
+
+def q_fuzzy_search_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy term query with ``fuzziness: 2``: match docs containing
+    any token within edit distance 2 of the query term. Same
+    vocab-expansion shape as :func:`q_fuzzy_search` — the levenshtein
+    compare runs on the DISTINCT vocabulary only; this is the honest
+    what-if-no-index rebuild twin of ``q_fuzzy_search_d2_indexed``, whose
+    delete-≤2 vkeys sidecar replaces the vocab scan with a pruned-slice
+    read."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = _postings(docs)
+    matched = (post.select("token").distinct()
+               .filter(F.levenshtein(F.col("token"), F.lit(FUZZY2_TERM))
+                       <= FUZZY2_MAX_DIST))
+    return (post.join(F.broadcast(matched), "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.array_join(
+                     F.array_sort(F.array_distinct(F.collect_list("token"))),
+                     ",").alias("matched_terms")))
+
+
 WINNOW_MIN_SHARED = 2
 #: MOSS-style common-fingerprint suppression: a fingerprint shared by more
 #: than this many documents is boilerplate (its pair expansion is
@@ -392,6 +417,7 @@ QUERIES = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_winnow_overlap": q_winnow_overlap,
     "q_fuzzy_search": q_fuzzy_search,
+    "q_fuzzy_search_d2": q_fuzzy_search_d2,
     "q_search_after": q_search_after,
     "q_suggest": q_suggest,
 }
@@ -537,6 +563,16 @@ WITH tok AS ({_POSTINGS_SQL}),
 v AS (SELECT DISTINCT token FROM tok),
 m AS (SELECT token FROM v
       WHERE levenshtein(token, '{FUZZY_TERM}') <= {FUZZY_MAX_DIST})
+SELECT doc_id, count(*) AS n_hits,
+       array_to_string(list_sort(list_distinct(list(token))), ',')
+         AS matched_terms
+FROM tok JOIN m USING (token) GROUP BY doc_id""",
+
+    "q_fuzzy_search_d2": f"""
+WITH tok AS ({_POSTINGS_SQL}),
+v AS (SELECT DISTINCT token FROM tok),
+m AS (SELECT token FROM v
+      WHERE levenshtein(token, '{FUZZY2_TERM}') <= {FUZZY2_MAX_DIST})
 SELECT doc_id, count(*) AS n_hits,
        array_to_string(list_sort(list_distinct(list(token))), ',')
          AS matched_terms

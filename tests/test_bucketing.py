@@ -108,7 +108,7 @@ def test_python_xxh64_matches_spark(spark, sf_dir):
 
 
 def test_delete_neighborhood_python_twin_matches_spark_expr(spark):
-    """The driver-side delete-1 neighborhood (query rewrite) and the
+    """The driver-side delete-≤2 neighborhood (query rewrite) and the
     Spark-side _VKEYS_EXPR (sidecar build) must generate IDENTICAL key
     sets — a divergence silently drops fuzzy candidates (pruned buckets
     that are never probed)."""
@@ -123,4 +123,41 @@ def test_delete_neighborhood_python_twin_matches_spark_expr(spark):
            for r in df.select("token",
                               F.expr(_VKEYS_EXPR).alias("keys")).collect()}
     for t in tokens:
-        assert got[t] == delete_neighborhood(t), t
+        assert got[t] == delete_neighborhood(t, max_dist=2), t
+        # the d=1 slice of the sidecar (depth = length difference <= 1)
+        # is exactly the delete-1 neighborhood the d=1 rewrite probes
+        d1 = sorted(k for k in got[t] if len(t) - len(k) <= 1)
+        assert d1 == delete_neighborhood(t, max_dist=1), t
+
+
+def test_symspell_d2_candidates_cover_edit_ball():
+    """SymSpell's d=2 guarantee, checked constructively: for edits of each
+    kind (sub/ins/del ×2, mixed), the delete-≤2 neighborhoods of the
+    original and the edited term intersect — the pruned rewrite can never
+    MISS a true distance-≤2 vocabulary term."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        delete_neighborhood,
+    )
+
+    base = "stream"
+    variants = [
+        "stream", "strea", "stra", "streams", "streamss", "xtream",
+        "xtreax", "sream", "streamx", "tream", "ream", "setream",
+        "streaming"[:8], "sxtream",
+    ]
+    nb = set(delete_neighborhood(base, 2))
+    for v in variants:
+        lev = _levenshtein(base, v)
+        if lev <= 2:
+            assert nb & set(delete_neighborhood(v, 2)), (v, lev)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -1,0 +1,83 @@
+"""Nested-document search surface: the river's assembled dynamic fields.
+
+Pins (a) the sparse-view semantics (writer-conditioned cell presence),
+(b) the dynamic field discovery from real families/qualifiers + JSON
+leaves, (c) the fielded index's pruned-read plan shape, and (d) that the
+ids query filter lands below the assembly fold. Value-level correctness
+vs DuckDB is the oracle gate's job (all six queries carry oracles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.operators import nesteddoc as nd
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sparse_cells_writer_conditioned(spark, sf_dir):
+    """data:value only for purchase/click; data:props for everything but
+    signup; meta:* always — per the documented sparse-view contract."""
+    cells = nd.sparse_cells(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    n_pc = ev.filter(F.col("event_type").isin("purchase", "click")).count()
+    n_sign = ev.filter(F.col("event_type") == "signup").count()
+    got = {(r["family"], r["qualifier"]): r["n"]
+           for r in cells.groupBy("family", "qualifier")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got[("meta", "event_type")] == n
+    assert got[("meta", "user_id")] == n
+    assert got[("data", "value")] == n_pc
+    assert got[("data", "props")] == n - n_sign
+
+
+def test_fielded_cells_discovers_json_leaves(spark, sf_dir):
+    """The props JSON object must expand to data.props.<key> leaf fields;
+    the raw object itself is an interior node, never a field."""
+    fields = {r["field"] for r in
+              nd.fielded_cells(spark, sf_dir).select("field")
+              .distinct().collect()}
+    assert "data.props.k" in fields
+    assert "data.props" not in fields
+    assert {"meta.event_type", "meta.user_id", "data.value"} <= fields
+
+
+def test_ids_filter_pushes_below_assembly(spark, sf_dir):
+    """The ids query must filter BEFORE the groupBy(row_key) fold: the
+    events scan carries a pushed filter, and the assembly shuffle sees
+    only the requested rows (no full-corpus aggregate)."""
+    plan = _plan(nd.q_ids(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the id literals reach the scan-level filter
+    assert "no_such_row" in plan or "isnotnull" in plan
+
+
+def test_nested_index_serves_pruned_buckets(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The indexed multi_match must read ONLY the query terms' token
+    buckets (PartitionFilters on tbucket), rebuild nothing corpus-sized
+    (no events scan), and never plan a cartesian."""
+    monkeypatch.setenv("RIVER_INDEX_ROOT", str(tmp_path / "idx_root"))
+    plan = _plan(nd.q_nested_field_search_indexed(spark, sf_dir))
+    assert "tbucket" in plan
+    assert "events.parquet" not in plan, "indexed path re-scanned the corpus"
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_indexed_is_sidecar_only(spark, sf_dir, tmp_path,
+                                        monkeypatch):
+    """exists served from the fstats sidecar must touch ONE relation."""
+    monkeypatch.setenv("RIVER_INDEX_ROOT", str(tmp_path / "idx_root"))
+    nd.ensure_nested_index(spark, sf_dir)
+    plan = _plan(nd.q_exists_field_indexed(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "events.parquet" not in plan
+
+
+def test_ids_returns_only_existing_ids(spark, sf_dir):
+    out = {r["doc_id"] for r in nd.q_ids(spark, sf_dir).collect()}
+    assert out == {"7", "19", "23"}  # no_such_row absent, as in ES
