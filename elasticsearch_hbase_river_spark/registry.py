@@ -26,6 +26,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.indexed_search",
     "elasticsearch_hbase_river_spark.operators.multifield",
     "elasticsearch_hbase_river_spark.operators.nesteddoc",
+    "elasticsearch_hbase_river_spark.operators.liveserve",
     "elasticsearch_hbase_river_spark.operators.esagg",
     "elasticsearch_hbase_river_spark.operators.esdsl2",
     "elasticsearch_hbase_river_spark.operators.esdsl3",
