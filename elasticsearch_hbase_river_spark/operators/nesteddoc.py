@@ -94,7 +94,10 @@ NESTED_PATH_TERM = "87"
 #: ids query literals — "no_such_row" can never equal a cast(event_id).
 IDS_LIST = ("7", "19", "23", "no_such_row")
 
-NESTED_LAYOUT_VERSION = 1
+#: v2 adds the ``docstore`` table — the assembled documents themselves
+#: (ES stores ``_source`` in the index), doc-bucket-partitioned so the
+#: ``ids`` query is a pruned point lookup, never a corpus scan.
+NESTED_LAYOUT_VERSION = 2
 N_FBUCKETS = 32
 _META = "_nested_index_meta.json"
 
@@ -229,17 +232,33 @@ def _score_fielded(tf: DataFrame, fdl: DataFrame,
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def _field_dl(fc: DataFrame) -> DataFrame:
+    """(doc_id, field, dl): per-doc field lengths, MAP-SIDE ONLY — each
+    (doc, field) appears once in the fielded melt, so dl is a projection,
+    never an aggregate. The earlier shape derived this from the full
+    (doc, field, token) postings aggregate plus a distinct — two
+    corpus-sized shuffles whose hash maps OOMed a default 1 GB driver at
+    the 100x fixture; this one shuffles nothing."""
+    dl = F.size(analyze_tokens(F.col("value"))).cast("long")
+    return (fc.select("doc_id", "field", dl.alias("dl"))
+            .filter(F.col("dl") > 0))
+
+
 def q_nested_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``multi_match`` across the river's DYNAMIC fields (real
     family/qualifier paths + discovered JSON leaves): per-field BM25
     statistics (df/N/avgdl per field path), contributions summed per doc,
-    top-{NFS_TOP}. Term filter sits below the postings shuffle; stats and
+    top-{NFS_TOP}. Scale shape (the multifield.py discipline, sf10-swept):
+    the term filter sits below the only token-level shuffle (query-term
+    occurrences only); field lengths are a map-side projection; stats and
     df are field-count-sized broadcasts."""
     fc = fielded_cells(spark, sf_dir)
-    p = _fpostings(fc)
-    tf = p.filter(F.col("token").isin(*NFS_TERMS)) \
-          .select("doc_id", "field", "token", "tf")
-    fdl = p.select("doc_id", "field", "dl").distinct()
+    occ = fc.select("doc_id", "field",
+                    F.explode(analyze_tokens(F.col("value"))).alias("token"))
+    tf = (occ.filter(F.col("token").isin(*NFS_TERMS))
+          .groupBy("doc_id", "field", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    fdl = _field_dl(fc)
     fstats = (fdl.groupBy("field")
               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                    (F.sum("dl").cast("double") / F.count(F.lit(1)))
@@ -316,14 +335,24 @@ def _tbucket(col) -> F.Column:
 
 
 def build_nested_index(spark: SparkSession, fcells: DataFrame,
-                       path: str) -> None:
+                       path: str,
+                       assembled: DataFrame | None = None) -> None:
     """Materialize the fielded serving layout: ``fpostings`` (doc_id,
     field, token, tf, dl) token-bucket-partitioned so term queries prune;
     ``fvocab`` (field, token, df) the same way; ``fstats`` one row per
     field (n_docs, avgdl, n_exists — the exists count uses ES's raw
-    non-null/non-empty notion, independent of analyzability). Fully
-    distributed; the only driver work is the atomic publish rename."""
+    non-null/non-empty notion, independent of analyzability); and, when
+    ``assembled`` is given, ``docstore`` — the assembled documents
+    themselves (ES's ``_source``), doc-bucket-partitioned for point
+    lookups. Fully distributed; the only driver work is the atomic
+    publish rename."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    if assembled is not None:
+        (assembled
+         .withColumn("dbucket", _tbucket(F.col("doc_id")))
+         .repartition(N_FBUCKETS, "dbucket")
+         .write.mode("overwrite").partitionBy("dbucket")
+         .parquet(os.path.join(tmp, "docstore")))
     p = _fpostings(fcells)
     (p.withColumn("tbucket", _tbucket(F.col("token")))
      .repartition(N_FBUCKETS, "tbucket")
@@ -336,8 +365,10 @@ def build_nested_index(spark: SparkSession, fcells: DataFrame,
      .repartition(N_FBUCKETS, "tbucket")
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(os.path.join(tmp, "fvocab")))
-    fdl = landed.select("doc_id", "field", "dl").distinct()
-    stats = (fdl.groupBy("field")
+    # per-(doc, field) lengths come map-side from the fielded melt (one
+    # row each — a projection), NOT from a distinct over the corpus-sized
+    # postings table
+    stats = (_field_dl(fcells).groupBy("field")
              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                   (F.sum("dl").cast("double") / F.count(F.lit(1)))
                   .alias("avgdl")))
@@ -363,10 +394,25 @@ def build_nested_index(spark: SparkSession, fcells: DataFrame,
             raise
 
 
+def _assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, doc_ts_ms, doc_json): the assembled sparse-view documents
+    — the ``_source`` relation the docstore persists."""
+    from elasticsearch_hbase_river_spark.config import RiverConfig
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        assemble_documents,
+    )
+
+    cfg = RiverConfig(table="events", index="river", type_name="doc",
+                      column_separator=None, normalize_fields=False)
+    return assemble_documents(sparse_cells(spark, sf_dir), cfg).select(
+        F.col("row_key").alias("doc_id"), "doc_ts_ms", "doc_json")
+
+
 def ensure_nested_index(spark: SparkSession, sf_dir: str) -> str:
     path = nested_index_path_for(sf_dir)
     if not os.path.exists(os.path.join(path, _META)):
-        build_nested_index(spark, fielded_cells(spark, sf_dir), path)
+        build_nested_index(spark, fielded_cells(spark, sf_dir), path,
+                           assembled=_assembled_docs(spark, sf_dir))
     return path
 
 
@@ -409,6 +455,20 @@ def q_nested_field_search_indexed(spark: SparkSession,
     return _score_fielded(tf, fdl, fstats, dfr)
 
 
+def q_ids_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ids`` query served from the docstore (the index's stored
+    ``_source``): the id literals prune to their dbucket directories
+    (buckets computed driver-side with the xxh64 twin) — a point lookup
+    that never touches the corpus or re-assembles anything. Hash-equal to
+    ``q_ids`` by the shared oracle."""
+    idx = ensure_nested_index(spark, sf_dir)
+    buckets = sorted({pmod_bucket(i, N_FBUCKETS) for i in IDS_LIST})
+    return (spark.read.parquet(os.path.join(idx, "docstore"))
+            .filter(F.col("dbucket").isin(buckets)
+                    & F.col("doc_id").isin(*IDS_LIST))
+            .select("doc_id", "doc_ts_ms", "doc_json"))
+
+
 def q_exists_field_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``exists`` served from the fstats sidecar alone — the corpus is
     never touched (the mapping view is index metadata, as in ES)."""
@@ -428,6 +488,7 @@ QUERIES = {
     "q_ids": q_ids,
     "q_nested_field_search_indexed": q_nested_field_search_indexed,
     "q_exists_field_indexed": q_exists_field_indexed,
+    "q_ids_indexed": q_ids_indexed,
 }
 
 _NFS_TERMS_SQL = ", ".join(f"'{t}'" for t in NFS_TERMS)
@@ -503,3 +564,4 @@ FROM fam GROUP BY row_key"""
 #: index-served fielded surface == the per-query rebuild, hash-for-hash.
 ORACLES["q_nested_field_search_indexed"] = ORACLES["q_nested_field_search"]
 ORACLES["q_exists_field_indexed"] = ORACLES["q_exists_field"]
+ORACLES["q_ids_indexed"] = ORACLES["q_ids"]

@@ -81,3 +81,20 @@ def test_exists_indexed_is_sidecar_only(spark, sf_dir, tmp_path,
 def test_ids_returns_only_existing_ids(spark, sf_dir):
     out = {r["doc_id"] for r in nd.q_ids(spark, sf_dir).collect()}
     assert out == {"7", "19", "23"}  # no_such_row absent, as in ES
+
+
+def test_ids_indexed_is_docstore_point_lookup(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """The indexed ids query must read ONLY the docstore, pruned to the id
+    literals' dbuckets — no corpus scan, no re-assembly (no aggregate),
+    and the same rows as the rebuild path."""
+    monkeypatch.setenv("RIVER_INDEX_ROOT", str(tmp_path / "idx_root"))
+    df = nd.q_ids_indexed(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "events.parquet" not in plan
+    assert "dbucket" in plan
+    assert "HashAggregate" not in plan, "point lookup should not aggregate"
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, nd.q_ids(spark, sf_dir).collect()))
+    assert got == want
