@@ -292,6 +292,29 @@ def q_exists_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
 
 
+def q_mapping_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The river's sink-DDL bootstrap as a queryable view
+    (`HBaseRiver.java:217-232` builds the ES mapping before the first
+    tick): per discovered field path, its document count and the inferred
+    ES type — ``long`` when every non-empty value is an integer literal,
+    ``double`` when every value is numeric, ``text`` otherwise. One
+    partial-aggregated shuffle onto |fields| groups; the type inference
+    is two codegen'd regex flags folded with min()."""
+    fc = fielded_cells(spark, sf_dir)
+    vals = fc.filter(F.col("value").isNotNull() & (F.col("value") != ""))
+    is_long = F.when(F.col("value").rlike("^-?[0-9]+$"), 1).otherwise(0)
+    is_num = F.when(F.col("value").rlike(r"^-?[0-9]+(\.[0-9]+)?$"),
+                    1).otherwise(0)
+    agg = vals.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.min(is_long).alias("all_long"),
+        F.min(is_num).alias("all_num"))
+    es_type = (F.when(F.col("all_long") == 1, F.lit("long"))
+               .when(F.col("all_num") == 1, F.lit("double"))
+               .otherwise(F.lit("text")))
+    return agg.select("field", "doc_count", es_type.alias("es_type"))
+
+
 def q_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``ids`` query: the ASSEMBLED nested documents for a literal id
     list (missing ids absent, as in ES). The id filter lands BELOW the
@@ -485,6 +508,7 @@ QUERIES = {
     "q_nested_field_search": q_nested_field_search,
     "q_nested_path_match": q_nested_path_match,
     "q_exists_field": q_exists_field,
+    "q_mapping_bootstrap": q_mapping_bootstrap,
     "q_ids": q_ids,
     "q_nested_field_search_indexed": q_nested_field_search_indexed,
     "q_exists_field_indexed": q_exists_field_indexed,
@@ -541,6 +565,23 @@ fcells AS ({FCELLS_SQL})
 SELECT field, CAST(count(*) AS BIGINT) AS doc_count
 FROM fcells WHERE value IS NOT NULL AND value <> ''
 GROUP BY field""",
+
+    "q_mapping_bootstrap": f"""
+WITH sparse AS ({SPARSE_CELLS_SQL}),
+fcells AS ({FCELLS_SQL}),
+agg AS (
+  SELECT field, CAST(count(*) AS BIGINT) AS doc_count,
+         min(CASE WHEN regexp_matches(value, '^-?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS all_long,
+         min(CASE WHEN regexp_matches(value, '^-?[0-9]+(\\.[0-9]+)?$')
+                  THEN 1 ELSE 0 END) AS all_num
+  FROM fcells WHERE value IS NOT NULL AND value <> ''
+  GROUP BY field)
+SELECT field, doc_count,
+       CASE WHEN all_long = 1 THEN 'long'
+            WHEN all_num = 1 THEN 'double'
+            ELSE 'text' END AS es_type
+FROM agg""",
 }
 
 _IDS_SQL = ", ".join(f"'{i}'" for i in IDS_LIST)
