@@ -249,12 +249,25 @@ def main() -> None:
         os.environ.setdefault("RIVER_INDEX_ROOT", os.path.join(cold, "s"))
         os.environ.setdefault("RIVER_VINDEX_ROOT", os.path.join(cold, "v"))
 
+    from elasticsearch_hbase_river_spark.operators.liveserve import (
+        ensure_live_epochs,
+    )
+    from elasticsearch_hbase_river_spark.operators.nesteddoc import (
+        ensure_nested_index,
+    )
+
     t0 = time.time()
     ensure_index(spark, SF_DIR)
     index_build = round(time.time() - t0, 3)
     t0 = time.time()
     ensure_vector_index(spark, SF_DIR)
     vindex_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    ensure_nested_index(spark, SF_DIR)
+    nested_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    ensure_live_epochs(spark, SF_DIR)
+    live_epochs_build = round(time.time() - t0, 3)
 
     import gc
 
@@ -294,6 +307,8 @@ def main() -> None:
         "cpus": CPUS,
         "index_build_sec": index_build,
         "vindex_build_sec": vindex_build,
+        "nested_index_build_sec": nested_build,
+        "live_epochs_build_sec": live_epochs_build,
     }))
     spark.stop()
 

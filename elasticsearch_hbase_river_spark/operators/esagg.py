@@ -923,12 +923,14 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: stored queries canonicalize to distinct term SETS (the
     percolation unit, bounded by |registered sets| not |queries|); each
     set's candidates are the documents holding its RAREST term (cost =
-    Σ min-df, the smallest possible candidate stream — never the corpus
-    and never C(|qt|,3) pair expansion); verification joins the per-doc
-    registered-token set (ONE corpus shuffle keyed on doc_id, shared
-    with candidate generation) and checks the two remaining terms with
-    array membership against the broadcast set dictionary. No cross
-    join, no corpus-sized sort, no per-query corpus work."""
+    Σ min-df, the smallest possible candidate stream on a Zipf
+    vocabulary — never the corpus and never C(|qt|,3) pair expansion);
+    verification checks the two remaining terms with two NARROW
+    equi-joins against the registered-token postings (nothing wider than
+    four string columns; partial-aggregates straight to |sets| counts —
+    per-doc token-set arrays OOMed at the 100x fixture, whose tiny vocab
+    makes even the rarest term corpus-common). No cross join, no
+    corpus-sized sort, no per-query corpus work."""
     docs = load_table(spark, sf_dir, "documents")
     posts = _postings(docs).select("doc_id", "token")
     vocab = posts.select("token").distinct()
@@ -967,13 +969,24 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("set_key", F.col("rarest").alias("token"),
                     F.col("others").getItem(0).alias("o1"),
                     F.col("others").getItem(1).alias("o2")))
-    doc_qt = dtq.groupBy("doc_id").agg(F.collect_set("token").alias("qt"))
+    # Verification as two NARROW equi-joins against the registered-token
+    # postings — never a per-doc array. The earlier shape collected each
+    # doc's registered-token SET and joined it onto every candidate row
+    # for an array_contains check; with a degenerate (tiny-vocab) fixture
+    # the rarest term is still corpus-common, the candidate stream is
+    # |sets|·df-sized, and candidate×array rows OOMed the default 1 GB
+    # heap at the 100x fixture. The equi-join form streams the same
+    # verification through sort-merge joins with nothing wider than four
+    # string columns per row, partial-aggregating straight to |sets|
+    # counts. (On a real Zipf vocabulary the candidate stream is Σ min-df
+    # — small; this shape only changes what happens when it isn't.)
     cand = dtq.join(F.broadcast(rare), "token").select(
         "doc_id", "set_key", "o1", "o2")
-    per_set = (cand.join(doc_qt, "doc_id")
-               .filter(F.array_contains("qt", F.col("o1"))
-                       & F.array_contains("qt", F.col("o2")))
-               .groupBy("set_key")
+    m1 = cand.join(dtq.select("doc_id", F.col("token").alias("o1")),
+                   ["doc_id", "o1"])
+    m2 = m1.join(dtq.select("doc_id", F.col("token").alias("o2")),
+                 ["doc_id", "o2"])
+    per_set = (m2.groupBy("set_key")
                .agg(F.count(F.lit(1)).alias("n_matching_docs")))
     return (qsets.join(per_set, "set_key", "left")
             .select("query_id", "terms",
@@ -1016,15 +1029,18 @@ rare AS (
                               ORDER BY dfr.df, m.token) AS r
     FROM melted m JOIN dfr USING (token))
   WHERE r = 1),
-doc_qt AS (SELECT doc_id, list(token) AS qt FROM dtq GROUP BY doc_id),
 cand AS (
   SELECT d.doc_id, r.terms, r.o1, r.o2
   FROM dtq d JOIN rare r ON d.token = r.rarest),
+-- same narrow equi-join verification as the Spark side: per-doc list
+-- materialization ground at the 100x fixture, streamed joins don't
+m1 AS (
+  SELECT c.doc_id, c.terms, c.o2
+  FROM cand c JOIN dtq d ON c.doc_id = d.doc_id AND c.o1 = d.token),
 per_set AS (
-  SELECT c.terms, count(*) AS n
-  FROM cand c JOIN doc_qt q USING (doc_id)
-  WHERE list_contains(q.qt, c.o1) AND list_contains(q.qt, c.o2)
-  GROUP BY c.terms)
+  SELECT m.terms, count(*) AS n
+  FROM m1 m JOIN dtq d ON m.doc_id = d.doc_id AND m.o2 = d.token
+  GROUP BY m.terms)
 SELECT q.query_id, q.terms,
        CAST(coalesce(p.n, 0) AS BIGINT) AS n_matching_docs
 FROM qsets q LEFT JOIN per_set p USING (terms)"""
