@@ -949,11 +949,18 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(sets.select(F.col("t2").alias("token")))
               .unionByName(sets.select(F.col("t3").alias("token")))
               .distinct())
-    # registered-token slice of the corpus, shared (via checkpoint) by
-    # df ranking, candidate generation and the per-doc verify sets —
-    # delta-sized vs the corpus (only registered tokens survive)
+    # registered-token slice of the corpus, shared by df ranking,
+    # candidate generation and both verify joins. DISK_ONLY, not
+    # localCheckpoint: with a real Zipf vocabulary this slice is
+    # query-vocabulary-sized, but the fixture's tiny vocab makes it
+    # corpus-sized, and an eagerly-pinned corpus-sized block starved the
+    # default 1 GB heap's aggregates at the 100x fixture (the round-4
+    # lesson again: never pin corpus-scale relations in memory). Disk
+    # persistence keeps the single tokenization without the heap claim.
+    from pyspark import StorageLevel
+
     dtq = (posts.join(F.broadcast(qvocab), "token", "left_semi")
-           .distinct().localCheckpoint(eager=True))
+           .distinct().persist(StorageLevel.DISK_ONLY))
     dfr = dtq.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     melted = sets.select(

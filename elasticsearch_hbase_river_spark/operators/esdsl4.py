@@ -993,11 +993,25 @@ def q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window confined to the ≤ {PIN_TOP} survivors."""
     from elasticsearch_hbase_river_spark.operators.search import bm25_scores
 
-    scored = bm25_scores(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # Both output branches (promoted lookups, organic top-k) consume the
+    # scored relation; without materialization the union duplicates the
+    # ENTIRE BM25 pipeline and the two concurrent corpus scans OOMed the
+    # default 1 GB heap at the 100x fixture — the only query in the
+    # registry whose plan ran the corpus pipeline twice in one job.
+    # DISK_ONLY (never memory): the relation is (doc_id, score)-narrow
+    # but corpus-rows-sized, and pinned heap blocks are the round-4 OOM
+    # class.
+    scored = bm25_scores(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     pins = spark.createDataFrame(
         [(int(d), i + 1) for i, d in enumerate(PINNED_IDS)],
         "doc_id long, rank long")
-    pinned = (F.broadcast(pins).join(scored, "doc_id", "left")
+    # Reference scores for the promoted ids come from a FILTERED slice
+    # (≤|pins| rows), so the rank-preserving left join is tiny×tiny
+    # broadcast — never an outer-join shuffle of the full scored side.
+    pin_scores = scored.filter(F.col("doc_id").isin(*PINNED_IDS))
+    pinned = (pins.join(F.broadcast(pin_scores), "doc_id", "left")
               .select("doc_id", "rank", "score",
                       F.lit("pinned").alias("source")))
     n_org = PIN_TOP - len(PINNED_IDS)
