@@ -281,6 +281,22 @@ def q_nested_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
 
 
+def q_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` query with ``inner_hits``: for documents whose
+    ``data.props`` object has ANY leaf matching {NESTED_PATH_TERM!r},
+    return the matching leaf rows themselves (field path + raw value) —
+    what ES surfaces so the caller sees WHICH nested member hit. All
+    filters are map-side on the fielded melt; the explode touches only
+    path-scoped rows."""
+    fc = fielded_cells(spark, sf_dir)
+    scoped = fc.filter(F.col("field").startswith("data.props."))
+    toks = scoped.select(
+        "doc_id", "field", "value",
+        F.explode(analyze_tokens(F.col("value"))).alias("token"))
+    return (toks.filter(F.col("token") == NESTED_PATH_TERM)
+            .select("doc_id", "field", "value").distinct())
+
+
 def q_exists_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``exists`` per field path: documents carrying each field with a
     non-null, non-empty value — the mapping-bootstrap view of the corpus
@@ -507,6 +523,7 @@ def q_exists_field_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_nested_field_search": q_nested_field_search,
     "q_nested_path_match": q_nested_path_match,
+    "q_nested_inner_hits": q_nested_inner_hits,
     "q_exists_field": q_exists_field,
     "q_mapping_bootstrap": q_mapping_bootstrap,
     "q_ids": q_ids,
@@ -558,6 +575,16 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM occ
 WHERE field = '{NESTED_PATH_FIELD}' AND token = '{NESTED_PATH_TERM}'
 GROUP BY doc_id""",
+
+    "q_nested_inner_hits": f"""
+WITH sparse AS ({SPARSE_CELLS_SQL}),
+fcells AS ({FCELLS_SQL}),
+scoped AS (SELECT doc_id, field, value,
+                  {analyze_toks_sql('value')} AS toks
+           FROM fcells WHERE starts_with(field, 'data.props.'))
+SELECT DISTINCT doc_id, field, value
+FROM (SELECT doc_id, field, value, unnest(toks) AS token FROM scoped)
+WHERE token = '{NESTED_PATH_TERM}'""",
 
     "q_exists_field": f"""
 WITH sparse AS ({SPARSE_CELLS_SQL}),
