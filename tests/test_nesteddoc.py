@@ -98,3 +98,26 @@ def test_ids_indexed_is_docstore_point_lookup(spark, sf_dir, tmp_path,
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, nd.q_ids(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_json_leaf_extraction_parity_beyond_flat_values(spark, sf_dir):
+    """The fixture's props are flat {"k": N}; a real river carries nested
+    objects, arrays, nulls, doubles, booleans. The engine's leaf
+    extraction (from_json map<string,string>) must render each value
+    byte-identically to the oracle's json_extract_string — nested objects
+    as compact JSON text, JSON null as SQL NULL (ES: a null leaf does not
+    exist)."""
+    import duckdb
+
+    vals = ['{"a": {"b": 1}}', '{"arr": [1,2]}', '{"s": null}',
+            '{"n": 1.5}', '{"b": true}', '{"t": "x y"}', "{}"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sorted((r["k"], r["val"]) for r in df.select(
+        F.explode(F.from_json("v", "map<string,string>"))
+        .alias("k", "val")).collect())
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(
+        "SELECT k, json_extract_string(v, '$.' || k) FROM ("
+        "SELECT v, unnest(json_keys(v)) AS k FROM (SELECT unnest(?) AS v))",
+        [vals]).fetchall()))
+    assert got == want
