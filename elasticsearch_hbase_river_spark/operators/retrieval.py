@@ -290,6 +290,64 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ",").alias("matched_terms")))
 
 
+#: Phrase-suggester input: two misspelled query terms ("did you mean").
+PSUG_PHRASE = ("spak", "windoww")
+PSUG_MAX_DIST = 1
+PSUG_TOP = 5
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``phrase`` suggester — the "did you mean" correction: per query
+    term, candidate corrections are vocabulary tokens within edit
+    distance {PSUG_MAX_DIST} (Lucene's DirectCandidateGenerator); whole
+    candidate PHRASES are ranked by a Laplace-smoothed bigram language
+    model over the corpus, ``ln P(c1) + ln P(c2|c1)`` with
+    ``P(c2|c1) = (c(c1,c2)+1)/(c(c1)+V)`` — the suggester's real_word_
+    error_likelihood machinery, top-{PSUG_TOP}.
+
+    Scale shape: the unigram/bigram model derives from ONE tokenize +
+    explode pass (successor carried in the struct — the q_bigram_logprob
+    shape); each candidate set is a levenshtein filter on the vocab-sized
+    unigram relation; the candidate-pair expansion is tiny×tiny (each
+    side ≤ a handful of rows, broadcast); bigram lookups broadcast the
+    pair list INTO the corpus-sized bigram counts, never the reverse."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = analyze_tokens(F.col("text"))
+    staged = docs.select(toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size(F.col("toks"))
+    grams = F.transform(F.sequence(F.lit(0), n - 1),
+                        lambda i: F.struct(
+                            F.get(F.col("toks"), i).alias("w1"),
+                            F.get(F.col("toks"), i + 1).alias("w2")))
+    occ = (staged.select(F.explode(grams).alias("bg"))
+           .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+           .localCheckpoint(eager=True))  # read 4x; token-pair-narrow
+    uf = occ.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = occ.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    v = uf.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    bf = (occ.filter(F.col("w2").isNotNull())
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("bcnt")))
+    c1 = (uf.filter(F.levenshtein(F.col("w1"), F.lit(PSUG_PHRASE[0]))
+                    <= PSUG_MAX_DIST).select("w1", "c"))
+    c2 = (uf.filter(F.levenshtein(F.col("w1"), F.lit(PSUG_PHRASE[1]))
+                    <= PSUG_MAX_DIST).select(F.col("w1").alias("w2")))
+    pairs = c1.crossJoin(F.broadcast(c2))
+    found = bf.join(F.broadcast(pairs.select("w1", "w2")), ["w1", "w2"])
+    scored = (pairs.join(F.broadcast(found), ["w1", "w2"], "left")
+              .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(v))
+              .select(
+                  F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+                  roundn_col(
+                      F.log(F.col("c").cast("double") / F.col("t"))
+                      + F.log((F.coalesce("bcnt", F.lit(0)) + 1).cast("double")
+                              / (F.col("c") + F.col("vocab"))), 4)
+                  .alias("score")))
+    top = scored.orderBy(F.col("score").desc(), "suggestion").limit(PSUG_TOP)
+    w = Window.orderBy(F.col("score").desc(), "suggestion")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 FUZZY2_TERM = "spark"
 FUZZY2_MAX_DIST = 2
 
@@ -418,6 +476,7 @@ QUERIES = {
     "q_winnow_overlap": q_winnow_overlap,
     "q_fuzzy_search": q_fuzzy_search,
     "q_fuzzy_search_d2": q_fuzzy_search_d2,
+    "q_phrase_suggest": q_phrase_suggest,
     "q_search_after": q_search_after,
     "q_suggest": q_suggest,
 }
@@ -567,6 +626,36 @@ SELECT doc_id, count(*) AS n_hits,
        array_to_string(list_sort(list_distinct(list(token))), ',')
          AS matched_terms
 FROM tok JOIN m USING (token) GROUP BY doc_id""",
+
+    "q_phrase_suggest": f"""
+WITH t AS (SELECT {ANALYZE_TOKS_SQL} AS toks FROM documents),
+occ AS (
+  SELECT unnest(list_transform(range(0, len(toks)),
+           i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}})) AS b
+  FROM t WHERE len(toks) > 0),
+o AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM occ),
+uf AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM o),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uf),
+bf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bcnt
+       FROM o WHERE w2 IS NOT NULL GROUP BY 1, 2),
+c1 AS (SELECT w AS w1, c FROM uf
+       WHERE levenshtein(w, '{PSUG_PHRASE[0]}') <= {PSUG_MAX_DIST}),
+c2 AS (SELECT w AS w2 FROM uf
+       WHERE levenshtein(w, '{PSUG_PHRASE[1]}') <= {PSUG_MAX_DIST}),
+scored AS (
+  SELECT c1.w1 || ' ' || c2.w2 AS suggestion,
+         {roundn_sql("ln(c1.c::DOUBLE / tot.t)"
+                     " + ln((coalesce(bf.bcnt, 0) + 1)::DOUBLE"
+                     " / (c1.c + v.vocab))", 4)} AS score
+  FROM tot, v, c1 CROSS JOIN c2
+  LEFT JOIN bf ON bf.w1 = c1.w1 AND bf.w2 = c2.w2),
+ranked AS (
+  SELECT suggestion, score,
+         CAST(row_number() OVER (ORDER BY score DESC, suggestion) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {PSUG_TOP}""",
 
     "q_fuzzy_search_d2": f"""
 WITH tok AS ({_POSTINGS_SQL}),
