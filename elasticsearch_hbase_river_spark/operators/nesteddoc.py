@@ -96,8 +96,12 @@ IDS_LIST = ("7", "19", "23", "no_such_row")
 
 #: v2 adds the ``docstore`` table — the assembled documents themselves
 #: (ES stores ``_source`` in the index), doc-bucket-partitioned so the
-#: ``ids`` query is a pruned point lookup, never a corpus scan.
-NESTED_LAYOUT_VERSION = 2
+#: ``ids`` query is a pruned point lookup, never a corpus scan. v3 adds
+#: ``fdoclen`` (doc_id, field, dl; dbucket-partitioned) and ``sum_dl``
+#: on fstats — the delta-correction surface that lets LIVE serving
+#: (base + unmerged stream epochs) adjust per-field statistics exactly,
+#: reading only the changed docs' buckets.
+NESTED_LAYOUT_VERSION = 3
 N_FBUCKETS = 32
 _META = "_nested_index_meta.json"
 
@@ -106,14 +110,13 @@ _META = "_nested_index_meta.json"
 # The sparse cells view and its fielded melt (shared by every query here).
 
 
-def sparse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The writer-conditioned sparse cells relation (see module doc).
-    Same canonical schema as `sources/cells.py`; the sparsity predicate
-    filters map-side on the melted rows (the event_type column rides the
-    melt and is dropped after)."""
+def sparse_melt(ev: DataFrame) -> DataFrame:
+    """The writer-conditioned sparse melt over any events-shaped relation
+    (see module doc). Same canonical schema as `sources/cells.py`; the
+    sparsity predicate filters map-side on the melted rows (the
+    event_type column rides the melt and is dropped after)."""
     from elasticsearch_hbase_river_spark.sources.cells import _MELT
 
-    ev = load_table(spark, sf_dir, "events")
     melted = ev.select(
         F.col("event_id").cast("string").alias("row_key"),
         ts_ms_col(ev).alias("ts_ms"),
@@ -129,32 +132,39 @@ def sparse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("row_key", "family", "qualifier", "value", "ts_ms"))
 
 
-#: DuckDB twin of :func:`sparse_cells` — keep in lockstep.
-SPARSE_CELLS_SQL = """
+def sparse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparse_melt(load_table(spark, sf_dir, "events"))
+
+
+#: DuckDB twin of :func:`sparse_melt`, templated on the events relation —
+#: keep in lockstep.
+SPARSE_CELLS_SQL_T = """
 SELECT CAST(event_id AS VARCHAR) AS row_key, 'meta' AS family,
        'event_type' AS qualifier, event_type AS value, epoch_ms(ts) AS ts_ms
-FROM events
+FROM {src}
 UNION ALL
 SELECT CAST(event_id AS VARCHAR), 'meta', 'user_id',
        CAST(user_id AS VARCHAR), epoch_ms(ts)
-FROM events
+FROM {src}
 UNION ALL
 SELECT CAST(event_id AS VARCHAR), 'data', 'value',
        CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), epoch_ms(ts)
-FROM events WHERE event_type IN ('purchase', 'click')
+FROM {src} WHERE event_type IN ('purchase', 'click')
 UNION ALL
 SELECT CAST(event_id AS VARCHAR), 'data', 'props', props, epoch_ms(ts)
-FROM events WHERE event_type <> 'signup'
+FROM {src} WHERE event_type <> 'signup'
 """
 
+SPARSE_CELLS_SQL = SPARSE_CELLS_SQL_T.format(src="events")
 
-def fielded_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def fielded_cells_from(cells: DataFrame) -> DataFrame:
     """(doc_id, field, value): the dynamic fielded view of the assembled
-    documents. Leaf cells map to ``family.qualifier``; the ``props`` JSON
-    object expands to its leaves ``data.props.<key>`` (interior nodes are
-    not fields, as in ES object mappings). Map-side only: a filter + a
-    from_json map explode, no shuffle."""
-    cells = sparse_cells(spark, sf_dir)
+    documents, from any canonical cells relation. Leaf cells map to
+    ``family.qualifier``; the ``props`` JSON object expands to its leaves
+    ``data.props.<key>`` (interior nodes are not fields, as in ES object
+    mappings). Map-side only: a filter + a from_json map explode, no
+    shuffle."""
     is_props = (F.col("family") == "data") & (F.col("qualifier") == "props")
     leaves = (cells.filter(~is_props)
               .select(F.col("row_key").alias("doc_id"),
@@ -171,6 +181,10 @@ def fielded_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaves.unionByName(props)
 
 
+def fielded_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fielded_cells_from(sparse_cells(spark, sf_dir))
+
+
 #: DuckDB twin of :func:`fielded_cells` (expects a ``sparse`` CTE).
 FCELLS_SQL = """
 SELECT row_key AS doc_id, family || '.' || qualifier AS field, value
@@ -182,15 +196,22 @@ FROM (SELECT row_key, value, unnest(json_keys(value)) AS k
       FROM sparse WHERE family = 'data' AND qualifier = 'props') j
 """
 
-#: Shared oracle prefix: sparse view + fielded melt + analyzed postings.
-_FIELDED_CTES = f"""
-sparse AS ({SPARSE_CELLS_SQL}),
+def _fielded_ctes(sparse_sql: str) -> str:
+    """Oracle prefix: sparse view + fielded melt + analyzed postings,
+    parameterized on the sparse-cells SQL (the live-serving oracle swaps
+    in a churned events relation)."""
+    return f"""
+sparse AS ({sparse_sql}),
 fcells AS ({FCELLS_SQL}),
 ftoks AS (SELECT doc_id, field, {analyze_toks_sql('value')} AS toks
           FROM fcells),
 fdl AS (SELECT doc_id, field, CAST(len(toks) AS BIGINT) AS dl
         FROM ftoks WHERE len(toks) > 0),
 occ AS (SELECT doc_id, field, unnest(toks) AS token FROM ftoks)"""
+
+
+#: Shared oracle prefix over the fixture events table.
+_FIELDED_CTES = _fielded_ctes(SPARSE_CELLS_SQL)
 
 
 def _fpostings(fcells: DataFrame) -> DataFrame:
@@ -406,9 +427,17 @@ def build_nested_index(spark: SparkSession, fcells: DataFrame,
      .parquet(os.path.join(tmp, "fvocab")))
     # per-(doc, field) lengths come map-side from the fielded melt (one
     # row each — a projection), NOT from a distinct over the corpus-sized
-    # postings table
-    stats = (_field_dl(fcells).groupBy("field")
+    # postings table; persisted as the fdoclen sidecar (dbucket-pruned
+    # reads power the live-serving stat corrections)
+    fdl = _field_dl(fcells)
+    (fdl.withColumn("dbucket", _tbucket(F.col("doc_id")))
+     .repartition(N_FBUCKETS, "dbucket")
+     .write.mode("overwrite").partitionBy("dbucket")
+     .parquet(os.path.join(tmp, "fdoclen")))
+    stats = (spark.read.parquet(os.path.join(tmp, "fdoclen"))
+             .groupBy("field")
              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("dl").cast("long").alias("sum_dl"),
                   (F.sum("dl").cast("double") / F.count(F.lit(1)))
                   .alias("avgdl")))
     exists = (fcells.filter(F.col("value").isNotNull()
@@ -418,6 +447,7 @@ def build_nested_index(spark: SparkSession, fcells: DataFrame,
     (stats.join(exists, "field", "full_outer")
      .select("field",
              F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+             F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
              F.coalesce("avgdl", F.lit(0.0)).alias("avgdl"),
              F.coalesce("n_exists", F.lit(0)).alias("n_exists"))
      .coalesce(1)
@@ -475,7 +505,15 @@ def read_fvocab(spark: SparkSession, path: str,
 
 def read_fstats(spark: SparkSession, path: str) -> DataFrame:
     return (spark.read.parquet(os.path.join(path, "fstats"))
-            .select("field", "n_docs", "avgdl", "n_exists"))
+            .select("field", "n_docs", "sum_dl", "avgdl", "n_exists"))
+
+
+def read_fdoclen(spark: SparkSession, path: str,
+                 dbuckets: list[int] | None = None) -> DataFrame:
+    d = spark.read.parquet(os.path.join(path, "fdoclen"))
+    if dbuckets is not None:
+        d = d.filter(F.col("dbucket").isin(dbuckets))
+    return d.select("doc_id", "field", "dl")
 
 
 def q_nested_field_search_indexed(spark: SparkSession,
@@ -518,6 +556,162 @@ def q_exists_field_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LIVE fielded serving: base nested index + unmerged stream epochs (the
+# decoupled-compaction posture of `operators/liveserve.py`, for the
+# dynamic-field surface maintained by
+# `streaming/river_stream.py:start_nested_index_stream`).
+
+
+def read_nested_epochs(spark: SparkSession, epochs_dir: str):
+    """(fp_new, fdl_new, changed): the latest-epoch-wins fielded delta —
+    postings, per-doc/field lengths, and the changed-doc authority. All
+    delta-sized; the arbitration join is keyed (doc_id, epoch) against
+    the tiny docs manifest."""
+    d = spark.read.parquet(os.path.join(epochs_dir, "docs"))
+    latest = d.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    fp = (spark.read.parquet(os.path.join(epochs_dir, "fpostings"))
+          .join(latest, ["doc_id", "epoch"])
+          .select("doc_id", "field", "token", "tf", "dl"))
+    fdl = (spark.read.parquet(os.path.join(epochs_dir, "fdl"))
+           .join(latest, ["doc_id", "epoch"])
+           .select("doc_id", "field", "dl"))
+    return fp, fdl, latest.select("doc_id")
+
+
+def nested_field_search_live(spark: SparkSession, base: str,
+                             epochs_dir: str,
+                             terms: tuple[str, ...] = NFS_TERMS) -> DataFrame:
+    """The dynamic-field ``multi_match`` served LIVE from the base
+    fielded index + unmerged stream epochs, with EXACT per-field
+    statistics — every correction delta-proportional:
+
+    - postings: base fpostings (terms-pruned buckets) minus re-indexed
+      docs (broadcast anti-join against the delta-sized changed set),
+      union the epochs' postings latest-epoch-wins;
+    - per-field N / sum_dl: base fstats ± the changed docs' per-field
+      moments (base fdoclen read pruned to the changed docs' dbuckets;
+      epoch fdl aggregated);
+    - per-(field, term) df: base fvocab (pruned) − the changed docs' old
+      occurrences (the SAME terms-pruned base postings slice, semi-joined)
+      + the epochs' new ones.
+
+    Hash-equal to a full rebuild over the post-churn corpus — proven by
+    ``q_nested_field_search_live``'s oracle."""
+    fp_new, fdl_new, changed = read_nested_epochs(spark, epochs_dir)
+    fp_new = fp_new.localCheckpoint(eager=True)   # delta-sized, read twice
+    fdl_new = fdl_new.localCheckpoint(eager=True)
+    changed = changed.localCheckpoint(eager=True)
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        _dbucket,
+    )
+
+    dbuckets = sorted({
+        r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
+
+    base_p = read_fpostings(spark, base, terms)
+    tf_new = fp_new.filter(F.col("token").isin(*terms))
+    p_live = (base_p.join(F.broadcast(changed), "doc_id", "left_anti")
+              .unionByName(tf_new.select("doc_id", "field", "token",
+                                         "tf", "dl")))
+    tf = p_live.select("doc_id", "field", "token", "tf")
+    fdl_scoring = p_live.select("doc_id", "field", "dl").distinct()
+
+    z = F.lit(0).cast("long")
+    removed = (read_fdoclen(spark, base, dbuckets)
+               .join(F.broadcast(changed), "doc_id", "left_semi")
+               .groupBy("field")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_r"),
+                    F.coalesce(F.sum("dl"), z).alias("s_r")))
+    added = (fdl_new.groupBy("field")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_a"),
+                  F.coalesce(F.sum("dl"), z).alias("s_a")))
+    fstats_live = (
+        read_fstats(spark, base).select("field", "n_docs", "sum_dl")
+        .join(removed, "field", "full_outer")
+        .join(added, "field", "full_outer")
+        .select("field",
+                (F.coalesce("n_docs", z) - F.coalesce("n_r", z)
+                 + F.coalesce("n_a", z)).alias("n_docs"),
+                (F.coalesce("sum_dl", z) - F.coalesce("s_r", z)
+                 + F.coalesce("s_a", z)).alias("sum_dl"))
+        .filter(F.col("n_docs") > 0)
+        .select("field", "n_docs",
+                (F.col("sum_dl").cast("double") / F.col("n_docs"))
+                .alias("avgdl")))
+
+    df_old = (base_p.join(F.broadcast(changed), "doc_id", "left_semi")
+              .groupBy("field", "token")
+              .agg(F.count(F.lit(1)).cast("long").alias("df_o")))
+    df_new = (tf_new.groupBy("field", "token")
+              .agg(F.count(F.lit(1)).cast("long").alias("df_n")))
+    dfr = (read_fvocab(spark, base, terms)
+           .join(df_old, ["field", "token"], "full_outer")
+           .join(df_new, ["field", "token"], "full_outer")
+           .select("field", "token",
+                   (F.coalesce("df", z) - F.coalesce("df_o", z)
+                    + F.coalesce("df_n", z)).alias("df"))
+           .filter(F.col("df") > 0))
+    return _score_fielded(tf, fdl_scoring, fstats_live, dfr)
+
+
+#: Churn-epoch fixture for the live-serving oracle gate: 1-in-20 events
+#: re-emitted whole-row with their metric bumped — the selector and the
+#: mutation are md5/arithmetic so DuckDB derives the identical post-churn
+#: corpus.
+NLIVE_CHURN_MOD = 20
+NLIVE_VALUE_BUMP = 7.0
+
+
+def _nlive_churn_sel() -> F.Column:
+    return (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 8), 16, 10).cast("long")
+            % NLIVE_CHURN_MOD == 0)
+
+
+def ensure_nested_live_epochs(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent churn epoch in the nested-epochs layout (fpostings/ +
+    fdl/ + docs/ per epoch + marker), fingerprint-keyed."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        _stamp_nested_epochs_layout,
+    )
+
+    path = nested_index_path_for(sf_dir) + "-live-epochs"
+    marker = os.path.join(path, "_nested_epochs_meta.json")
+    if os.path.exists(marker):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    churned = (load_table(spark, sf_dir, "events")
+               .filter(_nlive_churn_sel())
+               .withColumn("value", F.col("value") + NLIVE_VALUE_BUMP))
+    fc = fielded_cells_from(sparse_melt(churned))
+    (_fpostings(fc).write.mode("overwrite")
+     .parquet(f"{tmp}/fpostings/epoch=0"))
+    (_field_dl(fc).write.mode("overwrite").parquet(f"{tmp}/fdl/epoch=0"))
+    (churned.select(F.col("event_id").cast("string").alias("doc_id"))
+     .distinct().write.mode("overwrite").parquet(f"{tmp}/docs/epoch=0"))
+    _stamp_nested_epochs_layout(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return path
+
+
+def q_nested_field_search_live(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The dynamic-field ``multi_match`` served LIVE from the base
+    fielded index + one unmerged churn epoch (no compaction ran): must
+    hash-equal a full rebuild over the post-churn corpus — the
+    correctness contract that lets the nested surface stay fresh without
+    per-epoch compaction."""
+    base = ensure_nested_index(spark, sf_dir)
+    epochs = ensure_nested_live_epochs(spark, sf_dir)
+    return nested_field_search_live(spark, base, epochs)
+
+
+# ---------------------------------------------------------------------------
 # Registration + oracles.
 
 QUERIES = {
@@ -528,6 +722,7 @@ QUERIES = {
     "q_mapping_bootstrap": q_mapping_bootstrap,
     "q_ids": q_ids,
     "q_nested_field_search_indexed": q_nested_field_search_indexed,
+    "q_nested_field_search_live": q_nested_field_search_live,
     "q_exists_field_indexed": q_exists_field_indexed,
     "q_ids_indexed": q_ids_indexed,
 }
@@ -537,9 +732,11 @@ _NFS_TERMS_SQL = ", ".join(f"'{t}'" for t in NFS_TERMS)
 _TFNORM_SQL = (f"(tf * ({BM25_K1} + 1)) / (tf + {BM25_K1}"
                f" * (1 - {BM25_B} + {BM25_B} * dl / avgdl))")
 
-ORACLES = {
-    "q_nested_field_search": f"""
-WITH {_FIELDED_CTES},
+def _nfs_oracle(ctes: str) -> str:
+    """The multi_match-over-dynamic-fields oracle, parameterized on the
+    fielded-corpus CTE prefix (the live twin swaps in churned events)."""
+    return f"""
+WITH {ctes},
 fstats AS (
   SELECT field, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
@@ -567,7 +764,22 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
            AS rank
   FROM scored)
-SELECT * FROM ranked WHERE rank <= {NFS_TOP}""",
+SELECT * FROM ranked WHERE rank <= {NFS_TOP}"""
+
+
+#: The churned events relation + fielded CTEs for the live-serving twin.
+_NLIVE_CTES = f"""events2 AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % {NLIVE_CHURN_MOD} = 0
+              THEN value + {NLIVE_VALUE_BUMP} ELSE value END AS value,
+         props
+  FROM events),
+{_fielded_ctes(SPARSE_CELLS_SQL_T.format(src='events2')).lstrip()}"""
+
+ORACLES = {
+    "q_nested_field_search": _nfs_oracle(_FIELDED_CTES),
+    "q_nested_field_search_live": _nfs_oracle(_NLIVE_CTES),
 
     "q_nested_path_match": f"""
 WITH {_FIELDED_CTES}

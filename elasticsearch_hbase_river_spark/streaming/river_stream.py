@@ -660,6 +660,104 @@ def read_epoch_docs(spark: SparkSession, index_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1).select("doc_id", "dl"))
 
 
+# ---------------------------------------------------------------------------
+# Fielded (nested-document) index maintenance: the same epoch-delta
+# discipline as start_index_stream, for the dynamic-field search surface.
+
+NESTED_EPOCHS_LAYOUT_VERSION = 1
+_NESTED_EPOCHS_META = "_nested_epochs_meta.json"
+
+
+def _check_nested_epochs_layout(index_dir: str) -> None:
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(index_dir, _NESTED_EPOCHS_META)
+    found: object = None
+    if _os.path.exists(meta):
+        with open(meta) as f:
+            found = _json.load(f).get("layout")
+    if found == NESTED_EPOCHS_LAYOUT_VERSION:
+        return
+    if found is None and (
+            not _os.path.exists(index_dir)
+            or not any(e for e in _os.listdir(index_dir)
+                       if not e.startswith("."))):
+        return
+    raise ValueError(
+        f"nested epochs directory {index_dir} has layout={found!r}, engine "
+        f"expects {NESTED_EPOCHS_LAYOUT_VERSION} — refuse to write beside "
+        "a foreign layout.")
+
+
+def _stamp_nested_epochs_layout(index_dir: str) -> None:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(index_dir, exist_ok=True)
+    meta = _os.path.join(index_dir, _NESTED_EPOCHS_META)
+    tmp = f"{meta}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        _json.dump({"layout": NESTED_EPOCHS_LAYOUT_VERSION}, f)
+    _os.replace(tmp, meta)
+
+
+def start_nested_index_stream(spark: SparkSession, cells_source_dir: str,
+                              index_dir: str, checkpoint_dir: str,
+                              available_now: bool = True) -> StreamingQuery:
+    """Maintain the FIELDED (nested-document) index incrementally: each
+    micro-batch of CELLS (the river's input unit) melts to dynamic
+    fields and lands as one epoch of fielded postings — the streaming
+    maintainer for the `operators/nesteddoc.py` search surface, with the
+    same exactly-once per-epoch-overwrite discipline as
+    ``start_index_stream``.
+
+    Contract: a micro-batch carries COMPLETE rows for its changed
+    row_keys (scan batches arrive row-grouped, HBaseParser.java:101-110
+    — the same assumption the pipeline's assemble makes); within a
+    batch, cell versions arbitrate by ts_ms (HBase cell semantics).
+    Epoch outputs: ``fpostings/epoch=N`` (the batch docs' fielded
+    postings), ``fdl/epoch=N`` (per doc/field analyzed lengths),
+    ``docs/epoch=N`` (one row per changed doc — the arbitration
+    authority, covering re-indexes that emptied every analyzable
+    field). Readers resolve latest-epoch-wins per doc
+    (`nesteddoc.read_nested_epochs`); serving between compactions is
+    `nesteddoc.nested_field_search_live`."""
+    cells = read_cells_stream(spark, cells_source_dir)
+
+    def build_delta(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from elasticsearch_hbase_river_spark.operators.nesteddoc import (
+            _field_dl,
+            _fpostings,
+            fielded_cells_from,
+        )
+
+        _check_nested_epochs_layout(index_dir)
+        _stamp_nested_epochs_layout(index_dir)
+        w = Window.partitionBy("row_key", "family", "qualifier").orderBy(
+            F.col("ts_ms").desc(), F.col("value").desc())
+        latest = (batch_df.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).drop("rn").persist())
+        fc = fielded_cells_from(latest)
+        (_fpostings(fc).write.mode("overwrite")
+         .parquet(f"{index_dir}/fpostings/epoch={batch_id}"))
+        (_field_dl(fc).write.mode("overwrite")
+         .parquet(f"{index_dir}/fdl/epoch={batch_id}"))
+        (latest.select(F.col("row_key").alias("doc_id")).distinct()
+         .write.mode("overwrite")
+         .parquet(f"{index_dir}/docs/epoch={batch_id}"))
+        latest.unpersist()
+
+    writer = (cells.writeStream.foreachBatch(build_delta)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 VEC_SCHEMA = StructType([
     StructField("vec_id", LongType()),
     # float32 embeddings, matching the embeddings fixture dtype

@@ -121,3 +121,69 @@ def test_json_leaf_extraction_parity_beyond_flat_values(spark, sf_dir):
         "SELECT v, unnest(json_keys(v)) AS k FROM (SELECT unnest(?) AS v))",
         [vals]).fetchall()))
     assert got == want
+
+
+def _mk_cells(spark, rows):
+    """rows: (row_key, family, qualifier, value, ts_ms)."""
+    return spark.createDataFrame(
+        rows, "row_key string, family string, qualifier string, "
+              "value string, ts_ms long")
+
+
+def _doc_cells(doc, et, uid, ts):
+    return [(doc, "meta", "event_type", et, ts),
+            (doc, "meta", "user_id", uid, ts)]
+
+
+def test_nested_stream_live_serving_equals_rebuild(spark, tmp_path):
+    """Two stream epochs over the fielded index — an update superseded by
+    a later update plus a brand-new doc — served live must equal the
+    rebuild over the final corpus (same scoring pipeline, same rows)."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_nested_index_stream,
+    )
+
+    base_cells = _mk_cells(spark, (
+        _doc_cells("1", "error", "87", 10)
+        + _doc_cells("2", "click", "12", 10)
+        + _doc_cells("3", "error error purchase", "87", 10)))
+    base = str(tmp_path / "base_idx")
+    nd.build_nested_index(spark, nd.fielded_cells_from(base_cells), base)
+
+    src = str(tmp_path / "src")
+    epochs = str(tmp_path / "epochs")
+    ckpt = str(tmp_path / "ckpt")
+    # epoch 0: doc 1 re-indexed (user_id flips to 12)
+    _mk_cells(spark, _doc_cells("1", "error", "12", 20)) \
+        .write.mode("append").parquet(src)
+    q = start_nested_index_stream(spark, src, epochs, ckpt)
+    q.awaitTermination(120)
+    # epoch 1: doc 1 AGAIN (supersedes epoch 0) + brand-new doc 4
+    _mk_cells(spark, _doc_cells("1", "view", "87", 30)
+              + _doc_cells("4", "error purchase", "87", 30)) \
+        .write.mode("append").parquet(src)
+    q = start_nested_index_stream(spark, src, epochs, ckpt)
+    q.awaitTermination(120)
+
+    final_cells = _mk_cells(spark, (
+        _doc_cells("1", "view", "87", 30)
+        + _doc_cells("2", "click", "12", 10)
+        + _doc_cells("3", "error error purchase", "87", 10)
+        + _doc_cells("4", "error purchase", "87", 30)))
+    rebuilt = str(tmp_path / "rebuilt_idx")
+    nd.build_nested_index(spark, nd.fielded_cells_from(final_cells),
+                          rebuilt)
+
+    terms = ("error", "87")
+    live = sorted(map(tuple, nd.nested_field_search_live(
+        spark, base, epochs, terms=terms).collect()))
+    # rebuild reference: the indexed read path over the rebuilt snapshot
+    p = nd.read_fpostings(spark, rebuilt, terms)
+    fdl = p.select("doc_id", "field", "dl").distinct()
+    fstats = (nd.read_fstats(spark, rebuilt)
+              .select("field", "n_docs", "avgdl"))
+    dfr = nd.read_fvocab(spark, rebuilt, terms)
+    want = sorted(map(tuple, nd._score_fielded(
+        p.select("doc_id", "field", "token", "tf"), fdl, fstats,
+        dfr).collect()))
+    assert live == want and len(live) > 0
