@@ -31,6 +31,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.esdsl2",
     "elasticsearch_hbase_river_spark.operators.esdsl3",
     "elasticsearch_hbase_river_spark.operators.esdsl4",
+    "elasticsearch_hbase_river_spark.operators.esdsl5",
     "elasticsearch_hbase_river_spark.operators.vector_index",
 )
 

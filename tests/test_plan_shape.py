@@ -266,6 +266,14 @@ _ALLOWED_SINGLE_PARTITION = {
                               # = 8192 rows) regardless of corpus size
     "q_percolate_indexed",    # same slot-dictionary window
     "q_percolate_k3",         # same slot-dictionary window
+    "q_cumulative_cardinality",  # cumulative window over the DAY relation
+                              # (calendar-sized); the corpus pays one
+                              # keyed first-appearance shuffle below it
+    "q_msearch",              # 1-row corpus-count aggregate broadcast
+                              # into the idf term (ranking windows
+                              # partition by query term)
+    "q_variable_width_histogram",  # 1-row exact-quantile boundary agg
+                              # broadcast into map-side bucket assignment
 }
 
 
