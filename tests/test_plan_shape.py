@@ -274,6 +274,8 @@ _ALLOWED_SINGLE_PARTITION = {
                               # partition by query term)
     "q_variable_width_histogram",  # 1-row exact-quantile boundary agg
                               # broadcast into map-side bucket assignment
+    "q_missing_agg",          # 1-row corpus-total aggregate broadcast
+                              # into the |fields|-sized exists relation
 }
 
 
