@@ -16,7 +16,7 @@ Document-structure aggs (over the river's assembled corpora):
   priority) descend into their child documents (lineitems): child doc
   count + child metric per parent bucket.
 - ``q_reverse_nested`` : ES ``reverse_nested`` — bucket by a NESTED
-  member field (lineitem ship mode), then step back up to the parent
+  member field (lineitem return flag), then step back up to the parent
   level: parent doc count + a parent-level metric per nested bucket.
 
 Geo / ip:
@@ -78,11 +78,15 @@ ORACLES: dict = {}
 def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``missing`` agg per discovered field path: assembled documents
     NOT carrying the field (null/empty counts as missing, as in ES).
-    The exists side is one |fields|-group shuffle; the corpus total is a
-    1-row broadcast; missing = total − exists needs no per-doc
-    anti-join."""
+    The exists side is one |fields|-group shuffle; the corpus total is
+    the source-row count — every source row assembles into exactly one
+    document (the sparse melt always emits its ``meta`` cells,
+    `nesteddoc.py:sparse_melt`), so the total is a shuffle-free
+    count-star, NOT a corpus-wide distinct over the melted cells
+    (measured: the distinct made this 57 s at sf3; the count-star form
+    is ~10 s cold). missing = total − exists needs no per-doc anti-join."""
     fc = fielded_cells(spark, sf_dir)
-    total = (fc.select("doc_id").distinct()
+    total = (load_table(spark, sf_dir, "events")
              .agg(F.count(F.lit(1)).cast("long").alias("n_total")))
     exists = (fc.filter(F.col("value").isNotNull() & (F.col("value") != ""))
               .groupBy("field")
@@ -96,8 +100,7 @@ def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fielded-cells CTE chain is nesteddoc.py's oracle spec; reuse it.
 ORACLES["q_missing_agg"] = f"""
 WITH {_FIELDED_CTES},
-total AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total
-          FROM fcells),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events),
 ex AS (
   SELECT field, CAST(count(*) AS BIGINT) AS doc_count
   FROM fcells WHERE value IS NOT NULL AND value <> ''
