@@ -276,6 +276,10 @@ _ALLOWED_SINGLE_PARTITION = {
                               # broadcast into map-side bucket assignment
     "q_missing_agg",          # 1-row corpus-total aggregate broadcast
                               # into the |fields|-sized exists relation
+    "q_sibling_bucket_stats",  # 1-row sibling aggregate over the DAY
+                              # bucket relation (corpus pays one keyed
+                              # partial-agg shuffle below it)
+    "q_normalize_agg",        # 1-row total over the |types| relation
 }
 
 
