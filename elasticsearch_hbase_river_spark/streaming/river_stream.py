@@ -887,3 +887,69 @@ def start_percolate_stream(spark: SparkSession, docs_source_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming cumulative cardinality — per-user first appearance.
+
+_FIRST_OUT_SCHEMA = "user_id LONG, day_id LONG"
+_FIRST_STATE_SCHEMA = "first_day LONG"
+
+
+def streaming_first_appearance(spark: SparkSession, events_source_dir: str,
+                               files_per_trigger: int = 16) -> DataFrame:
+    """Streaming twin of the batch ``q_cumulative_cardinality`` firsts
+    relation (`operators/esdsl5.py`): emit ``(user_id, day_id)`` the
+    FIRST time each user is seen on the stream; later arrivals emit
+    nothing, and an earlier-day arrival in a later batch corrects state
+    downward and re-emits (out-of-order input converges to the batch
+    min, so the union of emissions per user minimized over day equals
+    the batch firsts relation — the lifecycle test pins exactly that).
+
+    100 TB shape: state is ONE long per user, keyed by user — Spark
+    shards the state store by key, per-arrival work is O(1), and the
+    cumulative-count aggregation downstream runs over the day relation,
+    never the corpus. ES computes this agg from an HLL sketch per
+    bucket; this twin is exact, the same trade `q_cumulative_cardinality`
+    documents.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+
+    _tune_session(spark)
+    # Source = the (user_id, ts_ms) projection of the canonical events
+    # relation (the test writes it with `load_events`), same convention
+    # as streaming_near_dedup's (doc_id, text) source.
+    ev = (spark.readStream
+          .schema("user_id LONG, ts_ms LONG")
+          .option("maxFilesPerTrigger", files_per_trigger)
+          .parquet(events_source_dir))
+    day_ms = 86_400_000
+    keyed = ev.select(
+        "user_id", F.expr(f"ts_ms div {day_ms}").alias("day_id"))
+
+    def first_seen(key, pdfs, state):
+        import pandas as pd  # runs on Python workers
+
+        (user_id,) = key
+        out = {"user_id": [], "day_id": []}
+        best = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["day_id"].min())
+                if best is None or m < best:
+                    best = m
+                    out["user_id"].append(int(user_id))
+                    out["day_id"].append(m)
+        if best is not None:
+            state.update((best,))
+        yield pd.DataFrame(out)
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        first_seen,
+        outputStructType=_FIRST_OUT_SCHEMA,
+        stateStructType=_FIRST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -790,3 +790,38 @@ def test_epochs_layout_marker_refuses_foreign_directory(spark, tmp_path):
         json.dump({"layout": EPOCHS_LAYOUT_VERSION + 1}, f)
     with pytest.raises(ValueError, match="layout"):
         read_inverted_index(spark, index)
+
+
+def test_streaming_first_appearance_equals_batch_firsts(spark, sf_dir,
+                                                        tmp_path):
+    """Streaming twin of q_cumulative_cardinality's firsts relation:
+    union of emissions minimized per user over day == the batch
+    per-user min-day, even when files arrive out of day order."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        streaming_first_appearance,
+    )
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+
+    src = str(tmp_path / "ev_firsts_src")
+    day_ms = 86_400_000
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts_ms").cast("long").alias("ts_ms"))
+    # Write LATER days first so a later batch must correct state downward.
+    late = ev.filter((F.col("ts_ms") / day_ms) >= 2)
+    early = ev.filter((F.col("ts_ms") / day_ms) < 2)
+    late.coalesce(1).write.mode("overwrite").parquet(src)
+    early.coalesce(1).write.mode("append").parquet(src)
+
+    out = streaming_first_appearance(spark, src, files_per_trigger=1)
+    q = (out.writeStream.format("memory").queryName("firsts_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.table("firsts_t")
+           .groupBy("user_id")
+           .agg(F.min("day_id").alias("day_id")))
+    want = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_ms div {day_ms})").alias("day_id"))
+    diff = got.join(want, ["user_id", "day_id"], "full_outer") \
+              .count()
+    assert got.count() == want.count()
+    assert diff == want.count()  # full outer join collapses iff identical
