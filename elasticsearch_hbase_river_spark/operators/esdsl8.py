@@ -662,6 +662,96 @@ SELECT * FROM ranked WHERE rank <= {INT8_TOP} ORDER BY qid, rank"""
 ORACLES["q_knn_int8_rescore"] = _int8_oracle()
 
 # ---------------------------------------------------------------------------
+# EQL sequence — ES's Event Query Language over the event stream.
+
+EQL_STAGES = ("view", "click", "purchase")
+EQL_MAXSPAN_MS = 6 * 3600 * 1000
+EQL_TOP = 20
+
+
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL ``sequence by user_id with maxspan=6h [view] [click]
+    [purchase]``: per user, every view anchors a match whose click is
+    the FIRST click strictly after it in stream order and whose
+    purchase is the FIRST purchase strictly after that click, with the
+    whole span inside the maxspan — EQL's head-match semantics. Output:
+    per-user match count and tightest span, top-{EQL_TOP} users.
+
+    Scale shape: NO row-explosion sequence join — two reversed
+    cumulative-min window passes per user (each the first-following-
+    event pointer) and ONE equi-join on (user_id, click_ts) to chain
+    them. Events shuffle once onto user_id and stay there; stream order
+    ties break on event_id so the match is deterministic."""
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin(*EQL_STAGES))
+          .select("user_id", "event_id", "ts_ms", "event_type"))
+    # reversed stream order: frame [unbounded, 1 preceding] = strictly
+    # LATER events, so min(...) is the first following stage event
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    nxt_click = F.min(F.when(F.col("event_type") == EQL_STAGES[1],
+                             F.col("ts_ms"))).over(w)
+    nxt_purch = F.min(F.when(F.col("event_type") == EQL_STAGES[2],
+                             F.col("ts_ms"))).over(w)
+    ptr = ev.select("user_id", "event_id", "ts_ms", "event_type",
+                    nxt_click.alias("next_click_ts"),
+                    nxt_purch.alias("next_purchase_ts"))
+    views = (ptr.filter(F.col("event_type") == EQL_STAGES[0])
+             .select("user_id", F.col("ts_ms").alias("vts"),
+                     F.col("next_click_ts").alias("cts"))
+             .filter(F.col("cts").isNotNull()))
+    clicks = (ptr.filter(F.col("event_type") == EQL_STAGES[1])
+              .select("user_id", F.col("ts_ms").alias("cts"),
+                      F.col("next_purchase_ts").alias("pts"))
+              .filter(F.col("pts").isNotNull())
+              # several clicks can share (user, ts) — the pointer join
+              # must stay 1:1, so the earliest purchase pointer wins
+              .groupBy("user_id", "cts")
+              .agg(F.min("pts").alias("pts")))
+    matches = (views.join(clicks, ["user_id", "cts"])
+               .filter(F.col("pts") - F.col("vts") <= EQL_MAXSPAN_MS))
+    return (matches.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.min(F.col("pts") - F.col("vts")).alias("min_span_ms"))
+            .orderBy(F.col("n_matches").desc(), "user_id")
+            .limit(EQL_TOP))
+
+
+ORACLES["q_eql_sequence"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events WHERE event_type IN ('{EQL_STAGES[0]}', '{EQL_STAGES[1]}',
+                                   '{EQL_STAGES[2]}')),
+ptr AS (
+  SELECT user_id, ts_ms, event_type,
+         min(CASE WHEN event_type = '{EQL_STAGES[1]}' THEN ts_ms END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_ms DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_click_ts,
+         min(CASE WHEN event_type = '{EQL_STAGES[2]}' THEN ts_ms END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_ms DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_purchase_ts
+  FROM ev),
+views AS (
+  SELECT user_id, ts_ms AS vts, next_click_ts AS cts FROM ptr
+  WHERE event_type = '{EQL_STAGES[0]}' AND next_click_ts IS NOT NULL),
+clicks AS (
+  SELECT user_id, ts_ms AS cts, min(next_purchase_ts) AS pts FROM ptr
+  WHERE event_type = '{EQL_STAGES[1]}' AND next_purchase_ts IS NOT NULL
+  GROUP BY user_id, ts_ms),
+matches AS (
+  SELECT user_id, vts, pts FROM views JOIN clicks USING (user_id, cts)
+  WHERE pts - vts <= {EQL_MAXSPAN_MS})
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       min(pts - vts) AS min_span_ms
+FROM matches GROUP BY user_id
+ORDER BY n_matches DESC, user_id LIMIT {EQL_TOP}"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES.update({
     "q_significant_text": q_significant_text,
@@ -674,4 +764,5 @@ QUERIES.update({
     "q_ip_range_agg": q_ip_range_agg,
     "q_geohex_grid": q_geohex_grid,
     "q_knn_int8_rescore": q_knn_int8_rescore,
+    "q_eql_sequence": q_eql_sequence,
 })

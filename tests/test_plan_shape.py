@@ -280,6 +280,15 @@ _ALLOWED_SINGLE_PARTITION = {
                               # bucket relation (corpus pays one keyed
                               # partial-agg shuffle below it)
     "q_normalize_agg",        # 1-row total over the |types| relation
+    "q_percentiles_bucket",   # 1-row sibling percentile aggregate over
+                              # the DAY bucket relation (corpus pays one
+                              # keyed partial-agg shuffle below it)
+    "q_moving_percentiles",   # window over the DAY bucket relation —
+                              # calendar-sized, same shape as
+                              # q_serial_diff / q_moving_fn
+    "q_perplexity_filter",    # 1-row tercile-cut aggregate over the
+                              # per-doc score relation, broadcast back
+                              # for bucket assignment
 }
 
 
