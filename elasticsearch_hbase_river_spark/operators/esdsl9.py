@@ -1,0 +1,177 @@
+"""ES query-DSL pack 9: the statistical pipeline aggs —
+bucket_count_ks_test and bucket_correlation.
+
+Both are ES aggregations published for change/drift detection over
+bucketed data:
+
+- ``q_bucket_ks_test``     : two-sample Kolmogorov-Smirnov D statistic
+  between the ``value`` distributions of two event types. ES's
+  ``bucket_count_ks_test`` runs over bucket counts, so the samples are
+  first binned into {KS_BINS} fixed-width buckets over
+  [{KS_LO}, {KS_HI}) (outliers clamp to the edge bins) and D is the max
+  |ECDF1 - ECDF2| over the bin boundaries — the bucketed form of the
+  test, which also BOUNDS the window relation (|bins| rows at any
+  corpus size, where raw distinct values would be corpus-sized).
+- ``q_bucket_correlation`` : Pearson correlation between two per-day
+  bucket series (counts of two event types). The moments (n, Σx, Σy,
+  Σxy, Σx², Σy²) accumulate as exact BIGINTs over the day relation and
+  the r formula runs once in double — engine-exact by construction, no
+  float summation-order exposure at all.
+
+Scale shapes: the corpus pays ONE keyed partial-agg shuffle into the
+bin/day relation for each agg; the cumulative window (KS) and the 1-row
+moment aggregate (correlation) run over those bounded relations only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import (
+    roundn_col,
+    roundn_sql,
+)
+from elasticsearch_hbase_river_spark.operators.esagg import DAY_MS
+from elasticsearch_hbase_river_spark.sources.tables import load_events
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# ---------------------------------------------------------------------------
+# bucket_count_ks_test — binned two-sample KS.
+
+KS_A = "purchase"
+KS_B = "click"
+KS_BINS = 1000
+KS_LO = 0.0
+KS_HI = 100.0
+
+
+def q_bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_count_ks_test``: two-sample KS D statistic between
+    the {KS_A!r} and {KS_B!r} ``value`` distributions, computed over
+    {KS_BINS} fixed-width bins (the agg's bucketed semantics; raw-value
+    ECDFs would make the window relation corpus-sized). One row:
+    sample sizes and the 6-dp D statistic.
+
+    Scale shape: one conditional partial-agg shuffle onto |bins| keys;
+    the cumulative ECDF window and the final max run over the bounded
+    bin relation. The window is single-partition BY DESIGN — ≤{KS_BINS}
+    rows at any corpus size."""
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin(KS_A, KS_B)))
+    width = (KS_HI - KS_LO) / KS_BINS
+    rawbin = F.floor((F.col("value") - KS_LO) / width).cast("long")
+    binned = ev.select(
+        F.least(F.greatest(rawbin, F.lit(0)),
+                F.lit(KS_BINS - 1)).alias("bin"),
+        "event_type")
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == KS_A, 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("event_type") == KS_B, 1).otherwise(0))
+        .cast("long").alias("nb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        "bin",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"))
+    totals = per_bin.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    diff = F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb"))
+    return (cum.crossJoin(F.broadcast(totals))
+            .agg(F.max("ta").cast("long").alias("n_a"),
+                 F.max("tb").cast("long").alias("n_b"),
+                 roundn_col(F.max(diff)).alias("d_stat")))
+
+
+ORACLES["q_bucket_ks_test"] = f"""
+WITH ev AS (
+  SELECT least(greatest(CAST(floor((value - {KS_LO})
+           / {(KS_HI - KS_LO) / KS_BINS}) AS BIGINT), 0),
+         {KS_BINS - 1}) AS bin,
+         event_type
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')),
+per_bin AS (
+  SELECT bin,
+         CAST(count(*) FILTER (event_type = '{KS_A}') AS BIGINT) AS na,
+         CAST(count(*) FILTER (event_type = '{KS_B}') AS BIGINT) AS nb
+  FROM ev GROUP BY bin),
+cum AS (
+  SELECT bin,
+         sum(na) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(nb) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM per_bin),
+totals AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per_bin)
+SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+       {roundn_sql('max(abs(ca / ta::DOUBLE - cb / tb::DOUBLE))')}
+       AS d_stat
+FROM cum, totals"""
+
+# ---------------------------------------------------------------------------
+# bucket_correlation — Pearson r between two per-day bucket series.
+
+CORR_X = "purchase"
+CORR_Y = "click"
+
+
+def q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_correlation`` (Pearson): correlation between the
+    per-day {CORR_X!r} and {CORR_Y!r} counts. The day series' moments
+    accumulate as exact BIGINTs (counts are integers) and the r formula
+    evaluates once in double — no float accumulation order anywhere, so
+    the statistic is engine-exact before the defensive rounding.
+
+    Scale shape: one keyed partial-agg shuffle into days; the moment
+    aggregate is 1-row over the calendar-sized day relation."""
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin(CORR_X, CORR_Y)))
+    day = ev.groupBy(F.expr(f"ts_ms div {DAY_MS}").alias("day_id")).agg(
+        F.sum(F.when(F.col("event_type") == CORR_X, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == CORR_Y, 1).otherwise(0))
+        .cast("long").alias("y"))
+    m = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = F.sqrt((F.col("n") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy")
+                   - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "n",
+        roundn_col(num.cast("double") / (denx * deny)).alias("pearson_r"))
+
+
+ORACLES["q_bucket_correlation"] = f"""
+WITH day AS (
+  SELECT epoch_ms(ts) // {DAY_MS} AS day_id,
+         CAST(count(*) FILTER (event_type = '{CORR_X}') AS BIGINT) AS x,
+         CAST(count(*) FILTER (event_type = '{CORR_Y}') AS BIGINT) AS y
+  FROM events WHERE event_type IN ('{CORR_X}', '{CORR_Y}')
+  GROUP BY 1),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM day)
+SELECT n,
+       {roundn_sql('''CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))''')}
+       AS pearson_r
+FROM m"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES.update({
+    "q_bucket_ks_test": q_bucket_ks_test,
+    "q_bucket_correlation": q_bucket_correlation,
+})

@@ -35,6 +35,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.esdsl6",
     "elasticsearch_hbase_river_spark.operators.esdsl7",
     "elasticsearch_hbase_river_spark.operators.esdsl8",
+    "elasticsearch_hbase_river_spark.operators.esdsl9",
     "elasticsearch_hbase_river_spark.operators.ccnet",
     "elasticsearch_hbase_river_spark.operators.observability",
     "elasticsearch_hbase_river_spark.operators.vector_index",

@@ -289,6 +289,11 @@ _ALLOWED_SINGLE_PARTITION = {
     "q_perplexity_filter",    # 1-row tercile-cut aggregate over the
                               # per-doc score relation, broadcast back
                               # for bucket assignment
+    "q_bucket_ks_test",       # ECDF window + 1-row max over the BOUNDED
+                              # bin relation (≤ KS_BINS rows at any
+                              # corpus size)
+    "q_bucket_correlation",   # 1-row moment aggregate over the DAY
+                              # bucket relation
 }
 
 
