@@ -752,6 +752,78 @@ FROM matches GROUP BY user_id
 ORDER BY n_matches DESC, user_id LIMIT {EQL_TOP}"""
 
 # ---------------------------------------------------------------------------
+# EQL until — the sequence window terminated by an expiration event.
+
+EQL_UNTIL = "error"
+
+
+def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL ``sequence by user_id with maxspan=6h [view] [click] until
+    [error]``: a (view → first-following-click) pair is VOIDED when an
+    {EQL_UNTIL!r} event falls strictly between the two in stream order
+    — EQL's ``until`` expires pending sequence state. Per user: valid
+    matches and voided matches (the observability split an alerting
+    pipeline wants), top-{EQL_TOP} users by valid matches.
+
+    Scale shape: the SAME single window pass as ``q_eql_sequence``
+    computes both the next-click and next-until pointers; validity is a
+    map-side comparison — no extra shuffle at all."""
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin(EQL_STAGES[0], EQL_STAGES[1],
+                                           EQL_UNTIL))
+          .select("user_id", "event_id", "ts_ms", "event_type"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    nxt_click = F.min(F.when(F.col("event_type") == EQL_STAGES[1],
+                             F.col("ts_ms"))).over(w)
+    nxt_until = F.min(F.when(F.col("event_type") == EQL_UNTIL,
+                             F.col("ts_ms"))).over(w)
+    views = (ev.select("user_id", "ts_ms", "event_type",
+                       nxt_click.alias("cts"), nxt_until.alias("uts"))
+             .filter((F.col("event_type") == EQL_STAGES[0])
+                     & F.col("cts").isNotNull()
+                     & (F.col("cts") - F.col("ts_ms") <= EQL_MAXSPAN_MS)))
+    valid = (F.col("uts").isNull() | (F.col("cts") < F.col("uts")))
+    return (views.groupBy("user_id")
+            .agg(F.sum(F.when(valid, 1).otherwise(0)).cast("long")
+                 .alias("n_matches"),
+                 F.sum(F.when(valid, 0).otherwise(1)).cast("long")
+                 .alias("n_voided"))
+            .filter(F.col("n_matches") > 0)
+            .orderBy(F.col("n_matches").desc(), "user_id")
+            .limit(EQL_TOP))
+
+
+ORACLES["q_eql_until"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events WHERE event_type IN ('{EQL_STAGES[0]}', '{EQL_STAGES[1]}',
+                                   '{EQL_UNTIL}')),
+ptr AS (
+  SELECT user_id, ts_ms, event_type,
+         min(CASE WHEN event_type = '{EQL_STAGES[1]}' THEN ts_ms END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_ms DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cts,
+         min(CASE WHEN event_type = '{EQL_UNTIL}' THEN ts_ms END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_ms DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS uts
+  FROM ev),
+views AS (
+  SELECT user_id, (uts IS NULL OR cts < uts) AS valid FROM ptr
+  WHERE event_type = '{EQL_STAGES[0]}' AND cts IS NOT NULL
+    AND cts - ts_ms <= {EQL_MAXSPAN_MS})
+SELECT user_id,
+       CAST(count(*) FILTER (valid) AS BIGINT) AS n_matches,
+       CAST(count(*) FILTER (NOT valid) AS BIGINT) AS n_voided
+FROM views GROUP BY user_id HAVING count(*) FILTER (valid) > 0
+ORDER BY n_matches DESC, user_id LIMIT {EQL_TOP}"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES.update({
     "q_significant_text": q_significant_text,
@@ -765,4 +837,5 @@ QUERIES.update({
     "q_geohex_grid": q_geohex_grid,
     "q_knn_int8_rescore": q_knn_int8_rescore,
     "q_eql_sequence": q_eql_sequence,
+    "q_eql_until": q_eql_until,
 })

@@ -170,8 +170,72 @@ SELECT n,
 FROM m"""
 
 # ---------------------------------------------------------------------------
+# search_template — mustache-param rendering into an executable query.
+
+#: The stored template: a term match + numeric range over events, with
+#: three mustache params. ES renders server-side, then executes the
+#: rendered body — rendering here is pure driver-side string work.
+SEARCH_TEMPLATE = ("type={{event_type}} value_gte={{min_value}} "
+                   "top={{size}}")
+TEMPLATE_PARAMS = {"event_type": "purchase", "min_value": "50",
+                   "size": "15"}
+
+
+def render_template(template: str, params: dict[str, str]) -> dict[str, str]:
+    """Render a mustache-subset template (``{{name}}`` placeholders
+    only) into the query's key=value clauses. Unknown placeholders and
+    unused params both raise — ES's strict-params behavior."""
+    import re
+
+    used = set()
+
+    def sub(m) -> str:
+        k = m.group(1)
+        if k not in params:
+            raise ValueError(f"missing template param: {k!r}")
+        used.add(k)
+        return params[k]
+
+    body = re.sub(r"\{\{([a-z_]+)\}\}", sub, template)
+    unused = set(params) - used
+    if unused:
+        raise ValueError(f"unused template params: {sorted(unused)}")
+    if "{{" in body or "}}" in body:
+        raise ValueError("unrendered placeholder left in template body")
+    return dict(kv.split("=", 1) for kv in body.split())
+
+
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search-template execution: render {SEARCH_TEMPLATE!r} with
+    the stored params, then run the rendered query — a term filter on
+    event_type + a gte range on value, top-N by value. The render is
+    driver-side microseconds; the executed plan is the plain pushable
+    term+range scan with a TakeOrdered top-k."""
+    q = render_template(SEARCH_TEMPLATE, TEMPLATE_PARAMS)
+    ev = load_events(spark, sf_dir)
+    return (ev.filter((F.col("event_type") == q["type"])
+                      & (F.col("value") >= float(q["value_gte"])))
+            .select("event_id", "user_id",
+                    roundn_col(F.col("value")).alias("value"))
+            .orderBy(F.col("value").desc(), "event_id")
+            .limit(int(q["top"])))
+
+
+def _search_template_oracle() -> str:
+    q = render_template(SEARCH_TEMPLATE, TEMPLATE_PARAMS)
+    return f"""
+SELECT event_id, user_id, {roundn_sql('value')} AS value
+FROM events
+WHERE event_type = '{q["type"]}' AND value >= {float(q["value_gte"])}
+ORDER BY value DESC, event_id LIMIT {int(q["top"])}"""
+
+
+ORACLES["q_search_template"] = _search_template_oracle()
+
+# ---------------------------------------------------------------------------
 
 QUERIES.update({
     "q_bucket_ks_test": q_bucket_ks_test,
     "q_bucket_correlation": q_bucket_correlation,
+    "q_search_template": q_search_template,
 })

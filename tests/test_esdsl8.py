@@ -170,6 +170,30 @@ def test_ks_test_d_stat_in_unit_interval(spark, sf_dir):
     assert 0.0 <= row.d_stat <= 1.0
 
 
+def test_search_template_renderer_strict_params():
+    import pytest
+
+    from elasticsearch_hbase_river_spark.operators.esdsl9 import (
+        render_template,
+    )
+    out = render_template("a={{x}} b={{y}}", {"x": "1", "y": "2"})
+    assert out == {"a": "1", "b": "2"}
+    with pytest.raises(ValueError):            # missing param
+        render_template("a={{x}}", {})
+    with pytest.raises(ValueError):            # unused param
+        render_template("a={{x}}", {"x": "1", "z": "9"})
+
+
+def test_eql_until_voids_are_disjoint_from_matches(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.esdsl8 import (
+        q_eql_until,
+    )
+    rows = q_eql_until(spark, sf_dir).collect()
+    assert rows, "fixture must produce at least one valid match"
+    for r in rows:
+        assert r.n_matches >= 1 and r.n_voided >= 0
+
+
 def test_bucket_correlation_in_range(spark, sf_dir):
     from elasticsearch_hbase_river_spark.operators.esdsl9 import (
         q_bucket_correlation,
