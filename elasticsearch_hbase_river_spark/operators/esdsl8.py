@@ -40,6 +40,11 @@ This pack covers the remaining published API shapes:
   pointy-top hex lattice (size {HEX_SIZE_DEG} deg) via the standard
   fractional-axial + cube-rounding construction — the same math H3
   applies after its projection.
+- ``q_eql_sequence`` / ``q_eql_until`` : ES EQL — ``sequence by
+  user_id with maxspan`` head-match semantics via reversed
+  cumulative-min window pointers (no row-explosion join), and the
+  ``until`` variant where a terminator event between stages expires
+  the pending sequence state.
 - ``q_knn_int8_rescore``   : ES's quantized-vector search story
   (``int8`` scalar quantization): corpus vectors are quantized to
   8-bit codes (per-vector min/max scale — ES's per-segment scalar

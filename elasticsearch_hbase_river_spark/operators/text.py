@@ -227,15 +227,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     step up from ``q_unigram_logprob`` toward the KenLM-style perplexity
     filters pretraining pipelines run.
 
-    Shape: ONE tokenize+explode pass feeds everything. Each token row
-    carries its successor (``F.get`` past the array end is a null — the
-    end-of-document sentinel), so unigram counts c(w1), the vocab total,
-    bigram counts c(w1,w2) AND the scoring join all derive from a single
-    materialized (doc_id, w1, w2) relation — the corpus is tokenized once,
-    not three times (A/B-measured ~parity at sf0.1, ~1.9 s uncontended
-    either way — the win is the structural one: at real scale the repeated
-    tokenize+explode passes grow with the corpus while the materialization
-    is written once and read four times).
+    Shape: one (doc_id, w1, w2) gram relation feeds everything — each
+    token row carries its successor (``F.get`` past the array end is a
+    null — the end-of-document sentinel), so unigram counts c(w1), the
+    vocab total, bigram counts c(w1,w2) AND the scoring join all derive
+    from the same expression. The relation is RECOMPUTED per consumer,
+    not checkpointed: an earlier ``localCheckpoint`` of the corpus-sized
+    grams measured BIMODAL at sf1 — 4.2 s warm-best but 17-48 s whenever
+    the session's block manager carried pressure from earlier queries
+    (the eager materialization pins executor memory until GC), while the
+    recompute is a flat ~9 s in every condition. Predictable linear
+    tokenize work beats a corpus-sized block-manager residency — the
+    same reasoning that keeps 100 TB checkpoints off executor storage.
     The bigram count table is corpus-sized so it hash-joins on (w1, w2),
     while the vocab-sized unigram counts and the 1-row vocab total
     broadcast. One doc_id shuffle for the mean.
@@ -253,12 +256,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(F.sequence(F.lit(0), n - 1),
                         lambda i: F.struct(F.get(toks, i).alias("w1"),
                                            F.get(toks, i + 1).alias("w2")))
-    # read four times (ufreq, vocab, bfreq, scoring join) — the multi-pass
-    # materialization trade, same as candidate_pairs / q_more_like_this
+    # read four times (ufreq, vocab, bfreq, scoring join), recomputed
+    # each time — see the docstring for why this beats checkpointing
     occ = (docs.select("doc_id", F.explode(grams).alias("bg"))
            .select("doc_id", F.col("bg.w1").alias("w1"),
-                   F.col("bg.w2").alias("w2"))
-           .localCheckpoint(eager=True))
+                   F.col("bg.w2").alias("w2")))
     ufreq = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("ucnt"))
     vocab = ufreq.agg(F.count(F.lit(1)).alias("vocab"))
     pairs = occ.filter(F.col("w2").isNotNull())
