@@ -674,19 +674,11 @@ EQL_MAXSPAN_MS = 6 * 3600 * 1000
 EQL_TOP = 20
 
 
-def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES EQL ``sequence by user_id with maxspan=6h [view] [click]
-    [purchase]``: per user, every view anchors a match whose click is
-    the FIRST click strictly after it in stream order and whose
-    purchase is the FIRST purchase strictly after that click, with the
-    whole span inside the maxspan — EQL's head-match semantics. Output:
-    per-user match count and tightest span, top-{EQL_TOP} users.
-
-    Scale shape: NO row-explosion sequence join — two reversed
-    cumulative-min window passes per user (each the first-following-
-    event pointer) and ONE equi-join on (user_id, click_ts) to chain
-    them. Events shuffle once onto user_id and stay there; stream order
-    ties break on event_id so the match is deterministic."""
+def eql_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-aggregated EQL sequence match relation
+    ``(user_id, vts, cts, pts)`` — shared by ``q_eql_sequence`` and the
+    streaming CEP twin's lifecycle test
+    (`streaming/river_stream.py:streaming_eql_sequence`)."""
     ev = (load_events(spark, sf_dir)
           .filter(F.col("event_type").isin(*EQL_STAGES))
           .select("user_id", "event_id", "ts_ms", "event_type"))
@@ -714,8 +706,25 @@ def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
               # must stay 1:1, so the earliest purchase pointer wins
               .groupBy("user_id", "cts")
               .agg(F.min("pts").alias("pts")))
-    matches = (views.join(clicks, ["user_id", "cts"])
-               .filter(F.col("pts") - F.col("vts") <= EQL_MAXSPAN_MS))
+    return (views.join(clicks, ["user_id", "cts"])
+            .filter(F.col("pts") - F.col("vts") <= EQL_MAXSPAN_MS)
+            .select("user_id", "vts", "cts", "pts"))
+
+
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL ``sequence by user_id with maxspan=6h [view] [click]
+    [purchase]``: per user, every view anchors a match whose click is
+    the FIRST click strictly after it in stream order and whose
+    purchase is the FIRST purchase strictly after that click, with the
+    whole span inside the maxspan — EQL's head-match semantics. Output:
+    per-user match count and tightest span, top-{EQL_TOP} users.
+
+    Scale shape: NO row-explosion sequence join — two reversed
+    cumulative-min window passes per user (each the first-following-
+    event pointer) and ONE equi-join on (user_id, click_ts) to chain
+    them. Events shuffle once onto user_id and stay there; stream order
+    ties break on event_id so the match is deterministic."""
+    matches = eql_matches(spark, sf_dir)
     return (matches.groupBy("user_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
                  F.min(F.col("pts") - F.col("vts")).alias("min_span_ms"))

@@ -953,3 +953,108 @@ def streaming_first_appearance(spark: SparkSession, events_source_dir: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EQL_OUT_SCHEMA = "user_id LONG, vts LONG, cts LONG, pts LONG, span_ms LONG"
+_EQL_STATE_SCHEMA = ("pv ARRAY<LONG>, ppv ARRAY<LONG>, ppc ARRAY<LONG>")
+
+
+def streaming_eql_sequence(spark: SparkSession, events_source_dir: str,
+                           files_per_trigger: int = 1) -> DataFrame:
+    """Streaming CEP twin of the batch EQL ``sequence by user_id with
+    maxspan [view] [click] [purchase]`` (`operators/esdsl8.py:
+    eql_matches`): per-user keyed state carries the PENDING partial
+    matches — views awaiting their first click, (view, click) pairs
+    awaiting their first purchase — and each arriving event advances or
+    expires them, emitting completed matches immediately. This is the
+    ES/EQL executor's own model (pending sequence state per join key,
+    expired by maxspan) re-expressed on Structured Streaming keyed
+    state.
+
+    Transition rules, applied in (ts, event_id) stream order:
+
+    - ``view``      → enters the pending-view set.
+    - ``click``     → ALL pending views pair with it (the click is each
+      one's first-following click) and move to the pending-pair set;
+      the pending-view set empties.
+    - ``purchase``  → every pending pair resolves: emit a match if
+      ``pts - vts <= maxspan`` else drop (this purchase was the pair's
+      first-following purchase either way); the pending-pair set
+      empties.
+    - every arrival first EVICTS state older than maxspan (a view or
+      pair whose ``vts`` is more than maxspan behind the current event
+      can never complete) — state per user is BOUNDED by one maxspan
+      window of its own events, the CEP state-size story at 100 TB.
+
+    Ordering contract: per-user events must arrive in (ts, event_id)
+    order ACROSS batches (within a batch they are sorted here). That is
+    the standard CEP ingestion contract (Flink's event-time order after
+    watermarking); the lifecycle test feeds time-ordered files and pins
+    emission-equality with the batch relation.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from elasticsearch_hbase_river_spark.operators.esdsl8 import (
+        EQL_MAXSPAN_MS,
+        EQL_STAGES,
+    )
+    from elasticsearch_hbase_river_spark.sources.tables import _tune_session
+
+    _tune_session(spark)
+    ev = (spark.readStream
+          .schema("user_id LONG, event_id LONG, ts_ms LONG,"
+                  " event_type STRING")
+          .option("maxFilesPerTrigger", files_per_trigger)
+          .parquet(events_source_dir))
+    keyed = ev.filter(F.col("event_type").isin(*EQL_STAGES))
+    v_t, c_t, p_t = EQL_STAGES
+    maxspan = EQL_MAXSPAN_MS
+
+    def advance(key, pdfs, state):
+        import pandas as pd  # runs on Python workers
+
+        (user_id,) = key
+        pv, ppv, ppc = ((list(state.get[0]), list(state.get[1]),
+                         list(state.get[2]))
+                        if state.exists else ([], [], []))
+        out = {"user_id": [], "vts": [], "cts": [], "pts": [],
+               "span_ms": []}
+        chunks = list(pdfs)
+        batch = (pd.concat(chunks, ignore_index=True) if chunks
+                 else pd.DataFrame(columns=["ts_ms", "event_id",
+                                            "event_type"]))
+        if len(batch):
+            batch = batch.sort_values(["ts_ms", "event_id"])
+            for ts, typ in zip(batch["ts_ms"], batch["event_type"]):
+                ts = int(ts)
+                # evict state that can no longer complete within maxspan
+                pv = [t for t in pv if ts - t <= maxspan]
+                keep = [i for i, t in enumerate(ppv)
+                        if ts - t <= maxspan]
+                ppv = [ppv[i] for i in keep]
+                ppc = [ppc[i] for i in keep]
+                if typ == v_t:
+                    pv.append(ts)
+                elif typ == c_t:
+                    ppv.extend(pv)
+                    ppc.extend([ts] * len(pv))
+                    pv = []
+                elif typ == p_t:
+                    for vts, cts in zip(ppv, ppc):
+                        if ts - vts <= maxspan:
+                            out["user_id"].append(int(user_id))
+                            out["vts"].append(vts)
+                            out["cts"].append(cts)
+                            out["pts"].append(ts)
+                            out["span_ms"].append(ts - vts)
+                    ppv, ppc = [], []
+        state.update((pv, ppv, ppc))
+        yield pd.DataFrame(out)
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=_EQL_OUT_SCHEMA,
+        stateStructType=_EQL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -825,3 +825,47 @@ def test_streaming_first_appearance_equals_batch_firsts(spark, sf_dir,
               .count()
     assert got.count() == want.count()
     assert diff == want.count()  # full outer join collapses iff identical
+
+
+def test_streaming_eql_sequence_equals_batch_matches(spark, sf_dir,
+                                                     tmp_path):
+    """Streaming CEP twin of the EQL sequence: feeding the event stream
+    in time order (three time-sliced files, one per trigger, so pending
+    state must survive batch boundaries) emits EXACTLY the batch match
+    relation (`operators/esdsl8.py:eql_matches`)."""
+    from elasticsearch_hbase_river_spark.operators.esdsl8 import (
+        EQL_STAGES,
+        eql_matches,
+    )
+    from elasticsearch_hbase_river_spark.sources.tables import load_events
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        streaming_eql_sequence,
+    )
+
+    src = str(tmp_path / "ev_eql_src")
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin(*EQL_STAGES))
+          .select("user_id", "event_id",
+                  F.col("ts_ms").cast("long").alias("ts_ms"),
+                  "event_type"))
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    # time-ordered file layout: one file per time slice, oldest first
+    (ev.filter(F.col("ts_ms") < cut1)
+       .coalesce(1).write.mode("overwrite").parquet(src))
+    (ev.filter((F.col("ts_ms") >= cut1) & (F.col("ts_ms") < cut2))
+       .coalesce(1).write.mode("append").parquet(src))
+    (ev.filter(F.col("ts_ms") >= cut2)
+       .coalesce(1).write.mode("append").parquet(src))
+
+    out = streaming_eql_sequence(spark, src, files_per_trigger=1)
+    q = (out.writeStream.format("memory").queryName("eql_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = spark.table("eql_t").select("user_id", "vts", "cts", "pts")
+    want = eql_matches(spark, sf_dir)
+    n_got, n_want = got.count(), want.count()
+    assert n_want > 0
+    assert n_got == n_want
+    assert got.join(want, ["user_id", "vts", "cts", "pts"]).count() \
+        == n_want
