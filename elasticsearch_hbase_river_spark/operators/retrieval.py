@@ -119,6 +119,61 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+#: Linear-retriever weights (ES ``linear`` retriever, the weighted dual
+#: of RRF) and the min-max normalizer's degenerate-window floor.
+LIN_W_LEX = 0.7
+LIN_W_SEM = 0.3
+
+
+def q_retriever_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``linear`` retriever: the weighted-sum hybrid —
+    ``score = w_lex · minmax(bm25) + w_sem · minmax(cosine)`` where each
+    retriever's scores are MIN-MAX normalized over its own top-k window
+    (ES's documented ``minmax`` normalizer; a retriever that misses the
+    doc contributes 0). The rank-free dual of ``q_hybrid_search``'s RRF.
+
+    Scale shape: both branches end in TakeOrderedAndProject (≤{SEM_TOP}
+    rows); the normalizer stats are 1-row aggregates over those tiny
+    relations and everything after the two top-k merges is k-row work."""
+    lex_top = q_bm25(spark, sf_dir).select("doc_id", "score")
+    lstats = lex_top.agg(F.min("score").alias("lmn"),
+                         F.max("score").alias("lmx"))
+    lex = (lex_top.crossJoin(F.broadcast(lstats))
+           .select("doc_id",
+                   ((F.col("score") - F.col("lmn"))
+                    / F.greatest(F.col("lmx") - F.col("lmn"),
+                                 F.lit(1e-12))).alias("lnorm")))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding",
+                        _norm(F.col("embedding")).alias("enorm"))
+    qv = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    sem_top = (corpus.crossJoin(F.broadcast(qv))
+               .filter(F.col("doc_id") != HYBRID_QVEC)
+               .select("doc_id", cos.alias("cosine"))
+               .orderBy(F.col("cosine").desc(), "doc_id").limit(SEM_TOP))
+    sstats = sem_top.agg(F.min("cosine").alias("smn"),
+                         F.max("cosine").alias("smx"))
+    sem = (sem_top.crossJoin(F.broadcast(sstats))
+           .select("doc_id",
+                   ((F.col("cosine") - F.col("smn"))
+                    / F.greatest(F.col("smx") - F.col("smn"),
+                                 F.lit(1e-12))).alias("snorm")))
+
+    lin = roundn_col(F.lit(LIN_W_LEX) * F.coalesce("lnorm", F.lit(0.0))
+                     + F.lit(LIN_W_SEM) * F.coalesce("snorm", F.lit(0.0)))
+    fused = (lex.join(sem, "doc_id", "full_outer")
+             .select("doc_id", lin.alias("lin_score"))
+             .orderBy(F.col("lin_score").desc(), "doc_id")
+             .limit(HYBRID_TOP))
+    w = Window.orderBy(F.col("lin_score").desc(), "doc_id")
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms-aggregations for a query: per-bucket doc counts and an
     average-length metric for each facet field, over docs matching the
@@ -469,6 +524,7 @@ def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_hybrid_search": q_hybrid_search,
+    "q_retriever_linear": q_retriever_linear,
     "q_rescore": q_rescore,
     "q_search_facets": q_search_facets,
     "q_highlight": q_highlight,
@@ -518,7 +574,53 @@ CASE WHEN len(th) >= {WINNOW_K}
             i -> {_winnow_gram_horner_sql()})
      ELSE CAST([] AS BIGINT[]) END"""
 
+_SEM_COS_SQL = f"""
+WITH qv AS (
+  SELECT embedding AS qe, {_norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+c AS (
+  SELECT vec_id AS doc_id, embedding, {_norm_sql('embedding')} AS enorm
+  FROM embeddings),
+scored AS (
+  SELECT doc_id,
+         {roundn_sql(_dot_sql('qe', 'embedding') + ' / (qnorm * enorm)')}
+           AS cosine
+  FROM c, qv WHERE doc_id <> {HYBRID_QVEC}),
+ranked AS (
+  SELECT doc_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS sem_rank
+  FROM scored)
+SELECT doc_id, cosine FROM ranked WHERE sem_rank <= {SEM_TOP}"""
+
 ORACLES = {
+    "q_retriever_linear": f"""
+WITH lex_top AS (
+  SELECT doc_id, score FROM ({_SEARCH_ORACLES["q_bm25"]}) b),
+lstats AS (SELECT min(score) AS lmn, max(score) AS lmx FROM lex_top),
+lex AS (
+  SELECT doc_id,
+         (score - lmn) / greatest(lmx - lmn, 1e-12) AS lnorm
+  FROM lex_top, lstats),
+sem_top AS ({_SEM_COS_SQL}),
+sstats AS (SELECT min(cosine) AS smn, max(cosine) AS smx FROM sem_top),
+sem AS (
+  SELECT doc_id,
+         (cosine - smn) / greatest(smx - smn, 1e-12) AS snorm
+  FROM sem_top, sstats),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         {roundn_sql(f"{LIN_W_LEX}e0 * coalesce(lnorm, 0e0)"
+                     f" + {LIN_W_SEM}e0 * coalesce(snorm, 0e0)")}
+           AS lin_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+ranked AS (
+  SELECT doc_id, lin_score,
+         CAST(row_number() OVER (ORDER BY lin_score DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM fused)
+SELECT * FROM ranked WHERE rank <= {HYBRID_TOP}""",
+
     "q_hybrid_search": f"""
 WITH lex AS (
   SELECT doc_id, rank AS lex_rank FROM ({_SEARCH_ORACLES["q_bm25"]}) b),
