@@ -33,6 +33,11 @@ from elasticsearch_hbase_river_spark.functions.determinism import (
     roundn_sql,
 )
 from elasticsearch_hbase_river_spark.operators.esagg import DAY_MS
+from elasticsearch_hbase_river_spark.operators.esdsl8 import (
+    _DAY_HIST_SQL,
+    _day_hist,
+    PCTB_TYPE,
+)
 from elasticsearch_hbase_river_spark.sources.tables import load_events
 
 QUERIES: dict = {}
@@ -170,6 +175,91 @@ SELECT n,
 FROM m"""
 
 # ---------------------------------------------------------------------------
+# moving_fn: the published ewma model (MovingFunctions.ewma).
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 7
+
+
+def _ewma_weight_cases() -> tuple[str, str]:
+    """ES's ``MovingFunctions.ewma`` recurses over the window seeded
+    with its OLDEST element: unrolled, the oldest gets ``(1-a)^d`` and
+    every later element at distance d gets ``a·(1-a)^d``. The powers are
+    precomputed DRIVER-SIDE into literal strings so both engines consume
+    identical constants — ``pow()`` is libm-dependent and must not run
+    inside either engine. Returns (seed_case, tail_case) keyed on the
+    day distance ``d``."""
+    seed, tail = [], []
+    for d in range(EWMA_WINDOW):
+        p = (1.0 - EWMA_ALPHA) ** d
+        # CAST: a bare float literal parses as limited-scale DECIMAL in
+        # BOTH dialects (the esdsl3 geo note) — force double
+        seed.append(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)")
+        tail.append(f"WHEN {d} THEN CAST({EWMA_ALPHA * p!r} AS DOUBLE)")
+    return (f"CASE d {' '.join(seed)} END",
+            f"CASE d {' '.join(tail)} END")
+
+
+def q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_fn`` with the published ``MovingFunctions.ewma``
+    model (alpha={EWMA_ALPHA}, window={EWMA_WINDOW}) over the per-day
+    {PCTB_TYPE!r} histogram. The window recursion is UNROLLED into
+    per-distance literal weights (seed = the window's oldest present
+    bucket — the day relation is sparse, as ES's with min_doc_count>0),
+    so the value is a closed-form weighted sum both engines compute from
+    identical constants.
+
+    Scale shape: a bounded range self-join of the DAY relation with
+    itself (distance ≤ {EWMA_WINDOW}-1 — calendar-sized on both sides;
+    the corpus pays one keyed partial-agg shuffle below it), then one
+    keyed aggregate. The broadcast nested-loop join is over thousands
+    of rows at any corpus size."""
+    buckets = _day_hist(spark, sf_dir)
+    t = buckets.select(F.col("day_id").alias("t_day"), "n")
+    s = buckets.select(F.col("day_id").alias("s_day"),
+                       F.col("n").alias("s_n"))
+    pairs = (t.join(F.broadcast(s),
+                    (F.col("t_day") - F.col("s_day") >= 0)
+                    & (F.col("t_day") - F.col("s_day") < EWMA_WINDOW))
+             .withColumn("d", (F.col("t_day") - F.col("s_day"))
+                         .cast("int")))
+    w = Window.partitionBy("t_day")
+    seed_case, tail_case = _ewma_weight_cases()
+    pairs = pairs.withColumn("oldest", F.max("d").over(w))
+    weight = F.when(F.col("d") == F.col("oldest"), F.expr(seed_case)) \
+              .otherwise(F.expr(tail_case))
+    return (pairs.withColumn("wgt", weight)
+            .groupBy(F.col("t_day").alias("day_id"))
+            .agg(F.max(F.when(F.col("d") == 0, F.col("s_n")))
+                 .alias("n"),
+                 roundn_col(F.sum(F.col("wgt") * F.col("s_n")))
+                 .alias("ewma"))
+            .orderBy("day_id"))
+
+
+def _ewma_oracle() -> str:
+    seed_case, tail_case = _ewma_weight_cases()
+    return f"""
+WITH b AS ({_DAY_HIST_SQL}),
+pairs AS (
+  SELECT t.day_id AS t_day, CAST(t.day_id - s.day_id AS INTEGER) AS d,
+         s.n AS s_n
+  FROM b t JOIN b s ON t.day_id - s.day_id >= 0
+                   AND t.day_id - s.day_id < {EWMA_WINDOW}),
+weighted AS (
+  SELECT t_day, d, s_n,
+         CASE WHEN d = max(d) OVER (PARTITION BY t_day)
+              THEN {seed_case} ELSE {tail_case} END AS wgt
+  FROM pairs)
+SELECT t_day AS day_id,
+       max(CASE WHEN d = 0 THEN s_n END) AS n,
+       {roundn_sql('sum(wgt * s_n)')} AS ewma
+FROM weighted GROUP BY t_day ORDER BY day_id"""
+
+
+ORACLES["q_moving_ewma"] = _ewma_oracle()
+
+# ---------------------------------------------------------------------------
 # search_template — mustache-param rendering into an executable query.
 
 #: The stored template: a term match + numeric range over events, with
@@ -237,5 +327,6 @@ ORACLES["q_search_template"] = _search_template_oracle()
 QUERIES.update({
     "q_bucket_ks_test": q_bucket_ks_test,
     "q_bucket_correlation": q_bucket_correlation,
+    "q_moving_ewma": q_moving_ewma,
     "q_search_template": q_search_template,
 })
