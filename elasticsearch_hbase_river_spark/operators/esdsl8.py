@@ -786,19 +786,30 @@ def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("event_type").isin(EQL_STAGES[0], EQL_STAGES[1],
                                            EQL_UNTIL))
           .select("user_id", "event_id", "ts_ms", "event_type"))
+    # "before" must mean STREAM order (ts, event_id) — a ts-only
+    # comparison would mis-void a click that ties the error on ts but
+    # precedes it by event_id, so validity compares stream POSITIONS
+    wpos = (Window.partitionBy("user_id")
+            .orderBy("ts_ms", "event_id"))
+    ev = ev.withColumn("pos", F.row_number().over(wpos).cast("long"))
     w = (Window.partitionBy("user_id")
          .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
          .rowsBetween(Window.unboundedPreceding, -1))
-    nxt_click = F.min(F.when(F.col("event_type") == EQL_STAGES[1],
-                             F.col("ts_ms"))).over(w)
-    nxt_until = F.min(F.when(F.col("event_type") == EQL_UNTIL,
-                             F.col("ts_ms"))).over(w)
+    is_click = F.col("event_type") == EQL_STAGES[1]
+    is_until = F.col("event_type") == EQL_UNTIL
+    # among strictly-following clicks, min(pos) and min(ts) both belong
+    # to the FIRST one (pos order extends ts order)
+    nxt_click_pos = F.min(F.when(is_click, F.col("pos"))).over(w)
+    nxt_click_ts = F.min(F.when(is_click, F.col("ts_ms"))).over(w)
+    nxt_until_pos = F.min(F.when(is_until, F.col("pos"))).over(w)
     views = (ev.select("user_id", "ts_ms", "event_type",
-                       nxt_click.alias("cts"), nxt_until.alias("uts"))
+                       nxt_click_pos.alias("cpos"),
+                       nxt_click_ts.alias("cts"),
+                       nxt_until_pos.alias("upos"))
              .filter((F.col("event_type") == EQL_STAGES[0])
-                     & F.col("cts").isNotNull()
+                     & F.col("cpos").isNotNull()
                      & (F.col("cts") - F.col("ts_ms") <= EQL_MAXSPAN_MS)))
-    valid = (F.col("uts").isNull() | (F.col("cts") < F.col("uts")))
+    valid = (F.col("upos").isNull() | (F.col("cpos") < F.col("upos")))
     return (views.groupBy("user_id")
             .agg(F.sum(F.when(valid, 1).otherwise(0)).cast("long")
                  .alias("n_matches"),
@@ -811,25 +822,33 @@ def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q_eql_until"] = f"""
 WITH ev AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id)
+              AS BIGINT) AS pos
   FROM events WHERE event_type IN ('{EQL_STAGES[0]}', '{EQL_STAGES[1]}',
                                    '{EQL_UNTIL}')),
 ptr AS (
   SELECT user_id, ts_ms, event_type,
+         min(CASE WHEN event_type = '{EQL_STAGES[1]}' THEN pos END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_ms DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cpos,
          min(CASE WHEN event_type = '{EQL_STAGES[1]}' THEN ts_ms END)
            OVER (PARTITION BY user_id
                  ORDER BY ts_ms DESC, event_id DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS cts,
-         min(CASE WHEN event_type = '{EQL_UNTIL}' THEN ts_ms END)
+         min(CASE WHEN event_type = '{EQL_UNTIL}' THEN pos END)
            OVER (PARTITION BY user_id
                  ORDER BY ts_ms DESC, event_id DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS uts
+           AS upos
   FROM ev),
 views AS (
-  SELECT user_id, (uts IS NULL OR cts < uts) AS valid FROM ptr
-  WHERE event_type = '{EQL_STAGES[0]}' AND cts IS NOT NULL
+  SELECT user_id, (upos IS NULL OR cpos < upos) AS valid FROM ptr
+  WHERE event_type = '{EQL_STAGES[0]}' AND cpos IS NOT NULL
     AND cts - ts_ms <= {EQL_MAXSPAN_MS})
 SELECT user_id,
        CAST(count(*) FILTER (valid) AS BIGINT) AS n_matches,

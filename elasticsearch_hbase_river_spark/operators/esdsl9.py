@@ -36,7 +36,6 @@ from elasticsearch_hbase_river_spark.operators.esagg import DAY_MS
 from elasticsearch_hbase_river_spark.operators.esdsl8 import (
     _DAY_HIST_SQL,
     _day_hist,
-    PCTB_TYPE,
 )
 from elasticsearch_hbase_river_spark.sources.tables import load_events
 
@@ -125,9 +124,11 @@ CORR_Y = "click"
 def q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``bucket_correlation`` (Pearson): correlation between the
     per-day {CORR_X!r} and {CORR_Y!r} counts. The day series' moments
-    accumulate as exact BIGINTs (counts are integers) and the r formula
-    evaluates once in double — no float accumulation order anywhere, so
-    the statistic is engine-exact before the defensive rounding.
+    accumulate EXACTLY in wide integers — DECIMAL(38,0) here, HUGEINT in
+    the oracle (a plain BIGINT sum of x·y wraps once day counts pass
+    ~3e9: 100 TB territory) — then each full formula term converts to
+    double ONCE, identically in both engines: no float accumulation
+    order anywhere.
 
     Scale shape: one keyed partial-agg shuffle into days; the moment
     aggregate is 1-row over the calendar-sized day relation."""
@@ -138,21 +139,23 @@ def q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("x"),
         F.sum(F.when(F.col("event_type") == CORR_Y, 1).otherwise(0))
         .cast("long").alias("y"))
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
     m = day.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    denx = F.sqrt((F.col("n") * F.col("sxx")
+        F.sum(dx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dy).cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * dy).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dy * dy).cast("decimal(38,0)").alias("syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((n * F.col("sxx")
                    - F.col("sx") * F.col("sx")).cast("double"))
-    deny = F.sqrt((F.col("n") * F.col("syy")
+    deny = F.sqrt((n * F.col("syy")
                    - F.col("sy") * F.col("sy")).cast("double"))
     return m.select(
-        "n",
-        roundn_col(num.cast("double") / (denx * deny)).alias("pearson_r"))
+        "n", roundn_col(num / (denx * deny)).alias("pearson_r"))
 
 
 ORACLES["q_bucket_correlation"] = f"""
@@ -164,8 +167,10 @@ WITH day AS (
   GROUP BY 1),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-         sum(x * x) AS sxx, sum(y * y) AS syy
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM day)
 SELECT n,
        {roundn_sql('''CAST(n * sxy - sx * sy AS DOUBLE)
@@ -182,55 +187,60 @@ EWMA_WINDOW = 7
 
 
 def _ewma_weight_cases() -> tuple[str, str]:
-    """ES's ``MovingFunctions.ewma`` recurses over the window seeded
-    with its OLDEST element: unrolled, the oldest gets ``(1-a)^d`` and
-    every later element at distance d gets ``a·(1-a)^d``. The powers are
+    """ES's ``MovingFunctions.ewma`` recurses over the window's PRESENT
+    buckets seeded with the oldest: unrolled, the bucket at position
+    ``p`` from the newest gets ``a·(1-a)^p``, except the oldest present
+    bucket which gets ``(1-a)^p`` — position-keyed (not calendar-
+    distance-keyed) so the weights telescope to exactly 1 even when the
+    sparse day relation has gaps inside the window, matching the
+    published recursion over whatever buckets exist. The powers are
     precomputed DRIVER-SIDE into literal strings so both engines consume
     identical constants — ``pow()`` is libm-dependent and must not run
     inside either engine. Returns (seed_case, tail_case) keyed on the
-    day distance ``d``."""
+    window position ``p``."""
     seed, tail = [], []
-    for d in range(EWMA_WINDOW):
-        p = (1.0 - EWMA_ALPHA) ** d
+    for p in range(EWMA_WINDOW):
+        w = (1.0 - EWMA_ALPHA) ** p
         # CAST: a bare float literal parses as limited-scale DECIMAL in
         # BOTH dialects (the esdsl3 geo note) — force double
-        seed.append(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)")
-        tail.append(f"WHEN {d} THEN CAST({EWMA_ALPHA * p!r} AS DOUBLE)")
-    return (f"CASE d {' '.join(seed)} END",
-            f"CASE d {' '.join(tail)} END")
+        seed.append(f"WHEN {p} THEN CAST({w!r} AS DOUBLE)")
+        tail.append(f"WHEN {p} THEN CAST({EWMA_ALPHA * w!r} AS DOUBLE)")
+    return (f"CASE p {' '.join(seed)} END",
+            f"CASE p {' '.join(tail)} END")
 
 
 def q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``moving_fn`` with the published ``MovingFunctions.ewma``
-    model (alpha={EWMA_ALPHA}, window={EWMA_WINDOW}) over the per-day
-    {PCTB_TYPE!r} histogram. The window recursion is UNROLLED into
-    per-distance literal weights (seed = the window's oldest present
-    bucket — the day relation is sparse, as ES's with min_doc_count>0),
-    so the value is a closed-form weighted sum both engines compute from
-    identical constants.
+    model (alpha={EWMA_ALPHA}, calendar window {EWMA_WINDOW} days) over
+    the per-day purchase histogram. The window recursion is UNROLLED
+    into literal weights keyed on each present bucket's POSITION from
+    the newest (seed = the oldest present bucket), so weights telescope
+    to exactly 1 under gaps and the value is a closed-form weighted sum
+    both engines compute from identical driver-side constants.
 
     Scale shape: a bounded range self-join of the DAY relation with
     itself (distance ≤ {EWMA_WINDOW}-1 — calendar-sized on both sides;
-    the corpus pays one keyed partial-agg shuffle below it), then one
-    keyed aggregate. The broadcast nested-loop join is over thousands
-    of rows at any corpus size."""
+    the corpus pays one keyed partial-agg shuffle below it), a per-day
+    position window, then one keyed aggregate. The broadcast
+    nested-loop join is over thousands of rows at any corpus size."""
     buckets = _day_hist(spark, sf_dir)
     t = buckets.select(F.col("day_id").alias("t_day"), "n")
     s = buckets.select(F.col("day_id").alias("s_day"),
                        F.col("n").alias("s_n"))
-    pairs = (t.join(F.broadcast(s),
-                    (F.col("t_day") - F.col("s_day") >= 0)
-                    & (F.col("t_day") - F.col("s_day") < EWMA_WINDOW))
-             .withColumn("d", (F.col("t_day") - F.col("s_day"))
-                         .cast("int")))
-    w = Window.partitionBy("t_day")
+    pairs = t.join(F.broadcast(s),
+                   (F.col("t_day") - F.col("s_day") >= 0)
+                   & (F.col("t_day") - F.col("s_day") < EWMA_WINDOW))
+    w = Window.partitionBy("t_day").orderBy(F.col("s_day").desc())
     seed_case, tail_case = _ewma_weight_cases()
-    pairs = pairs.withColumn("oldest", F.max("d").over(w))
-    weight = F.when(F.col("d") == F.col("oldest"), F.expr(seed_case)) \
+    pairs = (pairs
+             .withColumn("p", (F.row_number().over(w) - 1).cast("int"))
+             .withColumn("np", F.count(F.lit(1))
+                         .over(Window.partitionBy("t_day"))))
+    weight = F.when(F.col("p") == F.col("np") - 1, F.expr(seed_case)) \
               .otherwise(F.expr(tail_case))
     return (pairs.withColumn("wgt", weight)
             .groupBy(F.col("t_day").alias("day_id"))
-            .agg(F.max(F.when(F.col("d") == 0, F.col("s_n")))
+            .agg(F.max(F.when(F.col("p") == 0, F.col("s_n")))
                  .alias("n"),
                  roundn_col(F.sum(F.col("wgt") * F.col("s_n")))
                  .alias("ewma"))
@@ -242,17 +252,23 @@ def _ewma_oracle() -> str:
     return f"""
 WITH b AS ({_DAY_HIST_SQL}),
 pairs AS (
-  SELECT t.day_id AS t_day, CAST(t.day_id - s.day_id AS INTEGER) AS d,
-         s.n AS s_n
+  SELECT t.day_id AS t_day, s.day_id AS s_day, s.n AS s_n
   FROM b t JOIN b s ON t.day_id - s.day_id >= 0
                    AND t.day_id - s.day_id < {EWMA_WINDOW}),
+pos AS (
+  SELECT t_day, s_n,
+         CAST(row_number() OVER (PARTITION BY t_day
+                                 ORDER BY s_day DESC) - 1
+              AS INTEGER) AS p,
+         count(*) OVER (PARTITION BY t_day) AS np
+  FROM pairs),
 weighted AS (
-  SELECT t_day, d, s_n,
-         CASE WHEN d = max(d) OVER (PARTITION BY t_day)
+  SELECT t_day, p, s_n,
+         CASE WHEN p = np - 1
               THEN {seed_case} ELSE {tail_case} END AS wgt
-  FROM pairs)
+  FROM pos)
 SELECT t_day AS day_id,
-       max(CASE WHEN d = 0 THEN s_n END) AS n,
+       max(CASE WHEN p = 0 THEN s_n END) AS n,
        {roundn_sql('sum(wgt * s_n)')} AS ewma
 FROM weighted GROUP BY t_day ORDER BY day_id"""
 

@@ -79,6 +79,25 @@ WINNOW_B = 1_000_003
 WINNOW_M = 2_147_483_647
 
 
+def _sem_top_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic retriever branch shared by the RRF and linear
+    hybrids: cosine top-{SEM_TOP} ``(doc_id, cosine)`` for the fixed
+    query vector. The 1-row query side is broadcast (map-side) and the
+    branch ends in TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding",
+                        _norm(F.col("embedding")).alias("enorm"))
+    qv = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"))
+    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
+                     / (F.col("qnorm") * F.col("enorm")))
+    return (corpus.crossJoin(F.broadcast(qv))
+            .filter(F.col("doc_id") != HYBRID_QVEC)
+            .select("doc_id", cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "doc_id").limit(SEM_TOP))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-20 and cosine-KNN top-20 fused with
     reciprocal-rank fusion — ``score = Σ 1/(60 + rank)`` over the rankings
@@ -89,21 +108,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the two top-k merges is corpus-sized."""
     lex = q_bm25(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("lex_rank"))
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding",
-                        _norm(F.col("embedding")).alias("enorm"))
-    qv = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qnorm"))
-    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
-                     / (F.col("qnorm") * F.col("enorm")))
-    sem_top = (
-        corpus.crossJoin(F.broadcast(qv))      # 1-row query side, map-side
-        .filter(F.col("doc_id") != HYBRID_QVEC)
-        .select("doc_id", cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), "doc_id").limit(SEM_TOP)
-    )
+    sem_top = _sem_top_cosine(spark, sf_dir)
     wsem = Window.orderBy(F.col("cosine").desc(), "doc_id")
     sem = (sem_top.withColumn("sem_rank",
                               F.row_number().over(wsem).cast("long"))
@@ -144,18 +149,7 @@ def q_retriever_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.greatest(F.col("lmx") - F.col("lmn"),
                                  F.lit(1e-12))).alias("lnorm")))
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding",
-                        _norm(F.col("embedding")).alias("enorm"))
-    qv = emb.filter(F.col("vec_id") == HYBRID_QVEC).select(
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qnorm"))
-    cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
-                     / (F.col("qnorm") * F.col("enorm")))
-    sem_top = (corpus.crossJoin(F.broadcast(qv))
-               .filter(F.col("doc_id") != HYBRID_QVEC)
-               .select("doc_id", cos.alias("cosine"))
-               .orderBy(F.col("cosine").desc(), "doc_id").limit(SEM_TOP))
+    sem_top = _sem_top_cosine(spark, sf_dir)
     sstats = sem_top.agg(F.min("cosine").alias("smn"),
                          F.max("cosine").alias("smx"))
     sem = (sem_top.crossJoin(F.broadcast(sstats))
@@ -537,23 +531,8 @@ QUERIES = {
     "q_suggest": q_suggest,
 }
 
-_SEM_SQL = f"""
-WITH qv AS (
-  SELECT embedding AS qe, {_norm_sql('embedding')} AS qnorm
-  FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
-c AS (
-  SELECT vec_id AS doc_id, embedding, {_norm_sql('embedding')} AS enorm
-  FROM embeddings),
-scored AS (
-  SELECT doc_id,
-         {roundn_sql(_dot_sql('qe', 'embedding') + ' / (qnorm * enorm)')} AS cosine
-  FROM c, qv WHERE doc_id <> {HYBRID_QVEC}),
-ranked AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
-           AS sem_rank
-  FROM scored)
-SELECT doc_id, sem_rank FROM ranked WHERE sem_rank <= {SEM_TOP}"""
+# the shared cosine-top-k CTE (_SEM_COS_SQL) and the RRF rank view over
+# it (_SEM_SQL) are defined below the QUERIES map, before ORACLES
 
 _WINNOW_TH_SQL = f"""
 list_transform(string_split(text, ' '),
@@ -592,6 +571,14 @@ ranked AS (
            AS sem_rank
   FROM scored)
 SELECT doc_id, cosine FROM ranked WHERE sem_rank <= {SEM_TOP}"""
+
+# RRF's view of the same branch: re-rank the ≤k cosine rows (identical
+# ordering → identical ranks)
+_SEM_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+         AS sem_rank
+FROM ({_SEM_COS_SQL})"""
 
 ORACLES = {
     "q_retriever_linear": f"""

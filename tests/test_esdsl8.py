@@ -53,13 +53,31 @@ def test_geohex_center_roundtrip(hq, hr):
     assert _hex_cell(lat, lon) == (hq, hr)
 
 
+def _hex_cell_ref(lat: float, lon: float) -> tuple[int, int]:
+    """Independent pure-Python cube-rounding reference (the published
+    construction, written WITHOUT looking at the SQL steps) — pins the
+    engines' shared expression text against a second implementation."""
+    s = HEX_SIZE_DEG
+    qf = (SQRT3_3 * lon - lat / 3.0) / s
+    rf = (2.0 * lat / 3.0) / s
+    x, z = qf, rf
+    y = -x - z
+    rx, ry, rz = (math.floor(v + 0.5) for v in (x, y, z))
+    dx, dy, dz = abs(rx - x), abs(ry - y), abs(rz - z)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        pass          # ry adjusts; q/r outputs unaffected
+    else:
+        rz = -rx - ry
+    return int(rx), int(rz)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.floats(-80, 80, allow_nan=False),
        st.floats(-180, 180, allow_nan=False))
-def test_geohex_cube_coords_sum_to_zero(lat, lon):
-    hq, hr = _hex_cell(lat, lon)
-    hy = -hq - hr
-    assert hq + hy + hr == 0  # cube-coordinate invariant by construction
+def test_geohex_matches_independent_reference(lat, lon):
+    assert _hex_cell(lat, lon) == _hex_cell_ref(lat, lon)
 
 
 @settings(max_examples=40, deadline=None)
