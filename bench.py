@@ -254,6 +254,7 @@ def main() -> None:
     )
     from elasticsearch_hbase_river_spark.operators.nesteddoc import (
         ensure_nested_index,
+        ensure_nested_live_epochs,
     )
 
     t0 = time.time()
@@ -268,6 +269,12 @@ def main() -> None:
     t0 = time.time()
     ensure_live_epochs(spark, SF_DIR)
     live_epochs_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    # without this prebuild, q_nested_field_search_live's first timing
+    # silently absorbed the churn-fixture build every other fixture-backed
+    # query gets charged separately
+    ensure_nested_live_epochs(spark, SF_DIR)
+    nested_live_build = round(time.time() - t0, 3)
 
     import gc
 
@@ -309,6 +316,7 @@ def main() -> None:
         "vindex_build_sec": vindex_build,
         "nested_index_build_sec": nested_build,
         "live_epochs_build_sec": live_epochs_build,
+        "nested_live_build_sec": nested_live_build,
     }))
     spark.stop()
 

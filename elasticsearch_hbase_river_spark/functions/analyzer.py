@@ -39,17 +39,19 @@ TOKEN_SEP_RE = "[^a-z0-9]+"
 _NON_ASCII_RE = "[^\\x00-\\x7F]"
 
 
-def assert_ascii_corpus(df, col: str = "text", sample: int = 1000) -> None:
+def assert_ascii_corpus(df, col: str = "text") -> None:
     """Fail loudly on a corpus the analyzer cannot analyze faithfully.
 
     :data:`TOKEN_SEP_RE` treats every non-[a-z0-9] character as a
     separator, so non-ASCII letters (any real multilingual corpus) would
     silently degrade into split tokens — and every oracle mirrors the same
-    approximation, so the correctness gate cannot catch it. This guard
-    samples the first ``sample`` documents (one bounded scan, no shuffle)
-    and raises if any contains a non-ASCII character, naming the documented
-    scope instead of mis-tokenizing through a green gate."""
-    bad = (df.select(F.col(col).alias("_t")).limit(sample)
+    approximation, so the correctness gate cannot catch it. The WHOLE
+    corpus is checked (one distributed codegen'd regex filter with a
+    1-row early-exit limit, no shuffle): a head-only sample would pass a
+    corpus whose non-ASCII documents sit past the sampled row group and
+    then mis-tokenize through a green gate — the exact failure this
+    guard exists to prevent."""
+    bad = (df.select(F.col(col).alias("_t"))
            .filter(F.col("_t").rlike(_NON_ASCII_RE)).limit(1).collect())
     if bad:
         snippet = bad[0][0][:80]

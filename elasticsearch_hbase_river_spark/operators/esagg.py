@@ -460,6 +460,15 @@ def _stored_queries(spark: SparkSession, vocab: DataFrame,
                   F.col("step0") + 1).otherwise(F.col("step0"))
     picks = (spark.range(n_queries).select(F.col("id").alias("query_id"))
              .crossJoin(F.broadcast(s_count))
+             # degenerate dictionaries break the progression invariants
+             # DIFFERENTLY in each engine (S=1: null vs %0 error; S=2:
+             # the even-S guard maps the only valid step onto 0) — fail
+             # loudly in-plan instead of diverging. assert_true returns
+             # NULL on success, so the filter passes every row.
+             .filter(F.assert_true(
+                 F.col("S") >= k + 2,
+                 F.lit("stored-query synthesis needs a slot dictionary "
+                       f"of at least {k + 2} tokens")).isNull())
              .select("query_id", "S", base.alias("base"),
                      step0.alias("step0"))
              .select("query_id", "S", "base", step.alias("step"))

@@ -90,20 +90,28 @@ def compaction_due(epochs_dir: str,
 
 def read_live_postings(spark: SparkSession, base_path: str,
                        epochs_dir: str,
-                       terms: tuple[str, ...] | None = None) -> DataFrame:
+                       terms: tuple[str, ...] | None = None,
+                       fresh: DataFrame | None = None,
+                       changed: DataFrame | None = None) -> DataFrame:
     """The live postings view between compactions: base postings pruned to
     ``terms``, minus every doc an epoch re-indexed (broadcast anti-join
     against the delta-sized changed set), union the epochs' own postings
     (latest epoch wins per doc — `read_inverted_index` semantics). The
     union is segment-read composition: no shuffle beyond the anti-join's
-    broadcast."""
+    broadcast. Callers that already materialized the epoch arbitration
+    (``read_inverted_index`` / ``read_epoch_docs`` are latest-wins
+    windows over the epoch manifests) pass ``fresh``/``changed`` so the
+    query path pays that work ONCE, not per consumer."""
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
         read_epoch_docs,
         read_inverted_index,
     )
 
-    fresh = read_inverted_index(spark, epochs_dir)
-    changed = read_epoch_docs(spark, epochs_dir).select("doc_id")
+    if fresh is None:
+        fresh = read_inverted_index(spark, epochs_dir)
+    if changed is None:
+        changed = read_epoch_docs(spark, epochs_dir).select("doc_id")
+    changed = changed.select("doc_id")
     if terms:
         fresh = fresh.filter(F.col("token").isin(*terms))
     cols = ["token", "doc_id", "tf", "first_pos", "positions", "dl"]
@@ -130,7 +138,14 @@ def bm25_live(spark: SparkSession, base_path: str, epochs_dir: str,
         read_inverted_index,
     )
 
-    fresh_docs = read_epoch_docs(spark, epochs_dir)
+    # materialize the two epoch-arbitration views ONCE (delta-sized:
+    # latest-wins windows over the epoch manifests) — bm25_live and
+    # read_live_postings both consume them, and without the checkpoint
+    # the query path re-ran the arbitration per consumer
+    fresh_docs = read_epoch_docs(spark, epochs_dir) \
+        .localCheckpoint(eager=True)
+    fresh_all = read_inverted_index(spark, epochs_dir) \
+        .localCheckpoint(eager=True)
     changed = fresh_docs.select("doc_id")
     dbuckets = sorted({
         r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
@@ -146,8 +161,7 @@ def bm25_live(spark: SparkSession, base_path: str, epochs_dir: str,
     n_docs = int(st["n_docs"]) - removed["n"] + added["n"]
     avgdl = (int(st["sum_dl"]) - removed["dl"] + added["dl"]) / n_docs
 
-    fresh_tf = (read_inverted_index(spark, epochs_dir)
-                .filter(F.col("token").isin(*terms)))
+    fresh_tf = fresh_all.filter(F.col("token").isin(*terms))
     old_df = (read_tvectors(spark, base_path, dbuckets)
               .join(F.broadcast(changed), "doc_id", "left_semi")
               .filter(F.col("token").isin(*terms))
@@ -164,7 +178,8 @@ def bm25_live(spark: SparkSession, base_path: str, epochs_dir: str,
                         + F.coalesce("df_new", z)).alias("df"))
                .filter(F.col("df") > 0))
 
-    tf = read_live_postings(spark, base_path, epochs_dir, terms) \
+    tf = read_live_postings(spark, base_path, epochs_dir, terms,
+                            fresh=fresh_all, changed=changed) \
         .select("doc_id", "token", "tf", "dl")
     scored = tf.join(F.broadcast(df_live), "token")
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)

@@ -368,9 +368,12 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda i: F.struct(
                             F.get(F.col("toks"), i).alias("w1"),
                             F.get(F.col("toks"), i + 1).alias("w2")))
+    # read 4x, RECOMPUTED per consumer: an eager localCheckpoint of this
+    # corpus-sized gram relation is the bimodal block-manager residency
+    # the bigram-LM fix measured (text.py:q_bigram_logprob — 4-48 s under
+    # session pressure vs a flat recompute); linear tokenize work wins
     occ = (staged.select(F.explode(grams).alias("bg"))
-           .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-           .localCheckpoint(eager=True))  # read 4x; token-pair-narrow
+           .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
     uf = occ.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = occ.agg(F.count(F.lit(1)).cast("long").alias("t"))
     v = uf.agg(F.count(F.lit(1)).cast("long").alias("vocab"))

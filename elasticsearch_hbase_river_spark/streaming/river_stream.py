@@ -607,6 +607,14 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
         latest = (batch_df.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1).select("doc_id", "text")
                   .persist())
+        # Same analyzer-scope guard as build_index: without it the
+        # STREAM would index documents the batch builder refuses —
+        # rebuild failing loudly while maintenance degrades silently.
+        # Batches are delta-sized, so the full check is cheap per tick.
+        from elasticsearch_hbase_river_spark.functions.analyzer import (
+            assert_ascii_corpus,
+        )
+        assert_ascii_corpus(latest)
         (inverted_postings(latest)
          .write.mode("overwrite")
          .parquet(f"{index_dir}/postings/epoch={batch_id}"))
@@ -741,6 +749,12 @@ def start_nested_index_stream(spark: SparkSession, cells_source_dir: str,
             F.col("ts_ms").desc(), F.col("value").desc())
         latest = (batch_df.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1).drop("rn").persist())
+        # analyzer-scope guard on the VALUE column (the nested index
+        # analyzes cell values) — see the docs-stream twin above
+        from elasticsearch_hbase_river_spark.functions.analyzer import (
+            assert_ascii_corpus,
+        )
+        assert_ascii_corpus(latest, col="value")
         fc = fielded_cells_from(latest)
         (_fpostings(fc).write.mode("overwrite")
          .parquet(f"{index_dir}/fpostings/epoch={batch_id}"))
