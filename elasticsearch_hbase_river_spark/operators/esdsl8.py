@@ -682,31 +682,41 @@ def eql_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_events(spark, sf_dir)
           .filter(F.col("event_type").isin(*EQL_STAGES))
           .select("user_id", "event_id", "ts_ms", "event_type"))
+    # "first following" must mean STREAM order (ts, event_id), not ts
+    # alone: when a user's view/click/purchase share one ts_ms, a
+    # ts-keyed pointer join can chain a purchase through a click that
+    # PRECEDES the view in stream order. So the chain join is on stream
+    # POSITIONS, the same device q_eql_until uses for its voiding rule.
+    wpos = (Window.partitionBy("user_id").orderBy("ts_ms", "event_id"))
+    ev = ev.withColumn("pos", F.row_number().over(wpos).cast("long"))
     # reversed stream order: frame [unbounded, 1 preceding] = strictly
-    # LATER events, so min(...) is the first following stage event
+    # LATER events, so min(...) is the first following stage event;
+    # min(pos) and min(ts) both belong to the FIRST following one
+    # because pos order extends ts order
     w = (Window.partitionBy("user_id")
          .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
          .rowsBetween(Window.unboundedPreceding, -1))
-    nxt_click = F.min(F.when(F.col("event_type") == EQL_STAGES[1],
-                             F.col("ts_ms"))).over(w)
-    nxt_purch = F.min(F.when(F.col("event_type") == EQL_STAGES[2],
-                             F.col("ts_ms"))).over(w)
-    ptr = ev.select("user_id", "event_id", "ts_ms", "event_type",
-                    nxt_click.alias("next_click_ts"),
-                    nxt_purch.alias("next_purchase_ts"))
+    is_click = F.col("event_type") == EQL_STAGES[1]
+    is_purch = F.col("event_type") == EQL_STAGES[2]
+    ptr = ev.select("user_id", "pos", "ts_ms", "event_type",
+                    F.min(F.when(is_click, F.col("pos"))).over(w)
+                     .alias("next_click_pos"),
+                    F.min(F.when(is_purch, F.col("ts_ms"))).over(w)
+                     .alias("next_purchase_ts"))
     views = (ptr.filter(F.col("event_type") == EQL_STAGES[0])
              .select("user_id", F.col("ts_ms").alias("vts"),
-                     F.col("next_click_ts").alias("cts"))
-             .filter(F.col("cts").isNotNull()))
-    clicks = (ptr.filter(F.col("event_type") == EQL_STAGES[1])
-              .select("user_id", F.col("ts_ms").alias("cts"),
+                     F.col("next_click_pos").alias("cpos"))
+             .filter(F.col("cpos").isNotNull()))
+    # pos is unique per user, so the pointer join is 1:1 by
+    # construction — no dedup aggregation needed; the click's own
+    # next_purchase pointer is the first purchase strictly after it
+    # in stream order (position > click position, per the frame)
+    clicks = (ptr.filter(is_click)
+              .select("user_id", F.col("pos").alias("cpos"),
+                      F.col("ts_ms").alias("cts"),
                       F.col("next_purchase_ts").alias("pts"))
-              .filter(F.col("pts").isNotNull())
-              # several clicks can share (user, ts) — the pointer join
-              # must stay 1:1, so the earliest purchase pointer wins
-              .groupBy("user_id", "cts")
-              .agg(F.min("pts").alias("pts")))
-    return (views.join(clicks, ["user_id", "cts"])
+              .filter(F.col("pts").isNotNull()))
+    return (views.join(clicks, ["user_id", "cpos"])
             .filter(F.col("pts") - F.col("vts") <= EQL_MAXSPAN_MS)
             .select("user_id", "vts", "cts", "pts"))
 
@@ -734,16 +744,19 @@ def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q_eql_sequence"] = f"""
 WITH ev AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id)
+              AS BIGINT) AS pos
   FROM events WHERE event_type IN ('{EQL_STAGES[0]}', '{EQL_STAGES[1]}',
                                    '{EQL_STAGES[2]}')),
 ptr AS (
-  SELECT user_id, ts_ms, event_type,
-         min(CASE WHEN event_type = '{EQL_STAGES[1]}' THEN ts_ms END)
+  SELECT user_id, pos, ts_ms, event_type,
+         min(CASE WHEN event_type = '{EQL_STAGES[1]}' THEN pos END)
            OVER (PARTITION BY user_id
                  ORDER BY ts_ms DESC, event_id DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS next_click_ts,
+           AS next_click_pos,
          min(CASE WHEN event_type = '{EQL_STAGES[2]}' THEN ts_ms END)
            OVER (PARTITION BY user_id
                  ORDER BY ts_ms DESC, event_id DESC
@@ -751,14 +764,13 @@ ptr AS (
            AS next_purchase_ts
   FROM ev),
 views AS (
-  SELECT user_id, ts_ms AS vts, next_click_ts AS cts FROM ptr
-  WHERE event_type = '{EQL_STAGES[0]}' AND next_click_ts IS NOT NULL),
+  SELECT user_id, ts_ms AS vts, next_click_pos AS cpos FROM ptr
+  WHERE event_type = '{EQL_STAGES[0]}' AND next_click_pos IS NOT NULL),
 clicks AS (
-  SELECT user_id, ts_ms AS cts, min(next_purchase_ts) AS pts FROM ptr
-  WHERE event_type = '{EQL_STAGES[1]}' AND next_purchase_ts IS NOT NULL
-  GROUP BY user_id, ts_ms),
+  SELECT user_id, pos AS cpos, next_purchase_ts AS pts FROM ptr
+  WHERE event_type = '{EQL_STAGES[1]}' AND next_purchase_ts IS NOT NULL),
 matches AS (
-  SELECT user_id, vts, pts FROM views JOIN clicks USING (user_id, cts)
+  SELECT user_id, vts, pts FROM views JOIN clicks USING (user_id, cpos)
   WHERE pts - vts <= {EQL_MAXSPAN_MS})
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
        min(pts - vts) AS min_span_ms

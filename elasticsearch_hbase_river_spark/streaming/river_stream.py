@@ -72,9 +72,20 @@ def _check_epochs_layout(index_dir: str) -> None:
         # shape (postings/ + docs/ subdirs, no v1 epoch=N at the root) was
         # written by this engine immediately before the marker existed —
         # stamp it in place instead of forcing a rebuild; the error below
-        # is reserved for genuine v1 (or foreign) layouts.
+        # is reserved for genuine v1 (or foreign) layouts. Matching subdir
+        # NAMES alone is not enough to adopt a directory (a foreign tool's
+        # postings/+docs/ output would be silently claimed as a v2 index):
+        # additionally require the epoch=N partition children under both,
+        # the shape only this writer produces.
+        def _has_epoch_children(sub: str) -> bool:
+            p = _os.path.join(index_dir, sub)
+            return _os.path.isdir(p) and any(
+                e.startswith("epoch=") for e in _os.listdir(p))
+
         if (all(e in ("postings", "docs") for e in entries)
-                and not any(e.startswith("epoch=") for e in entries)):
+                and not any(e.startswith("epoch=") for e in entries)
+                and _has_epoch_children("postings")
+                and _has_epoch_children("docs")):
             _stamp_epochs_layout(index_dir)
             return
     raise ValueError(

@@ -27,7 +27,7 @@ def test_stream_drains_and_upserts(spark, sf_dir, tmp_path):
     cfg = RiverConfig(table="events", index="river", type_name="doc",
                       column_separator="::", interval_ms=1000)
     q = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     out = spark.read.parquet(sink)
     # every row key appears exactly once per micro-batch it arrived in;
     # with maxFilesPerTrigger=16 and 4 files this is a single batch
@@ -37,7 +37,7 @@ def test_stream_drains_and_upserts(spark, sf_dir, tmp_path):
 
     # restart with no new files: checkpoint prevents reprocessing
     q2 = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not drain in 120s"
     assert spark.read.parquet(sink).count() == out.count()
 
 
@@ -55,14 +55,14 @@ def test_stream_restart_picks_up_only_new_files(spark, sf_dir, tmp_path):
     cfg = RiverConfig(table="events", index="river", type_name="doc",
                       interval_ms=1000)
     q1 = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(120), "stream did not drain in 120s"
     n1 = spark.read.parquet(sink).count()
     assert n1 == 800
 
     # river is down; new data lands
     new.repartition(1).write.mode("append").parquet(src)
     q2 = start_river_stream(spark, cfg, src, sink, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not drain in 120s"
     out = spark.read.parquet(sink)
     assert out.count() == 1000                       # old NOT reprocessed
     assert out.select("doc_id").distinct().count() == 1000
@@ -77,7 +77,7 @@ def test_stream_to_es_bulk_files(spark, sf_dir, tmp_path):
                       interval_ms=1000, batch_size=200)
     q = start_river_stream(spark, cfg, src, str(sink), ckpt,
                            available_now=True, sink_format="es_bulk")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     lines = [ln for p in sink.iterdir() if p.name.startswith("part-")
              for ln in p.read_text().rstrip("\n").split("\n")]
     assert len(lines) == 2 * 1000  # action+source per doc
@@ -103,7 +103,7 @@ def test_streaming_enrich_joins_static_dimension(spark, sf_dir, tmp_path):
     assert df.isStreaming
     q = (df.writeStream.format("memory").queryName("enrich_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     out = spark.table("enrich_t")
     assert out.count() == 4000  # 4 cells per event
     assert out.filter(F.col("dim_user").isNull()).count() == 0
@@ -116,7 +116,7 @@ def test_streaming_sessionize(spark, sf_dir, tmp_path):
     assert df.isStreaming
     q = (df.writeStream.format("memory").queryName("sess_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     assert spark.table("sess_t").columns == [
         "row_key", "session_start", "session_end",
         "n_cells", "first_ts", "last_ts"]
@@ -130,7 +130,7 @@ def test_streaming_exact_dedup_drops_duplicate_cells(spark, sf_dir, tmp_path):
     out = streaming_exact_dedup(spark, src)
     q = (out.writeStream.format("memory").queryName("dedup_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = spark.table("dedup_t")
     n_unique = cells.select("row_key", "family", "qualifier", "value") \
                     .distinct().count()
@@ -146,7 +146,7 @@ def test_streaming_latest_version_state(spark, sf_dir, tmp_path):
     out = streaming_latest_version(spark, src, files_per_trigger=1)
     q = (out.writeStream.format("memory").queryName("state_t")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = spark.table("state_t")
     cells = cells_from_events(spark, sf_dir)
     per_key = got.groupBy("row_key").agg(
@@ -177,7 +177,7 @@ def test_streaming_latest_version_v2_state(spark, sf_dir, tmp_path):
     out = streaming_latest_version_v2(spark, src, files_per_trigger=1)
     q = (out.writeStream.format("memory").queryName("state_v2_t")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = spark.table("state_v2_t")
     cells = cells_from_events(spark, sf_dir)
     per_key = got.groupBy("row_key").agg(
@@ -206,7 +206,7 @@ def test_streaming_near_dedup_finds_planted_duplicates(spark, sf_dir, tmp_path):
     out = streaming_near_dedup(spark, src)
     q = (out.writeStream.format("memory").queryName("near_t")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     pairs = (spark.table("near_t")
              .select("doc_a", "doc_b").distinct())
     planted = {(r.doc_id, r.doc_id + 1_000_000) for r in copies
@@ -235,7 +235,7 @@ def test_streaming_near_dedup_bucket_occupancy_cap(spark, tmp_path):
     out = streaming_near_dedup(spark, src)
     q = (out.writeStream.format("memory").queryName("near_cap_t")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     per_band = (spark.table("near_cap_t")
                 .groupBy("band_idx", "doc_b").count())
     # doc_b arrives after doc_a, so doc_b's pair count per band == number of
@@ -254,7 +254,7 @@ def test_streaming_rollup_plan_is_streaming(spark, sf_dir, tmp_path):
     assert df.isStreaming
     q = (df.writeStream.format("memory").queryName("rollup_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     # watermarked append-mode windows close only when the watermark passes;
     # with a bounded backlog the final window stays open, so just assert the
     # query ran and the in-flight state machinery works
@@ -283,7 +283,7 @@ def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
 
     def tick():
         q = start_index_stream(spark, src, index, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in 120s"
 
     def merged():
         return Counter(map(tuple, read_inverted_index(spark, index).collect()))
@@ -331,7 +331,7 @@ def test_streaming_index_same_batch_update_keeps_latest(spark, sf_dir, tmp_path)
     v2.coalesce(1).write.mode("append").parquet(src)
 
     q = start_index_stream(spark, src, index, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = Counter(map(tuple, read_inverted_index(spark, index).collect()))
     want = Counter(map(tuple, inverted_postings(v2).collect()))
     assert got == want
@@ -361,7 +361,7 @@ def test_streaming_index_same_mtime_explicit_version_wins(spark, tmp_path):
     v1.coalesce(1).write.mode("append").parquet(src)  # newer mtime, older ver
 
     q = start_index_stream(spark, src, index, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = Counter(map(tuple, read_inverted_index(spark, index).collect()))
     want = Counter(map(tuple, inverted_postings(v2.select("doc_id", "text")).collect()))
     assert got == want
@@ -396,7 +396,7 @@ def test_index_delta_maintenance_matches_batch_rebuild(spark, sf_dir, tmp_path):
              .select("doc_id", "text").unionByName(updated))
     delta.write.mode("append").parquet(src)
     q = start_index_stream(spark, src, epochs, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     merged_dir = str(tmp_path / "merged_idx")
     ix.apply_epoch_deltas(spark, base_dir, epochs, merged_dir)
@@ -530,7 +530,7 @@ def test_streaming_vector_index_maintenance(spark, sf_dir, tmp_path):
 
     def tick():
         q = start_vector_stream(spark, src, delta, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in 120s"
 
     # tick 1: vec 3 takes vec 5's embedding/label — stamped ver, with a
     # STALE same-batch version (ver=1 carrying the original embedding)
@@ -602,7 +602,7 @@ def test_delta_sidecar_refresh_never_reads_postings(spark, sf_dir, tmp_path):
     (docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
      .write.mode("append").parquet(src))
     q = start_index_stream(spark, src, epochs, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
         read_epoch_docs,
@@ -658,7 +658,7 @@ def test_freshness_loop_stream_merge_swap_serves_new_docs(spark, sf_dir, tmp_pat
                           "doc_id long, text string") \
         .write.mode("append").parquet(src)
     q = start_index_stream(spark, src, epochs, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     # Before the swap: the alias still serves gen1 — no hot doc.
     pre = {r.doc_id for r in
@@ -685,7 +685,7 @@ def test_freshness_loop_stream_merge_swap_serves_new_docs(spark, sf_dir, tmp_pat
                           "doc_id long, text string, ver long") \
         .write.mode("append").parquet(src)
     q = start_index_stream(spark, src, epochs, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     gen3 = str(tmp_path / "idx_gen3")
     ix.apply_epoch_deltas(spark, ix.resolve_alias(alias), epochs, gen3)
     ix.write_alias(alias, gen3)
@@ -719,7 +719,7 @@ def test_streaming_percolate_alerts_match_batch_semantics(spark, sf_dir, tmp_pat
         "doc_id long, text string")
     batch1.write.mode("append").parquet(src)
     q = start_percolate_stream(spark, src, stored, alerts, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     got = {(r.doc_id, r.query_id)
            for r in spark.read.parquet(alerts).select("doc_id", "query_id").collect()}
@@ -727,14 +727,14 @@ def test_streaming_percolate_alerts_match_batch_semantics(spark, sf_dir, tmp_pat
 
     # idle tick: no new files, no new alerts
     q = start_percolate_stream(spark, src, stored, alerts, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     assert spark.read.parquet(alerts).count() == 2
 
     # batch 2: one more match for q1
     spark.createDataFrame([(9, "a Window!")], "doc_id long, text string") \
         .write.mode("append").parquet(src)
     q = start_percolate_stream(spark, src, stored, alerts, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = {(r.doc_id, r.query_id)
            for r in spark.read.parquet(alerts).select("doc_id", "query_id").collect()}
     assert got == {(1, 0), (2, 1), (9, 1)}
@@ -771,7 +771,7 @@ def test_epochs_layout_marker_refuses_foreign_directory(spark, tmp_path):
                           "doc_id long, text string, ver long") \
         .write.mode("append").parquet(src)
     q = start_index_stream(spark, src, index, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     assert os.path.exists(os.path.join(index, "_epochs_meta.json"))
     assert read_inverted_index(spark, index).count() == 3
 
@@ -790,6 +790,18 @@ def test_epochs_layout_marker_refuses_foreign_directory(spark, tmp_path):
         json.dump({"layout": EPOCHS_LAYOUT_VERSION + 1}, f)
     with pytest.raises(ValueError, match="layout"):
         read_inverted_index(spark, index)
+
+    # a FOREIGN marker-less directory that merely shares the two subdir
+    # NAMES (postings/ + docs/ with no epoch=N children — some other
+    # tool's output) is refused, not adopted: the in-place stamp demands
+    # the epoch=N partition shape only this writer produces
+    foreign = tmp_path / "foreign"
+    (foreign / "postings").mkdir(parents=True)
+    (foreign / "docs").mkdir()
+    (foreign / "postings" / "data.parquet").touch()
+    with pytest.raises(ValueError, match="layout"):
+        read_inverted_index(spark, str(foreign))
+    assert not os.path.exists(str(foreign / "_epochs_meta.json"))
 
 
 def test_streaming_first_appearance_equals_batch_firsts(spark, sf_dir,
@@ -815,7 +827,7 @@ def test_streaming_first_appearance_equals_batch_firsts(spark, sf_dir,
     out = streaming_first_appearance(spark, src, files_per_trigger=1)
     q = (out.writeStream.format("memory").queryName("firsts_t")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     got = (spark.table("firsts_t")
            .groupBy("user_id")
            .agg(F.min("day_id").alias("day_id")))
@@ -861,7 +873,7 @@ def test_streaming_eql_sequence_equals_batch_matches(spark, sf_dir,
     out = streaming_eql_sequence(spark, src, files_per_trigger=1)
     q = (out.writeStream.format("memory").queryName("eql_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not drain in 240s"
     # multiplicity-safe compare: identical rows CAN legitimately repeat
     # (two same-ts views sharing one click+purchase), so compare
     # per-row-group counts with a full-outer join, as the
