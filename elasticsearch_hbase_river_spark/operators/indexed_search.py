@@ -317,7 +317,8 @@ def _tf_title_col() -> F.Column:
         lambda p: p < TITLE_LEN)).cast("long")
 
 
-def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
+def build_index(spark: SparkSession, docs: DataFrame, path: str,
+                mode: str = "ascii") -> None:
     """Materialize the serving layout from a (doc_id, text) corpus.
 
     Fully distributed: postings are one explode + one partial-aggregated
@@ -325,18 +326,22 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
     physical ordering (token-bucketed postings/vocab, doc-bucketed
     tvectors/doclen) so each writer task owns whole buckets. Derived
     tables are partial-aggregated shuffles or 1-row aggregates — nothing
-    corpus-sized touches the driver."""
+    corpus-sized touches the driver.
+
+    ``mode`` selects the analyzer chain ('ascii' legacy / 'unicode'
+    multilingual); query terms must be analyzed with the same mode."""
     from elasticsearch_hbase_river_spark.functions.analyzer import (
-        analyze_tokens,
-        assert_ascii_corpus,
+        assert_analyzable_corpus,
+        tokens_for_mode,
     )
 
-    # fail loudly on corpora outside the analyzer's documented [a-z0-9]
-    # scope — a multilingual corpus would mis-tokenize through a green gate
-    assert_ascii_corpus(docs)
+    # fail loudly on corpora outside the selected analyzer mode's scope —
+    # a mis-tokenizing corpus would otherwise pass through a green gate
+    assert_analyzable_corpus(docs, mode=mode)
     preexisting = os.path.exists(os.path.join(path, META))
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    landed = _write_postings_tables(spark, inverted_postings(docs), tmp)
+    landed = _write_postings_tables(spark, inverted_postings(docs, mode),
+                                    tmp)
     _write_vocab(
         landed.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"),
@@ -354,7 +359,8 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
     # (and in the oracle, which aggregates over `documents`).
     doclen = docs.select(
         "doc_id",
-        F.size(analyze_tokens(F.col("text"))).cast("long").alias("dl"))
+        F.size(tokens_for_mode(F.col("text"), mode)).cast("long")
+        .alias("dl"))
     _write_doclen(doclen, tmp)
     _write_stats_from_doclen(spark, doclen, tmp)
     _publish(tmp, path, preexisting)

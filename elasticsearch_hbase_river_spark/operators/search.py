@@ -77,7 +77,7 @@ _POSTINGS_SQL = f"""
   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)"""
 
 
-def inverted_postings(docs: DataFrame) -> DataFrame:
+def inverted_postings(docs: DataFrame, mode: str = "ascii") -> DataFrame:
     """Per (token, doc_id) posting with term frequency, the sorted position
     list AND the document's total token count ``dl`` — the index-build
     aggregate shared by the batch query and the streaming index maintainer
@@ -90,7 +90,12 @@ def inverted_postings(docs: DataFrame) -> DataFrame:
     # select with posexplode() re-evaluates per exploded row inside the
     # projection above Generate (the q_tfidf pathology, measured 5x) —
     # and this is the index-build hot path.
-    arr = docs.select("doc_id", analyze_tokens(F.col("text")).alias("toks"))
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        tokens_for_mode,
+    )
+
+    arr = docs.select("doc_id",
+                      tokens_for_mode(F.col("text"), mode).alias("toks"))
     occ = arr.select(
         "doc_id", F.size("toks").cast("long").alias("dl"),
         F.posexplode("toks").alias("pos", "token"),

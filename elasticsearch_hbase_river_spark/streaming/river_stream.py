@@ -563,7 +563,8 @@ DOCS_SCHEMA = StructType([
 
 def start_index_stream(spark: SparkSession, docs_source_dir: str,
                        index_dir: str, checkpoint_dir: str,
-                       available_now: bool = True) -> StreamingQuery:
+                       available_now: bool = True,
+                       mode: str = "ascii") -> StreamingQuery:
     """Maintain the positional inverted index incrementally: each
     micro-batch of (doc_id, text) documents is aggregated with the SAME
     postings build the batch query uses (`operators/search.py:
@@ -603,7 +604,7 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
         from pyspark.sql import Window
 
         from elasticsearch_hbase_river_spark.functions.analyzer import (
-            analyze_tokens,
+            tokens_for_mode,
         )
 
         # foreachBatch runs driver-side: refuse a foreign-layout epochs
@@ -623,10 +624,10 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
         # rebuild failing loudly while maintenance degrades silently.
         # Batches are delta-sized, so the full check is cheap per tick.
         from elasticsearch_hbase_river_spark.functions.analyzer import (
-            assert_ascii_corpus,
+            assert_analyzable_corpus,
         )
-        assert_ascii_corpus(latest)
-        (inverted_postings(latest)
+        assert_analyzable_corpus(latest, mode=mode)
+        (inverted_postings(latest, mode)
          .write.mode("overwrite")
          .parquet(f"{index_dir}/postings/epoch={batch_id}"))
         # Per-epoch DOC MANIFEST: one row per document carried by this
@@ -637,7 +638,8 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
         # authority for the merged read.
         (latest.select(
             "doc_id",
-            F.size(analyze_tokens(F.col("text"))).cast("long").alias("dl"))
+            F.size(tokens_for_mode(F.col("text"), mode)).cast("long")
+            .alias("dl"))
          .write.mode("overwrite")
          .parquet(f"{index_dir}/docs/epoch={batch_id}"))
         latest.unpersist()

@@ -160,3 +160,106 @@ def test_index_build_runs_ascii_guard(spark, tmp_path):
         [(1, "ein schönes Dokument")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-ASCII"):
         build_index(spark, docs, str(tmp_path / "idx"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode analyzer mode (round 8): multilingual chain + guard + index build.
+
+UNI_DIRTY = [
+    ("Grüße aus MÜNCHEN! Café №42 — données déjà vu",
+     ["grüße", "aus", "münchen", "café", "42", "données", "déjà", "vu"]),
+    # capital FINAL sigma: the ς→σ fold must unify the cased forms
+    ("ΟΔΥΣΣΕΥΣ και οδυσσευς", ["οδυσσευσ", "και", "οδυσσευσ"]),
+    ("Привет, МИР!", ["привет", "мир"]),
+    ("東京タワー 123 ١٢٣", ["東京タワー", "123", "١٢٣"]),
+    ("", []),
+    ("!!! … ***", []),
+    # decomposed accent (e + combining acute) stays inside its token
+    ("naïve étude", ["naïve", "étude"]),
+    ("plain ascii stays identical 42", ["plain", "ascii", "stays",
+                                        "identical", "42"]),
+]
+
+
+def test_analyze_tokens_unicode_semantics(spark):
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens_unicode,
+    )
+
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(UNI_DIRTY)],
+                               "i long, text string")
+    got = {r.i: r.toks for r in
+           df.select("i", analyze_tokens_unicode(F.col("text"))
+                     .alias("toks")).collect()}
+    for i, (_, want) in enumerate(UNI_DIRTY):
+        assert got[i] == want, f"{UNI_DIRTY[i][0]!r} -> {got[i]}"
+
+
+def test_analyze_unicode_sql_twin_matches(spark):
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_toks_unicode_sql,
+    )
+
+    con = duckdb.connect()
+    for s, want in UNI_DIRTY:
+        got = con.execute("SELECT " + analyze_toks_unicode_sql("?"),
+                          [s]).fetchone()[0]
+        assert list(got) == want, f"{s!r} -> {got}"
+    con.close()
+
+
+def test_unicode_guard_scope(spark):
+    """unicode mode accepts real multilingual text; it refuses only the
+    frozen engine-divergent codepoints (Unicode-14+ additions, U+0130)."""
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        assert_analyzable_corpus,
+    )
+
+    ok = spark.createDataFrame(
+        [(s,) for s, _ in UNI_DIRTY if s], "text string")
+    assert_analyzable_corpus(ok, mode="unicode")  # no raise
+
+    for bad_text in ("İstanbul",            # U+0130: full-casemap divergence
+                     "ab\U00010570cd",      # Vithkuqi: Unicode 14 addition
+                     "x᫁y"):           # Unicode 14 combining mark
+        bad = spark.createDataFrame([("clean",), (bad_text,)], "text string")
+        with pytest.raises(ValueError, match="Unicode"):
+            assert_analyzable_corpus(bad, mode="unicode")
+
+    with pytest.raises(ValueError, match="mode"):
+        assert_analyzable_corpus(ok, mode="latin1")
+
+
+def test_index_build_unicode_mode_end_to_end(spark, tmp_path):
+    """build_index(mode='unicode') over a multilingual corpus: postings are
+    unicode-analyzed (bucket pruning included — driver-side xxh64 must
+    agree with Spark's on non-ASCII terms), BM25 serves accented terms,
+    and the sigma fold makes cased Greek forms one term."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        bm25_from_index,
+        build_index,
+        read_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Grüße données Grüße ΟΔΥΣΣΕΥΣ"),
+         (2, "données et café"),
+         (3, "οδυσσευς im café München"),
+         (4, "plain ascii filler text")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "uni_idx")
+    build_index(spark, docs, idx, mode="unicode")
+
+    got = {(r.token, r.doc_id): r.tf
+           for r in read_postings(
+               spark, idx, terms=("grüße", "οδυσσευσ")).collect()}
+    assert got == {("grüße", 1): 2, ("οδυσσευσ", 1): 1, ("οδυσσευσ", 3): 1}
+
+    top = bm25_from_index(spark, idx, terms=("grüße", "données"), top=4)
+    rows = top.collect()
+    assert [r.doc_id for r in rows][0] == 1      # both terms, tf 2 + 1
+    assert {r.doc_id for r in rows} == {1, 2}    # doc 3/4 match neither
+
+    # ascii mode still refuses this corpus outright
+    with pytest.raises(ValueError, match="non-ASCII"):
+        build_index(spark, docs, str(tmp_path / "ascii_idx"), mode="ascii")
