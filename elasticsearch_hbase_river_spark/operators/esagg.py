@@ -435,21 +435,41 @@ def _hash32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def _stored_queries(spark: SparkSession, vocab: DataFrame,
-                    n_queries: int, k: int) -> DataFrame:
-    """(query_id, token): k distinct deterministic terms per stored query,
-    synthesized in O(|Q|·k) + one vocab pass. The vocab pass is a
-    partial-aggregated groupBy onto ≤ PERC_SLOTS groups; the only global
-    ordering runs over that constant-bounded dictionary; the |Q|·k slot
-    picks join the broadcast dictionary. Distinctness: slots are an
-    arithmetic progression mod S with step ∈ [1, S-1] and 2·step ≢ 0
-    (mod S) (guarded for even S), so for k ≤ 3 the k slots — hence the k
-    tokens, one per slot — never collide."""
+def slot_dictionary(vocab: DataFrame) -> DataFrame:
+    """(sid, token): the percolator's hash-slot dictionary — one vocab
+    pass (partial-aggregated groupBy onto ≤ PERC_SLOTS groups; the only
+    global ordering runs over that constant-bounded relation). The
+    dictionary is corpus-derived and epoch-stable, so the materialized
+    index persists it as the ``percslots`` sidecar
+    (`operators/indexed_search.py:build_index`) and index-served
+    percolation reads it back instead of re-paying the vocab pass per
+    query (round-7 measured that fixed stage at ~1 s per percolate)."""
     slot = F.pmod(_hash32(F.col("token")), F.lit(PERC_SLOTS)).alias("slot")
     sdict = vocab.groupBy(slot).agg(F.min("token").alias("token"))
     w = Window.orderBy("slot")
-    sidx = sdict.select(
+    return sdict.select(
         (F.row_number().over(w) - 1).cast("long").alias("sid"), "token")
+
+
+def _stored_queries(spark: SparkSession, vocab: DataFrame,
+                    n_queries: int, k: int) -> DataFrame:
+    """(query_id, token) synthesized from a vocabulary relation — builds
+    the slot dictionary inline (see :func:`_stored_queries_from_sidx`
+    for the index-served path that skips it)."""
+    return _stored_queries_from_sidx(spark, slot_dictionary(vocab),
+                                     n_queries, k)
+
+
+def _stored_queries_from_sidx(spark: SparkSession, sidx: DataFrame,
+                              n_queries: int, k: int) -> DataFrame:
+    """(query_id, token): k distinct deterministic terms per stored query,
+    synthesized in O(|Q|·k) over a prebuilt slot dictionary ``sidx``
+    (:func:`slot_dictionary`, ≤ PERC_SLOTS rows — inline or read back
+    from the index's ``percslots`` sidecar). The |Q|·k slot picks join
+    the broadcast dictionary. Distinctness: slots are an arithmetic
+    progression mod S with step ∈ [1, S-1] and 2·step ≢ 0 (mod S)
+    (guarded for even S), so for k ≤ 3 the k slots — hence the k tokens,
+    one per slot — never collide."""
     s_count = sidx.agg(F.count(F.lit(1)).alias("S"))
     qid_s = F.col("query_id").cast("string")
     base = F.pmod(_hash32(F.concat(F.lit("b|"), qid_s)), F.col("S"))
@@ -518,19 +538,31 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries: per stored query, how many documents match all its terms,
     with the query's terms listed for auditability.
 
-    Scale shape: the stored-query relation is tiny and BROADCASTS into a
-    semi-filter on the postings (only rows whose token appears in some
-    stored query survive to the shuffle); the AND evaluation is one
-    partial-aggregated groupBy on (doc, query) counting distinct matched
-    terms — never a per-query corpus scan, never a cross join. At 100 TB
-    with millions of stored queries this becomes the classic
-    term-to-query inverted index (ES's percolator does exactly that), and
-    the same broadcast join swaps for a hash join on token."""
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = _postings(docs).select("token").distinct()
-    stored = _stored_queries(spark, vocab, PERC_N_QUERIES,
-                             PERC_TERMS_PER_QUERY)
-    doc_tok = _postings(docs).select("doc_id", "token").distinct()
+    Scale shape (round 8: index-served): stored queries synthesize from
+    the index's persisted ``percslots`` dictionary — the per-query vocab
+    pass (tokenize corpus → distinct → slot ranking, the fixed ~1 s
+    stage round 7 measured) is paid once at build time. The candidate
+    postings read PRUNES to the |Q|·k stored terms' buckets (driver-side
+    xxh64 literals, the same seek a real percolator's term-to-query
+    index does); the AND evaluation is one partial-aggregated groupBy on
+    (doc, query) counting matched terms — never a per-query corpus scan,
+    never a cross join. At 100 TB with millions of stored queries the
+    broadcast swaps for a hash join on token."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        ensure_index,
+        read_percslots,
+        read_postings,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    stored = _stored_queries_from_sidx(
+        spark, read_percslots(spark, idx), PERC_N_QUERIES,
+        PERC_TERMS_PER_QUERY)
+    # |Q|·k is a small constant here (24 terms): collecting them enables
+    # bucket-literal pruning of the postings read — the bounded-literal
+    # pattern the ANN probe path established.
+    qterms = tuple(sorted({r.token for r in stored.collect()}))
+    doc_tok = read_postings(spark, idx, qterms).select("doc_id", "token")
     matched = (doc_tok.join(F.broadcast(stored), "token")
                .groupBy("doc_id", "query_id")
                .agg(F.count(F.lit(1)).alias("n_terms"))
@@ -605,17 +637,22 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not comparable between the two. The point of this variant is that
     its cost is bounded by |distinct term sets| and per-doc set size,
     independent of registration count."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Two corpus scans (vocab derivation + matching), deliberately NOT a
-    # cached/checkpointed shared tokenization: the corpus-sized doc_tok
-    # relation pinned in the block manager OOMed a default 1 GB driver at
-    # the 100x fixture, and caching corpus-sized data is the wrong trade
-    # at any scale — each scan reduces immediately to something small
-    # (a vocab distinct; a per-doc registered-token set).
-    posts = _postings(docs).select("doc_id", "token")
-    vocab = posts.select("token").distinct()
-    stored = _stored_queries(spark, vocab, PERC_IDX_N_QUERIES,
-                             PERC_TERMS_PER_QUERY)
+    # Index-served (round 8): stored queries synthesize from the
+    # persisted ``percslots`` dictionary and the matching side reads the
+    # index postings — (doc_id, token) rows, already distinct per pair —
+    # so the per-query corpus tokenization (the round-7 fixed stage) is
+    # gone; the registration-scale claims below are unchanged.
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        ensure_index,
+        read_percslots,
+        read_postings,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    posts = read_postings(spark, idx).select("doc_id", "token")
+    stored = _stored_queries_from_sidx(
+        spark, read_percslots(spark, idx), PERC_IDX_N_QUERIES,
+        PERC_TERMS_PER_QUERY)
     # canonical term sets: the percolation unit. The INTERNAL set key is a
     # 64-bit hash (long group keys shuffle ~40% cheaper than md5 strings
     # here); only (query_id, terms, count) ever leaves the query, so the
@@ -940,10 +977,20 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token-set arrays OOMed at the 100x fixture, whose tiny vocab
     makes even the rarest term corpus-common). No cross join, no
     corpus-sized sort, no per-query corpus work."""
-    docs = load_table(spark, sf_dir, "documents")
-    posts = _postings(docs).select("doc_id", "token")
-    vocab = posts.select("token").distinct()
-    stored = _stored_queries(spark, vocab, PERC_K3_N_QUERIES, PERC_K3_TERMS)
+    # Index-served (round 8): percslots replaces the per-query vocab pass
+    # and the index postings replace the corpus re-tokenization (postings
+    # rows are already distinct per (token, doc_id), so the explicit
+    # .distinct() below the semi-join is gone too).
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        ensure_index,
+        read_percslots,
+        read_postings,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    posts = read_postings(spark, idx).select("doc_id", "token")
+    stored = _stored_queries_from_sidx(
+        spark, read_percslots(spark, idx), PERC_K3_N_QUERIES, PERC_K3_TERMS)
     qsets = (stored.groupBy("query_id")
              .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
                   .alias("terms"))
@@ -968,8 +1015,10 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persistence keeps the single tokenization without the heap claim.
     from pyspark import StorageLevel
 
+    # index postings are already distinct per (token, doc_id) — no
+    # distinct shuffle needed on the registered-token slice
     dtq = (posts.join(F.broadcast(qvocab), "token", "left_semi")
-           .distinct().persist(StorageLevel.DISK_ONLY))
+           .persist(StorageLevel.DISK_ONLY))
     dfr = dtq.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     melted = sets.select(

@@ -113,9 +113,13 @@ META = "_index_meta.json"
 #: published d=2 generalization), so fuzziness 2 rewrites are pruned-slice
 #: reads too; a key's delete depth is implicit in length(token) −
 #: length(key), letting d=1 queries read the same tight slice as before.
+#: v6 adds the ``percslots`` sidecar — the percolator's hash-slot
+#: dictionary (≤ PERC_SLOTS rows, corpus-derived and epoch-stable), so
+#: index-served percolation pays only the match join instead of a vocab
+#: pass + slot ranking per query.
 #: The version rides the index path fingerprint, so older directories are
 #: never served or appended.
-LAYOUT_VERSION = 5
+LAYOUT_VERSION = 6
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -190,6 +194,13 @@ def read_tvectors(spark: SparkSession, path: str,
     if dbuckets is not None:
         tv = tv.filter(F.col("dbucket").isin(dbuckets))
     return tv.select("doc_id", "token", "tf", "tf_title")
+
+
+def read_percslots(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted percolator slot dictionary (sid, token) — ≤
+    PERC_SLOTS rows, written at build time (layout v6)."""
+    return (spark.read.parquet(os.path.join(path, "percslots"))
+            .select("sid", "token"))
 
 
 def read_vocab(spark: SparkSession, path: str,
@@ -350,9 +361,18 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str,
              .cast("long").alias("df_title"),
              F.sum(F.when(F.col("tf") > F.col("tf_title"), 1).otherwise(0))
              .cast("long").alias("df_body")), tmp)
-    _write_vkeys(
-        _vkeys_rel(spark.read.parquet(os.path.join(tmp, "vocab"))
-                   .select("token")), tmp)
+    vocab_tokens = (spark.read.parquet(os.path.join(tmp, "vocab"))
+                    .select("token"))
+    _write_vkeys(_vkeys_rel(vocab_tokens), tmp)
+    # Percolator slot dictionary (layout v6): corpus-derived and epoch-
+    # stable, so persisting it here moves the percolate queries' fixed
+    # synthesis stage (one vocab pass + the slot row_number, ~1 s/query
+    # measured at sf1 in round 7) into the one-time build.
+    from elasticsearch_hbase_river_spark.operators.esagg import (
+        slot_dictionary,
+    )
+    (slot_dictionary(vocab_tokens).coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(tmp, "percslots")))
     # doclen comes from the CORPUS, not the postings: zero-token documents
     # (empty / punctuation-only text) have no postings rows but are still
     # indexed documents — they count toward N and avgdl, exactly as in ES
@@ -733,6 +753,18 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     _write_vocab(plans["vocab"], tmp)
     _write_doclen(plans["doclen"], tmp)
     _write_vkeys(plans["vkeys"], tmp)
+    # percslots (layout v6): rebuilt from the MERGED vocab — epoch churn
+    # can evict a slot's min-token, so the dictionary can't carry over
+    # blindly. One vocab-sized pass onto ≤ PERC_SLOTS groups, same
+    # cost class as the vkeys refresh above.
+    from elasticsearch_hbase_river_spark.operators.esagg import (
+        slot_dictionary,
+    )
+
+    (slot_dictionary(spark.read.parquet(os.path.join(tmp, "vocab"))
+                     .select("token"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(tmp, "percslots")))
 
     from elasticsearch_hbase_river_spark.operators.multifield import (
         TITLE_LEN,

@@ -406,7 +406,8 @@ def test_index_delta_maintenance_matches_batch_rebuild(spark, sf_dir, tmp_path):
     full_dir = str(tmp_path / "full_idx")
     ix.build_index(spark, latest, full_dir)
 
-    for reader in (ix.read_postings, ix.read_doclen, ix.read_vocab):
+    for reader in (ix.read_postings, ix.read_doclen, ix.read_vocab,
+                   ix.read_percslots):
         got = Counter(map(tuple, reader(spark, merged_dir).collect()))
         want = Counter(map(tuple, reader(spark, full_dir).collect()))
         assert got == want, f"{reader.__name__} diverged after delta merge"
