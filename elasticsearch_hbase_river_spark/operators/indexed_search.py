@@ -150,6 +150,25 @@ def _dbucket(col) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
+def changed_dbuckets(changed: DataFrame) -> list[int] | None:
+    """Doc-bucket ids touched by a changed-doc set, for partition-pruning
+    literals in the live-serving/merge paths — or ``None`` when pruning
+    would be a no-op.
+
+    Epoch-storm safe (round-8 guard): the bucket column is DISTINCTed on
+    the executors before the collect, so the driver receives at most
+    N_BUCKETS rows no matter how many documents churned (the earlier
+    per-doc collect was delta-proportional — fine for delta-sized ticks,
+    a driver hazard under storm churn). When every bucket is touched the
+    IN-list filters nothing, so the caller gets ``None`` and reads the
+    base table unpruned — a storm degrades to a full scan, never to a
+    giant plan literal."""
+    bs = sorted(r[0] for r in changed
+                .select(_dbucket(F.col("doc_id")).alias("b"))
+                .distinct().collect())
+    return None if len(bs) >= N_BUCKETS else bs
+
+
 def _terms_buckets(terms: tuple[str, ...]) -> list[int]:
     """Bucket ids for literal query terms — computed DRIVER-SIDE with the
     pure-Python xxh64 twin (parity pinned by tests/test_bucketing.py).
@@ -714,8 +733,8 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     fresh = read_inverted_index(spark, epochs_dir).localCheckpoint(eager=True)
     fresh_docs = read_epoch_docs(spark, epochs_dir).localCheckpoint(eager=True)
     changed = fresh_docs.select("doc_id")
-    dbuckets = sorted({
-        r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
+    # bounded-collect + saturation-to-full-scan guard (changed_dbuckets)
+    dbuckets = changed_dbuckets(changed)
 
     preexisting = os.path.exists(os.path.join(out_path, META))
     tmp = f"{out_path}.tmp-{uuid.uuid4().hex}"

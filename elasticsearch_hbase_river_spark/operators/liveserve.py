@@ -46,7 +46,7 @@ from elasticsearch_hbase_river_spark.functions.determinism import (
     roundn_sql,
 )
 from elasticsearch_hbase_river_spark.operators.indexed_search import (
-    _dbucket,
+    changed_dbuckets,
     ensure_index,
     index_path_for,
     index_stats,
@@ -147,8 +147,8 @@ def bm25_live(spark: SparkSession, base_path: str, epochs_dir: str,
     fresh_all = read_inverted_index(spark, epochs_dir) \
         .localCheckpoint(eager=True)
     changed = fresh_docs.select("doc_id")
-    dbuckets = sorted({
-        r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
+    # bounded-collect + saturation-to-full-scan guard (indexed_search.py)
+    dbuckets = changed_dbuckets(changed)
 
     st = index_stats(base_path)
     removed = (read_doclen(spark, base_path, dbuckets)

@@ -602,11 +602,11 @@ def nested_field_search_live(spark: SparkSession, base: str,
     fdl_new = fdl_new.localCheckpoint(eager=True)
     changed = changed.localCheckpoint(eager=True)
     from elasticsearch_hbase_river_spark.operators.indexed_search import (
-        _dbucket,
+        changed_dbuckets,
     )
 
-    dbuckets = sorted({
-        r[0] for r in changed.select(_dbucket(F.col("doc_id"))).collect()})
+    # bounded-collect + saturation-to-full-scan guard (indexed_search.py)
+    dbuckets = changed_dbuckets(changed)
 
     base_p = read_fpostings(spark, base, terms)
     tf_new = fp_new.filter(F.col("token").isin(*terms))

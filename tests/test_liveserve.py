@@ -90,3 +90,55 @@ def test_live_epochs_fixture_is_idempotent(spark, sf_dir, tmp_path,
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_epochs_meta.json")) == mtime
     assert lv.pending_epochs(p1) == 1
+
+
+def test_changed_dbuckets_bounded_collect_and_storm_saturation(spark):
+    """The live/merge paths' bucket-pruning literals: delta-sized churn
+    yields a small IN-list; an epoch storm saturates to None (full base
+    read) instead of a per-doc driver collect / giant plan literal."""
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+
+    small = spark.range(1).select(F.col("id").alias("doc_id"))
+    bs = ix.changed_dbuckets(small)
+    assert isinstance(bs, list) and len(bs) == 1
+
+    storm = spark.range(500).select(F.col("id").alias("doc_id"))
+    assert ix.changed_dbuckets(storm) is None  # all 32 buckets touched
+
+
+def test_live_bm25_full_churn_storm_equals_rebuild(spark, tmp_path):
+    """Pathological churn: ONE epoch re-indexes every document in the
+    corpus (every dbucket touched -> the pruning guard degrades to an
+    unpruned base read). Live serving must still be row-identical to a
+    full rebuild over the post-storm corpus."""
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+
+    n = 500
+    base_docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("spark join window doc "),
+                 F.col("id").cast("string")).alias("text"))
+    base = str(tmp_path / "storm_base")
+    build_index(spark, base_docs, base)
+
+    storm_docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("join join window"))
+         .when(F.col("id") % 3 == 1, F.lit("spark filter table"))
+         .otherwise(F.lit("")).alias("text"))
+    epochs = str(tmp_path / "storm_epochs")
+    _write_epoch(spark, epochs, 0,
+                 [(int(r.doc_id), r.text) for r in storm_docs.collect()])
+    # precondition: the storm really does saturate the guard
+    assert ix.changed_dbuckets(
+        storm_docs.select("doc_id")) is None
+
+    rebuilt = str(tmp_path / "storm_rebuilt")
+    build_index(spark, storm_docs, rebuilt)
+
+    terms = ("spark", "join")
+    live = sorted(map(tuple, lv.bm25_live(
+        spark, base, epochs, terms=terms, top=20).collect()))
+    want = sorted(map(tuple, bm25_from_index(
+        spark, rebuilt, terms=terms, top=20).collect()))
+    assert live == want
