@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 
@@ -269,12 +270,79 @@ def _check_bands_format(bands_path: str) -> None:
             "streaming_near_dedup checkpoints from the old format too.")
 
 
-def _stamp_bands_format(bands_path: str) -> None:
+def _stamp_bands_format(bands_path: str, ticks_since_compact: int = 0) -> None:
     meta = os.path.join(bands_path, _BANDS_META)
     tmp = f"{meta}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump({"format_version": BANDS_FORMAT_VERSION}, f)
+        json.dump({"format_version": BANDS_FORMAT_VERSION,
+                   "ticks_since_compact": ticks_since_compact}, f)
     os.replace(tmp, meta)
+
+
+#: Compact the band table every N append ticks (same decoupled-cadence
+#: policy as the index epochs, SCALE.md §3i/§3n: appends stay cheap and
+#: delta-sized; the rewrite cost is paid once per N ticks instead of
+#: degrading every tick's table scan through small-file accretion).
+BANDS_COMPACT_EVERY = 16
+
+#: Target rows per compacted band-table file — ~25 MB parquet at the
+#: 4-column BIGINT-signature row width, a healthy split size.
+BANDS_ROWS_PER_FILE = 4_000_000
+
+
+def band_ticks_since_compact(bands_path: str) -> int:
+    """Append ticks since the last compaction (0 for a fresh/absent sink;
+    pre-counter metas read as 0 — the first post-upgrade append starts
+    the count)."""
+    meta = os.path.join(bands_path, _BANDS_META)
+    if not os.path.exists(meta):
+        return 0
+    with open(meta) as f:
+        return int(json.load(f).get("ticks_since_compact", 0))
+
+
+def band_compaction_due(bands_path: str,
+                        every_n: int = BANDS_COMPACT_EVERY) -> bool:
+    """True when the append-tick counter has reached the cadence."""
+    return band_ticks_since_compact(bands_path) >= every_n
+
+
+def _band_files(bands_path: str) -> list[str]:
+    return [os.path.join(r, f)
+            for r, _, fs in os.walk(bands_path)
+            for f in fs if f.startswith("part-")]
+
+
+def compact_band_table(spark: SparkSession, bands_path: str,
+                       rows_per_file: int = BANDS_ROWS_PER_FILE) -> dict:
+    """Rewrite the append-log band table into size-targeted files and
+    reset the tick counter.
+
+    The table's CONTENT is already minimal (every row is a live band of
+    an accepted doc — nothing is superseded), so compaction is purely a
+    small-file rewrite: each tick's append lands ≥1 file per task, and
+    after hundreds of ticks the per-tick candidate join pays listing +
+    footer overhead proportional to tick COUNT rather than data size
+    (measured in tools/bands_compact_scale.py; SCALE.md §3n). Single-
+    writer swap discipline: the rewrite lands in a tmp dir, the old
+    directory moves aside, tmp renames in, old is dropped — the same
+    non-atomic-but-recoverable window as any log-table compaction; run
+    it from the (single) maintenance tick, not concurrently with an
+    append."""
+    _check_bands_format(bands_path)
+    before = _band_files(bands_path)
+    rows = spark.read.parquet(bands_path).count()
+    n_files = max(1, -(-rows // rows_per_file))
+    tmp = f"{bands_path}.compact-{uuid.uuid4().hex}"
+    (spark.read.parquet(bands_path).repartition(n_files)
+     .write.mode("overwrite").parquet(tmp))
+    _stamp_bands_format(tmp, ticks_since_compact=0)
+    old = f"{bands_path}.old-{uuid.uuid4().hex}"
+    os.rename(bands_path, old)
+    os.rename(tmp, bands_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"rows": rows, "files_before": len(before),
+            "files_after": len(_band_files(bands_path))}
 
 
 def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
@@ -293,7 +361,10 @@ def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
     signatures already on the band rows, accept = anti-join on the
     verified dup ids. At 100 TB the band table is the ONLY thing the tick
     re-reads — k-hashes-per-doc sized, not corpus-sized — and it is a
-    plain parquet append (compact periodically like any log table).
+    plain parquet append; small-file accretion is bounded by the
+    compaction cadence (:func:`band_compaction_due` every
+    BANDS_COMPACT_EVERY ticks -> :func:`compact_band_table`, measured
+    in SCALE.md §3n).
     Within-batch self-dedup is the batch operator's job
     (`q_near_dedup`) — compose it upstream when a single tick can carry
     its own near-copies. ``new_docs`` needs (doc_id, text); extra columns
@@ -313,9 +384,10 @@ def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
         accepted = new_docs.join(dups, "doc_id", "left_anti")
     else:
         accepted = new_docs
+    ticks = band_ticks_since_compact(bands_path)
     (nb.join(accepted.select("doc_id"), "doc_id")
        .write.mode("append").parquet(bands_path))
-    _stamp_bands_format(bands_path)
+    _stamp_bands_format(bands_path, ticks_since_compact=ticks + 1)
     nb.unpersist()
     return accepted
 

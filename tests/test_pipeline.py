@@ -545,3 +545,54 @@ def test_vector_upsert_into_occupied_out_path_raises(spark, sf_dir, tmp_path):
     vx.build_vector_index(spark, emb, occupied)
     with pytest.raises(OSError):
         vx.upsert_vectors(spark, base_dir, delta, occupied)
+
+
+def test_band_table_compaction_cadence_and_equivalence(spark, sf_dir, tmp_path):
+    """The band table's log-compaction loop (SCALE.md §3n): the tick
+    counter advances per append, the policy fires at the cadence, the
+    rewrite shrinks the file count without changing a single row, and a
+    post-compaction tick still rejects a near-copy of PRE-compaction
+    history."""
+    from collections import Counter
+
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        band_compaction_due,
+        band_ticks_since_compact,
+        compact_band_table,
+        near_dedup_against_sink,
+    )
+
+    bands = str(tmp_path / "compact_bands")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    assert band_ticks_since_compact(bands) == 0
+    for i in range(3):
+        tick = docs.filter((F.col("doc_id") >= 20 * i)
+                           & (F.col("doc_id") < 20 * (i + 1)))
+        near_dedup_against_sink(spark, tick, bands)
+        assert band_ticks_since_compact(bands) == i + 1
+    assert not band_compaction_due(bands, every_n=3 + 1)
+    assert band_compaction_due(bands, every_n=3)
+
+    def snapshot():
+        # mh is an array column — tuple-ify for hashable multiset compare
+        return Counter(
+            tuple(tuple(v) if isinstance(v, list) else v for v in row)
+            for row in spark.read.parquet(bands).collect())
+
+    before = snapshot()
+    stats = compact_band_table(spark, bands)
+    assert stats["rows"] == sum(before.values())
+    assert stats["files_after"] < stats["files_before"]
+    assert snapshot() == before       # content-identical rewrite
+    assert band_ticks_since_compact(bands) == 0
+
+    # post-compaction tick: a near-copy of pre-compaction history (doc 0,
+    # last 3 tokens dropped) is still rejected
+    near_copy = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(9_100_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1,
+                             F.greatest(F.size(F.split("text", " ")) - 3,
+                                        F.lit(1))), " ").alias("text"))
+    assert near_dedup_against_sink(spark, near_copy, bands).count() == 0
+    assert band_ticks_since_compact(bands) == 1
