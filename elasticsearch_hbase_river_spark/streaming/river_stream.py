@@ -726,7 +726,8 @@ def _stamp_nested_epochs_layout(index_dir: str) -> None:
 
 def start_nested_index_stream(spark: SparkSession, cells_source_dir: str,
                               index_dir: str, checkpoint_dir: str,
-                              available_now: bool = True) -> StreamingQuery:
+                              available_now: bool = True,
+                              files_per_trigger: int = 16) -> StreamingQuery:
     """Maintain the FIELDED (nested-document) index incrementally: each
     micro-batch of CELLS (the river's input unit) melts to dynamic
     fields and lands as one epoch of fielded postings — the streaming
@@ -744,8 +745,11 @@ def start_nested_index_stream(spark: SparkSession, cells_source_dir: str,
     authority, covering re-indexes that emptied every analyzable
     field). Readers resolve latest-epoch-wins per doc
     (`nesteddoc.read_nested_epochs`); serving between compactions is
-    `nesteddoc.nested_field_search_live`."""
-    cells = read_cells_stream(spark, cells_source_dir)
+    `nesteddoc.nested_field_search_live`. ``files_per_trigger`` bounds
+    the micro-batch (= epoch) size; lifecycle tests set 1 so one
+    availableNow drain crosses real batch boundaries."""
+    cells = read_cells_stream(spark, cells_source_dir,
+                              max_files_per_trigger=files_per_trigger)
 
     def build_delta(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window

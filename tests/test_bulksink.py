@@ -110,7 +110,7 @@ def test_connector_river_stream(spark, sf_dir, tmp_path):
     def drain() -> None:
         q = start_connector_river(spark, config, store, bulk_dir, ckpt,
                                   available_now=True)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
 
     drain()
     assert (bulksink.read_manifest(bulk_dir)["n_docs"]
@@ -137,7 +137,7 @@ def test_streaming_epochs_are_recorded_once(spark, docs, tmp_path):
         q = (stream.writeStream.format("bulksink").option("path", path)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in 120s"
 
     tick()
     n1 = bulksink.read_manifest(path)["n_docs"]

@@ -108,7 +108,7 @@ def test_streaming_incremental_scanner(spark, store, tmp_path):
         q = (stream.writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in 120s"
         return spark.read.parquet(out).count()
 
     assert tick() == old.count()

@@ -157,13 +157,13 @@ def test_nested_stream_live_serving_equals_rebuild(spark, tmp_path):
     _mk_cells(spark, _doc_cells("1", "error", "12", 20)) \
         .write.mode("append").parquet(src)
     q = start_nested_index_stream(spark, src, epochs, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     # epoch 1: doc 1 AGAIN (supersedes epoch 0) + brand-new doc 4
     _mk_cells(spark, _doc_cells("1", "view", "87", 30)
               + _doc_cells("4", "error purchase", "87", 30)) \
         .write.mode("append").parquet(src)
     q = start_nested_index_stream(spark, src, epochs, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     final_cells = _mk_cells(spark, (
         _doc_cells("1", "view", "87", 30)
@@ -178,6 +178,74 @@ def test_nested_stream_live_serving_equals_rebuild(spark, tmp_path):
     live = sorted(map(tuple, nd.nested_field_search_live(
         spark, base, epochs, terms=terms).collect()))
     # rebuild reference: the indexed read path over the rebuilt snapshot
+    p = nd.read_fpostings(spark, rebuilt, terms)
+    fdl = p.select("doc_id", "field", "dl").distinct()
+    fstats = (nd.read_fstats(spark, rebuilt)
+              .select("field", "n_docs", "avgdl"))
+    dfr = nd.read_fvocab(spark, rebuilt, terms)
+    want = sorted(map(tuple, nd._score_fielded(
+        p.select("doc_id", "field", "token", "tf"), fdl, fstats,
+        dfr).collect()))
+    assert live == want and len(live) > 0
+
+
+def test_nested_stream_single_drain_multibatch_live_equals_rebuild(
+        spark, tmp_path):
+    """ONE availableNow drain over three time-sliced source files with
+    files_per_trigger=1: three real micro-batch boundaries inside a
+    single stream run, landing three epochs whose arbitration (doc 1
+    updated twice then once more, doc 5 emptied of analyzable fields,
+    doc 4 born mid-run) must serve live exactly like a rebuild over the
+    final corpus."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_nested_index_stream,
+    )
+
+    base_cells = _mk_cells(spark, (
+        _doc_cells("1", "error", "87", 10)
+        + _doc_cells("2", "click", "12", 10)
+        + _doc_cells("3", "error error purchase", "87", 10)
+        + _doc_cells("5", "error", "87", 10)))
+    base = str(tmp_path / "mb_base_idx")
+    nd.build_nested_index(spark, nd.fielded_cells_from(base_cells), base)
+
+    src = str(tmp_path / "mb_src")
+    # three files, written oldest-first => three triggers in ONE drain
+    _mk_cells(spark, _doc_cells("1", "error", "12", 20)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _mk_cells(spark, _doc_cells("1", "view", "87", 30)
+              + _doc_cells("4", "error purchase", "87", 30)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    # doc 5 re-indexed with NO analyzable tokens in any field value
+    _mk_cells(spark, [("5", "meta", "event_type", "", 40),
+                      ("5", "meta", "user_id", "", 40)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    epochs = str(tmp_path / "mb_epochs")
+    q = start_nested_index_stream(spark, src, epochs,
+                                  str(tmp_path / "mb_ckpt"),
+                                  files_per_trigger=1)
+    assert q.awaitTermination(240), "stream did not drain in 240s"
+    import os
+
+    n_epochs = len([d for d in os.listdir(os.path.join(epochs, "docs"))
+                    if d.startswith("epoch=")])
+    assert n_epochs == 3, f"expected 3 micro-batch epochs, got {n_epochs}"
+
+    final_cells = _mk_cells(spark, (
+        _doc_cells("1", "view", "87", 30)
+        + _doc_cells("2", "click", "12", 10)
+        + _doc_cells("3", "error error purchase", "87", 10)
+        + _doc_cells("4", "error purchase", "87", 30)
+        + [("5", "meta", "event_type", "", 40),
+           ("5", "meta", "user_id", "", 40)]))
+    rebuilt = str(tmp_path / "mb_rebuilt_idx")
+    nd.build_nested_index(spark, nd.fielded_cells_from(final_cells),
+                          rebuilt)
+
+    terms = ("error", "87")
+    live = sorted(map(tuple, nd.nested_field_search_live(
+        spark, base, epochs, terms=terms).collect()))
     p = nd.read_fpostings(spark, rebuilt, terms)
     fdl = p.select("doc_id", "field", "dl").distinct()
     fstats = (nd.read_fstats(spark, rebuilt)
