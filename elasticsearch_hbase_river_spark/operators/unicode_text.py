@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_sql
 from elasticsearch_hbase_river_spark.functions.analyzer import (
     analyze_tokens,
     analyze_tokens_unicode,
@@ -117,14 +118,63 @@ def q_text_stats_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 query terms for the unicode search: two accent-folded body tokens
+#: (the translate image of common fixture words) whose df varies per doc.
+UNI_BM25_TERMS = ("dätä", "wîndöw")
+UNI_BM25_TOP = 20
+_K1, _B = 1.2, 0.75
+
+
+def q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-{UNI_BM25_TOP} for accented query terms over the
+    multilingual corpus — the full relevance pipeline (tf, df, dl, N,
+    avgdl) under the unicode analyzer, same Lucene formula and plan shape
+    as ``q_bm25``: term filter below the shuffle, stats as a broadcast
+    1-row aggregate, dl relation reused for stats (one tokenization for
+    postings, one for dl — never a third)."""
+    from elasticsearch_hbase_river_spark.functions.determinism import (
+        roundn_col,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = analyze_tokens_unicode(unicode_corpus_col())
+    arr = docs.select("doc_id", toks.alias("toks"))
+    dl = arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (arr.select("doc_id", F.explode("toks").alias("token"))
+          .filter(F.col("token").isin(*UNI_BM25_TERMS))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    scored = (tf.join(F.broadcast(df_), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.select("doc_id", (idf * tf_norm).alias("contrib"))
+               .groupBy("doc_id")
+               .agg(roundn_col(F.sum("contrib")).alias("score")))
+    top = (per_doc.orderBy(F.col("score").desc(), F.col("doc_id"))
+           .limit(UNI_BM25_TOP))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 _UTOKS = analyze_toks_unicode_sql("uni")
 _ATOKS = analyze_toks_sql("uni")
 _TERMS_SQL = ", ".join(f"'{t}'" for t in UNI_TERMS)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in UNI_BM25_TERMS)
 
 QUERIES = {
     "q_tokenize_unicode": q_tokenize_unicode,
     "q_term_search_unicode": q_term_search_unicode,
     "q_text_stats_unicode": q_text_stats_unicode,
+    "q_bm25_unicode": q_bm25_unicode,
 }
 
 ORACLES = {
@@ -146,4 +196,29 @@ SELECT doc_id,
        CAST(len(list_distinct({_UTOKS})) AS BIGINT) AS n_distinct_unicode,
        CAST(len({_ATOKS}) AS BIGINT) AS n_tokens_ascii
 FROM uni""",
+    "q_bm25_unicode": f"""
+WITH uni AS (SELECT doc_id, {unicode_corpus_sql()} AS uni FROM documents),
+tok AS (
+  SELECT doc_id, unnest({_UTOKS}) AS token FROM uni),
+dl AS (SELECT doc_id, CAST(len({_UTOKS}) AS BIGINT) AS dl FROM uni),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 avg(len({_UTOKS})) AS avgdl FROM uni),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         * (tf.tf * ({_K1} + 1)) /
+           (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), stats),
+scored AS (
+  SELECT doc_id, {roundn_sql('sum(c)')} AS score FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {UNI_BM25_TOP}""",
 }

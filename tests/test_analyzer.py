@@ -263,3 +263,37 @@ def test_index_build_unicode_mode_end_to_end(spark, tmp_path):
     # ascii mode still refuses this corpus outright
     with pytest.raises(ValueError, match="non-ASCII"):
         build_index(spark, docs, str(tmp_path / "ascii_idx"), mode="ascii")
+
+
+def test_index_stream_unicode_mode(spark, tmp_path):
+    """The streaming index maintainer honors the analyzer mode: a
+    multilingual docs feed builds unicode-analyzed epochs (and would be
+    refused outright in the default ascii mode)."""
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        read_inverted_index,
+        start_index_stream,
+    )
+
+    src = str(tmp_path / "uni_src")
+    spark.createDataFrame(
+        [(1, "Grüße ΟΔΥΣΣΕΥΣ données", None),
+         (2, "données et café", None)],
+        "doc_id long, text string, ver long") \
+        .write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "uni_epochs")
+    q = start_index_stream(spark, src, idx, str(tmp_path / "uni_ckpt"),
+                           mode="unicode")
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+    toks = {r.token for r in
+            read_inverted_index(spark, idx).select("token").collect()}
+    assert {"grüße", "οδυσσευσ", "données", "café"} <= toks
+
+    # ascii mode refuses the same feed (guard runs inside the batch)
+    q2 = start_index_stream(spark, src, str(tmp_path / "ascii_epochs"),
+                            str(tmp_path / "ascii_ckpt"), mode="ascii")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-ASCII"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
