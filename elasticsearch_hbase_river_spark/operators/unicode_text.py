@@ -128,10 +128,14 @@ _K1, _B = 1.2, 0.75
 def q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ranked top-{UNI_BM25_TOP} for accented query terms over the
     multilingual corpus — the full relevance pipeline (tf, df, dl, N,
-    avgdl) under the unicode analyzer, same Lucene formula and plan shape
-    as ``q_bm25``: term filter below the shuffle, stats as a broadcast
-    1-row aggregate, dl relation reused for stats (one tokenization for
-    postings, one for dl — never a third)."""
+    avgdl) under the unicode analyzer, in a JOIN-FREE shape: the query
+    has a FIXED handful of terms, so per-doc tf comes from map-side
+    array counts on the one tokenization pass (no explode, no
+    (doc, token) shuffle, no dl sort-merge join — the join form's SMJ
+    peak OOM'd a 1 GB session at the 100x fixture under accumulated
+    block pressure; this shape's only non-map stages are the 1-row
+    stats aggregate and the top-k). df/N/avgdl broadcast from that
+    single row; everything else is whole-stage codegen."""
     from elasticsearch_hbase_river_spark.functions.determinism import (
         roundn_col,
     )
@@ -139,26 +143,34 @@ def q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = analyze_tokens_unicode(unicode_corpus_col())
-    arr = docs.select("doc_id", toks.alias("toks"))
-    dl = arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    tf = (arr.select("doc_id", F.explode("toks").alias("token"))
-          .filter(F.col("token").isin(*UNI_BM25_TERMS))
-          .groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    df_ = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df"))
-    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    scored = (tf.join(F.broadcast(df_), "token")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats)))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    tf_norm = (F.col("tf") * (_K1 + 1)) / (
-        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
-    per_doc = (scored.select("doc_id", (idf * tf_norm).alias("contrib"))
-               .groupBy("doc_id")
-               .agg(roundn_col(F.sum("contrib")).alias("score")))
+    tf_cols = [
+        F.size(F.filter("toks", lambda t: t == F.lit(term)))
+        .cast("long").alias(f"tf{i}")
+        for i, term in enumerate(UNI_BM25_TERMS)]
+    row = docs.select(
+        "doc_id", toks.alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols)
+    stats = row.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long")
+          .alias(f"df{i}") for i in range(len(UNI_BM25_TERMS))])
+
+    def contrib(i: int):
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        tf = F.col(f"tf{i}")
+        tf_norm = (tf * (_K1 + 1)) / (
+            tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        return F.when(tf > 0, idf * tf_norm).otherwise(F.lit(0.0))
+
+    score = roundn_col(sum(contrib(i)
+                           for i in range(len(UNI_BM25_TERMS))))
+    per_doc = (row.crossJoin(F.broadcast(stats))
+               .filter(sum(F.col(f"tf{i}")
+                           for i in range(len(UNI_BM25_TERMS))) > 0)
+               .select("doc_id", score.alias("score")))
     top = (per_doc.orderBy(F.col("score").desc(), F.col("doc_id"))
            .limit(UNI_BM25_TOP))
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
