@@ -555,9 +555,12 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = ensure_index(spark, sf_dir)
+    # |Q|·k rows, consumed THREE times (term collect, match join, terms
+    # output) — checkpoint eagerly so percslots + synthesis run once,
+    # not per consumer (the fixed cost this query exists to shave).
     stored = _stored_queries_from_sidx(
         spark, read_percslots(spark, idx), PERC_N_QUERIES,
-        PERC_TERMS_PER_QUERY)
+        PERC_TERMS_PER_QUERY).localCheckpoint(eager=True)
     # |Q|·k is a small constant here (24 terms): collecting them enables
     # bucket-literal pruning of the postings read — the bounded-literal
     # pattern the ANN probe path established.

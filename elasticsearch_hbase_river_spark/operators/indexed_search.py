@@ -402,7 +402,7 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str,
         .alias("dl"))
     _write_doclen(doclen, tmp)
     _write_stats_from_doclen(spark, doclen, tmp)
-    _publish(tmp, path, preexisting)
+    _publish(tmp, path, preexisting, mode=mode)
 
 
 def _write_stats_from_doclen(spark: SparkSession, doclen: DataFrame,
@@ -486,13 +486,25 @@ def _write_doclen(doclen: DataFrame, tmp: str) -> None:
            .parquet(os.path.join(tmp, "doclen")))
 
 
-def _publish(tmp: str, path: str, preexisting: bool) -> None:
+def index_mode(path: str) -> str:
+    """The analyzer mode an index directory was built with (META-stamped;
+    pre-stamp directories read as 'ascii', the only mode that existed)."""
+    with open(os.path.join(path, META)) as f:
+        return json.load(f).get("mode", "ascii")
+
+
+def _publish(tmp: str, path: str, preexisting: bool,
+             mode: str = "ascii") -> None:
     """Atomic publish, same discipline as the vector index: concurrent
     builders of the SAME immutable path race safely (first rename wins,
     losers discard); any other rename failure re-raises — stale data
-    standing in for a requested build is silent data loss."""
+    standing in for a requested build is silent data loss. The analyzer
+    ``mode`` is stamped into META (same marker discipline as the layout
+    version): mixing tokenizations across build/maintenance is silent
+    corruption, so every maintenance path checks it."""
     with open(os.path.join(tmp, META), "w") as f:
-        json.dump({"layout": LAYOUT_VERSION, "n_buckets": N_BUCKETS}, f)
+        json.dump({"layout": LAYOUT_VERSION, "n_buckets": N_BUCKETS,
+                   "mode": mode}, f)
     try:
         os.rename(tmp, path)
     except OSError:
@@ -729,9 +741,16 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     sidecars (stats is pure integer arithmetic on the cached 1-row
     sidecar)."""
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        _check_epochs_layout,
         read_epoch_docs,
         read_inverted_index,
     )
+
+    # Analyzer-mode consistency: base index META vs epochs marker (both
+    # default 'ascii' for pre-stamp artifacts). Merging two tokenizations
+    # is silent corruption — refuse it here like the stream writer does.
+    base_mode = index_mode(base_path)
+    _check_epochs_layout(epochs_dir, mode=base_mode)
 
     # Delta-sized; read many times (changed set, merge, contributions) —
     # materialize once. The doc manifest (not the postings) is the
@@ -831,7 +850,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
         "sum_title long, n_body long, sum_body long")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(tmp, "stats")))
-    _publish(tmp, out_path, preexisting)
+    _publish(tmp, out_path, preexisting, mode=base_mode)
 
 
 def q_rescore_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

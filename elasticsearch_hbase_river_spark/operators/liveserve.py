@@ -134,9 +134,18 @@ def bm25_live(spark: SparkSession, base_path: str, epochs_dir: str,
       new ones. All three relations broadcast.
     """
     from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        _check_epochs_layout,
         read_epoch_docs,
         read_inverted_index,
     )
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        index_mode,
+    )
+
+    # analyzer-mode consistency between base snapshot and epochs: a
+    # mixed-tokenization live view is silent corruption (same marker
+    # discipline as apply_epoch_deltas)
+    _check_epochs_layout(epochs_dir, mode=index_mode(base_path))
 
     # materialize the two epoch-arbitration views ONCE (delta-sized:
     # latest-wins windows over the epoch manifests) — bm25_live and

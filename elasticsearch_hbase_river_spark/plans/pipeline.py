@@ -313,8 +313,46 @@ def _band_files(bands_path: str) -> list[str]:
             for f in fs if f.startswith("part-")]
 
 
+#: Target bytes per compacted band-table file (healthy split size).
+BANDS_BYTES_PER_FILE = 25 * 1024 * 1024
+
+
+def _assert_no_interrupted_compaction(bands_path: str) -> None:
+    """Make the compaction swap window LOUD instead of lossy.
+
+    :func:`compact_band_table` renames the live directory aside before
+    renaming the rewrite in; a crash between the two leaves no
+    ``bands_path`` at all — and a fresh tick would then silently treat
+    the sink as empty, accept every near-duplicate of the stranded
+    history, and start a new table (the exact silent-reset this module's
+    format marker exists to prevent). So: a missing ``bands_path`` with a
+    stranded ``.old-*`` sibling REFUSES with recovery instructions. A
+    stranded ``.old-*`` NEXT TO a live marker-valid ``bands_path`` is the
+    benign tail of the swap (crash after the rename-in, before cleanup) —
+    superseded, removed here."""
+    parent = os.path.dirname(os.path.abspath(bands_path)) or "."
+    base = os.path.basename(os.path.abspath(bands_path))
+    if not os.path.isdir(parent):
+        return
+    stranded = [os.path.join(parent, e) for e in os.listdir(parent)
+                if e.startswith(f"{base}.old-")]
+    if not stranded:
+        return
+    if os.path.exists(os.path.join(bands_path, _BANDS_META)):
+        for d in stranded:  # superseded history: swap completed
+            shutil.rmtree(d, ignore_errors=True)
+        return
+    raise RuntimeError(
+        f"band table {bands_path} is missing but a compaction-era "
+        f"sibling survives ({stranded[0]}) — a compaction crashed "
+        "mid-swap. Recover the history with "
+        f"`mv {stranded[0]} {bands_path}` (then re-run compaction) "
+        "instead of starting an empty sink that would silently accept "
+        "near-duplicates of everything already ingested.")
+
+
 def compact_band_table(spark: SparkSession, bands_path: str,
-                       rows_per_file: int = BANDS_ROWS_PER_FILE) -> dict:
+                       bytes_per_file: int = BANDS_BYTES_PER_FILE) -> dict:
     """Rewrite the append-log band table into size-targeted files and
     reset the tick counter.
 
@@ -323,20 +361,31 @@ def compact_band_table(spark: SparkSession, bands_path: str,
     small-file rewrite: each tick's append lands ≥1 file per task, and
     after hundreds of ticks the per-tick candidate join pays listing +
     footer overhead proportional to tick COUNT rather than data size
-    (measured in tools/bands_compact_scale.py; SCALE.md §3n). Single-
-    writer swap discipline: the rewrite lands in a tmp dir, the old
-    directory moves aside, tmp renames in, old is dropped — the same
-    non-atomic-but-recoverable window as any log-table compaction; run
-    it from the (single) maintenance tick, not concurrently with an
-    append."""
+    (measured in tools/bands_compact_scale.py; SCALE.md §3n). ONE data
+    pass: the output file count comes from the input BYTES (already
+    listed), and the row count from the rewrite's parquet footers — the
+    earlier count()-then-rewrite shape scanned the accreted table twice,
+    doubling exactly the I/O compaction exists to save. Single-writer
+    swap discipline: the rewrite lands in a tmp dir, the old directory
+    moves aside, tmp renames in, old is dropped; the swap window is
+    guarded by :func:`_assert_no_interrupted_compaction` (a mid-swap
+    crash refuses the next tick with recovery instructions instead of
+    silently resetting history). Run it from the (single) maintenance
+    tick, not concurrently with an append."""
+    _assert_no_interrupted_compaction(bands_path)
     _check_bands_format(bands_path)
     before = _band_files(bands_path)
-    rows = spark.read.parquet(bands_path).count()
-    n_files = max(1, -(-rows // rows_per_file))
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total_bytes // bytes_per_file))
     tmp = f"{bands_path}.compact-{uuid.uuid4().hex}"
     (spark.read.parquet(bands_path).repartition(n_files)
      .write.mode("overwrite").parquet(tmp))
     _stamp_bands_format(tmp, ticks_since_compact=0)
+    # footer-only row count of the rewrite (no data scan)
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _band_files(tmp))
     old = f"{bands_path}.old-{uuid.uuid4().hex}"
     os.rename(bands_path, old)
     os.rename(tmp, bands_path)
@@ -347,7 +396,9 @@ def compact_band_table(spark: SparkSession, bands_path: str,
 
 def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
                             bands_path: str,
-                            min_shared: int | None = None) -> DataFrame:
+                            min_shared: int | None = None,
+                            compact_every: int = BANDS_COMPACT_EVERY,
+                            auto_compact: bool = True) -> DataFrame:
     """MinHash twin of :func:`dedup_against_sink`: drop new documents that
     are NEAR-duplicates of the HISTORICAL corpus — not just exact-hash
     matches, and not just duplicates within the current micro-batch.
@@ -374,6 +425,9 @@ def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
         NEAR_DUP_MIN_SHARED, doc_bands, near_dup_decisions,
     )
 
+    # refuse a mid-swap compaction crash BEFORE the exists() check below
+    # could misread a stranded history as a fresh sink
+    _assert_no_interrupted_compaction(bands_path)
     threshold = NEAR_DUP_MIN_SHARED if min_shared is None else min_shared
     nb = doc_bands(new_docs.select("doc_id", "text")).persist()
     if os.path.exists(bands_path):
@@ -389,6 +443,15 @@ def near_dedup_against_sink(spark: SparkSession, new_docs: DataFrame,
        .write.mode("append").parquet(bands_path))
     _stamp_bands_format(bands_path, ticks_since_compact=ticks + 1)
     nb.unpersist()
+    # the cadence is PART of the tick, not an optional chore a deployment
+    # must remember to wire: every compact_every appends, pay the rewrite
+    # once so the next N-1 ticks read a compacted table
+    if auto_compact and band_compaction_due(bands_path, compact_every):
+        # the returned (lazy) accepted still references the PRE-compaction
+        # band files through the anti-join's lineage; cut it with an
+        # eager checkpoint (delta-sized) before the swap deletes them
+        accepted = accepted.localCheckpoint(eager=True)
+        compact_band_table(spark, bands_path)
     return accepted
 
 

@@ -47,19 +47,33 @@ EPOCHS_LAYOUT_VERSION = 2
 _EPOCHS_META = "_epochs_meta.json"
 
 
-def _check_epochs_layout(index_dir: str) -> None:
+def _check_epochs_layout(index_dir: str, mode: str | None = None) -> None:
     """Refuse mixed-layout epoch directories: a populated directory must
     carry the current layout marker. Fresh/empty directories pass (the
-    writer stamps them on first use)."""
+    writer stamps them on first use). With ``mode`` given, additionally
+    refuse an ANALYZER-MODE mismatch (marker-less/pre-stamp directories
+    read as 'ascii', the only mode that existed): resuming a unicode
+    stream over ascii epochs (or vice versa) would merge two
+    tokenizations into one index with no error anywhere."""
     import json as _json
     import os as _os
 
     meta = _os.path.join(index_dir, _EPOCHS_META)
     found: object = None
+    found_mode = "ascii"
     if _os.path.exists(meta):
         with open(meta) as f:
-            found = _json.load(f).get("layout")
+            m = _json.load(f)
+        found = m.get("layout")
+        found_mode = m.get("mode", "ascii")
     if found == EPOCHS_LAYOUT_VERSION:
+        if mode is not None and found_mode != mode:
+            raise ValueError(
+                f"index epochs directory {index_dir} was written with "
+                f"analyzer mode {found_mode!r}, stream configured for "
+                f"{mode!r} — mixing tokenizations silently corrupts the "
+                "merged index. Rebuild into a fresh directory (and "
+                "discard the checkpoint) or match the mode.")
         return
     if found is None and not _os.path.exists(index_dir):
         return  # nothing written yet; the writer will stamp it
@@ -96,7 +110,7 @@ def _check_epochs_layout(index_dir: str) -> None:
         "checkpoint), or migrate the old epochs explicitly.")
 
 
-def _stamp_epochs_layout(index_dir: str) -> None:
+def _stamp_epochs_layout(index_dir: str, mode: str = "ascii") -> None:
     import json as _json
     import os as _os
     import uuid as _uuid
@@ -105,7 +119,7 @@ def _stamp_epochs_layout(index_dir: str) -> None:
     meta = _os.path.join(index_dir, _EPOCHS_META)
     tmp = f"{meta}.tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        _json.dump({"layout": EPOCHS_LAYOUT_VERSION}, f)
+        _json.dump({"layout": EPOCHS_LAYOUT_VERSION, "mode": mode}, f)
     _os.replace(tmp, meta)
 
 CELLS_SCHEMA = StructType([
@@ -607,10 +621,11 @@ def start_index_stream(spark: SparkSession, docs_source_dir: str,
             tokens_for_mode,
         )
 
-        # foreachBatch runs driver-side: refuse a foreign-layout epochs
-        # directory BEFORE writing beside it, then stamp the marker.
-        _check_epochs_layout(index_dir)
-        _stamp_epochs_layout(index_dir)
+        # foreachBatch runs driver-side: refuse a foreign-layout (or
+        # mode-mismatched) epochs directory BEFORE writing beside it,
+        # then stamp the marker with this stream's analyzer mode.
+        _check_epochs_layout(index_dir, mode=mode)
+        _stamp_epochs_layout(index_dir, mode=mode)
 
         w = Window.partitionBy("doc_id").orderBy(
             F.col("ver").desc_nulls_last(),

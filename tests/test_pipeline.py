@@ -596,3 +596,108 @@ def test_band_table_compaction_cadence_and_equivalence(spark, sf_dir, tmp_path):
                                         F.lit(1))), " ").alias("text"))
     assert near_dedup_against_sink(spark, near_copy, bands).count() == 0
     assert band_ticks_since_compact(bands) == 1
+
+
+def test_band_compaction_crash_window_is_loud(spark, sf_dir, tmp_path):
+    """A compaction that crashed mid-swap (bands dir renamed aside, rewrite
+    not yet renamed in) must REFUSE the next tick with recovery
+    instructions — not silently start an empty history; a stranded .old
+    beside a live marker-valid table (crash after the rename-in) is
+    benign and cleaned."""
+    import pytest
+
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        near_dedup_against_sink,
+    )
+
+    bands = str(tmp_path / "crash_bands")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(20))
+    near_dedup_against_sink(spark, docs, bands)
+
+    # simulate the mid-swap crash: history stranded aside, no live table
+    import os
+    import shutil
+
+    stranded = bands + ".old-deadbeef"
+    os.rename(bands, stranded)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        near_dedup_against_sink(spark, docs, bands)
+    # recovery per the error message: move the history back, tick works
+    os.rename(stranded, bands)
+    near_dedup_against_sink(spark, docs, bands)
+
+    # benign tail: live table + superseded .old -> cleaned, tick proceeds
+    shutil.copytree(bands, bands + ".old-cafe")
+    near_dedup_against_sink(spark, docs, bands)
+    assert not os.path.exists(bands + ".old-cafe")
+
+
+def test_band_auto_compaction_fires_at_cadence(spark, sf_dir, tmp_path):
+    """The cadence is wired into the tick itself: with compact_every=2 the
+    second append triggers an in-tick compaction (counter resets, files
+    collapse) and the RETURNED accepted frame stays materializable after
+    the swap deleted the files its lineage referenced."""
+    from elasticsearch_hbase_river_spark.plans.pipeline import (
+        _band_files,
+        band_ticks_since_compact,
+        near_dedup_against_sink,
+    )
+
+    bands = str(tmp_path / "auto_bands")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    t1 = docs.filter(F.col("doc_id") < 20)
+    t2 = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    near_dedup_against_sink(spark, t1, bands, compact_every=2)
+    assert band_ticks_since_compact(bands) == 1
+    acc = near_dedup_against_sink(spark, t2, bands, compact_every=2)
+    assert band_ticks_since_compact(bands) == 0   # compaction ran in-tick
+    assert len(_band_files(bands)) == 1
+    assert acc.count() == t2.count()              # lineage survived swap
+
+
+def test_index_mode_marker_refuses_mixed_tokenizations(spark, tmp_path):
+    """The analyzer mode rides the same marker discipline as the layout
+    version: a unicode-built index refuses ascii epochs (and vice versa)
+    at BOTH maintenance entry points — the epoch merge and the live
+    serve — and the stream writer refuses to resume cross-mode."""
+    import pytest
+
+    from elasticsearch_hbase_river_spark.operators import indexed_search as ix
+    from elasticsearch_hbase_river_spark.operators import liveserve as lv
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_index_stream,
+    )
+
+    uni_docs = spark.createDataFrame(
+        [(1, "Grüße données café"), (2, "données et café")],
+        "doc_id long, text string")
+    uni_idx = str(tmp_path / "uni_idx")
+    ix.build_index(spark, uni_docs, uni_idx, mode="unicode")
+    assert ix.index_mode(uni_idx) == "unicode"
+
+    # ascii epochs from the stream writer
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(3, "plain ascii text", None)],
+                          "doc_id long, text string, ver long") \
+        .write.mode("append").parquet(src)
+    epochs = str(tmp_path / "ascii_epochs")
+    q = start_index_stream(spark, src, epochs, str(tmp_path / "ck1"))
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    with pytest.raises(ValueError, match="analyzer mode"):
+        ix.apply_epoch_deltas(spark, uni_idx, epochs,
+                              str(tmp_path / "merged"))
+    with pytest.raises(ValueError, match="analyzer mode"):
+        lv.bm25_live(spark, uni_idx, epochs, terms=("café",), top=5)
+
+    # resuming the SAME epochs dir with a unicode-mode stream refuses too
+    spark.createDataFrame([(4, "more ascii", None)],
+                          "doc_id long, text string, ver long") \
+        .write.mode("append").parquet(src)
+    q2 = start_index_stream(spark, src, epochs, str(tmp_path / "ck1"),
+                            mode="unicode")
+    with pytest.raises(Exception, match="analyzer mode"):
+        assert q2.awaitTermination(120)
+        q2.processAllAvailable()
