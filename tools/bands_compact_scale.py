@@ -68,7 +68,10 @@ def main() -> None:
             tick = docs.filter((F.col("doc_id") >= s)
                                & (F.col("doc_id") < s + span))
             t0 = time.time()
-            near_dedup_against_sink(spark, tick, bands) \
+            # auto_compact off: this tool MEASURES accretion, so the
+            # in-tick cadence (the production default) must not reset it
+            near_dedup_against_sink(spark, tick, bands,
+                                    auto_compact=False) \
                 .write.format("noop").mode("overwrite").save()
             return round(time.time() - t0, 2)
 
