@@ -1,0 +1,991 @@
+"""ES|QL — Elasticsearch's piped query language, compiled to DataFrames.
+
+The reference ships rows into Elasticsearch so users can query them there
+(`HBaseParser.java:135-162` is the indexing side); modern Elasticsearch's
+primary query surface for that data is ES|QL — a piped, composable language
+(``FROM idx | WHERE .. | STATS .. BY .. | SORT .. | LIMIT ..``). This module
+closes that surface natively: a recursive-descent parser for a documented
+ES|QL subset and a compiler that folds each pipe command into the idiomatic
+DataFrame operation, so Catalyst plans the physical execution (pushdown,
+pruning, broadcast, whole-stage codegen) exactly as if the user had written
+the DataFrame calls by hand.
+
+Design notes (100 TB stance):
+
+- The compiler emits ONLY declarative DataFrame transformations — never
+  collects, never RDDs, never Python row loops. A ``WHERE`` lands above the
+  scan and reaches parquet ``PushedFilters`` through Catalyst; ``STATS``
+  becomes a partial-aggregable ``groupBy``; ``LOOKUP JOIN`` / ``ENRICH``
+  broadcast the lookup side (they are dimension joins by construction —
+  that is what ES|QL's lookup indexes are).
+- ``SORT | LIMIT`` pairs collapse into ``TakeOrderedAndProject`` via
+  Catalyst's LimitPushDown — top-k never globally sorts.
+- Everything stays JVM-side: every supported function maps to a built-in
+  ``pyspark.sql.functions`` expression (``GROK``/``DISSECT`` compile to
+  anchored ``regexp_extract`` patterns, not UDFs).
+
+Supported subset (documented; anything else raises ``ESQLError`` with the
+source position):
+
+Source commands
+  ``FROM table`` (single fixture table), ``ROW name = literal, ...``
+Processing commands
+  ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``SORT`` (ASC/DESC, NULLS
+  FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
+  ``RENAME old AS new``, ``MV_EXPAND``, ``DISSECT``, ``GROK``,
+  ``LOOKUP JOIN table ON field``, ``ENRICH policy ON field [WITH f, ..]``
+Expressions
+  literals (string/number/bool/null), fields (backquotes for odd names),
+  ``+ - * / %``, ``== != < <= > >=``, ``AND OR NOT``, ``IN (..)``,
+  ``LIKE`` (``*``/``?`` wildcards), ``RLIKE``, ``IS [NOT] NULL``,
+  time spans (``1 day``) as ``DATE_TRUNC``'s first argument.
+Scalar functions
+  ABS CEIL FLOOR ROUND SQRT POW LOG10 EXP GREATEST LEAST LENGTH SUBSTRING
+  CONCAT TO_UPPER TO_LOWER TRIM LTRIM RTRIM REPLACE SPLIT STARTS_WITH
+  ENDS_WITH LEFT RIGHT COALESCE CASE TO_STRING TO_LONG TO_INT TO_DOUBLE
+  TO_DATETIME DATE_TRUNC DATE_EXTRACT MV_COUNT MV_MIN MV_MAX
+Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
+``ROUND(SUM(x), 4)``)
+  COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG VALUES
+
+Cross-engine determinism: ``ROUND`` compiles to the engine's portable
+``floor(x*10^d + 0.5)/10^d`` rounding (`functions/determinism.py`) so ES|QL
+results hash-match their DuckDB oracle twins; ES|QL's own semantics do not
+specify IEEE tie behavior, so this is a legal (and testable) choice.
+
+ES|QL null-ordering contract: nulls sort LAST under ASC and FIRST under
+DESC ("null is larger than any value"); the compiler emits
+``asc_nulls_last`` / ``desc_nulls_first`` accordingly unless the query says
+``NULLS FIRST/LAST``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_col
+from elasticsearch_hbase_river_spark.sources.tables import TABLES, load_table
+
+
+class ESQLError(ValueError):
+    """Parse or compile error, with the offending source position."""
+
+    def __init__(self, msg: str, pos: int = -1, text: str = ""):
+        loc = ""
+        if pos >= 0 and text:
+            line = text.count("\n", 0, pos) + 1
+            col = pos - (text.rfind("\n", 0, pos) + 1) + 1
+            loc = f" (line {line}, col {col})"
+        super().__init__(f"ES|QL: {msg}{loc}")
+        self.pos = pos
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+
+
+@dataclass
+class Tok:
+    kind: str  # IDENT STRING NUMBER OP EOF
+    value: Any
+    pos: int
+
+
+_OPS = ("==", "!=", "<=", ">=", "|", ",", "(", ")", "=", "<", ">",
+        "+", "-", "*", "/", "%")
+
+_IDENT_RE = re.compile(r"[A-Za-z_@][A-Za-z0-9_.@]*")
+_NUM_RE = re.compile(r"\d+(\.\d+)?([eE][+-]?\d+)?")
+
+
+def _tokenize(text: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if text.startswith("//", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == '"':
+            j, buf = i + 1, []
+            while j < n and text[j] != '"':
+                if text[j] == "\\" and j + 1 < n:
+                    esc = text[j + 1]
+                    buf.append({"n": "\n", "t": "\t", '"': '"',
+                                "\\": "\\"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            if j >= n:
+                raise ESQLError("unterminated string literal", i, text)
+            toks.append(Tok("STRING", "".join(buf), i))
+            i = j + 1
+            continue
+        if c == "`":
+            j = text.find("`", i + 1)
+            if j < 0:
+                raise ESQLError("unterminated backquoted identifier", i, text)
+            toks.append(Tok("IDENT", text[i + 1:j], i))
+            i = j + 1
+            continue
+        m = _NUM_RE.match(text, i)
+        if m and c.isdigit():
+            s = m.group(0)
+            toks.append(Tok("NUMBER",
+                            float(s) if ("." in s or "e" in s or "E" in s)
+                            else int(s), i))
+            i = m.end()
+            continue
+        m = _IDENT_RE.match(text, i)
+        if m:
+            toks.append(Tok("IDENT", m.group(0), i))
+            i = m.end()
+            continue
+        for op in _OPS:
+            if text.startswith(op, i):
+                toks.append(Tok("OP", op, i))
+                i += len(op)
+                break
+        else:
+            raise ESQLError(f"unexpected character {c!r}", i, text)
+    toks.append(Tok("EOF", None, n))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser → command list (each command a dict) with expression ASTs (tuples)
+
+_TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
+               "month", "quarter", "year"}
+
+_CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
+         "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK", "LOOKUP",
+         "ENRICH")
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def err(self, msg: str, tok: Optional[Tok] = None):
+        raise ESQLError(msg, (tok or self.peek()).pos, self.text)
+
+    def kw(self, t: Tok) -> str:
+        return t.value.upper() if t.kind == "IDENT" else ""
+
+    def accept_kw(self, word: str) -> bool:
+        if self.kw(self.peek()) == word:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.accept_kw(word):
+            self.err(f"expected {word}")
+
+    def accept_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "OP" and t.value == op:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.accept_op(op):
+            self.err(f"expected {op!r}")
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind != "IDENT":
+            self.err("expected identifier", t)
+        return t.value
+
+    # -- grammar ------------------------------------------------------------
+    def parse(self) -> list[dict]:
+        cmds = [self.source_cmd()]
+        while self.accept_op("|"):
+            cmds.append(self.proc_cmd())
+        if self.peek().kind != "EOF":
+            self.err("unexpected trailing input")
+        return cmds
+
+    def source_cmd(self) -> dict:
+        t = self.next()
+        k = self.kw(t)
+        if k == "FROM":
+            name = self.ident()
+            if self.accept_op(","):
+                self.err("multi-index FROM is outside the supported subset")
+            return {"cmd": "FROM", "table": name, "pos": t.pos}
+        if k == "ROW":
+            cols = []
+            while True:
+                name = self.ident()
+                self.expect_op("=")
+                cols.append((name, self.expr()))
+                if not self.accept_op(","):
+                    break
+            return {"cmd": "ROW", "cols": cols, "pos": t.pos}
+        self.err("query must start with FROM or ROW", t)
+
+    def proc_cmd(self) -> dict:
+        t = self.next()
+        k = self.kw(t)
+        if k not in _CMDS or k in ("FROM", "ROW"):
+            self.err(f"unknown command {t.value!r}", t)
+        if k == "WHERE":
+            return {"cmd": "WHERE", "expr": self.expr(), "pos": t.pos}
+        if k == "EVAL":
+            cols = []
+            while True:
+                name = self.ident()
+                self.expect_op("=")
+                cols.append((name, self.expr()))
+                if not self.accept_op(","):
+                    break
+            return {"cmd": "EVAL", "cols": cols, "pos": t.pos}
+        if k == "STATS":
+            aggs = []
+            while True:
+                name = None
+                nxt = self.toks[self.i + 1]
+                if (self.peek().kind == "IDENT"
+                        and nxt.kind == "OP" and nxt.value == "="):
+                    name = self.ident()
+                    self.next()  # '='
+                e = self.expr()
+                aggs.append((name, e))
+                if not self.accept_op(","):
+                    break
+            groups = []
+            if self.accept_kw("BY"):
+                while True:
+                    name = None
+                    nxt = self.toks[self.i + 1]
+                    if (self.peek().kind == "IDENT"
+                            and nxt.kind == "OP" and nxt.value == "="):
+                        name = self.ident()
+                        self.next()
+                    groups.append((name, self.expr()))
+                    if not self.accept_op(","):
+                        break
+            return {"cmd": "STATS", "aggs": aggs, "by": groups, "pos": t.pos}
+        if k == "SORT":
+            keys = []
+            while True:
+                e = self.expr()
+                desc = False
+                if self.accept_kw("DESC"):
+                    desc = True
+                else:
+                    self.accept_kw("ASC")
+                nulls = None
+                if self.accept_kw("NULLS"):
+                    if self.accept_kw("FIRST"):
+                        nulls = "first"
+                    elif self.accept_kw("LAST"):
+                        nulls = "last"
+                    else:
+                        self.err("expected FIRST or LAST after NULLS")
+                keys.append((e, desc, nulls))
+                if not self.accept_op(","):
+                    break
+            return {"cmd": "SORT", "keys": keys, "pos": t.pos}
+        if k == "LIMIT":
+            t2 = self.next()
+            if t2.kind != "NUMBER" or not isinstance(t2.value, int):
+                self.err("LIMIT expects an integer literal", t2)
+            return {"cmd": "LIMIT", "n": t2.value, "pos": t.pos}
+        if k in ("KEEP", "DROP"):
+            pats = [self.pattern()]
+            while self.accept_op(","):
+                pats.append(self.pattern())
+            return {"cmd": k, "patterns": pats, "pos": t.pos}
+        if k == "RENAME":
+            pairs = []
+            while True:
+                old = self.ident()
+                self.expect_kw("AS")
+                pairs.append((old, self.ident()))
+                if not self.accept_op(","):
+                    break
+            return {"cmd": "RENAME", "pairs": pairs, "pos": t.pos}
+        if k == "MV_EXPAND":
+            return {"cmd": "MV_EXPAND", "field": self.ident(), "pos": t.pos}
+        if k in ("DISSECT", "GROK"):
+            fld = self.ident()
+            pat = self.next()
+            if pat.kind != "STRING":
+                self.err(f"{k} expects a quoted pattern", pat)
+            return {"cmd": k, "field": fld, "pattern": pat.value,
+                    "pos": t.pos}
+        if k == "LOOKUP":
+            self.expect_kw("JOIN")
+            table = self.ident()
+            self.expect_kw("ON")
+            return {"cmd": "LOOKUP", "table": table, "on": self.ident(),
+                    "pos": t.pos}
+        if k == "ENRICH":
+            policy = self.ident()
+            self.expect_kw("ON")
+            fld = self.ident()
+            with_fields = []
+            if self.accept_kw("WITH"):
+                with_fields.append(self.ident())
+                while self.accept_op(","):
+                    with_fields.append(self.ident())
+            return {"cmd": "ENRICH", "policy": policy, "on": fld,
+                    "with": with_fields, "pos": t.pos}
+        self.err(f"unhandled command {k}", t)
+
+    def pattern(self) -> str:
+        """KEEP/DROP item: identifier, possibly with ``*`` wildcards."""
+        parts = [self.ident() if self.peek().kind == "IDENT" else ""]
+        if parts == [""]:
+            self.expect_op("*")
+            parts = ["*"]
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value == "*":
+                self.next()
+                parts.append("*")
+            elif (t.kind == "IDENT" and parts[-1] == "*"
+                  and t.pos == self.toks[self.i - 1].pos + 1):
+                parts.append(self.next().value)
+            else:
+                break
+        return "".join(parts)
+
+    # -- expressions (precedence climbing) ----------------------------------
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        e = self.and_expr()
+        while self.accept_kw("OR"):
+            e = ("bin", "or", e, self.and_expr())
+        return e
+
+    def and_expr(self):
+        e = self.not_expr()
+        while self.accept_kw("AND"):
+            e = ("bin", "and", e, self.not_expr())
+        return e
+
+    def not_expr(self):
+        if self.accept_kw("NOT"):
+            return ("not", self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        e = self.add_expr()
+        t = self.peek()
+        if t.kind == "OP" and t.value in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("bin", t.value, e, self.add_expr())
+        negate = False
+        if (self.kw(t) == "NOT"
+                and self.kw(self.toks[self.i + 1]) in ("IN", "LIKE", "RLIKE")):
+            self.next()
+            negate = True
+            t = self.peek()
+        k = self.kw(t)
+        out = None
+        if k == "IN":
+            self.next()
+            self.expect_op("(")
+            items = [self.expr()]
+            while self.accept_op(","):
+                items.append(self.expr())
+            self.expect_op(")")
+            out = ("in", e, items)
+        elif k in ("LIKE", "RLIKE"):
+            self.next()
+            pat = self.next()
+            if pat.kind != "STRING":
+                self.err(f"{k} expects a quoted pattern", pat)
+            out = (k.lower(), e, pat.value)
+        elif k == "IS":
+            self.next()
+            neg = self.accept_kw("NOT")
+            self.expect_kw("NULL")
+            out = ("isnull", e, neg)
+        if out is None:
+            if negate:
+                self.err("expected IN, LIKE or RLIKE after NOT")
+            return e
+        return ("not", out) if negate else out
+
+    def add_expr(self):
+        e = self.mul_expr()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value in ("+", "-"):
+                self.next()
+                e = ("bin", t.value, e, self.mul_expr())
+            else:
+                return e
+
+    def mul_expr(self):
+        e = self.unary()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value in ("*", "/", "%"):
+                self.next()
+                e = ("bin", t.value, e, self.unary())
+            else:
+                return e
+
+    def unary(self):
+        if self.accept_op("-"):
+            return ("neg", self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.next()
+        if t.kind == "NUMBER":
+            # time-span literal: NUMBER unit (only DATE_TRUNC consumes it)
+            u = self.kw(self.peek()).lower().rstrip("s")
+            if self.peek().kind == "IDENT" and u in _TIME_UNITS:
+                self.next()
+                return ("span", t.value, u)
+            return ("lit", t.value)
+        if t.kind == "STRING":
+            return ("lit", t.value)
+        if t.kind == "OP" and t.value == "(":
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "OP" and t.value == "*":
+            return ("star",)
+        if t.kind == "IDENT":
+            k = t.value.upper()
+            if k == "NULL":
+                return ("lit", None)
+            if k == "TRUE":
+                return ("lit", True)
+            if k == "FALSE":
+                return ("lit", False)
+            if self.accept_op("("):
+                args = []
+                if not self.accept_op(")"):
+                    args.append(self.expr())
+                    while self.accept_op(","):
+                        args.append(self.expr())
+                    self.expect_op(")")
+                return ("call", k, args, t.pos)
+            return ("field", t.value)
+        self.err("expected expression", t)
+
+
+def parse(text: str) -> list[dict]:
+    """Parse ES|QL text into a command list (exposed for tests)."""
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+
+_LIKE_SPECIAL = re.compile(r"([%_])")
+
+
+def _like_to_sql(pat: str) -> str:
+    """ES|QL LIKE uses ``*``/``?`` wildcards; translate to SQL ``%``/``_``,
+    escaping any literal ``%``/``_`` in the pattern."""
+    out = _LIKE_SPECIAL.sub(r"\\\1", pat)
+    return out.replace("*", "%").replace("?", "_")
+
+
+def _fn_round(args, raw):
+    d = 0
+    if len(args) == 2:
+        if raw[1][0] != "lit" or not isinstance(raw[1][1], int):
+            raise ESQLError("ROUND decimals must be an integer literal")
+        d = raw[1][1]
+    elif len(args) != 1:
+        raise ESQLError("ROUND takes 1 or 2 arguments")
+    return roundn_col(args[0], d)
+
+
+def _fn_date_trunc(args, raw):
+    if len(raw) != 2:
+        raise ESQLError("DATE_TRUNC takes (span, timestamp)")
+    span = raw[0]
+    if span[0] == "lit" and isinstance(span[1], str):
+        unit = span[1].lower().rstrip("s")
+    elif span[0] == "span":
+        if span[1] != 1:
+            raise ESQLError("only 1-unit spans are supported in DATE_TRUNC")
+        unit = span[2]
+    else:
+        raise ESQLError("DATE_TRUNC's first argument must be a time span")
+    if unit not in _TIME_UNITS:
+        raise ESQLError(f"unsupported DATE_TRUNC unit {unit!r}")
+    return F.date_trunc(unit, args[1])
+
+
+_SCALARS: dict[str, Callable[[list[Column], list], Column]] = {
+    "ABS": lambda a, r: F.abs(a[0]),
+    "CEIL": lambda a, r: F.ceil(a[0]).cast("double"),
+    "FLOOR": lambda a, r: F.floor(a[0]).cast("double"),
+    "ROUND": _fn_round,
+    "SQRT": lambda a, r: F.sqrt(a[0]),
+    "POW": lambda a, r: F.pow(a[0], a[1]),
+    "LOG10": lambda a, r: F.log10(a[0]),
+    "EXP": lambda a, r: F.exp(a[0]),
+    "GREATEST": lambda a, r: F.greatest(*a),
+    "LEAST": lambda a, r: F.least(*a),
+    "LENGTH": lambda a, r: F.length(a[0]).cast("long"),
+    "CONCAT": lambda a, r: F.concat(*a),
+    "TO_UPPER": lambda a, r: F.upper(a[0]),
+    "TO_LOWER": lambda a, r: F.lower(a[0]),
+    "TRIM": lambda a, r: F.trim(a[0]),
+    "LTRIM": lambda a, r: F.ltrim(a[0]),
+    "RTRIM": lambda a, r: F.rtrim(a[0]),
+    "STARTS_WITH": lambda a, r: F.startswith(a[0], a[1]),
+    "ENDS_WITH": lambda a, r: F.endswith(a[0], a[1]),
+    "LEFT": lambda a, r: F.substring(a[0], 1, a[1]),
+    "COALESCE": lambda a, r: F.coalesce(*a),
+    "TO_STRING": lambda a, r: a[0].cast("string"),
+    "TO_LONG": lambda a, r: a[0].cast("long"),
+    "TO_INT": lambda a, r: a[0].cast("int"),
+    "TO_DOUBLE": lambda a, r: a[0].cast("double"),
+    # fixture timestamps are TIMESTAMP_NTZ (sources/tables.py); parity of
+    # literal comparisons needs the same type on both operands
+    "TO_DATETIME": lambda a, r: a[0].cast("timestamp_ntz"),
+    "DATE_TRUNC": _fn_date_trunc,
+    "DATE_EXTRACT": lambda a, r: F.date_part(a[0], a[1]).cast("long"),
+    "MV_COUNT": lambda a, r: F.when(a[0].isNotNull(),
+                                    F.size(a[0]).cast("long")),
+    "MV_MIN": lambda a, r: F.array_min(a[0]),
+    "MV_MAX": lambda a, r: F.array_max(a[0]),
+}
+
+
+def _scalar_substring(args, raw):
+    if len(args) == 3:
+        return F.substring(args[0], args[1], args[2])
+    if len(args) == 2:
+        return F.substring(args[0], args[1], F.lit(2147483647))
+    raise ESQLError("SUBSTRING takes 2 or 3 arguments")
+
+
+def _scalar_replace(args, raw):
+    if len(args) != 3:
+        raise ESQLError("REPLACE takes (string, regex, replacement)")
+    return F.regexp_replace(args[0], raw[1][1]
+                            if raw[1][0] == "lit" else args[1], args[2])
+
+
+def _scalar_split(args, raw):
+    if len(raw) != 2 or raw[1][0] != "lit":
+        raise ESQLError("SPLIT takes (string, literal delimiter)")
+    return F.split(args[0], re.escape(raw[1][1]))
+
+
+def _scalar_right(args, raw):
+    if len(args) != 2:
+        raise ESQLError("RIGHT takes (string, length)")
+    return F.when(args[0].isNotNull(),
+                  F.substring(args[0], -args[1], args[1]))
+
+
+def _scalar_case(args, raw):
+    if len(args) < 2:
+        raise ESQLError("CASE takes (cond, value, ..., [default])")
+    pairs, default = args, None
+    if len(args) % 2 == 1:
+        pairs, default = args[:-1], args[-1]
+    out = None
+    for i in range(0, len(pairs), 2):
+        out = (F.when(pairs[i], pairs[i + 1]) if out is None
+               else out.when(pairs[i], pairs[i + 1]))
+    return out if default is None else out.otherwise(default)
+
+
+_SCALARS["SUBSTRING"] = _scalar_substring
+_SCALARS["REPLACE"] = _scalar_replace
+_SCALARS["SPLIT"] = _scalar_split
+_SCALARS["RIGHT"] = _scalar_right
+_SCALARS["CASE"] = _scalar_case
+
+
+def _agg_percentile(args, raw):
+    if len(raw) != 2 or raw[1][0] != "lit":
+        raise ESQLError("PERCENTILE takes (field, percent literal)")
+    return F.percentile(args[0], F.lit(raw[1][1] / 100.0))
+
+
+_AGGS: dict[str, Callable[[list[Column], list], Column]] = {
+    "COUNT": lambda a, r: (F.count(F.lit(1)) if not a or r[0][0] == "star"
+                           else F.count(a[0])).cast("long"),
+    "COUNT_DISTINCT": lambda a, r: F.count_distinct(a[0]).cast("long"),
+    "SUM": lambda a, r: F.sum(a[0]),
+    "AVG": lambda a, r: F.avg(a[0]),
+    "MIN": lambda a, r: F.min(a[0]),
+    "MAX": lambda a, r: F.max(a[0]),
+    "MEDIAN": lambda a, r: F.median(a[0]),
+    "PERCENTILE": _agg_percentile,
+    "WEIGHTED_AVG": lambda a, r: F.sum(a[0] * a[1]) / F.sum(a[1]),
+    "VALUES": lambda a, r: F.array_sort(F.collect_set(a[0])),
+}
+
+# GROK pattern name → (regex, default cast). Inner groups non-capturing so
+# compiled group indexes line up with the capture keys.
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+_DISSECT_REF = re.compile(r"%\{(\w*)\}")
+_GROK_CASTS = {"int": "long", "long": "long", "float": "double",
+               "double": "double"}
+
+
+def _compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """Dissect pattern → (anchored Java regex, [(key, cast)])."""
+    regex, keys, last = ["^"], [], 0
+    matches = list(_DISSECT_REF.finditer(pattern))
+    if not matches:
+        raise ESQLError("DISSECT pattern has no %{key} captures")
+    for idx, m in enumerate(matches):
+        regex.append(re.escape(pattern[last:m.start()]))
+        greedy = idx == len(matches) - 1
+        if m.group(1):
+            regex.append("(.*)" if greedy else "(.*?)")
+            keys.append((m.group(1), "string"))
+        else:
+            regex.append(".*" if greedy else ".*?")
+        last = m.end()
+    regex.append(re.escape(pattern[last:]) + "$")
+    return "".join(regex), keys
+
+
+def _compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    regex, keys, last = ["^"], [], 0
+    matches = list(_GROK_REF.finditer(pattern))
+    if not matches:
+        raise ESQLError("GROK pattern has no %{PATTERN:name} captures")
+    for m in matches:
+        regex.append(re.escape(pattern[last:m.start()]))
+        pname, key, typ = m.group(1), m.group(2), m.group(3)
+        if pname not in _GROK_PATTERNS:
+            raise ESQLError(f"unsupported GROK pattern %{{{pname}}} — "
+                            f"supported: {sorted(_GROK_PATTERNS)}")
+        body = _GROK_PATTERNS[pname]
+        if key:
+            cast = "string"
+            if typ:
+                if typ not in _GROK_CASTS:
+                    raise ESQLError(f"unsupported GROK cast {typ!r}")
+                cast = _GROK_CASTS[typ]
+            regex.append(f"({body})")
+            keys.append((key, cast))
+        else:
+            regex.append(f"(?:{body})")
+        last = m.end()
+    regex.append(re.escape(pattern[last:]) + "$")
+    return "".join(regex), keys
+
+
+@dataclass
+class EnrichPolicy:
+    """An ES enrich policy: match ``match_field`` in ``table``, expose
+    ``fields`` (the policy's enrich_fields)."""
+    table: str
+    match_field: str
+    fields: tuple[str, ...]
+
+
+#: Policies resolvable by ``ENRICH`` out of the box (fixture dimensions).
+DEFAULT_POLICIES: dict[str, EnrichPolicy] = {
+    "nations": EnrichPolicy("nation", "n_nationkey",
+                            ("n_name", "n_regionkey")),
+    "regions": EnrichPolicy("region", "r_regionkey", ("r_name",)),
+    "parts": EnrichPolicy("part", "p_partkey", ("p_name", "p_type")),
+}
+
+
+class _Compiler:
+    def __init__(self, spark: SparkSession, sf_dir: Optional[str],
+                 tables: Optional[dict[str, DataFrame]],
+                 policies: dict[str, EnrichPolicy], text: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = tables or {}
+        self.policies = policies
+        self.text = text
+
+    def load(self, name: str, pos: int) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        if self.sf_dir is not None and name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise ESQLError(f"unknown table {name!r}", pos, self.text)
+
+    # -- expression compilation ---------------------------------------------
+    def col(self, ast, columns: list[str], allow_agg: bool = False) -> Column:
+        kind = ast[0]
+        if kind == "lit":
+            return F.lit(ast[1])
+        if kind == "field":
+            if ast[1] not in columns:
+                raise ESQLError(f"unknown column {ast[1]!r} "
+                                f"(have: {sorted(columns)})")
+            return F.col(ast[1])
+        if kind == "span":
+            raise ESQLError("time-span literal is only valid inside "
+                            "DATE_TRUNC")
+        if kind == "star":
+            raise ESQLError("* is only valid inside COUNT()")
+        if kind == "neg":
+            return -self.col(ast[1], columns, allow_agg)
+        if kind == "not":
+            return ~self.col(ast[1], columns, allow_agg)
+        if kind == "isnull":
+            c = self.col(ast[1], columns, allow_agg)
+            return c.isNotNull() if ast[2] else c.isNull()
+        if kind == "in":
+            c = self.col(ast[1], columns, allow_agg)
+            items = [self.col(x, columns, allow_agg) for x in ast[2]]
+            return c.isin(*items)
+        if kind == "like":
+            return self.col(ast[1], columns, allow_agg).like(
+                _like_to_sql(ast[2]))
+        if kind == "rlike":
+            return self.col(ast[1], columns, allow_agg).rlike(
+                "^" + ast[2] + "$")  # ES|QL RLIKE matches the WHOLE string
+        if kind == "bin":
+            op, l_ast, r_ast = ast[1], ast[2], ast[3]
+            l = self.col(l_ast, columns, allow_agg)
+            r = self.col(r_ast, columns, allow_agg)
+            return {
+                "and": lambda: l & r, "or": lambda: l | r,
+                "==": lambda: l == r, "!=": lambda: l != r,
+                "<": lambda: l < r, "<=": lambda: l <= r,
+                ">": lambda: l > r, ">=": lambda: l >= r,
+                "+": lambda: l + r, "-": lambda: l - r,
+                "*": lambda: l * r, "/": lambda: l / r,
+                "%": lambda: l % r,
+            }[op]()
+        if kind == "call":
+            name, raw_args, pos = ast[1], ast[2], ast[3]
+            if name in _AGGS:
+                if not allow_agg:
+                    raise ESQLError(
+                        f"aggregate {name} is only valid inside STATS",
+                        pos, self.text)
+                args = [self.col(a, columns, False) for a in raw_args
+                        if a[0] != "star"]
+                return _AGGS[name](args, raw_args)
+            if name in _SCALARS:
+                # span args are consumed raw by the builder (DATE_TRUNC);
+                # keep positions aligned with raw_args via a placeholder
+                args = [None if a[0] == "span"
+                        else self.col(a, columns, allow_agg)
+                        for a in raw_args]
+                try:
+                    return _SCALARS[name](args, raw_args)
+                except ESQLError:
+                    raise
+                except IndexError:
+                    raise ESQLError(f"wrong number of arguments to {name}",
+                                    pos, self.text)
+            raise ESQLError(f"unknown function {name}", pos, self.text)
+        raise ESQLError(f"unhandled expression node {kind}")
+
+    @staticmethod
+    def _has_agg(ast) -> bool:
+        if not isinstance(ast, tuple):
+            return False
+        if ast[0] == "call":
+            if ast[1] in _AGGS:
+                return True
+            return any(_Compiler._has_agg(a) for a in ast[2])
+        return any(_Compiler._has_agg(a) for a in ast
+                   if isinstance(a, (tuple, list)))
+
+    @staticmethod
+    def _default_name(ast) -> str:
+        if ast[0] == "field":
+            return ast[1]
+        raise ESQLError("computed STATS/BY columns need an explicit "
+                        "`name =` (the subset does not synthesize names)")
+
+    # -- command compilation --------------------------------------------------
+    def run(self, cmds: list[dict]) -> DataFrame:
+        head = cmds[0]
+        if head["cmd"] == "FROM":
+            df = self.load(head["table"], head["pos"])
+        else:  # ROW
+            df = self.spark.range(1).select(
+                *[self.col(e, []).alias(n) for n, e in head["cols"]])
+        for c in cmds[1:]:
+            df = self.apply(df, c)
+        return df
+
+    def apply(self, df: DataFrame, c: dict) -> DataFrame:
+        k = c["cmd"]
+        cols = df.columns
+        if k == "WHERE":
+            return df.filter(self.col(c["expr"], cols))
+        if k == "EVAL":
+            for name, e in c["cols"]:
+                df = df.withColumn(name, self.col(e, df.columns))
+            return df
+        if k == "STATS":
+            group_cols = []
+            for name, e in c["by"]:
+                name = name or self._default_name(e)
+                group_cols.append(self.col(e, cols).alias(name))
+            agg_cols = []
+            for name, e in c["aggs"]:
+                name = name or self._default_name(e)
+                if not self._has_agg(e):
+                    raise ESQLError(
+                        f"STATS column {name!r} contains no aggregate")
+                agg_cols.append(
+                    self.col(e, cols, allow_agg=True).alias(name))
+            if group_cols:
+                return df.groupBy(*group_cols).agg(*agg_cols)
+            return df.agg(*agg_cols)
+        if k == "SORT":
+            keys = []
+            for e, desc, nulls in c["keys"]:
+                col = self.col(e, cols)
+                # ES|QL: null > everything  ⇒  ASC→nulls last, DESC→first
+                if desc:
+                    col = (col.desc_nulls_last() if nulls == "last"
+                           else col.desc_nulls_first())
+                else:
+                    col = (col.asc_nulls_first() if nulls == "first"
+                           else col.asc_nulls_last())
+                keys.append(col)
+            return df.orderBy(*keys)
+        if k == "LIMIT":
+            return df.limit(c["n"])
+        if k in ("KEEP", "DROP"):
+            import fnmatch
+            chosen: list[str] = []
+            for pat in c["patterns"]:
+                hits = ([pat] if pat in cols and "*" not in pat
+                        else [x for x in cols if fnmatch.fnmatchcase(x, pat)])
+                if not hits:
+                    raise ESQLError(f"{k} pattern {pat!r} matches no column",
+                                    c["pos"], self.text)
+                chosen.extend(h for h in hits if h not in chosen)
+            if k == "KEEP":
+                return df.select(*chosen)
+            remaining = [x for x in cols if x not in chosen]
+            if not remaining:
+                raise ESQLError("DROP would remove every column",
+                                c["pos"], self.text)
+            return df.select(*remaining)
+        if k == "RENAME":
+            for old, new in c["pairs"]:
+                if old not in df.columns:
+                    raise ESQLError(f"RENAME: unknown column {old!r}",
+                                    c["pos"], self.text)
+                df = df.withColumnRenamed(old, new)
+            return df
+        if k == "MV_EXPAND":
+            if c["field"] not in cols:
+                raise ESQLError(f"MV_EXPAND: unknown column {c['field']!r}",
+                                c["pos"], self.text)
+            return df.withColumn(c["field"], F.explode_outer(c["field"]))
+        if k in ("DISSECT", "GROK"):
+            if c["field"] not in cols:
+                raise ESQLError(f"{k}: unknown column {c['field']!r}",
+                                c["pos"], self.text)
+            regex, keys = (_compile_dissect(c["pattern"]) if k == "DISSECT"
+                           else _compile_grok(c["pattern"]))
+            src = F.col(c["field"])
+            matched = src.rlike(regex)
+            for gi, (key, cast) in enumerate(keys, start=1):
+                val = F.when(matched, F.regexp_extract(src, regex, gi))
+                if cast != "string":
+                    val = val.cast(cast)
+                df = df.withColumn(key, val)
+            return df
+        if k == "LOOKUP":
+            right = self.load(c["table"], c["pos"])
+            key = c["on"]
+            if key not in df.columns or key not in right.columns:
+                raise ESQLError(
+                    f"LOOKUP JOIN: column {key!r} must exist on both sides "
+                    f"(left: {sorted(df.columns)}, "
+                    f"right: {sorted(right.columns)})", c["pos"], self.text)
+            # ES lookup-join: fields from the lookup index win on conflict
+            clash = [x for x in df.columns
+                     if x in right.columns and x != key]
+            return (df.drop(*clash)
+                    .join(F.broadcast(right), key, "left"))
+        if k == "ENRICH":
+            pol = self.policies.get(c["policy"])
+            if pol is None:
+                raise ESQLError(f"unknown enrich policy {c['policy']!r} "
+                                f"(have: {sorted(self.policies)})",
+                                c["pos"], self.text)
+            if c["on"] not in df.columns:
+                raise ESQLError(f"ENRICH: unknown column {c['on']!r}",
+                                c["pos"], self.text)
+            fields = c["with"] or list(pol.fields)
+            bad = [f_ for f_ in fields if f_ not in pol.fields]
+            if bad:
+                raise ESQLError(
+                    f"ENRICH WITH field(s) {bad} not in policy "
+                    f"{c['policy']!r} (exposes: {list(pol.fields)})",
+                    c["pos"], self.text)
+            right = (self.load(pol.table, c["pos"])
+                     .select(F.col(pol.match_field).alias("__enrich_key"),
+                             *fields))
+            out = (df.drop(*[f_ for f_ in fields if f_ in df.columns])
+                   .join(F.broadcast(right),
+                         F.col(c["on"]) == F.col("__enrich_key"), "left")
+                   .drop("__enrich_key"))
+            return out
+        raise ESQLError(f"unhandled command {k}", c.get("pos", -1), self.text)
+
+
+def esql(spark: SparkSession, text: str, sf_dir: Optional[str] = None,
+         tables: Optional[dict[str, DataFrame]] = None,
+         policies: Optional[dict[str, EnrichPolicy]] = None) -> DataFrame:
+    """Compile and bind an ES|QL query to a lazy DataFrame.
+
+    ``FROM x`` resolves ``x`` first in ``tables`` (pre-bound DataFrames),
+    then as a fixture table under ``sf_dir``. Nothing executes here — the
+    returned DataFrame is a plain Catalyst plan.
+    """
+    cmds = parse(text)
+    comp = _Compiler(spark, sf_dir, tables,
+                     policies if policies is not None else DEFAULT_POLICIES,
+                     text)
+    return comp.run(cmds)

@@ -1,0 +1,260 @@
+"""ES|QL pack (round 8): the piped query language, end-to-end.
+
+Each registered query here is a REAL ES|QL string compiled by
+`elasticsearch_hbase_river_spark/esql.py` into a DataFrame plan, and each
+has a hand-written DuckDB oracle twin — so the gate checks the parser, the
+compiler, AND the semantics of every pipe command it exercises:
+
+- ``q_esql_rollup``        FROM | WHERE | EVAL DATE_TRUNC | STATS BY | SORT | LIMIT
+- ``q_esql_extract_hours`` DATE_EXTRACT + RLIKE
+- ``q_esql_dissect``       DISSECT pattern capture
+- ``q_esql_grok``          GROK typed capture (%{INT:k:int}) + IS NOT NULL
+- ``q_esql_lookup``        RENAME + LOOKUP JOIN (broadcast dimension join)
+- ``q_esql_enrich``        ENRICH policy ON .. WITH ..
+- ``q_esql_mv_tokens``     EVAL SPLIT | MV_EXPAND | LENGTH filter
+- ``q_esql_case_tiers``    CASE + LIKE + IN
+- ``q_esql_ship_topk``     TO_DATETIME comparison + computed top-k + KEEP
+- ``q_esql_percentiles``   MEDIAN / PERCENTILE / WEIGHTED_AVG
+
+Reference parity: the reference's entire purpose is shipping HBase rows to
+Elasticsearch *so they can be queried there* (`HBaseParser.java:135-162`);
+ES|QL is how modern ES queries that data. The engine answers the same piped
+language on the same rows without the round-trip.
+
+Scale notes: the compiler emits only declarative ops, so each query below
+plans exactly like its hand-written DataFrame twin — filters reach parquet
+``PushedFilters``, ``STATS`` is one partial-agg shuffle on the group key,
+``SORT|LIMIT`` folds to ``TakeOrderedAndProject``, and both lookup shapes
+broadcast the dimension side (plan-pinned in ``tests/test_plan_shape.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from elasticsearch_hbase_river_spark.esql import esql
+from elasticsearch_hbase_river_spark.functions.determinism import roundn_sql
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, text: str, oracle: str, doc: str) -> None:
+    def run(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
+        return esql(spark, _text, sf_dir)
+
+    run.__name__ = name
+    run.__doc__ = doc + "\n\nES|QL:\n" + text
+    run.esql_text = text
+    QUERIES[name] = run
+    ORACLES[name] = oracle
+
+
+_register(
+    "q_esql_rollup",
+    """
+FROM events
+| WHERE value > 50 AND event_type != "view"
+| EVAL day = DATE_TRUNC(1 day, ts)
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id),
+        total = ROUND(SUM(value), 4)
+  BY event_type, day
+| SORT n DESC, event_type, day
+| LIMIT 40
+""",
+    f"""
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       {roundn_sql('sum(value)', 4)} AS total
+FROM events WHERE value > 50 AND event_type <> 'view'
+GROUP BY event_type, day
+ORDER BY n DESC, event_type, day LIMIT 40""",
+    "Daily per-type rollup: one partial-agg shuffle, top-40 by count.")
+
+
+_register(
+    "q_esql_extract_hours",
+    """
+FROM events
+| EVAL hour = DATE_EXTRACT("hour", ts)
+| WHERE event_type RLIKE "(view|click)" AND hour >= 6 AND hour < 18
+| STATS n = COUNT(*) BY event_type, hour
+| SORT event_type, hour
+""",
+    """
+SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE regexp_matches(event_type, '^(view|click)$')
+  AND date_part('hour', ts) >= 6 AND date_part('hour', ts) < 18
+GROUP BY event_type, hour ORDER BY event_type, hour""",
+    "Business-hours histogram; RLIKE anchors the whole string (ES|QL).")
+
+
+_register(
+    "q_esql_dissect",
+    """
+FROM orders
+| DISSECT o_orderpriority "%{prio_rank}-%{prio_name}"
+| STATS n = COUNT(*), avg_price = ROUND(AVG(o_totalprice), 4)
+  BY prio_rank, prio_name
+| SORT prio_rank, prio_name
+""",
+    f"""
+WITH d AS (
+  SELECT CASE WHEN regexp_matches(o_orderpriority, '^(.*?)-(.*)$')
+              THEN regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 1) END
+           AS prio_rank,
+         CASE WHEN regexp_matches(o_orderpriority, '^(.*?)-(.*)$')
+              THEN regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 2) END
+           AS prio_name,
+         o_totalprice
+  FROM orders)
+SELECT prio_rank, prio_name, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('avg(o_totalprice)', 4)} AS avg_price
+FROM d GROUP BY prio_rank, prio_name ORDER BY prio_rank, prio_name""",
+    "DISSECT splits '5-LOW' style priorities; pure regexp_extract, no UDF.")
+
+
+_register(
+    "q_esql_grok",
+    """
+FROM events
+| GROK props "{\\"k\\": %{INT:k:int}}"
+| WHERE k IS NOT NULL
+| STATS n = COUNT(*), avg_val = ROUND(AVG(value), 4) BY k
+| SORT n DESC, k
+| LIMIT 25
+""",
+    f"""
+WITH g AS (
+  SELECT CASE WHEN regexp_matches(props, '^\\{{"k": ([+-]?\\d+)\\}}$')
+              THEN CAST(regexp_extract(props,
+                        '^\\{{"k": ([+-]?\\d+)\\}}$', 1) AS BIGINT) END AS k,
+         value
+  FROM events)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('avg(value)', 4)} AS avg_val
+FROM g WHERE k IS NOT NULL
+GROUP BY k ORDER BY n DESC, k LIMIT 25""",
+    "GROK typed capture over the props JSON-ish payload.")
+
+
+_register(
+    "q_esql_lookup",
+    """
+FROM orders
+| RENAME o_custkey AS c_custkey
+| LOOKUP JOIN customer ON c_custkey
+| STATS revenue = ROUND(SUM(o_totalprice), 2), n = COUNT(*)
+  BY c_mktsegment
+| SORT revenue DESC, c_mktsegment
+""",
+    f"""
+SELECT c_mktsegment, {roundn_sql('sum(o_totalprice)', 2)} AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY revenue DESC, c_mktsegment""",
+    "LOOKUP JOIN: dimension join, broadcast side plan-pinned.")
+
+
+_register(
+    "q_esql_enrich",
+    """
+FROM customer
+| ENRICH nations ON c_nationkey WITH n_name
+| STATS n = COUNT(*), avg_bal = ROUND(AVG(c_acctbal), 4) BY n_name
+| SORT n DESC, n_name
+""",
+    f"""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('avg(c_acctbal)', 4)} AS avg_bal
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n DESC, n_name""",
+    "ENRICH against the nations policy (match on c_nationkey).")
+
+
+_register(
+    "q_esql_mv_tokens",
+    """
+FROM documents
+| EVAL tok = SPLIT(TO_LOWER(text), " ")
+| MV_EXPAND tok
+| WHERE LENGTH(tok) >= 6
+| STATS n = COUNT(*) BY tok
+| SORT n DESC, tok
+| LIMIT 30
+""",
+    """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+WHERE length(tok) >= 6
+GROUP BY tok ORDER BY n DESC, tok LIMIT 30""",
+    "Multivalue pipeline: SPLIT builds the MV column, MV_EXPAND unrolls.")
+
+
+_register(
+    "q_esql_case_tiers",
+    """
+FROM customer
+| EVAL tier = CASE(c_acctbal >= 7500, "high", c_acctbal >= 2500, "mid",
+                   "low")
+| WHERE c_name LIKE "Customer*"
+  AND c_mktsegment IN ("BUILDING", "MACHINERY", "AUTOMOBILE")
+| STATS n = COUNT(*), min_bal = ROUND(MIN(c_acctbal), 2),
+        max_bal = ROUND(MAX(c_acctbal), 2)
+  BY tier, c_mktsegment
+| SORT tier, c_mktsegment
+""",
+    f"""
+SELECT CASE WHEN c_acctbal >= 7500 THEN 'high'
+            WHEN c_acctbal >= 2500 THEN 'mid' ELSE 'low' END AS tier,
+       c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('min(c_acctbal)', 2)} AS min_bal,
+       {roundn_sql('max(c_acctbal)', 2)} AS max_bal
+FROM customer
+WHERE c_name LIKE 'Customer%'
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+GROUP BY tier, c_mktsegment ORDER BY tier, c_mktsegment""",
+    "CASE tiering + ES|QL LIKE (*-wildcard) + IN list.")
+
+
+_register(
+    "q_esql_ship_topk",
+    """
+FROM lineitem
+| WHERE l_shipdate >= TO_DATETIME("1996-06-01") AND l_discount > 0.05
+| EVAL rev = ROUND(l_extendedprice * (1 - l_discount), 4)
+| SORT rev DESC, l_orderkey, l_linenumber
+| LIMIT 25
+| KEEP l_orderkey, l_linenumber, rev, l_shipdate
+""",
+    f"""
+SELECT l_orderkey, l_linenumber,
+       {roundn_sql('l_extendedprice * (1 - l_discount)', 4)} AS rev,
+       l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_discount > 0.05
+ORDER BY rev DESC, l_orderkey, l_linenumber LIMIT 25""",
+    "Computed top-k: SORT|LIMIT folds to TakeOrderedAndProject; the "
+    "shipdate predicate reaches parquet PushedFilters.")
+
+
+_register(
+    "q_esql_percentiles",
+    """
+FROM events
+| STATS p50 = ROUND(MEDIAN(value), 4),
+        p95 = ROUND(PERCENTILE(value, 95), 4),
+        w = ROUND(WEIGHTED_AVG(value, user_id), 4)
+  BY event_type
+| SORT event_type
+""",
+    f"""
+SELECT event_type,
+       {roundn_sql('quantile_cont(value, 0.5)', 4)} AS p50,
+       {roundn_sql('quantile_cont(value, 0.95)', 4)} AS p95,
+       {roundn_sql('sum(value * user_id) / sum(user_id)', 4)} AS w
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "Exact interpolated percentiles + weighted average per event type.")

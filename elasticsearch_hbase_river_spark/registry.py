@@ -37,6 +37,7 @@ _MODULES = (
     "elasticsearch_hbase_river_spark.operators.esdsl8",
     "elasticsearch_hbase_river_spark.operators.esdsl9",
     "elasticsearch_hbase_river_spark.operators.esdsl10",
+    "elasticsearch_hbase_river_spark.operators.esql_pack",
     "elasticsearch_hbase_river_spark.operators.ccnet",
     "elasticsearch_hbase_river_spark.operators.unicode_text",
     "elasticsearch_hbase_river_spark.operators.observability",

@@ -1,0 +1,278 @@
+"""ES|QL parser + compiler semantics (`elasticsearch_hbase_river_spark/esql.py`).
+
+Oracle parity of the registered pack rides on `test_oracle_parity` like every
+other pack; these tests pin the language features the oracle can't see —
+parse errors with positions, precedence, null-ordering contract, ROW,
+KEEP/DROP wildcards, GROK/DISSECT capture semantics, lookup-join conflict
+resolution — plus the plan shapes the compiler must emit (broadcast lookup,
+pushdown through the pipe).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hbase_river_spark.esql import (
+    ESQLError,
+    EnrichPolicy,
+    _compile_dissect,
+    _compile_grok,
+    esql,
+    parse,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+
+def test_parse_command_chain():
+    cmds = parse('FROM events | WHERE value > 1 | STATS n = COUNT(*) '
+                 'BY event_type | SORT n DESC | LIMIT 5')
+    assert [c["cmd"] for c in cmds] == [
+        "FROM", "WHERE", "STATS", "SORT", "LIMIT"]
+    assert cmds[0]["table"] == "events"
+    assert cmds[4]["n"] == 5
+
+
+def test_parse_precedence_and_not():
+    (w,) = [c for c in parse(
+        'FROM events | WHERE NOT a LIKE "x*" AND b == 1 OR c == 2')
+        if c["cmd"] == "WHERE"]
+    # OR is outermost, AND binds tighter, NOT applies to the LIKE only
+    e = w["expr"]
+    assert e[0] == "bin" and e[1] == "or"
+    left = e[2]
+    assert left[0] == "bin" and left[1] == "and"
+    assert left[2][0] == "not" and left[2][1][0] == "like"
+
+
+def test_parse_not_in():
+    (w,) = [c for c in parse('FROM events | WHERE x NOT IN (1, 2)')
+            if c["cmd"] == "WHERE"]
+    assert w["expr"][0] == "not" and w["expr"][1][0] == "in"
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ('SELECT * FROM x', "must start with FROM or ROW"),
+    ('FROM events | FROBNICATE x', "unknown command"),
+    ('FROM events | WHERE "unterminated', "unterminated string"),
+    ('FROM events | LIMIT "ten"', "integer literal"),
+    ('FROM events extra', "trailing input"),
+    ('FROM a, b', "multi-index"),
+])
+def test_parse_errors(bad, msg):
+    with pytest.raises(ESQLError, match=msg):
+        # compile errors (unknown function) need the compiler to walk it
+        cmds_or_df = parse(bad)
+        del cmds_or_df
+
+
+def test_error_carries_position():
+    with pytest.raises(ESQLError, match=r"line 1, col"):
+        parse('FROM events | LIMIT x')
+
+
+# ---------------------------------------------------------------------------
+# dissect / grok pattern compilers
+
+
+def test_dissect_regex():
+    regex, keys = _compile_dissect("%{a}-%{b}")
+    assert regex == "^(.*?)\\-(.*)$" or regex == "^(.*?)-(.*)$"
+    assert [k for k, _ in keys] == ["a", "b"]
+
+
+def test_dissect_skip_key():
+    regex, keys = _compile_dissect("%{a} %{} %{c}")
+    assert [k for k, _ in keys] == ["a", "c"]
+    assert "(.*?)" in regex
+
+
+def test_grok_typed_and_unnamed():
+    regex, keys = _compile_grok("%{WORD} id=%{INT:ident:int}")
+    assert keys == [("ident", "long")]
+    assert "(?:" in regex  # unnamed pattern is non-capturing
+
+
+def test_grok_unknown_pattern():
+    with pytest.raises(ESQLError, match="unsupported GROK pattern"):
+        _compile_grok("%{NOPE:x}")
+
+
+# ---------------------------------------------------------------------------
+# compiler semantics (tiny ROW-driven checks — no fixture I/O)
+
+
+def test_row_and_eval(spark):
+    df = esql(spark, 'ROW a = 2, b = "xy" | EVAL c = a * 3 + 1, '
+                     'd = CONCAT(b, TO_STRING(a))')
+    row = df.first()
+    assert row.c == 7 and row.d == "xy2"
+
+
+def test_case_like_in(spark):
+    df = esql(spark, 'ROW s = "hello_world", n = 5 '
+                     '| EVAL t = CASE(n > 3, "big", "small"), '
+                     '  m = CASE(n > 9, "big")'
+                     '| WHERE s LIKE "hello*" AND n IN (4, 5)')
+    row = df.first()
+    assert row.t == "big" and row.m is None
+
+
+def test_like_escapes_sql_metachars(spark):
+    # a literal '%' in the data must not act as a wildcard
+    df = esql(spark, 'ROW s = "100%" | WHERE s LIKE "100*"')
+    assert df.count() == 1
+    df2 = esql(spark, 'ROW s = "100x" | WHERE s LIKE "100%"')
+    assert df2.count() == 0  # '%' is literal in ES|QL LIKE
+
+
+def test_rlike_whole_string(spark):
+    assert esql(spark, 'ROW s = "abc" | WHERE s RLIKE "ab"').count() == 0
+    assert esql(spark, 'ROW s = "abc" | WHERE s RLIKE "ab."').count() == 1
+
+
+def test_sort_null_contract(spark, tmp_path):
+    # ES|QL: null is LARGER than any value — last under ASC, first under DESC
+    src = str(tmp_path / "nulls")
+    spark.createDataFrame([(1,), (None,), (3,)], "v int") \
+        .write.parquet(src)
+    t = {"t": spark.read.parquet(src)}
+    asc = [r.v for r in esql(spark, "FROM t | SORT v", tables=t).collect()]
+    desc = [r.v for r in esql(spark, "FROM t | SORT v DESC",
+                              tables=t).collect()]
+    override = [r.v for r in esql(spark, "FROM t | SORT v NULLS FIRST",
+                                  tables=t).collect()]
+    assert asc == [1, 3, None]
+    assert desc == [None, 3, 1]
+    assert override == [None, 1, 3]
+
+
+def test_keep_drop_wildcards(spark, sf_dir):
+    df = esql(spark, "FROM lineitem | KEEP l_order*, l_quantity", sf_dir)
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    df2 = esql(spark, "FROM lineitem | DROP l_order*, l_ship*", sf_dir)
+    assert "l_orderkey" not in df2.columns
+    assert "l_quantity" in df2.columns
+
+
+def test_unknown_function_compile_error(spark):
+    with pytest.raises(ESQLError, match="unknown function"):
+        esql(spark, "ROW a = 1 | EVAL b = NOFN(a)")
+
+
+def test_drop_everything_refused(spark, sf_dir):
+    with pytest.raises(ESQLError, match="every column"):
+        esql(spark, "FROM lineitem | DROP l_*", sf_dir)
+
+
+def test_keep_no_match_refused(spark, sf_dir):
+    with pytest.raises(ESQLError, match="matches no column"):
+        esql(spark, "FROM lineitem | KEEP nope_*", sf_dir)
+
+
+def test_unknown_column_names_have(spark):
+    with pytest.raises(ESQLError, match="unknown column"):
+        esql(spark, "ROW a = 1 | WHERE b == 2")
+
+
+def test_agg_outside_stats_refused(spark):
+    with pytest.raises(ESQLError, match="only valid inside STATS"):
+        esql(spark, "ROW a = 1 | EVAL b = SUM(a)")
+
+
+def test_stats_without_agg_refused(spark):
+    with pytest.raises(ESQLError, match="contains no aggregate"):
+        esql(spark, "ROW a = 1 | STATS b = ROUND(a, 2)")
+
+
+def test_computed_by_needs_name(spark):
+    with pytest.raises(ESQLError, match="explicit"):
+        esql(spark, "ROW a = 1 | STATS n = COUNT(*) BY TO_STRING(a)")
+
+
+def test_mv_expand_null_row_kept(spark):
+    df = esql(spark, 'ROW s = "a b", t = "solo" '
+                     '| EVAL parts = SPLIT(s, " ") | MV_EXPAND parts')
+    assert df.count() == 2
+    # null multivalue stays as one null row (explode_outer semantics)
+    df2 = esql(spark, 'ROW s = "x" | EVAL parts = SPLIT(TO_STRING(NULL), " ")'
+                      ' | MV_EXPAND parts')
+    assert df2.count() == 1 and df2.first().parts is None
+
+
+def test_lookup_join_conflict_lookup_wins(spark, tmp_path):
+    left = spark.createDataFrame([(1, "stale"), (2, "stale")], "k int, v string")
+    right = spark.createDataFrame([(1, "fresh")], "k int, v string")
+    df = esql(spark, "FROM l | LOOKUP JOIN r ON k | SORT k",
+              tables={"l": left, "r": right})
+    rows = df.collect()
+    assert [r.v for r in rows] == ["fresh", None]  # lookup side wins
+
+
+def test_enrich_unknown_policy_and_field(spark, sf_dir):
+    with pytest.raises(ESQLError, match="unknown enrich policy"):
+        esql(spark, "FROM customer | ENRICH nope ON c_nationkey", sf_dir)
+    with pytest.raises(ESQLError, match="not in policy"):
+        esql(spark, "FROM customer | ENRICH nations ON c_nationkey "
+                    "WITH n_comment", sf_dir)
+
+
+def test_enrich_custom_policy(spark):
+    dim = spark.createDataFrame([(10, "x")], "dk int, dval string")
+    fact = spark.createDataFrame([(10,), (11,)], "fk int")
+    df = esql(spark, "FROM f | ENRICH d ON fk | SORT fk",
+              tables={"f": fact, "d": dim},
+              policies={"d": EnrichPolicy("d", "dk", ("dval",))})
+    assert [r.dval for r in df.collect()] == ["x", None]
+
+
+def test_date_trunc_span_and_string(spark, sf_dir):
+    a = esql(spark, "FROM events | EVAL d = DATE_TRUNC(1 day, ts) "
+                    "| STATS n = COUNT(*) BY d | SORT d", sf_dir)
+    b = esql(spark, 'FROM events | EVAL d = DATE_TRUNC("day", ts) '
+                    "| STATS n = COUNT(*) BY d | SORT d", sf_dir)
+    assert a.collect() == b.collect()
+
+
+def test_date_trunc_multi_unit_span_refused(spark, sf_dir):
+    with pytest.raises(ESQLError, match="1-unit"):
+        esql(spark, "FROM events | EVAL d = DATE_TRUNC(3 day, ts)", sf_dir)
+
+
+def test_span_outside_date_trunc_refused(spark):
+    with pytest.raises(ESQLError, match="only valid inside"):
+        esql(spark, "ROW a = 1 | EVAL b = 1 day")
+
+
+# ---------------------------------------------------------------------------
+# plan shapes — the compiler must emit the same physical plans the
+# hand-written DataFrame twins would
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.esql_pack import QUERIES
+    plan = QUERIES["q_esql_lookup"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_where_reaches_pushed_filters(spark, sf_dir):
+    df = esql(spark, 'FROM lineitem '
+                     '| WHERE l_quantity > 30 | KEEP l_orderkey, l_quantity',
+              sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters")[1][:200]
+
+
+def test_sort_limit_is_top_k(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.esql_pack import QUERIES
+    plan = QUERIES["q_esql_ship_topk"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
