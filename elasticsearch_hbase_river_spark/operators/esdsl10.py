@@ -223,3 +223,74 @@ scored AS (
   FROM embeddings, qv
   WHERE vec_id <> {KNN_SIM_QVEC})
 SELECT * FROM scored WHERE cosine >= {KNN_SIM_THRESHOLD}"""
+
+# ---------------------------------------------------------------------------
+# rank_vectors — late-interaction (ColBERT-style) maxSim scoring.
+
+MAXSIM_QVEC = 0          # the query document's vec_id
+MAXSIM_TOKENS = 8        # token vectors per document
+MAXSIM_DIM = 8           # dims per token vector (8 × 8 = fixture dim 64)
+MAXSIM_TOP = 20
+
+
+def q_rank_vectors_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_vectors`` + ``maxSimDotProduct``: late-interaction
+    retrieval, where each document carries a BAG of token vectors and the
+    score is Σ over query tokens of the max dot product against any doc
+    token (the ColBERT scoring rule ES 8.16 exposes as rank_vectors).
+    Token vectors here are derived by slicing the fixture's 64-dim
+    embedding into {MAXSIM_TOKENS} × {MAXSIM_DIM}-dim chunks — a
+    production pipeline lands model-emitted multi-vectors in the same
+    array layout and the query is unchanged. Top-{MAXSIM_TOP} by score.
+
+    Scale shape: the 1-row query side is a broadcast; the maxSim is
+    computed PER ROW with nested higher-order functions (a bounded
+    {MAXSIM_TOKENS}×{MAXSIM_TOKENS}×{MAXSIM_DIM}-op expression — no
+    explode, no token-level shuffle, no state); the only exchange is the
+    final TakeOrderedAndProject. At 100 TB this is a single map pass over
+    the corpus, which is exactly what brute-force late interaction costs;
+    the IVF/LSH index path (`vector_index.py`) prunes candidates when a
+    coarse quantizer is warranted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (emb.filter(F.col("vec_id") == MAXSIM_QVEC)
+          .select(F.col("embedding").alias("qe")))
+    t, d = MAXSIM_TOKENS, MAXSIM_DIM
+    maxsim = F.expr(f"""
+      aggregate(sequence(0, {t - 1}), cast(0.0 as double), (acc, i) ->
+        acc + array_max(transform(sequence(0, {t - 1}), j ->
+          aggregate(sequence(1, {d}), cast(0.0 as double), (a2, k) ->
+            a2 + cast(element_at(qe, i * {d} + k) as double)
+               * cast(element_at(embedding, j * {d} + k) as double)))))
+    """)
+    scored = (emb.filter(F.col("vec_id") != MAXSIM_QVEC)
+              .crossJoin(F.broadcast(qv))
+              .select("vec_id", roundn_col(maxsim).alias("max_sim")))
+    w = Window.orderBy(F.col("max_sim").desc(), "vec_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= MAXSIM_TOP)
+            .orderBy("rank"))
+
+
+QUERIES["q_rank_vectors_maxsim"] = q_rank_vectors_maxsim
+
+_MAXSIM_DOT = ("list_sum(list_transform(range(1, {d} + 1), k -> "
+               "qe[i * {d} + k]::DOUBLE * embedding[j * {d} + k]::DOUBLE))"
+               .format(d=MAXSIM_DIM))
+
+ORACLES["q_rank_vectors_maxsim"] = f"""
+WITH qv AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = {MAXSIM_QVEC}),
+scored AS (
+  SELECT vec_id,
+         {roundn_sql(
+             f"list_sum(list_transform(range(0, {MAXSIM_TOKENS}), i -> "
+             f"list_max(list_transform(range(0, {MAXSIM_TOKENS}), j -> "
+             f"{_MAXSIM_DOT}))))")} AS max_sim
+  FROM embeddings, qv WHERE vec_id <> {MAXSIM_QVEC}),
+ranked AS (
+  SELECT vec_id, max_sim,
+         CAST(row_number() OVER (ORDER BY max_sim DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {MAXSIM_TOP}"""
