@@ -631,6 +631,23 @@ _SCALARS["RIGHT"] = _scalar_right
 _SCALARS["CASE"] = _scalar_case
 
 
+def _fn_bucket(args, raw):
+    """ES|QL ``BUCKET(field, span)``: numeric width → ``floor(x/w)*w``;
+    1-unit time span (or unit string) → calendar truncation."""
+    if len(raw) != 2:
+        raise ESQLError("BUCKET takes (field, span)")
+    span = raw[1]
+    if span[0] == "lit" and isinstance(span[1], (int, float)):
+        w = float(span[1])
+        if w <= 0:
+            raise ESQLError("BUCKET width must be positive")
+        return F.floor(args[0] / F.lit(w)) * F.lit(w)
+    return _fn_date_trunc([None, args[0]], [span, raw[0]])
+
+
+_SCALARS["BUCKET"] = _fn_bucket
+
+
 def _agg_percentile(args, raw):
     if len(raw) != 2 or raw[1][0] != "lit":
         raise ESQLError("PERCENTILE takes (field, percent literal)")

@@ -78,10 +78,62 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("user_id").cast("long").alias("user_id")))
 
 
+#: hashing-trick classifier: feature buckets, LCG-derived fixed weights
+CLS_B = 1024          # hash buckets (the classifier's weight-vector length)
+CLS_A = 1103515245    # LCG multiplier (weights derived from the bucket id)
+CLS_C = 12345
+CLS_M = 1000003       # prime modulus; weight = wi/M - 0.5 ∈ [-0.5, 0.5)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality-classifier INFERENCE at corpus scale: every
+    document scored by a linear model over hashing-trick features (word
+    unigrams + bigrams → md5 bucket → weight), keep = score > 0. The
+    weights here are derived from the bucket id by an LCG so both engines
+    synthesize the identical model; a production pipeline broadcasts a
+    trained weight vector keyed by the same buckets and ONLY the weight
+    lookup changes — the feature plumbing (tokenize → n-gram → hash →
+    aggregate) is exactly this plan.
+
+    Determinism: per-feature weights are exact INTEGERS (md5-bucket LCG
+    mod a prime); only the final per-doc mean divides — identical operand
+    order in both engines, then portable rounding.
+
+    Scale shape: explode → map-side integer hashing → ONE partial-agg
+    shuffle on doc_id. No model state on executors beyond the (broadcast)
+    weight derivation; at 100 TB this is the same plan as the exact-dedup
+    pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(F.element_at(toks, i), F.lit("_"),
+                                       F.element_at(toks, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(F.concat(toks, bi)).alias("f"))
+    bucket = (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+              % CLS_B)
+    wi = (bucket * CLS_A + CLS_C) % CLS_M
+    per = (ex.select("doc_id", wi.alias("wi"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_feat"),
+                F.sum("wi").alias("s")))
+    from elasticsearch_hbase_river_spark.functions.determinism import (
+        roundn_col,
+    )
+    score = roundn_col(F.col("s").cast("double") / F.col("n_feat") / CLS_M
+                       - 0.5)
+    return (per.select("doc_id", "n_feat",
+                       score.alias("quality_score"))
+            .withColumn("keep", F.col("quality_score") > 0))
+
+
 QUERIES = {
     "q_train_split": q_train_split,
     "q_group_topk": q_group_topk,
     "q_set_ops": q_set_ops,
+    "q_quality_classifier": q_quality_classifier,
 }
 
 _B = (f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
@@ -111,4 +163,29 @@ WITH ranked AS (
                                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
   FROM documents)
 SELECT * FROM ranked WHERE rank <= {TOP_K}""",
+
+    "q_quality_classifier": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(a,
+                list_transform(range(1, len(a)),
+                               i -> a[i] || '_' || a[i + 1]))) AS f
+  FROM toks),
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % {CLS_B} * {CLS_A}
+          + {CLS_C}) % {CLS_M} AS wi
+  FROM feats),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         CAST(sum(wi) AS BIGINT) AS s
+  FROM w GROUP BY doc_id)
+SELECT doc_id, n_feat,
+       (floor((s::DOUBLE / n_feat / {CLS_M} - 0.5) * 1000000.0 + 0.5)
+        / 1000000.0) AS quality_score,
+       ((floor((s::DOUBLE / n_feat / {CLS_M} - 0.5) * 1000000.0 + 0.5)
+         / 1000000.0) > 0) AS keep
+FROM per""",
 }

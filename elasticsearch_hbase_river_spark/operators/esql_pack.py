@@ -242,6 +242,25 @@ ORDER BY rev DESC, l_orderkey, l_linenumber LIMIT 25""",
 
 
 _register(
+    "q_esql_bucket",
+    """
+FROM lineitem
+| STATS n = COUNT(*), qty = ROUND(SUM(l_quantity), 2)
+  BY price_b = BUCKET(l_extendedprice, 10000.0),
+     week = BUCKET(l_shipdate, 1 week)
+| SORT price_b, week
+| LIMIT 200
+""",
+    f"""
+SELECT floor(l_extendedprice / 10000.0) * 10000.0 AS price_b,
+       date_trunc('week', l_shipdate) AS week,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(l_quantity)', 2)} AS qty
+FROM lineitem GROUP BY price_b, week ORDER BY price_b, week LIMIT 200""",
+    "BUCKET() both ways: fixed numeric width and calendar time span.")
+
+
+_register(
     "q_esql_percentiles",
     """
 FROM events
