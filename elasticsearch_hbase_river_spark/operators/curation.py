@@ -104,14 +104,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight derivation; at 100 TB this is the same plan as the exact-dedup
     pass."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # Materialize the token array as an ATTRIBUTE before the lambda: a
+    # computed split() captured inside transform() is re-evaluated per
+    # element (the SPARK-36715 pathology class — measured 20× at sf1);
+    # a column reference is evaluated once per row.
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    toks = F.col("toks")
     bi = F.when(
         F.size(toks) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
                     lambda i: F.concat(F.element_at(toks, i), F.lit("_"),
                                        F.element_at(toks, i + 1))),
     ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select("doc_id", F.explode(F.concat(toks, bi)).alias("f"))
+    ex = toked.select("doc_id", F.explode(F.concat(toks, bi)).alias("f"))
     bucket = (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
               % CLS_B)
     wi = (bucket * CLS_A + CLS_C) % CLS_M
