@@ -30,7 +30,8 @@ source position):
 Source commands
   ``FROM table`` (single fixture table), ``ROW name = literal, ...``
 Processing commands
-  ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``SORT`` (ASC/DESC, NULLS
+  ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``INLINESTATS .. [BY ..]``
+  (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
   FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
   ``RENAME old AS new``, ``MV_EXPAND``, ``DISSECT``, ``GROK``,
   ``LOOKUP JOIN table ON field``, ``ENRICH policy ON field [WITH f, ..]``
@@ -168,9 +169,9 @@ def _tokenize(text: str) -> list[Tok]:
 _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
                "month", "quarter", "year"}
 
-_CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP",
-         "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK", "LOOKUP",
-         "ENRICH")
+_CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
+         "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
+         "LOOKUP", "ENRICH")
 
 
 class _Parser:
@@ -265,7 +266,7 @@ class _Parser:
                 if not self.accept_op(","):
                     break
             return {"cmd": "EVAL", "cols": cols, "pos": t.pos}
-        if k == "STATS":
+        if k in ("STATS", "INLINESTATS"):
             aggs = []
             while True:
                 name = None
@@ -290,7 +291,7 @@ class _Parser:
                     groups.append((name, self.expr()))
                     if not self.accept_op(","):
                         break
-            return {"cmd": "STATS", "aggs": aggs, "by": groups, "pos": t.pos}
+            return {"cmd": k, "aggs": aggs, "by": groups, "pos": t.pos}
         if k == "SORT":
             keys = []
             while True:
@@ -894,6 +895,35 @@ class _Compiler:
             if group_cols:
                 return df.groupBy(*group_cols).agg(*agg_cols)
             return df.agg(*agg_cols)
+        if k == "INLINESTATS":
+            # ES semantics: run the STATS, join the results back onto the
+            # rows (the agg relation is |distinct keys|-sized; AQE
+            # broadcasts it at runtime when small — no forced hint, so
+            # high-cardinality keys degrade to a shuffle join, not an OOM).
+            keys = []
+            for name, e in c["by"]:
+                if e[0] != "field" or (name and name != e[1]):
+                    raise ESQLError(
+                        "INLINESTATS BY supports bare field keys in this "
+                        "subset — EVAL the expression into a column first",
+                        c["pos"], self.text)
+                self.col(e, cols)  # existence check
+                keys.append(e[1])
+            agg_cols, agg_names = [], []
+            for name, e in c["aggs"]:
+                name = name or self._default_name(e)
+                if not self._has_agg(e):
+                    raise ESQLError(
+                        f"INLINESTATS column {name!r} contains no aggregate")
+                agg_cols.append(
+                    self.col(e, cols, allow_agg=True).alias(name))
+                agg_names.append(name)
+            grouped = (df.groupBy(*keys).agg(*agg_cols) if keys
+                       else df.agg(*agg_cols))
+            left = df.drop(*[n for n in agg_names if n in df.columns])
+            if keys:
+                return left.join(grouped, keys, "left")
+            return left.crossJoin(F.broadcast(grouped))
         if k == "SORT":
             keys = []
             for e, desc, nulls in c["keys"]:

@@ -261,6 +261,72 @@ FROM lineitem GROUP BY price_b, week ORDER BY price_b, week LIMIT 200""",
 
 
 _register(
+    "q_esql_inlinestats",
+    """
+FROM events
+| INLINESTATS avg_v = AVG(value) BY event_type
+| EVAL cutoff = ROUND(1.8 * avg_v, 6)
+| WHERE value > cutoff
+| STATS outliers = COUNT(*), top_val = ROUND(MAX(value), 4) BY event_type
+| SORT event_type
+""",
+    f"""
+WITH a AS (
+  SELECT event_type, avg(value) AS avg_v FROM events GROUP BY event_type),
+j AS (
+  SELECT e.event_type, e.value,
+         {roundn_sql('1.8 * avg_v', 6)} AS cutoff
+  FROM events e JOIN a USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS outliers,
+       {roundn_sql('max(value)', 4)} AS top_val
+FROM j WHERE value > cutoff
+GROUP BY event_type ORDER BY event_type""",
+    "INLINESTATS (stats joined back): rows above 1.8x their group mean.")
+
+
+def _q_esql_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL over the river's OWN canonical relation: the melted cells
+    view is bound as an ES|QL table, proving the language composes with
+    the engine's pipeline outputs (not just fixture parquet).
+
+    ES|QL:
+    FROM cells
+    | WHERE family == "data" AND qualifier IN ("value", "props")
+    | STATS n = COUNT(*), keys = COUNT_DISTINCT(row_key)
+      BY family, qualifier
+    | SORT family, qualifier
+    """
+    from elasticsearch_hbase_river_spark.sources.cells import (
+        cells_from_events,
+    )
+
+    return esql(spark, """
+FROM cells
+| WHERE family == "data" AND qualifier IN ("value", "props")
+| STATS n = COUNT(*), keys = COUNT_DISTINCT(row_key) BY family, qualifier
+| SORT family, qualifier
+""", tables={"cells": cells_from_events(spark, sf_dir)})
+
+
+QUERIES["q_esql_cells"] = _q_esql_cells
+
+
+def _cells_oracle() -> str:
+    from elasticsearch_hbase_river_spark.sources.cells import CELLS_CTE
+
+    return f"""
+{CELLS_CTE}
+SELECT family, qualifier, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT row_key) AS BIGINT) AS keys
+FROM cells
+WHERE family = 'data' AND qualifier IN ('value', 'props')
+GROUP BY family, qualifier ORDER BY family, qualifier"""
+
+
+ORACLES["q_esql_cells"] = _cells_oracle()
+
+
+_register(
     "q_esql_percentiles",
     """
 FROM events

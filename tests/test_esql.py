@@ -231,6 +231,29 @@ def test_enrich_custom_policy(spark):
     assert [r.dval for r in df.collect()] == ["x", None]
 
 
+def test_inlinestats_joins_back(spark):
+    df = esql(spark, 'ROW g = "a" | INLINESTATS n = COUNT(*)')
+    row = df.first()
+    assert row.n == 1 and row.g == "a"  # agg value lands on the row
+
+
+def test_inlinestats_grouped(spark, tmp_path):
+    src = str(tmp_path / "g")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double") \
+        .write.parquet(src)
+    t = {"t": spark.read.parquet(src)}
+    rows = esql(spark, "FROM t | INLINESTATS m = AVG(v) BY g "
+                       "| WHERE v > m", tables=t).collect()
+    assert [(r.g, r.v) for r in rows] == [("a", 3.0)]
+
+
+def test_inlinestats_computed_key_refused(spark):
+    with pytest.raises(ESQLError, match="bare field keys"):
+        esql(spark, 'ROW a = 1 | INLINESTATS n = COUNT(*) '
+                    'BY k = TO_STRING(a)')
+
+
 def test_date_trunc_span_and_string(spark, sf_dir):
     a = esql(spark, "FROM events | EVAL d = DATE_TRUNC(1 day, ts) "
                     "| STATS n = COUNT(*) BY d | SORT d", sf_dir)
