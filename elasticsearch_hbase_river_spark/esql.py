@@ -44,7 +44,8 @@ Scalar functions
   ABS CEIL FLOOR ROUND SQRT POW LOG10 EXP GREATEST LEAST LENGTH SUBSTRING
   CONCAT TO_UPPER TO_LOWER TRIM LTRIM RTRIM REPLACE SPLIT STARTS_WITH
   ENDS_WITH LEFT RIGHT COALESCE CASE TO_STRING TO_LONG TO_INT TO_DOUBLE
-  TO_DATETIME DATE_TRUNC DATE_EXTRACT MV_COUNT MV_MIN MV_MAX
+  TO_DATETIME DATE_TRUNC DATE_EXTRACT BUCKET MV_COUNT MV_MIN MV_MAX
+  MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``)
   COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG VALUES
@@ -612,6 +613,21 @@ def _scalar_right(args, raw):
                   F.substring(args[0], -args[1], args[1]))
 
 
+def _scalar_match(args, raw):
+    """ES|QL ``MATCH(field, query)`` (the ``field : "query"`` predicate):
+    full-text match under the engine's standard analyzer chain, default
+    OR operator — true iff any analyzed query term occurs in the field's
+    analyzed tokens. Both sides run the SAME analyzer expression, so a
+    literal query is folded by Catalyst into a constant term array."""
+    if len(args) != 2:
+        raise ESQLError("MATCH takes (field, query)")
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens,
+    )
+    return F.arrays_overlap(analyze_tokens(args[0]),
+                            analyze_tokens(args[1]))
+
+
 def _scalar_case(args, raw):
     if len(args) < 2:
         raise ESQLError("CASE takes (cond, value, ..., [default])")
@@ -630,6 +646,7 @@ _SCALARS["REPLACE"] = _scalar_replace
 _SCALARS["SPLIT"] = _scalar_split
 _SCALARS["RIGHT"] = _scalar_right
 _SCALARS["CASE"] = _scalar_case
+_SCALARS["MATCH"] = _scalar_match
 
 
 def _fn_bucket(args, raw):

@@ -260,6 +260,33 @@ FROM lineitem GROUP BY price_b, week ORDER BY price_b, week LIMIT 200""",
     "BUCKET() both ways: fixed numeric width and calendar time span.")
 
 
+def _match_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_toks_sql,
+    )
+
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE len(list_intersect({analyze_toks_sql('text')},
+                         {analyze_toks_sql("'spark window'")})) > 0
+GROUP BY lang ORDER BY lang"""
+
+
+_register(
+    "q_esql_match",
+    """
+FROM documents
+| WHERE MATCH(text, "spark window")
+| STATS n = COUNT(*) BY lang
+| SORT lang
+""",
+    _match_oracle(),
+    "ES|QL full-text: MATCH under the standard analyzer (OR operator), "
+    "the 8.18 search-in-ES|QL surface; the analyzed literal folds to a "
+    "constant term array.")
+
+
 _register(
     "q_esql_inlinestats",
     """

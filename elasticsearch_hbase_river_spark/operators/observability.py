@@ -207,10 +207,81 @@ SELECT CAST({_BUCKET_SQL} // {256 // N_SLICES} AS BIGINT) AS slice_id,
 FROM documents GROUP BY 1"""
 
 # ---------------------------------------------------------------------------
+# _field_caps — the mapping-discovery API (what Kibana calls before every
+# query UI render): per dynamic field, how many documents carry it and the
+# narrowest type every observed value satisfies.
+
+_INT_RE = "^-?[0-9]+$"
+_NUM_RE = "^-?[0-9]+(\\.[0-9]+)?$"
+
+
+def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_field_caps`` over the river's dynamic fields: the melted
+    cells relation IS the mapping (`HBaseParser.java:204-216` — whatever
+    cells exist become fields), so capabilities are a single grouped
+    aggregate per ``family.qualifier``: document count, value count, and
+    the narrowest type (``long`` ⊂ ``double`` ⊂ ``keyword``) every
+    non-null observed value parses as — the same dynamic-typing decision
+    ES's mapper makes per field.
+
+    Scale shape: one partial-agg shuffle on the (tiny) field key; the
+    type lattice is two map-side regex flags aggregated with ``min``
+    (all-castable ⇔ min = 1). Fields are |families|×|qualifiers|-sized,
+    never corpus-sized."""
+    from elasticsearch_hbase_river_spark.sources.cells import (
+        cells_from_events,
+    )
+
+    cells = cells_from_events(spark, sf_dir)
+    # null values count as non-castable (matching the oracle's CASE,
+    # where a null regexp_matches falls to the ELSE 0 branch)
+    is_int = F.coalesce(F.col("value").rlike(_INT_RE).cast("int"), F.lit(0))
+    is_num = F.coalesce(F.col("value").rlike(_NUM_RE).cast("int"), F.lit(0))
+    per = (cells
+           .select(F.concat_ws(".", "family", "qualifier").alias("field"),
+                   "row_key", is_int.alias("i"), is_num.alias("n"))
+           .groupBy("field")
+           .agg(F.count_distinct("row_key").cast("long").alias("doc_count"),
+                F.count(F.lit(1)).cast("long").alias("value_count"),
+                F.min("i").alias("all_int"), F.min("n").alias("all_num")))
+    ftype = (F.when(F.col("all_int") == 1, "long")
+             .when(F.col("all_num") == 1, "double")
+             .otherwise("keyword"))
+    return (per.select("field", ftype.alias("type"), "doc_count",
+                       "value_count",
+                       (ftype != "keyword").alias("aggregatable"))
+            .orderBy("field"))
+
+
+from elasticsearch_hbase_river_spark.sources.cells import CELLS_CTE  # noqa: E402
+
+ORACLES["q_field_caps"] = f"""
+{CELLS_CTE},
+per AS (
+  SELECT family || '.' || qualifier AS field,
+         CAST(count(DISTINCT row_key) AS BIGINT) AS doc_count,
+         CAST(count(*) AS BIGINT) AS value_count,
+         min(CASE WHEN regexp_matches(value, '{_INT_RE}')
+                  THEN 1 ELSE 0 END) AS all_int,
+         min(CASE WHEN regexp_matches(value, '{_NUM_RE}')
+                  THEN 1 ELSE 0 END) AS all_num
+  FROM cells GROUP BY 1)
+SELECT field,
+       CASE WHEN all_int = 1 THEN 'long'
+            WHEN all_num = 1 THEN 'double'
+            ELSE 'keyword' END AS type,
+       doc_count, value_count,
+       (CASE WHEN all_int = 1 THEN 'long'
+             WHEN all_num = 1 THEN 'double'
+             ELSE 'keyword' END <> 'keyword') AS aggregatable
+FROM per ORDER BY field"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES.update({
     "q_gopher_rules": q_gopher_rules,
     "q_corpus_report": q_corpus_report,
     "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_sliced_scroll": q_sliced_scroll,
+    "q_field_caps": q_field_caps,
 })

@@ -254,6 +254,17 @@ def test_inlinestats_computed_key_refused(spark):
                     'BY k = TO_STRING(a)')
 
 
+def test_match_or_semantics(spark):
+    # OR operator: any analyzed query term present ⇒ true; analyzer
+    # lowercases and strips punctuation on both sides
+    df = esql(spark, 'ROW t = "Big Spark Engine!" '
+                     '| WHERE MATCH(t, "spark window")')
+    assert df.count() == 1
+    df2 = esql(spark, 'ROW t = "no hits here" '
+                      '| WHERE MATCH(t, "spark window")')
+    assert df2.count() == 0
+
+
 def test_date_trunc_span_and_string(spark, sf_dir):
     a = esql(spark, "FROM events | EVAL d = DATE_TRUNC(1 day, ts) "
                     "| STATS n = COUNT(*) BY d | SORT d", sf_dir)
