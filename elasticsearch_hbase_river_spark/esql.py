@@ -34,7 +34,8 @@ Processing commands
   (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
   FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
   ``RENAME old AS new``, ``MV_EXPAND``, ``DISSECT``, ``GROK``,
-  ``LOOKUP JOIN table ON field``, ``ENRICH policy ON field [WITH f, ..]``
+  ``LOOKUP JOIN table ON field``, ``ENRICH policy ON field [WITH f, ..]``,
+  ``FORK ( .. ) ( .. )`` (branch pipelines unioned with ``_fork``)
 Expressions
   literals (string/number/bool/null), fields (backquotes for odd names),
   ``+ - * / %``, ``== != < <= > >=``, ``AND OR NOT``, ``IN (..)``,
@@ -172,7 +173,7 @@ _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
 
 _CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
          "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
-         "LOOKUP", "ENRICH")
+         "LOOKUP", "ENRICH", "FORK")
 
 
 class _Parser:
@@ -348,6 +349,17 @@ class _Parser:
             self.expect_kw("ON")
             return {"cmd": "LOOKUP", "table": table, "on": self.ident(),
                     "pos": t.pos}
+        if k == "FORK":
+            branches = []
+            while self.accept_op("("):
+                cmds = [self.proc_cmd()]
+                while self.accept_op("|"):
+                    cmds.append(self.proc_cmd())
+                self.expect_op(")")
+                branches.append(cmds)
+            if len(branches) < 2:
+                self.err("FORK needs at least two ( .. ) branches", t)
+            return {"cmd": "FORK", "branches": branches, "pos": t.pos}
         if k == "ENRICH":
             policy = self.ident()
             self.expect_kw("ON")
@@ -1012,6 +1024,21 @@ class _Compiler:
                      if x in right.columns and x != key]
             return (df.drop(*clash)
                     .join(F.broadcast(right), key, "left"))
+        if k == "FORK":
+            # every branch consumes the SAME input relation; outputs union
+            # by name (missing columns null-padded) with a _fork
+            # discriminator — ES 9.x FORK semantics. The input plan is
+            # shared, so Catalyst reuses the scan/exchange across branches.
+            outs = []
+            for i, branch in enumerate(c["branches"]):
+                b = df
+                for sub in branch:
+                    b = self.apply(b, sub)
+                outs.append(b.withColumn("_fork", F.lit(f"fork{i + 1}")))
+            out = outs[0]
+            for b in outs[1:]:
+                out = out.unionByName(b, allowMissingColumns=True)
+            return out
         if k == "ENRICH":
             pol = self.policies.get(c["policy"])
             if pol is None:

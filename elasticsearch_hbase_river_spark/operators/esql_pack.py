@@ -260,6 +260,32 @@ FROM lineitem GROUP BY price_b, week ORDER BY price_b, week LIMIT 200""",
     "BUCKET() both ways: fixed numeric width and calendar time span.")
 
 
+_register(
+    "q_esql_fork",
+    """
+FROM events
+| WHERE value > 0
+| FORK ( WHERE event_type == "click"
+         | STATS n = COUNT(*) BY event_type )
+       ( WHERE event_type == "purchase"
+         | STATS n = COUNT(*), total = ROUND(SUM(value), 4)
+           BY event_type )
+| SORT _fork, event_type
+""",
+    f"""
+SELECT 'fork1' AS _fork, event_type, CAST(count(*) AS BIGINT) AS n,
+       NULL::DOUBLE AS total
+FROM events WHERE value > 0 AND event_type = 'click' GROUP BY event_type
+UNION ALL
+SELECT 'fork2', event_type, CAST(count(*) AS BIGINT),
+       {roundn_sql('sum(value)', 4)}
+FROM events WHERE value > 0 AND event_type = 'purchase' GROUP BY event_type
+ORDER BY _fork, event_type""",
+    "FORK (ES 9.x): branch pipelines over one shared input, unioned by "
+    "name with the _fork discriminator; Catalyst reuses the scan across "
+    "branches.")
+
+
 def _match_oracle() -> str:
     from elasticsearch_hbase_river_spark.functions.analyzer import (
         analyze_toks_sql,

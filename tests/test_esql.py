@@ -283,6 +283,51 @@ def test_span_outside_date_trunc_refused(spark):
         esql(spark, "ROW a = 1 | EVAL b = 1 day")
 
 
+def test_fork_union_by_name(spark):
+    df = esql(spark, 'ROW a = 1 | FORK ( EVAL b = a + 1 ) ( EVAL c = a * 10 )')
+    rows = sorted(df.collect(), key=lambda r: r._fork)
+    assert [r._fork for r in rows] == ["fork1", "fork2"]
+    assert rows[0].b == 2 and rows[0].c is None     # null-padded
+    assert rows[1].c == 10 and rows[1].b is None
+
+
+def test_fork_single_branch_refused(spark):
+    with pytest.raises(ESQLError, match="at least two"):
+        parse('FROM t | FORK ( WHERE a == 1 )')
+
+
+def test_esql_over_streaming_source(spark, sf_dir, tmp_path):
+    """The compiler emits pure DataFrame transformations, so an ES|QL
+    pipeline binds to a STREAMING relation unchanged (stateless commands +
+    STATS as a streaming aggregation) — the river's trigger model applies
+    to the query language for free."""
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    text = ('FROM s | WHERE value > 50 '
+            '| STATS n = COUNT(*), total = ROUND(SUM(value), 4) '
+            'BY event_type')
+    src = str(tmp_path / "esql_stream_src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ev.coalesce(2).write.parquet(src)
+
+    sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
+           .parquet(src))
+    q = (esql(spark, text, tables={"s": sdf})
+         .writeStream.format("memory").queryName("esql_stream_sink")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "esql_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    got = {(r.event_type, r.n, r.total)
+           for r in spark.sql("SELECT * FROM esql_stream_sink").collect()}
+    expect = {(r.event_type, r.n, r.total)
+              for r in esql(spark, text,
+                            tables={"s": spark.read.parquet(src)}).collect()}
+    assert got == expect and got
+
+
 # ---------------------------------------------------------------------------
 # plan shapes — the compiler must emit the same physical plans the
 # hand-written DataFrame twins would
