@@ -45,7 +45,8 @@ Scalar functions
   ABS CEIL FLOOR ROUND SQRT POW LOG10 EXP GREATEST LEAST LENGTH SUBSTRING
   CONCAT TO_UPPER TO_LOWER TRIM LTRIM RTRIM REPLACE SPLIT STARTS_WITH
   ENDS_WITH LEFT RIGHT COALESCE CASE TO_STRING TO_LONG TO_INT TO_DOUBLE
-  TO_DATETIME DATE_TRUNC DATE_EXTRACT BUCKET MV_COUNT MV_MIN MV_MAX
+  TO_DATETIME DATE_TRUNC DATE_EXTRACT DATE_DIFF BUCKET LOG SIGNUM LOCATE
+  REVERSE REPEAT MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``)
@@ -652,6 +653,53 @@ def _scalar_case(args, raw):
                else out.when(pairs[i], pairs[i + 1]))
     return out if default is None else out.otherwise(default)
 
+
+def _scalar_log(args, raw):
+    if len(args) == 1:
+        return F.log(args[0])          # natural log, ES|QL LOG(x)
+    if len(args) == 2:
+        return F.log(args[1]) / F.log(args[0])   # LOG(base, x)
+    raise ESQLError("LOG takes (x) or (base, x)")
+
+
+def _scalar_date_diff(args, raw):
+    if len(raw) != 3 or raw[0][0] != "lit":
+        raise ESQLError('DATE_DIFF takes ("unit", start, end)')
+    unit = raw[0][1].lower().rstrip("s")
+    ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
+          "hour": 3_600_000, "day": 86_400_000}
+    if unit not in ms:
+        raise ESQLError(f"unsupported DATE_DIFF unit {unit!r} "
+                        f"(fixed-width units only: {sorted(ms)})")
+    span = (F.unix_millis(args[2].cast("timestamp"))
+            - F.unix_millis(args[1].cast("timestamp")))
+    # truncation toward zero, the ES|QL contract
+    return (span / F.lit(ms[unit])).cast("long")
+
+
+def _scalar_mv_slice(args, raw):
+    if len(raw) != 3 or raw[1][0] != "lit" or raw[2][0] != "lit":
+        raise ESQLError("MV_SLICE takes (array, start, end) with literal "
+                        "0-based inclusive bounds")
+    start, end = raw[1][1], raw[2][1]
+    return F.slice(args[0], start + 1, end - start + 1)
+
+
+_SCALARS["MV_DEDUPE"] = lambda a, r: F.array_sort(F.array_distinct(a[0]))
+_SCALARS["MV_SORT"] = lambda a, r: F.array_sort(a[0])
+_SCALARS["MV_SLICE"] = _scalar_mv_slice
+_SCALARS["REVERSE"] = lambda a, r: F.reverse(a[0])
+_SCALARS["REPEAT"] = lambda a, r: F.repeat(a[0], a[1])
+def _scalar_locate(args, raw):
+    if len(raw) != 2 or raw[1][0] != "lit":
+        raise ESQLError("LOCATE takes (string, literal substring)")
+    return F.locate(raw[1][1], args[0]).cast("long")
+
+
+_SCALARS["LOCATE"] = _scalar_locate
+_SCALARS["SIGNUM"] = lambda a, r: F.signum(a[0])
+_SCALARS["LOG"] = _scalar_log
+_SCALARS["DATE_DIFF"] = _scalar_date_diff
 
 _SCALARS["SUBSTRING"] = _scalar_substring
 _SCALARS["REPLACE"] = _scalar_replace

@@ -254,6 +254,25 @@ def test_inlinestats_computed_key_refused(spark):
                     'BY k = TO_STRING(a)')
 
 
+def test_scalar_function_breadth(spark):
+    row = esql(spark, (
+        'ROW s = "abcabc", xs = "c b a c" '
+        '| EVAL arr = SPLIT(xs, " "), '
+        '  dd = MV_DEDUPE(arr), srt = MV_SORT(arr), '
+        '  sl = MV_SLICE(arr, 1, 2), '
+        '  rev = REVERSE(s), rep = REPEAT(s, 2), '
+        '  loc = LOCATE(s, "ca"), sg = SIGNUM(0 - 7), '
+        '  lg = ROUND(LOG(2, 8), 6), '
+        '  dd_h = DATE_DIFF("hour", TO_DATETIME("2020-01-01"), '
+        '                   TO_DATETIME("2020-01-02"))')).first()
+    assert row.dd == ["a", "b", "c"]
+    assert row.srt == ["a", "b", "c", "c"]
+    assert row.sl == ["b", "a"]
+    assert row.rev == "cbacba" and row.rep == "abcabcabcabc"
+    assert row.loc == 3 and row.sg == -1.0
+    assert row.lg == 3.0 and row.dd_h == 24
+
+
 def test_match_or_semantics(spark):
     # OR operator: any analyzed query term present ⇒ true; analyzer
     # lowercases and strips punctuation on both sides
