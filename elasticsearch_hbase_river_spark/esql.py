@@ -124,8 +124,10 @@ def _tokenize(text: str) -> list[Tok]:
             while j < n and text[j] != '"':
                 if text[j] == "\\" and j + 1 < n:
                     esc = text[j + 1]
+                    # unknown escapes KEEP the backslash (a regex or LIKE
+                    # pattern like "\d+" / "\*" must survive the lexer)
                     buf.append({"n": "\n", "t": "\t", '"': '"',
-                                "\\": "\\"}.get(esc, esc))
+                                "\\": "\\"}.get(esc, "\\" + esc))
                     j += 2
                 else:
                     buf.append(text[j])
@@ -186,6 +188,12 @@ class _Parser:
     # -- token helpers ------------------------------------------------------
     def peek(self) -> Tok:
         return self.toks[self.i]
+
+    def peek2(self) -> Tok:
+        """One-token lookahead, clamped to the trailing EOF token so a
+        truncated query (``.. | STATS``) errors as ESQLError, never
+        IndexError."""
+        return self.toks[min(self.i + 1, len(self.toks) - 1)]
 
     def next(self) -> Tok:
         t = self.toks[self.i]
@@ -273,7 +281,7 @@ class _Parser:
             aggs = []
             while True:
                 name = None
-                nxt = self.toks[self.i + 1]
+                nxt = self.peek2()
                 if (self.peek().kind == "IDENT"
                         and nxt.kind == "OP" and nxt.value == "="):
                     name = self.ident()
@@ -286,7 +294,7 @@ class _Parser:
             if self.accept_kw("BY"):
                 while True:
                     name = None
-                    nxt = self.toks[self.i + 1]
+                    nxt = self.peek2()
                     if (self.peek().kind == "IDENT"
                             and nxt.kind == "OP" and nxt.value == "="):
                         name = self.ident()
@@ -522,14 +530,30 @@ def parse(text: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 # Compiler
 
-_LIKE_SPECIAL = re.compile(r"([%_])")
-
-
 def _like_to_sql(pat: str) -> str:
-    """ES|QL LIKE uses ``*``/``?`` wildcards; translate to SQL ``%``/``_``,
-    escaping any literal ``%``/``_`` in the pattern."""
-    out = _LIKE_SPECIAL.sub(r"\\\1", pat)
-    return out.replace("*", "%").replace("?", "_")
+    """ES|QL LIKE uses ``*``/``?`` wildcards with ``\\*``/``\\?`` escapes
+    for the literal characters; translate to SQL ``%``/``_``, escaping any
+    literal ``%``/``_``/``\\`` already in the pattern."""
+    out, i, n = [], 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n and pat[i + 1] in "*?\\":
+            nxt = pat[i + 1]
+            out.append("\\\\" if nxt == "\\" else nxt)  # literal * ? \
+            i += 2
+            continue
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in "%_":
+            out.append("\\" + c)
+        elif c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _fn_round(args, raw):
@@ -876,8 +900,11 @@ class _Compiler:
             return self.col(ast[1], columns, allow_agg).like(
                 _like_to_sql(ast[2]))
         if kind == "rlike":
+            # ES|QL RLIKE matches the WHOLE string; the non-capturing
+            # group keeps a top-level alternation ("a|b") inside the
+            # anchors instead of letting it escape them
             return self.col(ast[1], columns, allow_agg).rlike(
-                "^" + ast[2] + "$")  # ES|QL RLIKE matches the WHOLE string
+                "^(?:" + ast[2] + ")$")
         if kind == "bin":
             op, l_ast, r_ast = ast[1], ast[2], ast[3]
             l = self.col(l_ast, columns, allow_agg)
@@ -1052,13 +1079,16 @@ class _Compiler:
             regex, keys = (_compile_dissect(c["pattern"]) if k == "DISSECT"
                            else _compile_grok(c["pattern"]))
             src = F.col(c["field"])
-            matched = src.rlike(regex)
+            # evaluate the guard regex ONCE into a temp column and reuse it
+            # for every key (k+1 regex executions per row instead of 2k)
+            flag = f"__{k.lower()}_matched"
+            df = df.withColumn(flag, src.rlike(regex))
             for gi, (key, cast) in enumerate(keys, start=1):
-                val = F.when(matched, F.regexp_extract(src, regex, gi))
+                val = F.when(F.col(flag), F.regexp_extract(src, regex, gi))
                 if cast != "string":
                     val = val.cast(cast)
                 df = df.withColumn(key, val)
-            return df
+            return df.drop(flag)
         if k == "LOOKUP":
             right = self.load(c["table"], c["pos"])
             key = c["on"]

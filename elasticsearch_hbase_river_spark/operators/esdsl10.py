@@ -265,11 +265,13 @@ def q_rank_vectors_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (emb.filter(F.col("vec_id") != MAXSIM_QVEC)
               .crossJoin(F.broadcast(qv))
               .select("vec_id", roundn_col(maxsim).alias("max_sim")))
+    # orderBy().limit() folds to TakeOrderedAndProject (two-phase partial
+    # top-k); the rank window then runs over the ≤k survivors only —
+    # never a corpus-wide single-partition sort
+    top = (scored.orderBy(F.col("max_sim").desc(), "vec_id")
+           .limit(MAXSIM_TOP))
     w = Window.orderBy(F.col("max_sim").desc(), "vec_id")
-    return (scored
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= MAXSIM_TOP)
-            .orderBy("rank"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 QUERIES["q_rank_vectors_maxsim"] = q_rank_vectors_maxsim

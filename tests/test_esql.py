@@ -22,8 +22,6 @@ from elasticsearch_hbase_river_spark.esql import (
     parse,
 )
 
-SF = "/root/testdata/sf0.001"
-
 
 # ---------------------------------------------------------------------------
 # parser
@@ -134,6 +132,32 @@ def test_like_escapes_sql_metachars(spark):
 def test_rlike_whole_string(spark):
     assert esql(spark, 'ROW s = "abc" | WHERE s RLIKE "ab"').count() == 0
     assert esql(spark, 'ROW s = "abc" | WHERE s RLIKE "ab."').count() == 1
+
+
+def test_rlike_top_level_alternation_stays_anchored(spark):
+    # "view|click" must NOT match "viewer" (^view|click$ would)
+    assert esql(spark, 'ROW s = "viewer" '
+                       '| WHERE s RLIKE "view|click"').count() == 0
+    assert esql(spark, 'ROW s = "click" '
+                       '| WHERE s RLIKE "view|click"').count() == 1
+
+
+def test_rlike_regex_escapes_survive_lexer(spark):
+    assert esql(spark, 'ROW s = "123" | WHERE s RLIKE "\\d+"').count() == 1
+    assert esql(spark, 'ROW s = "abc" | WHERE s RLIKE "\\d+"').count() == 0
+
+
+def test_like_escaped_wildcard_is_literal(spark):
+    # \* matches only a literal asterisk
+    assert esql(spark, 'ROW s = "100*" | WHERE s LIKE "100\\*"').count() == 1
+    assert esql(spark, 'ROW s = "100x" | WHERE s LIKE "100\\*"').count() == 0
+
+
+def test_truncated_stats_is_esql_error(spark):
+    with pytest.raises(ESQLError, match="expected expression"):
+        parse("FROM t | STATS")
+    with pytest.raises(ESQLError, match="expected expression"):
+        parse("FROM t | STATS n = COUNT(*) BY")
 
 
 def test_sort_null_contract(spark, tmp_path):
@@ -372,5 +396,12 @@ def test_where_reaches_pushed_filters(spark, sf_dir):
 def test_sort_limit_is_top_k(spark, sf_dir):
     from elasticsearch_hbase_river_spark.operators.esql_pack import QUERIES
     plan = QUERIES["q_esql_ship_topk"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_maxsim_is_top_k_not_global_sort(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.esdsl10 import QUERIES
+    plan = QUERIES["q_rank_vectors_maxsim"](spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
