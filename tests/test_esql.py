@@ -102,6 +102,73 @@ def test_grok_unknown_pattern():
 
 
 # ---------------------------------------------------------------------------
+# property tests (pure Python — no Spark per example)
+
+
+def _regex_of(pat: str, wild: str, one: str, escapable: str) -> str:
+    """Reference LIKE-dialect matcher: translate to a Python regex."""
+    import re as _re
+    out, i = [], 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat) and pat[i + 1] in escapable:
+            out.append(_re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == wild:
+            out.append(".*")
+        elif c == one:
+            out.append(".")
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "".join(out)
+
+
+def test_like_translation_equivalence_property():
+    """For every pattern over the wildcard/escape alphabet, the SQL LIKE
+    produced by _like_to_sql accepts exactly the strings ES|QL LIKE
+    accepts (both sides modeled as regexes with their own dialect)."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from elasticsearch_hbase_river_spark.esql import _like_to_sql
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="ab*?\\%_", max_size=8),
+           st.text(alphabet="ab*?%_\\", max_size=8))
+    def check(pat, s):
+        esql_re = _regex_of(pat, "*", "?", "*?\\")
+        sql_re = _regex_of(_like_to_sql(pat), "%", "_",
+                           "%_\\" + "*?")  # SQL escape applies to any char
+        assert (_re.fullmatch(sql_re, s) is not None) == \
+               (_re.fullmatch(esql_re, s) is not None), (
+            pat, _like_to_sql(pat), s)
+
+    check()
+
+
+def test_parser_totality_property():
+    """The parser is TOTAL over arbitrary input: it either parses or
+    raises ESQLError with a position — never IndexError/KeyError/etc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet='abc01 ()|=<>!+-*/%,."\\`', max_size=40))
+    def check(s):
+        for prefix in ("FROM t | WHERE ", "FROM t | ", ""):
+            try:
+                parse(prefix + s)
+            except ESQLError:
+                pass
+
+    check()
+
+
+# ---------------------------------------------------------------------------
 # compiler semantics (tiny ROW-driven checks — no fixture I/O)
 
 
