@@ -12,6 +12,14 @@ Batch mode runs one tick (run_once) per invocation — the reference's
 scheduler becomes cron/Airflow/whatever owns the cadence. ``--streaming``
 starts a Structured Streaming query triggered every ``--interval-ms``
 (the reference's polling loop) and blocks until interrupted.
+
+The ``esql`` subcommand runs an ES|QL query against a fixture/table
+directory and prints the result — the interactive face of the engine's
+query language (`esql.py`):
+
+    python -m elasticsearch_hbase_river_spark esql \
+        'FROM events | STATS n = COUNT(*) BY event_type | SORT n DESC' \
+        --data /root/testdata/sf0.01 [--limit 20] [--master 'local[*]']
 """
 
 from __future__ import annotations
@@ -51,11 +59,47 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def esql_main(argv: list[str]) -> int:
+    from pyspark.sql import SparkSession
+
+    p = argparse.ArgumentParser(
+        prog="elasticsearch_hbase_river_spark esql")
+    p.add_argument("query", help="ES|QL query text")
+    p.add_argument("--data", help="directory holding the fixture parquet "
+                                  "tables FROM resolves against (not "
+                                  "needed for ROW-sourced queries)")
+    p.add_argument("--limit", type=int, default=50,
+                   help="max rows to print (the plan itself is NOT "
+                        "limited — add | LIMIT for that)")
+    p.add_argument("--master", default="local[*]")
+    args = p.parse_args(argv)
+
+    from elasticsearch_hbase_river_spark.esql import ESQLError, esql
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = (SparkSession.builder.master(args.master)
+             .appName("river-esql").getOrCreate())
+    try:
+        try:
+            df = esql(spark, args.query, sf_dir=args.data)
+        except ESQLError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        df.show(args.limit, truncate=False)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from elasticsearch_hbase_river_spark.config import RiverConfig
 
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "esql":
+        return esql_main(argv[1:])
     args = build_parser().parse_args(argv)
     # reuse an ambient session (tests, notebooks); only stop what we create
     owns_session = SparkSession.getActiveSession() is None

@@ -438,6 +438,21 @@ def test_esql_over_streaming_source(spark, sf_dir, tmp_path):
     assert got == expect and got
 
 
+def test_cli_esql_subcommand(spark, sf_dir, capsys):
+    from elasticsearch_hbase_river_spark.__main__ import main
+
+    rc = main(["esql",
+               "FROM events | STATS n = COUNT(*) BY event_type "
+               "| SORT n DESC, event_type | LIMIT 3",
+               "--data", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0 and "event_type" in out and "n" in out
+
+    rc2 = main(["esql", "FROM events | FROBNICATE x", "--data", sf_dir])
+    err = capsys.readouterr().err
+    assert rc2 == 2 and "unknown command" in err
+
+
 # ---------------------------------------------------------------------------
 # plan shapes — the compiler must emit the same physical plans the
 # hand-written DataFrame twins would
