@@ -781,6 +781,12 @@ _GROK_PATTERNS = {
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
     "USERNAME": r"[a-zA-Z0-9._-]+",
+    "LOGLEVEL": (r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
+                 r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|"
+                 r"WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|"
+                 r"CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE)"),
+    "TIMESTAMP_ISO8601": (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                          r"(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?"),
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")

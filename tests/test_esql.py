@@ -96,6 +96,16 @@ def test_grok_typed_and_unnamed():
     assert "(?:" in regex  # unnamed pattern is non-capturing
 
 
+def test_grok_log_patterns(spark):
+    row = esql(spark, (
+        'ROW line = "2024-03-01T12:30:05Z ERROR 10.0.0.7 worker died" '
+        '| GROK line "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} '
+        '%{IP:ip} %{GREEDYDATA:msg}"')).first()
+    assert row.ts == "2024-03-01T12:30:05Z"
+    assert row.lvl == "ERROR" and row.ip == "10.0.0.7"
+    assert row.msg == "worker died"
+
+
 def test_grok_unknown_pattern():
     with pytest.raises(ESQLError, match="unsupported GROK pattern"):
         _compile_grok("%{NOPE:x}")
