@@ -35,7 +35,9 @@ Processing commands
   FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
   ``RENAME old AS new``, ``MV_EXPAND``, ``DISSECT``, ``GROK``,
   ``LOOKUP JOIN table ON field``, ``ENRICH policy ON field [WITH f, ..]``,
-  ``FORK ( .. ) ( .. )`` (branch pipelines unioned with ``_fork``)
+  ``FORK ( .. ) ( .. )`` (branch pipelines unioned with ``_fork``),
+  ``CHANGE_POINT value ON key [AS type, pvalue]`` (step-change detection
+  with a two-sided z-test p-value)
 Expressions
   literals (string/number/bool/null), fields (backquotes for odd names),
   ``+ - * / %``, ``== != < <= > >=``, ``AND OR NOT``, ``IN (..)``,
@@ -69,7 +71,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col
@@ -176,7 +178,7 @@ _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
 
 _CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
          "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
-         "LOOKUP", "ENRICH", "FORK")
+         "LOOKUP", "ENRICH", "FORK", "CHANGE_POINT")
 
 
 class _Parser:
@@ -369,6 +371,17 @@ class _Parser:
             if len(branches) < 2:
                 self.err("FORK needs at least two ( .. ) branches", t)
             return {"cmd": "FORK", "branches": branches, "pos": t.pos}
+        if k == "CHANGE_POINT":
+            val = self.ident()
+            self.expect_kw("ON")
+            key = self.ident()
+            names = ("type", "pvalue")
+            if self.accept_kw("AS"):
+                tname = self.ident()
+                self.expect_op(",")
+                names = (tname, self.ident())
+            return {"cmd": "CHANGE_POINT", "value": val, "on": key,
+                    "names": names, "pos": t.pos}
         if k == "ENRICH":
             policy = self.ident()
             self.expect_kw("ON")
@@ -841,6 +854,32 @@ def _compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     return "".join(regex), keys
 
 
+#: Abramowitz & Stegun 7.1.26 erf coefficients (|ε| < 1.5e-7 — far below
+#: the engine's 1e-6 rounding grain). Spelled identically in the compiler
+#: and the DuckDB oracle twins.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741,
+          -1.453152027, 1.061405429)
+
+
+def _erf(x: Column) -> Column:
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * x)
+    # Horner, explicit order so both engines evaluate identically
+    poly = ((((F.lit(_ERF_A[4]) * t + F.lit(_ERF_A[3])) * t
+              + F.lit(_ERF_A[2])) * t + F.lit(_ERF_A[1])) * t
+            + F.lit(_ERF_A[0])) * t
+    return F.lit(1.0) - poly * F.exp(-x * x)
+
+
+def erf_sql(x: str) -> str:
+    """The same A&S erf polynomial as SQL text (for oracle twins)."""
+    t = f"(1.0 / (1.0 + {_ERF_P} * ({x})))"
+    a0, a1, a2, a3, a4 = _ERF_A
+    poly = (f"(((({a4} * {t} + {a3}) * {t} + {a2}) * {t} + {a1}) * {t} "
+            f"+ {a0}) * {t}")
+    return f"(1.0 - {poly} * exp(-({x}) * ({x})))"
+
+
 @dataclass
 class EnrichPolicy:
     """An ES enrich policy: match ``match_field`` in ``table``, expose
@@ -1108,6 +1147,59 @@ class _Compiler:
                      if x in right.columns and x != key]
             return (df.drop(*clash)
                     .join(F.broadcast(right), key, "left"))
+        if k == "CHANGE_POINT":
+            # ES|QL CHANGE_POINT value ON key [AS type, pvalue]: detect the
+            # step change in `value` over the `key` order and mark that row
+            # (type='step_change', pvalue = two-sided z-test of the mean
+            # shift). Requires UNIQUE key values (the ES shape: applied
+            # after STATS BY key). Exact decimal prefix sums make the
+            # argmax engine-independent; only the p-value touches exp().
+            # Input is bucket-sized by construction (post-STATS), so the
+            # single-partition cumulative window is sound at any corpus
+            # scale — the corpus-sized work happened in the STATS.
+            val, key = c["value"], c["on"]
+            tname, pname = c["names"]
+            for col_ in (val, key):
+                if col_ not in cols:
+                    raise ESQLError(f"CHANGE_POINT: unknown column "
+                                    f"{col_!r}", c["pos"], self.text)
+            w = Window.orderBy(key)
+            wall = Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+            dec = F.col(val).cast("decimal(19,3)")
+            prefix = df.select(
+                F.col(key).alias("__k"),
+                F.count(F.lit(1)).over(w).alias("__cn"),
+                F.sum(dec).over(w).alias("__cs"),
+                F.sum(dec * dec).over(w).alias("__cq"),
+                F.count(F.lit(1)).over(wall).alias("__tn"),
+                F.sum(dec).over(wall).alias("__ts"),
+                F.sum(dec * dec).over(wall).alias("__tq"),
+            ).filter(F.col("__cn") < F.col("__tn"))
+            nb = F.col("__cn").cast("double")
+            na = (F.col("__tn") - F.col("__cn")).cast("double")
+            before = F.col("__cs").cast("double") / nb
+            after = (F.col("__ts") - F.col("__cs")).cast("double") / na
+            d = F.abs(after - before)
+            tn = F.col("__tn").cast("double")
+            mean = F.col("__ts").cast("double") / tn
+            # spell the square as multiplication (not pow) so the oracle
+            # twin can reproduce it operand-for-operand
+            var = F.col("__tq").cast("double") / tn - mean * mean
+            se = F.sqrt(var * (F.lit(1.0) / nb + F.lit(1.0) / na))
+            z = F.when(se > 0, d / se).otherwise(F.lit(float("inf")))
+            phi = (F.lit(0.5)
+                   * (F.lit(1.0) + _erf(z / F.lit(1.4142135623730951))))
+            pv = F.greatest(F.lit(0.0),
+                            F.lit(2.0) * (F.lit(1.0) - phi))
+            marker = (prefix
+                      .select("__k", d.alias("__d"), pv.alias("__pv"))
+                      .orderBy(F.col("__d").desc(), "__k").limit(1)
+                      .select(F.col("__k").alias(key),
+                              F.lit("step_change").alias(tname),
+                              roundn_col(F.col("__pv")).alias(pname)))
+            left = df.drop(*[n for n in (tname, pname) if n in df.columns])
+            return left.join(F.broadcast(marker), key, "left")
         if k == "FORK":
             # every branch consumes the SAME input relation; outputs union
             # by name (missing columns null-padded) with a _fork

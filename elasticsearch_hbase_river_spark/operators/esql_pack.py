@@ -286,6 +286,53 @@ ORDER BY _fork, event_type""",
     "branches.")
 
 
+def _change_point_oracle() -> str:
+    from elasticsearch_hbase_river_spark.esql import erf_sql
+
+    dec = "CAST(n AS DECIMAL(19,3))"
+    d = "abs((ts_ - cs)::DOUBLE / (tn - cn) - cs::DOUBLE / cn)"
+    var = "(tq::DOUBLE / tn - (ts_::DOUBLE / tn) * (ts_::DOUBLE / tn))"
+    se = f"sqrt({var} * (1.0 / cn::DOUBLE + 1.0 / (tn - cn)::DOUBLE))"
+    z = f"({d} / {se})"
+    phi = f"(0.5 * (1.0 + {erf_sql(f'{z} / 1.4142135623730951')}))"
+    pv = f"greatest(0.0, 2.0 * (1.0 - {phi}))"
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+c AS (
+  SELECT hour, n,
+         count(*) OVER (ORDER BY hour) AS cn,
+         sum({dec}) OVER (ORDER BY hour) AS cs,
+         sum({dec} * {dec}) OVER (ORDER BY hour) AS cq,
+         count(*) OVER () AS tn,
+         sum({dec}) OVER () AS ts_,
+         sum({dec} * {dec}) OVER () AS tq
+  FROM h),
+mark AS (
+  SELECT hour, 'step_change' AS type,
+         {roundn_sql(pv)} AS pvalue
+  FROM c WHERE cn < tn
+  ORDER BY {d} DESC, hour LIMIT 1)
+SELECT h.hour, h.n, m.type, m.pvalue
+FROM h JOIN mark m USING (hour)"""
+
+
+_register(
+    "q_esql_change_point",
+    """
+FROM events
+| EVAL hour = DATE_TRUNC(1 hour, ts)
+| STATS n = COUNT(*) BY hour
+| CHANGE_POINT n ON hour
+| WHERE type IS NOT NULL
+""",
+    _change_point_oracle(),
+    "CHANGE_POINT: step-change detection over the hourly count series "
+    "(exact-decimal argmax; two-sided z-test p-value via the shared A&S "
+    "erf polynomial).")
+
+
 def _match_oracle() -> str:
     from elasticsearch_hbase_river_spark.functions.analyzer import (
         analyze_toks_sql,

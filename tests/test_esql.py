@@ -448,6 +448,22 @@ def test_esql_over_streaming_source(spark, sf_dir, tmp_path):
     assert got == expect and got
 
 
+def test_change_point_marks_argmax_row(spark, tmp_path):
+    src = str(tmp_path / "cp")
+    # flat at 10 for keys 1-4, steps to 100 at key 5 — split after key 4
+    spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0),
+         (5, 100.0), (6, 100.0), (7, 100.0)], "k int, v double") \
+        .write.parquet(src)
+    t = {"t": spark.read.parquet(src)}
+    rows = esql(spark, "FROM t | CHANGE_POINT v ON k AS cp, pv | SORT k",
+                tables=t).collect()
+    marked = [r for r in rows if r.cp is not None]
+    assert len(rows) == 7 and len(marked) == 1
+    assert marked[0].k == 4 and marked[0].cp == "step_change"
+    assert 0.0 <= marked[0].pv < 0.05  # a 10x step is significant
+
+
 def test_cli_esql_subcommand(spark, sf_dir, capsys):
     from elasticsearch_hbase_river_spark.__main__ import main
 
