@@ -47,8 +47,9 @@ Scalar functions
   ABS CEIL FLOOR ROUND SQRT POW LOG10 EXP GREATEST LEAST LENGTH SUBSTRING
   CONCAT TO_UPPER TO_LOWER TRIM LTRIM RTRIM REPLACE SPLIT STARTS_WITH
   ENDS_WITH LEFT RIGHT COALESCE CASE TO_STRING TO_LONG TO_INT TO_DOUBLE
-  TO_DATETIME DATE_TRUNC DATE_EXTRACT DATE_DIFF BUCKET LOG SIGNUM LOCATE
-  REVERSE REPEAT MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE
+  TO_DATETIME DATE_TRUNC DATE_EXTRACT DATE_DIFF DATE_FORMAT DATE_PARSE
+  BUCKET LOG SIGNUM LOCATE REVERSE REPEAT HASH CIDR_MATCH
+  MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``)
@@ -663,6 +664,63 @@ def _scalar_right(args, raw):
                   F.substring(args[0], -args[1], args[1]))
 
 
+def _scalar_hash(args, raw):
+    """ES|QL ``HASH("alg", input)`` — md5 / sha1 / sha256."""
+    if len(raw) != 2 or raw[0][0] != "lit":
+        raise ESQLError('HASH takes ("alg", input)')
+    alg = raw[0][1].lower()
+    if alg == "md5":
+        return F.md5(args[1])
+    if alg == "sha1":
+        return F.sha1(args[1])
+    if alg == "sha256":
+        return F.sha2(args[1], 256)
+    raise ESQLError(f"unsupported HASH algorithm {alg!r} "
+                    "(md5, sha1, sha256)")
+
+
+def _scalar_cidr_match(args, raw):
+    """ES|QL ``CIDR_MATCH(ip, "block", ...)``: true iff the dotted-quad
+    string falls in ANY of the literal CIDR blocks. The blocks are parsed
+    at compile time; the match is integer prefix comparison."""
+    if len(raw) < 2:
+        raise ESQLError("CIDR_MATCH takes (ip, cidr_literal, ...)")
+    ip_long = None  # built per call from the column expression
+
+    def ip_to_int(s: str) -> int:
+        parts = s.split(".")
+        if len(parts) != 4 or not all(p.isdigit() and int(p) < 256
+                                      for p in parts):
+            raise ESQLError(f"bad IPv4 address {s!r} in CIDR block")
+        out = 0
+        for p in parts:
+            out = out * 256 + int(p)
+        return out
+
+    cond = None
+    for blk in raw[1:]:
+        if blk[0] != "lit" or not isinstance(blk[1], str):
+            raise ESQLError("CIDR_MATCH blocks must be string literals")
+        cidr = blk[1]
+        net_s, _, bits_s = cidr.partition("/")
+        bits = int(bits_s) if bits_s else 32
+        if not 0 <= bits <= 32:
+            raise ESQLError(f"bad prefix length in {cidr!r}")
+        net = ip_to_int(net_s) >> (32 - bits) if bits else 0
+        if ip_long is None:
+            # args[0] may be any string expression; fold it once via expr
+            ip_long = F.aggregate(
+                F.transform(F.split(args[0], r"\."),
+                            lambda x: x.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, o: acc * F.lit(256) + o)
+        shifted = (F.floor(ip_long / F.lit(2 ** (32 - bits)))
+                   if bits else F.lit(0))
+        this = shifted == F.lit(net)
+        cond = this if cond is None else (cond | this)
+    return cond
+
+
 def _scalar_match(args, raw):
     """ES|QL ``MATCH(field, query)`` (the ``field : "query"`` predicate):
     full-text match under the engine's standard analyzer chain, default
@@ -744,6 +802,24 @@ _SCALARS["SPLIT"] = _scalar_split
 _SCALARS["RIGHT"] = _scalar_right
 _SCALARS["CASE"] = _scalar_case
 _SCALARS["MATCH"] = _scalar_match
+def _scalar_date_format(args, raw):
+    if len(raw) != 2 or raw[0][0] != "lit":
+        raise ESQLError('DATE_FORMAT takes ("pattern", date) with a '
+                        'literal Java datetime pattern')
+    return F.date_format(args[1], raw[0][1])
+
+
+def _scalar_date_parse(args, raw):
+    if len(raw) != 2 or raw[0][0] != "lit":
+        raise ESQLError('DATE_PARSE takes ("pattern", string) with a '
+                        'literal Java datetime pattern')
+    return F.to_timestamp(args[1], raw[0][1]).cast("timestamp_ntz")
+
+
+_SCALARS["HASH"] = _scalar_hash
+_SCALARS["CIDR_MATCH"] = _scalar_cidr_match
+_SCALARS["DATE_FORMAT"] = _scalar_date_format
+_SCALARS["DATE_PARSE"] = _scalar_date_parse
 
 
 def _fn_bucket(args, raw):

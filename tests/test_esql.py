@@ -374,6 +374,30 @@ def test_scalar_function_breadth(spark):
     assert row.lg == 3.0 and row.dd_h == 24
 
 
+def test_hash_cidr_dateformat(spark):
+    row = esql(spark, (
+        'ROW ip = "10.1.2.3", s = "abc" '
+        '| EVAL in10 = CIDR_MATCH(ip, "10.0.0.0/8"), '
+        '  in192 = CIDR_MATCH(ip, "192.168.0.0/16", "172.16.0.0/12"), '
+        '  h = HASH("md5", s), '
+        '  d = DATE_FORMAT("yyyy-MM", TO_DATETIME("2021-07-04")), '
+        '  p = DATE_PARSE("yyyy/MM/dd", "2021/07/04")')).first()
+    assert row.in10 is True and row.in192 is False
+    assert row.h == "900150983cd24fb0d6963f7d28e17f72"
+    assert row.d == "2021-07"
+    assert str(row.p).startswith("2021-07-04")
+
+
+def test_hash_unknown_alg(spark):
+    with pytest.raises(ESQLError, match="unsupported HASH"):
+        esql(spark, 'ROW s = "x" | EVAL h = HASH("crc32", s)')
+
+
+def test_cidr_bad_block(spark):
+    with pytest.raises(ESQLError, match="bad IPv4"):
+        esql(spark, 'ROW ip = "1.2.3.4" | EVAL m = CIDR_MATCH(ip, "300.0.0.0/8")')
+
+
 def test_match_or_semantics(spark):
     # OR operator: any analyzed query term present ⇒ true; analyzer
     # lowercases and strips punctuation on both sides
