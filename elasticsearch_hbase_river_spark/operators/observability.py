@@ -224,10 +224,14 @@ def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null observed value parses as — the same dynamic-typing decision
     ES's mapper makes per field.
 
-    Scale shape: one partial-agg shuffle on the (tiny) field key; the
-    type lattice is two map-side regex flags aggregated with ``min``
-    (all-castable ⇔ min = 1). Fields are |families|×|qualifiers|-sized,
-    never corpus-sized."""
+    Scale shape: TWO-LEVEL aggregation — (field, row_key) first, then
+    field — instead of ``count_distinct``: the distinct rewrite's Expand
+    doubles the melted relation and OOM'd a default 1 GB heap at sf10
+    (40M cells), while the explicit pre-aggregation partial-aggs
+    map-side and shuffles each (field, key) pair once. The type lattice
+    is two map-side regex flags aggregated with ``min`` (all-castable ⇔
+    min = 1). Fields are |families|×|qualifiers|-sized, never
+    corpus-sized."""
     from elasticsearch_hbase_river_spark.sources.cells import (
         cells_from_events,
     )
@@ -237,12 +241,16 @@ def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where a null regexp_matches falls to the ELSE 0 branch)
     is_int = F.coalesce(F.col("value").rlike(_INT_RE).cast("int"), F.lit(0))
     is_num = F.coalesce(F.col("value").rlike(_NUM_RE).cast("int"), F.lit(0))
-    per = (cells
-           .select(F.concat_ws(".", "family", "qualifier").alias("field"),
-                   "row_key", is_int.alias("i"), is_num.alias("n"))
-           .groupBy("field")
-           .agg(F.count_distinct("row_key").cast("long").alias("doc_count"),
-                F.count(F.lit(1)).cast("long").alias("value_count"),
+    per_doc = (cells
+               .select(F.concat_ws(".", "family", "qualifier")
+                       .alias("field"),
+                       "row_key", is_int.alias("i"), is_num.alias("n"))
+               .groupBy("field", "row_key")
+               .agg(F.count(F.lit(1)).cast("long").alias("nvals"),
+                    F.min("i").alias("i"), F.min("n").alias("n")))
+    per = (per_doc.groupBy("field")
+           .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                F.sum("nvals").cast("long").alias("value_count"),
                 F.min("i").alias("all_int"), F.min("n").alias("all_num")))
     ftype = (F.when(F.col("all_int") == 1, "long")
              .when(F.col("all_num") == 1, "double")
