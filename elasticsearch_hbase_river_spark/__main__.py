@@ -82,10 +82,16 @@ def esql_main(argv: list[str]) -> int:
     try:
         try:
             df = esql(spark, args.query, sf_dir=args.data)
+            df.show(args.limit, truncate=False)
         except ESQLError as e:
             print(str(e), file=sys.stderr)
             return 2
-        df.show(args.limit, truncate=False)
+        except Exception as e:  # runtime failure inside the lazy job
+            first = str(e).strip().splitlines()
+            print(f"ES|QL execution failed: "
+                  f"{first[0] if first else type(e).__name__}",
+                  file=sys.stderr)
+            return 3
         return 0
     finally:
         if owns_session:

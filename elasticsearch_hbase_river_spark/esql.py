@@ -666,8 +666,10 @@ def _scalar_right(args, raw):
 
 def _scalar_hash(args, raw):
     """ES|QL ``HASH("alg", input)`` — md5 / sha1 / sha256."""
-    if len(raw) != 2 or raw[0][0] != "lit":
-        raise ESQLError('HASH takes ("alg", input)')
+    if (len(raw) != 2 or raw[0][0] != "lit"
+            or not isinstance(raw[0][1], str)):
+        raise ESQLError('HASH takes ("alg", input) with a string literal '
+                        "algorithm")
     alg = raw[0][1].lower()
     if alg == "md5":
         return F.md5(args[1])
@@ -702,13 +704,14 @@ def _scalar_cidr_match(args, raw):
         if blk[0] != "lit" or not isinstance(blk[1], str):
             raise ESQLError("CIDR_MATCH blocks must be string literals")
         cidr = blk[1]
-        net_s, _, bits_s = cidr.partition("/")
+        net_s, slash, bits_s = cidr.partition("/")
+        if slash and not bits_s.isdigit():
+            raise ESQLError(f"bad prefix length in {cidr!r}")
         bits = int(bits_s) if bits_s else 32
         if not 0 <= bits <= 32:
             raise ESQLError(f"bad prefix length in {cidr!r}")
         net = ip_to_int(net_s) >> (32 - bits) if bits else 0
         if ip_long is None:
-            # args[0] may be any string expression; fold it once via expr
             ip_long = F.aggregate(
                 F.transform(F.split(args[0], r"\."),
                             lambda x: x.cast("long")),
@@ -718,7 +721,11 @@ def _scalar_cidr_match(args, raw):
                    if bits else F.lit(0))
         this = shifted == F.lit(net)
         cond = this if cond is None else (cond | this)
-    return cond
+    # an invalid dotted quad (octet > 255, wrong arity) must be a
+    # NON-match, never a false positive from the bare integer fold
+    octet = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+    valid = args[0].rlike(f"^{octet}(\\.{octet}){{3}}$")
+    return valid & cond
 
 
 def _scalar_match(args, raw):
@@ -1203,6 +1210,8 @@ class _Compiler:
             # evaluate the guard regex ONCE into a temp column and reuse it
             # for every key (k+1 regex executions per row instead of 2k)
             flag = f"__{k.lower()}_matched"
+            while flag in df.columns:  # never clobber a user column
+                flag += "_"
             df = df.withColumn(flag, src.rlike(regex))
             for gi, (key, cast) in enumerate(keys, start=1):
                 val = F.when(F.col(flag), F.regexp_extract(src, regex, gi))
@@ -1239,13 +1248,27 @@ class _Compiler:
                 if col_ not in cols:
                     raise ESQLError(f"CHANGE_POINT: unknown column "
                                     f"{col_!r}", c["pos"], self.text)
+            if tname == key or pname == key or tname == pname:
+                raise ESQLError(
+                    "CHANGE_POINT AS names must be distinct and must not "
+                    f"shadow the key column {key!r}", c["pos"], self.text)
             w = Window.orderBy(key)
             wall = Window.orderBy(F.lit(1)).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
+            # unique-key contract enforced IN-PLAN (the load-bearing __cn
+            # carries the check, so pruning can't drop it): with ties, the
+            # RANGE-framed cumulative count disagrees with row_number
+            dup_guard = F.when(
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(key)) == 1,
+                F.count(F.lit(1)).over(w)
+            ).otherwise(F.raise_error(F.lit(
+                "CHANGE_POINT requires unique key values — apply it "
+                "after STATS BY the key")))
             dec = F.col(val).cast("decimal(19,3)")
             prefix = df.select(
                 F.col(key).alias("__k"),
-                F.count(F.lit(1)).over(w).alias("__cn"),
+                dup_guard.alias("__cn"),
                 F.sum(dec).over(w).alias("__cs"),
                 F.sum(dec * dec).over(w).alias("__cq"),
                 F.count(F.lit(1)).over(wall).alias("__tn"),
@@ -1260,10 +1283,16 @@ class _Compiler:
             tn = F.col("__tn").cast("double")
             mean = F.col("__ts").cast("double") / tn
             # spell the square as multiplication (not pow) so the oracle
-            # twin can reproduce it operand-for-operand
-            var = F.col("__tq").cast("double") / tn - mean * mean
+            # twin can reproduce it operand-for-operand; clamp at 0 so a
+            # constant series can't go epsilon-negative into sqrt(NaN)
+            var = F.greatest(
+                F.col("__tq").cast("double") / tn - mean * mean,
+                F.lit(0.0))
             se = F.sqrt(var * (F.lit(1.0) / nb + F.lit(1.0) / na))
-            z = F.when(se > 0, d / se).otherwise(F.lit(float("inf")))
+            # se == 0 ⇔ zero variance ⇔ no change at all: z = 0 ⇒ p = 1
+            # (NOT z = inf, which would mark flat data maximally
+            # significant)
+            z = F.when(se > 0, d / se).otherwise(F.lit(0.0))
             phi = (F.lit(0.5)
                    * (F.lit(1.0) + _erf(z / F.lit(1.4142135623730951))))
             pv = F.greatest(F.lit(0.0),

@@ -295,9 +295,10 @@ def _change_point_oracle() -> str:
 
     dec = "CAST(n AS DECIMAL(19,3))"
     d = "abs((ts_ - cs)::DOUBLE / (tn - cn) - cs::DOUBLE / cn)"
-    var = "(tq::DOUBLE / tn - (ts_::DOUBLE / tn) * (ts_::DOUBLE / tn))"
+    var = ("greatest(tq::DOUBLE / tn"
+           " - (ts_::DOUBLE / tn) * (ts_::DOUBLE / tn), 0.0)")
     se = f"sqrt({var} * (1.0 / cn::DOUBLE + 1.0 / (tn - cn)::DOUBLE))"
-    z = f"({d} / {se})"
+    z = f"(CASE WHEN {se} > 0 THEN {d} / {se} ELSE 0.0 END)"
     phi = f"(0.5 * (1.0 + {erf_sql(f'{z} / 1.4142135623730951')}))"
     pv = f"greatest(0.0, 2.0 * (1.0 - {phi}))"
     return f"""

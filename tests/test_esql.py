@@ -488,6 +488,61 @@ def test_change_point_marks_argmax_row(spark, tmp_path):
     assert 0.0 <= marked[0].pv < 0.05  # a 10x step is significant
 
 
+def test_change_point_flat_series_not_significant(spark, tmp_path):
+    src = str(tmp_path / "cp_flat")
+    spark.createDataFrame([(i, 5.0) for i in range(1, 6)],
+                          "k int, v double").write.parquet(src)
+    rows = esql(spark, "FROM t | CHANGE_POINT v ON k AS cp, pv | SORT k",
+                tables={"t": spark.read.parquet(src)}).collect()
+    marked = [r for r in rows if r.cp is not None]
+    assert len(marked) == 1 and marked[0].pv == 1.0  # flat ⇒ p = 1, not 0
+
+
+def test_change_point_duplicate_keys_refused(spark):
+    df = esql(spark, 'ROW k = 1, v = 2.0 | FORK ( EVAL x = 1 ) '
+                     '( EVAL x = 2 ) | CHANGE_POINT v ON k')
+    with pytest.raises(Exception, match="unique key values"):
+        df.collect()
+
+
+def test_change_point_as_name_collisions_refused(spark):
+    with pytest.raises(ESQLError, match="must be distinct"):
+        esql(spark, "ROW k = 1, v = 2.0 | CHANGE_POINT v ON k AS k, pv")
+    with pytest.raises(ESQLError, match="must be distinct"):
+        esql(spark, "ROW k = 1, v = 2.0 | CHANGE_POINT v ON k AS a, a")
+
+
+def test_cidr_match_invalid_ip_is_nonmatch(spark):
+    # 1.2.3.400 folds to the same integer as 1.2.4.144 — must NOT match
+    assert esql(spark, 'ROW ip = "1.2.3.400" '
+                       '| WHERE CIDR_MATCH(ip, "1.2.4.144/32")').count() == 0
+    assert esql(spark, 'ROW ip = "1.2" '
+                       '| WHERE CIDR_MATCH(ip, "0.0.1.2/32")').count() == 0
+    assert esql(spark, 'ROW ip = "1.2.4.144" '
+                       '| WHERE CIDR_MATCH(ip, "1.2.4.144/32")').count() == 1
+
+
+def test_cidr_bad_prefix_is_esql_error(spark):
+    with pytest.raises(ESQLError, match="bad prefix"):
+        esql(spark, 'ROW ip = "1.2.3.4" | EVAL m = CIDR_MATCH(ip, "10.0.0.0/x")')
+
+
+def test_grok_flag_never_clobbers_user_column(spark):
+    row = esql(spark, 'ROW __grok_matched = "keep", line = "a 1" '
+                      '| GROK line "%{WORD:w} %{INT:i:int}"').first()
+    assert row.asDict()["__grok_matched"] == "keep"
+    assert row.w == "a" and row.i == 1
+
+
+def test_cli_esql_runtime_error_exit_3(spark, capsys):
+    from elasticsearch_hbase_river_spark.__main__ import main
+
+    rc = main(["esql",
+               'ROW s = "x" | EVAL p = DATE_PARSE("bad-Q-pattern", s)'])
+    err = capsys.readouterr().err
+    assert rc == 3 and "execution failed" in err
+
+
 def test_cli_esql_subcommand(spark, sf_dir, capsys):
     from elasticsearch_hbase_river_spark.__main__ import main
 
