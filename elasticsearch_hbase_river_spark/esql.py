@@ -52,7 +52,8 @@ Scalar functions
   MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
-``ROUND(SUM(x), 4)``)
+``ROUND(SUM(x), 4)``; per-aggregate filters via
+``STATS n = COUNT(*) WHERE cond BY g``)
   COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG VALUES
 
 Cross-engine determinism: ``ROUND`` compiles to the engine's portable
@@ -290,7 +291,9 @@ class _Parser:
                     name = self.ident()
                     self.next()  # '='
                 e = self.expr()
-                aggs.append((name, e))
+                # ES|QL per-aggregate filter: `agg_expr WHERE condition`
+                cond = self.expr() if self.accept_kw("WHERE") else None
+                aggs.append((name, e, cond))
                 if not self.accept_op(","):
                     break
             groups = []
@@ -999,7 +1002,8 @@ class _Compiler:
         raise ESQLError(f"unknown table {name!r}", pos, self.text)
 
     # -- expression compilation ---------------------------------------------
-    def col(self, ast, columns: list[str], allow_agg: bool = False) -> Column:
+    def col(self, ast, columns: list[str], allow_agg: bool = False,
+            agg_filter: Optional[Column] = None) -> Column:
         kind = ast[0]
         if kind == "lit":
             return F.lit(ast[1])
@@ -1055,12 +1059,20 @@ class _Compiler:
                         pos, self.text)
                 args = [self.col(a, columns, False) for a in raw_args
                         if a[0] != "star"]
+                if agg_filter is not None:
+                    # per-agg WHERE: null out non-matching rows so every
+                    # builtin aggregate (which skips nulls) sees only the
+                    # filtered subset; COUNT(*) counts a filtered constant
+                    if not args:
+                        return (F.count(F.when(agg_filter, F.lit(1)))
+                                .cast("long"))
+                    args = [F.when(agg_filter, a) for a in args]
                 return _AGGS[name](args, raw_args)
             if name in _SCALARS:
                 # span args are consumed raw by the builder (DATE_TRUNC);
                 # keep positions aligned with raw_args via a placeholder
                 args = [None if a[0] == "span"
-                        else self.col(a, columns, allow_agg)
+                        else self.col(a, columns, allow_agg, agg_filter)
                         for a in raw_args]
                 try:
                     return _SCALARS[name](args, raw_args)
@@ -1117,13 +1129,15 @@ class _Compiler:
                 name = name or self._default_name(e)
                 group_cols.append(self.col(e, cols).alias(name))
             agg_cols = []
-            for name, e in c["aggs"]:
+            for name, e, cond in c["aggs"]:
                 name = name or self._default_name(e)
                 if not self._has_agg(e):
                     raise ESQLError(
                         f"STATS column {name!r} contains no aggregate")
+                fcol = self.col(cond, cols) if cond is not None else None
                 agg_cols.append(
-                    self.col(e, cols, allow_agg=True).alias(name))
+                    self.col(e, cols, allow_agg=True,
+                             agg_filter=fcol).alias(name))
             if group_cols:
                 return df.groupBy(*group_cols).agg(*agg_cols)
             return df.agg(*agg_cols)
@@ -1142,13 +1156,15 @@ class _Compiler:
                 self.col(e, cols)  # existence check
                 keys.append(e[1])
             agg_cols, agg_names = [], []
-            for name, e in c["aggs"]:
+            for name, e, cond in c["aggs"]:
                 name = name or self._default_name(e)
                 if not self._has_agg(e):
                     raise ESQLError(
                         f"INLINESTATS column {name!r} contains no aggregate")
+                fcol = self.col(cond, cols) if cond is not None else None
                 agg_cols.append(
-                    self.col(e, cols, allow_agg=True).alias(name))
+                    self.col(e, cols, allow_agg=True,
+                             agg_filter=fcol).alias(name))
                 agg_names.append(name)
             grouped = (df.groupBy(*keys).agg(*agg_cols) if keys
                        else df.agg(*agg_cols))

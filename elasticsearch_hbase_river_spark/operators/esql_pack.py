@@ -366,6 +366,33 @@ FROM documents
 
 
 _register(
+    "q_esql_stats_where",
+    """
+FROM events
+| STATS views = COUNT(*) WHERE event_type == "view",
+        buys = COUNT(*) WHERE event_type == "purchase",
+        buy_value = ROUND(SUM(value), 4) WHERE event_type == "purchase",
+        n = COUNT(*)
+  BY user_bucket = BUCKET(user_id, 100.0)
+| SORT user_bucket
+| LIMIT 30
+""",
+    f"""
+SELECT floor(user_id / 100.0) * 100.0 AS user_bucket,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS views,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS buys,
+       {roundn_sql("sum(value) FILTER (WHERE event_type = 'purchase')", 4)}
+         AS buy_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY user_bucket LIMIT 30""",
+    "Per-aggregate WHERE filters (ES|QL 8.16): one pass computes "
+    "differently-filtered aggregates side by side — nulled non-matching "
+    "rows, so every builtin agg's null-skipping does the filtering.")
+
+
+_register(
     "q_esql_inlinestats",
     """
 FROM events

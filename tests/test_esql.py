@@ -332,6 +332,20 @@ def test_enrich_custom_policy(spark):
     assert [r.dval for r in df.collect()] == ["x", None]
 
 
+def test_stats_per_agg_where(spark, tmp_path):
+    src = str(tmp_path / "sw")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, v double") \
+        .write.parquet(src)
+    t = {"t": spark.read.parquet(src)}
+    row = esql(spark, 'FROM t | STATS na = COUNT(*) WHERE g == "a", '
+                      'sa = SUM(v) WHERE g == "a", '
+                      'sz = SUM(v) WHERE g == "zzz", '
+                      'n = COUNT(*)', tables=t).first()
+    assert row.na == 2 and row.sa == 3.0 and row.n == 3
+    assert row.sz is None  # empty filtered SUM is null, count would be 0
+
+
 def test_inlinestats_joins_back(spark):
     df = esql(spark, 'ROW g = "a" | INLINESTATS n = COUNT(*)')
     row = df.first()
