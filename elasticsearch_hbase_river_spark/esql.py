@@ -782,12 +782,43 @@ def _scalar_date_diff(args, raw):
     return (span / F.lit(ms[unit])).cast("long")
 
 
+def _mv_slice_bound(node):
+    # literal index, allowing the unary-minus form the parser emits for
+    # negative numbers: ("neg", ("lit", n)) -> -n
+    if node[0] == "lit" and isinstance(node[1], int):
+        return node[1]
+    if (node[0] == "neg" and node[1][0] == "lit"
+            and isinstance(node[1][1], int)):
+        return -node[1][1]
+    return None
+
+
 def _scalar_mv_slice(args, raw):
-    if len(raw) != 3 or raw[1][0] != "lit" or raw[2][0] != "lit":
+    if len(raw) != 3:
         raise ESQLError("MV_SLICE takes (array, start, end) with literal "
                         "0-based inclusive bounds")
-    start, end = raw[1][1], raw[2][1]
-    return F.slice(args[0], start + 1, end - start + 1)
+    start, end = _mv_slice_bound(raw[1]), _mv_slice_bound(raw[2])
+    if start is None or end is None:
+        raise ESQLError("MV_SLICE takes (array, start, end) with literal "
+                        "0-based inclusive bounds")
+    if (start < 0) != (end < 0):
+        raise ESQLError("MV_SLICE bounds must be both non-negative or "
+                        "both negative (mixed-sign bounds are outside "
+                        "the supported subset)")
+    if end < start:
+        raise ESQLError("MV_SLICE end bound must be >= start bound")
+    if start >= 0:
+        return F.slice(args[0], start + 1, end - start + 1)
+    # negative = end-relative (ES|QL: -1 is the last element). Resolve
+    # against the element count and clamp the start at 1 so a slice that
+    # begins before the array head degrades to the in-range suffix, the
+    # ES behavior for partially out-of-range negative windows.
+    n = F.size(args[0])
+    first = F.greatest(n + F.lit(start + 1), F.lit(1))
+    last = n + F.lit(end + 1)
+    return F.when(last >= F.lit(1),
+                  F.slice(args[0], first, F.greatest(
+                      last - first + F.lit(1), F.lit(0))))
 
 
 _SCALARS["MV_DEDUPE"] = lambda a, r: F.array_sort(F.array_distinct(a[0]))
@@ -1018,29 +1049,30 @@ class _Compiler:
         if kind == "star":
             raise ESQLError("* is only valid inside COUNT()")
         if kind == "neg":
-            return -self.col(ast[1], columns, allow_agg)
+            return -self.col(ast[1], columns, allow_agg, agg_filter)
         if kind == "not":
-            return ~self.col(ast[1], columns, allow_agg)
+            return ~self.col(ast[1], columns, allow_agg, agg_filter)
         if kind == "isnull":
-            c = self.col(ast[1], columns, allow_agg)
+            c = self.col(ast[1], columns, allow_agg, agg_filter)
             return c.isNotNull() if ast[2] else c.isNull()
         if kind == "in":
-            c = self.col(ast[1], columns, allow_agg)
-            items = [self.col(x, columns, allow_agg) for x in ast[2]]
+            c = self.col(ast[1], columns, allow_agg, agg_filter)
+            items = [self.col(x, columns, allow_agg, agg_filter)
+                     for x in ast[2]]
             return c.isin(*items)
         if kind == "like":
-            return self.col(ast[1], columns, allow_agg).like(
+            return self.col(ast[1], columns, allow_agg, agg_filter).like(
                 _like_to_sql(ast[2]))
         if kind == "rlike":
             # ES|QL RLIKE matches the WHOLE string; the non-capturing
             # group keeps a top-level alternation ("a|b") inside the
             # anchors instead of letting it escape them
-            return self.col(ast[1], columns, allow_agg).rlike(
+            return self.col(ast[1], columns, allow_agg, agg_filter).rlike(
                 "^(?:" + ast[2] + ")$")
         if kind == "bin":
             op, l_ast, r_ast = ast[1], ast[2], ast[3]
-            l = self.col(l_ast, columns, allow_agg)
-            r = self.col(r_ast, columns, allow_agg)
+            l = self.col(l_ast, columns, allow_agg, agg_filter)
+            r = self.col(r_ast, columns, allow_agg, agg_filter)
             return {
                 "and": lambda: l & r, "or": lambda: l | r,
                 "==": lambda: l == r, "!=": lambda: l != r,
@@ -1283,7 +1315,10 @@ class _Compiler:
                 "after STATS BY the key")))
             dec = F.col(val).cast("decimal(19,3)")
             prefix = df.select(
-                F.col(key).alias("__k"),
+                # ES CHANGE_POINT reports the FIRST key of the new regime;
+                # the prefix row at the argmax split describes the last
+                # pre-change position, so carry the next key alongside it
+                F.lead(F.col(key)).over(w).alias("__k"),
                 dup_guard.alias("__cn"),
                 F.sum(dec).over(w).alias("__cs"),
                 F.sum(dec * dec).over(w).alias("__cq"),

@@ -306,7 +306,7 @@ WITH h AS (
   SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1),
 c AS (
-  SELECT hour, n,
+  SELECT lead(hour) OVER (ORDER BY hour) AS hour_next, n,
          count(*) OVER (ORDER BY hour) AS cn,
          sum({dec}) OVER (ORDER BY hour) AS cs,
          sum({dec} * {dec}) OVER (ORDER BY hour) AS cq,
@@ -315,10 +315,10 @@ c AS (
          sum({dec} * {dec}) OVER () AS tq
   FROM h),
 mark AS (
-  SELECT hour, 'step_change' AS type,
+  SELECT hour_next AS hour, 'step_change' AS type,
          {roundn_sql(pv)} AS pvalue
   FROM c WHERE cn < tn
-  ORDER BY {d} DESC, hour LIMIT 1)
+  ORDER BY {d} DESC, hour_next LIMIT 1)
 SELECT h.hour, h.n, m.type, m.pvalue
 FROM h JOIN mark m USING (hour)"""
 

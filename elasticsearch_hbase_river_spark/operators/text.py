@@ -249,16 +249,21 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     On real multi-split inputs the repartition is dwarfed by the
     explode fan-out it feeds."""
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    toks = _toks()
-    n = F.size(toks)
+    # Materialize the token array as an ATTRIBUTE before the lambda: a
+    # computed split() captured inside transform() re-evaluates per
+    # element — O(tokens²) per doc (the SPARK-36715 pathology class,
+    # measured 20× in the classifier; same staged-projection fix as
+    # curation.py / retrieval.py).
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    toks = F.col("toks")
     # (w1 = token at i, w2 = token at i+1 or null): one row per token
     # occurrence — the unigram AND bigram fact table in one explode.
-    grams = F.transform(F.sequence(F.lit(0), n - 1),
+    grams = F.transform(F.sequence(F.lit(0), F.size(toks) - 1),
                         lambda i: F.struct(F.get(toks, i).alias("w1"),
                                            F.get(toks, i + 1).alias("w2")))
     # read four times (ufreq, vocab, bfreq, scoring join), recomputed
     # each time — see the docstring for why this beats checkpointing
-    occ = (docs.select("doc_id", F.explode(grams).alias("bg"))
+    occ = (toked.select("doc_id", F.explode(grams).alias("bg"))
            .select("doc_id", F.col("bg.w1").alias("w1"),
                    F.col("bg.w2").alias("w2")))
     ufreq = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("ucnt"))

@@ -346,6 +346,44 @@ def test_stats_per_agg_where(spark, tmp_path):
     assert row.sz is None  # empty filtered SUM is null, count would be 0
 
 
+def test_stats_per_agg_where_under_operators(spark, tmp_path):
+    # the filter must survive arithmetic/boolean wrappers around the
+    # aggregate, not just scalar-function wrappers (round-8 ADVICE)
+    src = str(tmp_path / "swo")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, v double") \
+        .write.parquet(src)
+    t = {"t": spark.read.parquet(src)}
+    row = esql(spark, 'FROM t | STATS '
+                      'm = SUM(v) / COUNT(*) WHERE g == "a", '
+                      'neg = - SUM(v) WHERE g == "a", '
+                      'plus = SUM(v) + COUNT(*) WHERE g == "b"',
+               tables=t).first()
+    assert row.m == 1.5       # 3.0 / 2, not 13.0 / 3
+    assert row.neg == -3.0
+    assert row.plus == 11.0   # 10.0 + 1
+
+
+def test_mv_slice_negative_bounds(spark):
+    row = esql(spark, (
+        'ROW xs = "x y z" | EVAL arr = SPLIT(xs, " "), '
+        '  tail2 = MV_SLICE(arr, -2, -1), '
+        '  clamped = MV_SLICE(arr, -5, -1), '
+        '  last = MV_SLICE(arr, -1, -1)')).first()
+    assert row.tail2 == ["y", "z"]
+    assert row.clamped == ["x", "y", "z"]  # start clamps to the head
+    assert row.last == ["z"]
+
+
+def test_mv_slice_mixed_sign_refused(spark):
+    with pytest.raises(ESQLError, match="both negative"):
+        esql(spark, 'ROW a = "x y" | EVAL s = '
+                    'MV_SLICE(SPLIT(a, " "), -2, 1)')
+    with pytest.raises(ESQLError, match=">= start"):
+        esql(spark, 'ROW a = "x y" | EVAL s = '
+                    'MV_SLICE(SPLIT(a, " "), 2, 1)')
+
+
 def test_inlinestats_joins_back(spark):
     df = esql(spark, 'ROW g = "a" | INLINESTATS n = COUNT(*)')
     row = df.first()
@@ -488,7 +526,8 @@ def test_esql_over_streaming_source(spark, sf_dir, tmp_path):
 
 def test_change_point_marks_argmax_row(spark, tmp_path):
     src = str(tmp_path / "cp")
-    # flat at 10 for keys 1-4, steps to 100 at key 5 — split after key 4
+    # flat at 10 for keys 1-4, steps to 100 at key 5 — ES CHANGE_POINT
+    # reports the FIRST key of the new regime, i.e. k = 5
     spark.createDataFrame(
         [(1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0),
          (5, 100.0), (6, 100.0), (7, 100.0)], "k int, v double") \
@@ -498,7 +537,7 @@ def test_change_point_marks_argmax_row(spark, tmp_path):
                 tables=t).collect()
     marked = [r for r in rows if r.cp is not None]
     assert len(rows) == 7 and len(marked) == 1
-    assert marked[0].k == 4 and marked[0].cp == "step_change"
+    assert marked[0].k == 5 and marked[0].cp == "step_change"
     assert 0.0 <= marked[0].pv < 0.05  # a 10x step is significant
 
 
