@@ -33,11 +33,17 @@ Processing commands
   ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``INLINESTATS .. [BY ..]``
   (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
   FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
-  ``RENAME old AS new``, ``MV_EXPAND``, ``DISSECT``, ``GROK``,
-  ``LOOKUP JOIN table ON field``, ``ENRICH policy ON field [WITH f, ..]``,
+  ``RENAME old AS new``, ``MV_EXPAND``,
+  ``DISSECT`` (incl. ``%{+key}`` append + ``APPEND_SEPARATOR``), ``GROK``,
+  ``LOOKUP JOIN table ON f1[, f2, ..]`` (multi-key),
+  ``ENRICH policy ON field [WITH f, ..]``,
   ``FORK ( .. ) ( .. )`` (branch pipelines unioned with ``_fork``),
   ``CHANGE_POINT value ON key [AS type, pvalue]`` (step-change detection
-  with a two-sided z-test p-value)
+  with a two-sided z-test p-value; marks the first key of the new
+  regime, the ES convention),
+  ``SAMPLE probability`` (DETERMINISTIC content-hash Bernoulli — a
+  documented deviation from ES's random coin: same keep probability,
+  reproducible across runs and engines)
 Expressions
   literals (string/number/bool/null), fields (backquotes for odd names),
   ``+ - * / %``, ``== != < <= > >=``, ``AND OR NOT``, ``IN (..)``,
@@ -48,8 +54,10 @@ Scalar functions
   CONCAT TO_UPPER TO_LOWER TRIM LTRIM RTRIM REPLACE SPLIT STARTS_WITH
   ENDS_WITH LEFT RIGHT COALESCE CASE TO_STRING TO_LONG TO_INT TO_DOUBLE
   TO_DATETIME DATE_TRUNC DATE_EXTRACT DATE_DIFF DATE_FORMAT DATE_PARSE
-  BUCKET LOG SIGNUM LOCATE REVERSE REPEAT HASH CIDR_MATCH
-  MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE
+  BUCKET LOG SIGNUM LOCATE REVERSE REPEAT HASH CIDR_MATCH TO_IP IP_PREFIX
+  MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE (incl. negative
+  end-relative bounds) MV_SUM MV_AVG MV_MEDIAN MV_FIRST MV_LAST
+  MV_CONCAT MV_APPEND MV_ZIP
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
@@ -180,7 +188,7 @@ _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
 
 _CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
          "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
-         "LOOKUP", "ENRICH", "FORK", "CHANGE_POINT")
+         "LOOKUP", "ENRICH", "FORK", "CHANGE_POINT", "SAMPLE")
 
 
 class _Parser:
@@ -335,6 +343,12 @@ class _Parser:
             if t2.kind != "NUMBER" or not isinstance(t2.value, int):
                 self.err("LIMIT expects an integer literal", t2)
             return {"cmd": "LIMIT", "n": t2.value, "pos": t.pos}
+        if k == "SAMPLE":
+            t2 = self.next()
+            if t2.kind != "NUMBER" or not 0 < float(t2.value) < 1:
+                self.err("SAMPLE expects a probability literal in (0, 1)",
+                         t2)
+            return {"cmd": "SAMPLE", "p": float(t2.value), "pos": t.pos}
         if k in ("KEEP", "DROP"):
             pats = [self.pattern()]
             while self.accept_op(","):
@@ -356,13 +370,23 @@ class _Parser:
             pat = self.next()
             if pat.kind != "STRING":
                 self.err(f"{k} expects a quoted pattern", pat)
+            sep = ""
+            if k == "DISSECT" and self.accept_kw("APPEND_SEPARATOR"):
+                self.expect_op("=")
+                st = self.next()
+                if st.kind != "STRING":
+                    self.err("APPEND_SEPARATOR expects a quoted string", st)
+                sep = st.value
             return {"cmd": k, "field": fld, "pattern": pat.value,
-                    "pos": t.pos}
+                    "sep": sep, "pos": t.pos}
         if k == "LOOKUP":
             self.expect_kw("JOIN")
             table = self.ident()
             self.expect_kw("ON")
-            return {"cmd": "LOOKUP", "table": table, "on": self.ident(),
+            keys = [self.ident()]
+            while self.accept_op(","):
+                keys.append(self.ident())
+            return {"cmd": "LOOKUP", "table": table, "on": keys,
                     "pos": t.pos}
         if k == "FORK":
             branches = []
@@ -821,6 +845,91 @@ def _scalar_mv_slice(args, raw):
                       last - first + F.lit(1), F.lit(0))))
 
 
+def _scalar_mv_median(args, raw):
+    # ES MV_MEDIAN: middle value of the sorted list; for an even count,
+    # the mean of the two middle values. Returned as double. The sort
+    # uses the ARRAY's element type — a string array (e.g. from SPLIT)
+    # of multi-digit numbers sorts lexicographically; cast upstream or
+    # keep values single-digit when the array carries rendered numbers.
+    arr = F.array_sort(args[0])
+    n = F.size(arr)
+    h = F.floor(n / 2).cast("int")
+    odd = F.element_at(arr, h + 1).cast("double")
+    even = ((F.element_at(arr, h).cast("double")
+             + F.element_at(arr, h + 1).cast("double")) / 2.0)
+    return F.when(n > 0, F.when(n % 2 == 1, odd).otherwise(even))
+
+
+def _scalar_mv_concat(args, raw):
+    if len(raw) != 2 or raw[1][0] != "lit" or not isinstance(raw[1][1], str):
+        raise ESQLError("MV_CONCAT takes (array, literal delimiter)")
+    return F.array_join(args[0], raw[1][1])
+
+
+def _scalar_mv_zip(args, raw):
+    if len(raw) not in (2, 3):
+        raise ESQLError("MV_ZIP takes (array, array[, literal delimiter])")
+    delim = ","
+    if len(raw) == 3:
+        if raw[2][0] != "lit" or not isinstance(raw[2][1], str):
+            raise ESQLError("MV_ZIP delimiter must be a string literal")
+        delim = raw[2][1]
+    # zip_with pads the shorter side with nulls; concat_ws skips nulls, so
+    # the longer side's tail values pass through bare — the ES behavior
+    return F.zip_with(args[0], args[1],
+                      lambda x, y: F.concat_ws(delim, x, y))
+
+
+_MV_SUM = lambda a: F.aggregate(a, F.lit(0.0),
+                                lambda acc, x: acc + x.cast("double"))
+_SCALARS["MV_SUM"] = lambda a, r: F.when(F.size(a[0]) > 0, _MV_SUM(a[0]))
+_SCALARS["MV_AVG"] = lambda a, r: F.when(F.size(a[0]) > 0,
+                                         _MV_SUM(a[0]) / F.size(a[0]))
+_SCALARS["MV_MEDIAN"] = _scalar_mv_median
+_SCALARS["MV_FIRST"] = lambda a, r: F.element_at(a[0], 1)
+_SCALARS["MV_LAST"] = lambda a, r: F.element_at(a[0], -1)
+_SCALARS["MV_CONCAT"] = _scalar_mv_concat
+_SCALARS["MV_APPEND"] = lambda a, r: F.concat(a[0], a[1])
+_SCALARS["MV_ZIP"] = _scalar_mv_zip
+
+#: strict dotted-quad octet (leading zeros rejected, the ES TO_IP default)
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_IPV4_RE = f"^{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}$"
+
+
+def _scalar_to_ip(args, raw):
+    # valid IPv4 dotted quad passes through; anything else (including
+    # IPv6, which is outside the subset) folds to null — the ES|QL
+    # null-with-warning convention for unconvertible values
+    return F.when(args[0].rlike(_IPV4_RE), args[0])
+
+
+def _scalar_ip_prefix(args, raw):
+    """``IP_PREFIX(ip, v4_len, v6_len)``: zero the host bits and render
+    the network address (IPv4; v6 inputs fold to null like TO_IP)."""
+    if (len(raw) != 3 or raw[1][0] != "lit"
+            or not isinstance(raw[1][1], int)):
+        raise ESQLError("IP_PREFIX takes (ip, literal v4 prefix length, "
+                        "literal v6 prefix length)")
+    bits = raw[1][1]
+    if not 0 <= bits <= 32:
+        raise ESQLError(f"bad IPv4 prefix length {bits}")
+    ip_long = F.aggregate(
+        F.transform(F.split(args[0], r"\."), lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, o: acc * F.lit(256) + o)
+    keep = 2 ** (32 - bits)
+    masked = (F.floor(ip_long / F.lit(keep)) * F.lit(keep)
+              if bits < 32 else ip_long)
+    octs = [(F.floor(masked / F.lit(2 ** s)) % 256).cast("long")
+            for s in (24, 16, 8, 0)]
+    return F.when(args[0].rlike(_IPV4_RE),
+                  F.concat_ws(".", *[o.cast("string") for o in octs]))
+
+
+_SCALARS["TO_IP"] = _scalar_to_ip
+_SCALARS["IP_PREFIX"] = _scalar_ip_prefix
+
 _SCALARS["MV_DEDUPE"] = lambda a, r: F.array_sort(F.array_distinct(a[0]))
 _SCALARS["MV_SORT"] = lambda a, r: F.array_sort(a[0])
 _SCALARS["MV_SLICE"] = _scalar_mv_slice
@@ -920,13 +1029,18 @@ _GROK_PATTERNS = {
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
-_DISSECT_REF = re.compile(r"%\{(\w*)\}")
+_DISSECT_REF = re.compile(r"%\{(\+?)(\w*)\}")
 _GROK_CASTS = {"int": "long", "long": "long", "float": "double",
                "double": "double"}
 
 
 def _compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
-    """Dissect pattern → (anchored Java regex, [(key, cast)])."""
+    """Dissect pattern → (anchored Java regex, [(key, cast)]).
+
+    ``%{+key}`` is the ES dissect APPEND modifier: a repeated key whose
+    captures are joined (in pattern order) with the command's
+    APPEND_SEPARATOR — the key simply appears more than once in the
+    returned capture list and the apply site concatenates its groups."""
     regex, keys, last = ["^"], [], 0
     matches = list(_DISSECT_REF.finditer(pattern))
     if not matches:
@@ -934,13 +1048,21 @@ def _compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     for idx, m in enumerate(matches):
         regex.append(re.escape(pattern[last:m.start()]))
         greedy = idx == len(matches) - 1
-        if m.group(1):
+        if m.group(2):
             regex.append("(.*)" if greedy else "(.*?)")
-            keys.append((m.group(1), "string"))
+            keys.append((m.group(2), "string", bool(m.group(1))))
+        elif m.group(1):
+            raise ESQLError("dissect %{+} append modifier needs a key name")
         else:
             regex.append(".*" if greedy else ".*?")
         last = m.end()
     regex.append(re.escape(pattern[last:]) + "$")
+    seen = set()
+    for key, _, append in keys:
+        if key in seen and not append:
+            raise ESQLError(f"dissect key {key!r} appears more than once "
+                            "— repeat it as %{+" + key + "} to append")
+        seen.add(key)
     return "".join(regex), keys
 
 
@@ -963,7 +1085,7 @@ def _compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
                     raise ESQLError(f"unsupported GROK cast {typ!r}")
                 cast = _GROK_CASTS[typ]
             regex.append(f"({body})")
-            keys.append((key, cast))
+            keys.append((key, cast, False))
         else:
             regex.append(f"(?:{body})")
         last = m.end()
@@ -1248,6 +1370,20 @@ class _Compiler:
                 raise ESQLError(f"MV_EXPAND: unknown column {c['field']!r}",
                                 c["pos"], self.text)
             return df.withColumn(c["field"], F.explode_outer(c["field"]))
+        if k == "SAMPLE":
+            # ES|QL SAMPLE keeps each row with probability p using a
+            # random coin; this subset makes the coin DETERMINISTIC — a
+            # content-hash Bernoulli (first four md5 hex digits of the
+            # row's current columns rendered as strings, against
+            # floor(p * 65536)) — so a sampled pipeline is reproducible
+            # run-to-run and engine-to-engine, the property a training
+            # pipeline actually wants from its sampling stage. Map-side
+            # filter: no shuffle, scales with the scan.
+            thresh = int(c["p"] * 65536)
+            fp = F.md5(F.concat_ws(
+                "\x1f", *[F.col(x).cast("string") for x in cols]))
+            coin = F.conv(F.substring(fp, 1, 4), 16, 10).cast("long")
+            return df.filter(coin < F.lit(thresh))
         if k in ("DISSECT", "GROK"):
             if c["field"] not in cols:
                 raise ESQLError(f"{k}: unknown column {c['field']!r}",
@@ -1261,25 +1397,38 @@ class _Compiler:
             while flag in df.columns:  # never clobber a user column
                 flag += "_"
             df = df.withColumn(flag, src.rlike(regex))
-            for gi, (key, cast) in enumerate(keys, start=1):
-                val = F.when(F.col(flag), F.regexp_extract(src, regex, gi))
-                if cast != "string":
-                    val = val.cast(cast)
+            # group capture indices by key: a key repeated via the %{+k}
+            # append modifier owns several groups, joined in pattern
+            # order with the command's APPEND_SEPARATOR
+            groups: dict[str, list[int]] = {}
+            casts: dict[str, str] = {}
+            for gi, (key, cast, _append) in enumerate(keys, start=1):
+                groups.setdefault(key, []).append(gi)
+                casts[key] = cast
+            for key, gis in groups.items():
+                parts = [F.regexp_extract(src, regex, gi) for gi in gis]
+                joined = (parts[0] if len(parts) == 1
+                          else F.concat_ws(c.get("sep", ""), *parts))
+                val = F.when(F.col(flag), joined)
+                if casts[key] != "string":
+                    val = val.cast(casts[key])
                 df = df.withColumn(key, val)
             return df.drop(flag)
         if k == "LOOKUP":
             right = self.load(c["table"], c["pos"])
-            key = c["on"]
-            if key not in df.columns or key not in right.columns:
-                raise ESQLError(
-                    f"LOOKUP JOIN: column {key!r} must exist on both sides "
-                    f"(left: {sorted(df.columns)}, "
-                    f"right: {sorted(right.columns)})", c["pos"], self.text)
+            keys = c["on"]
+            for key in keys:
+                if key not in df.columns or key not in right.columns:
+                    raise ESQLError(
+                        f"LOOKUP JOIN: column {key!r} must exist on both "
+                        f"sides (left: {sorted(df.columns)}, "
+                        f"right: {sorted(right.columns)})",
+                        c["pos"], self.text)
             # ES lookup-join: fields from the lookup index win on conflict
             clash = [x for x in df.columns
-                     if x in right.columns and x != key]
+                     if x in right.columns and x not in keys]
             return (df.drop(*clash)
-                    .join(F.broadcast(right), key, "left"))
+                    .join(F.broadcast(right), keys, "left"))
         if k == "CHANGE_POINT":
             # ES|QL CHANGE_POINT value ON key [AS type, pvalue]: detect the
             # step change in `value` over the `key` order and mark that row

@@ -16,6 +16,12 @@ compiler, AND the semantics of every pipe command it exercises:
 - ``q_esql_ship_topk``     TO_DATETIME comparison + computed top-k + KEEP
 - ``q_esql_percentiles``   MEDIAN / PERCENTILE / WEIGHTED_AVG
 
+Round 9 adds: ``q_esql_sample`` (deterministic SAMPLE),
+``q_esql_lookup_multi`` (multi-key LOOKUP JOIN against a derived
+baseline + per-agg WHERE), ``q_esql_dissect_append`` (%{+key} +
+APPEND_SEPARATOR), ``q_esql_ip`` (TO_IP / CIDR_MATCH / IP_PREFIX),
+``q_esql_mv_strings`` / ``q_esql_mv_numeric`` (MV_* function family).
+
 Reference parity: the reference's entire purpose is shipping HBase rows to
 Elasticsearch *so they can be queried there* (`HBaseParser.java:135-162`);
 ES|QL is how modern ES queries that data. The engine answers the same piped
@@ -475,3 +481,217 @@ SELECT event_type,
        {roundn_sql('sum(value * user_id) / sum(user_id)', 4)} AS w
 FROM events GROUP BY event_type ORDER BY event_type""",
     "Exact interpolated percentiles + weighted average per event type.")
+
+
+# -- round 9 additions: SAMPLE, multi-key LOOKUP JOIN, DISSECT append, ----
+# -- MV_* function family, TO_IP / IP_PREFIX ------------------------------
+
+_HEX16 = "0123456789abcdef"
+
+
+def _md5_coin_sql(col_sql: str) -> str:
+    """DuckDB twin of the compiler's SAMPLE coin: first four md5 hex
+    digits of the string rendering as an integer 0..65535."""
+    h = f"md5(CAST({col_sql} AS VARCHAR))"
+    return (f"((strpos('{_HEX16}', substr({h}, 1, 1)) - 1) * 4096"
+            f" + (strpos('{_HEX16}', substr({h}, 2, 1)) - 1) * 256"
+            f" + (strpos('{_HEX16}', substr({h}, 3, 1)) - 1) * 16"
+            f" + (strpos('{_HEX16}', substr({h}, 4, 1)) - 1))")
+
+
+_register(
+    "q_esql_sample",
+    """
+FROM events
+| KEEP event_id
+| SAMPLE 0.25
+| STATS n = COUNT(*), s = SUM(event_id)
+""",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS s
+FROM events WHERE {_md5_coin_sql('event_id')} < {int(0.25 * 65536)}""",
+    "SAMPLE: deterministic content-hash Bernoulli (documented deviation "
+    "from ES's random coin — same keep probability, reproducible across "
+    "runs and engines; map-side filter, no shuffle).")
+
+
+_register(
+    "q_esql_dissect_append",
+    """
+FROM orders
+| EVAL line = CONCAT(o_orderstatus, " ", o_orderpriority)
+| DISSECT line "%{pri} %{+pri}" APPEND_SEPARATOR="/"
+| STATS n = COUNT(*) BY pri
+| SORT pri
+""",
+    """
+SELECT o_orderstatus || '/' || o_orderpriority AS pri,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1""",
+    "DISSECT %{+key} append modifier with APPEND_SEPARATOR: repeated "
+    "captures of one key joined in pattern order.")
+
+
+_register(
+    "q_esql_ip",
+    """
+FROM events
+| EVAL ip = CONCAT(TO_STRING(user_id % 200), ".",
+                   TO_STRING(event_id % 256), ".7.9")
+| WHERE TO_IP(ip) IS NOT NULL AND CIDR_MATCH(ip, "0.0.0.0/2")
+| EVAL net = IP_PREFIX(ip, 16, 128)
+| STATS n = COUNT(*) BY net
+| SORT n DESC, net
+| LIMIT 20
+""",
+    """
+WITH e AS (
+  SELECT (user_id % 200) AS o1, (event_id % 256) AS o2 FROM events
+  WHERE (user_id % 200) < 64)
+SELECT o1 || '.' || o2 || '.0.0' AS net, CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1 ORDER BY n DESC, net LIMIT 20""",
+    "IP function family: TO_IP validation, CIDR_MATCH prefix filter, "
+    "IP_PREFIX network truncation — all compile-time-parsed literals, "
+    "map-side integer math.")
+
+
+_register(
+    "q_esql_mv_strings",
+    """
+FROM documents
+| EVAL toks = SPLIT(text, " ")
+| WHERE MV_COUNT(toks) >= 3
+| EVAL first_tok = MV_FIRST(toks),
+       tail2 = MV_CONCAT(MV_SLICE(toks, -2, -1), "_"),
+       zipped = MV_CONCAT(MV_ZIP(MV_SLICE(toks, 0, 1),
+                                 MV_SLICE(toks, -2, -1), ":"), ",")
+| KEEP doc_id, first_tok, tail2, zipped
+""",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 3)
+SELECT doc_id, l[1] AS first_tok,
+       l[-2] || '_' || l[-1] AS tail2,
+       l[1] || ':' || l[-2] || ',' || l[2] || ':' || l[-1] AS zipped
+FROM t""",
+    "String MV family: MV_FIRST / MV_CONCAT / MV_ZIP over negative-bound "
+    "MV_SLICE windows — per-row array ops, no shuffle.")
+
+
+_register(
+    "q_esql_mv_numeric",
+    """
+FROM events
+| EVAL triple = SPLIT(CONCAT(TO_STRING(event_id % 9), " ",
+                             TO_STRING(user_id % 7), " ",
+                             TO_STRING(event_id % 5)), " ")
+| EVAL s = MV_SUM(triple), av = ROUND(MV_AVG(triple), 4),
+       med = ROUND(MV_MEDIAN(triple), 4)
+| STATS total = ROUND(SUM(s), 4), mean_avg = ROUND(AVG(av), 4),
+        mean_med = ROUND(AVG(med), 4)
+""",
+    f"""
+WITH t AS (
+  SELECT (event_id % 9)::DOUBLE AS a, (user_id % 7)::DOUBLE AS b,
+         (event_id % 5)::DOUBLE AS c
+  FROM events)
+SELECT {roundn_sql('sum(a + b + c)', 4)} AS total,
+       {roundn_sql('avg(' + roundn_sql('(a + b + c) / 3', 4) + ')', 4)} AS mean_avg,
+       {roundn_sql('avg(' + roundn_sql('a + b + c - least(a, b, c) - greatest(a, b, c)', 4) + ')', 4)} AS mean_med
+FROM t""",
+    "Numeric MV family: MV_SUM / MV_AVG / MV_MEDIAN over a synthesized "
+    "3-element array, folded corpus-wide.")
+
+
+_LOOKUP_MULTI_TEXT = """
+FROM events
+| EVAL hour = DATE_EXTRACT("hour", ts)
+| LOOKUP JOIN baseline ON event_type, hour
+| STATS n = COUNT(*), n_above = COUNT(*) WHERE value > base
+  BY event_type
+| SORT event_type
+"""
+
+_BASELINE_TEXT = """
+FROM events
+| EVAL hour = DATE_EXTRACT("hour", ts)
+| STATS base = ROUND(AVG(value), 4) BY event_type, hour
+"""
+
+
+def q_esql_lookup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key LOOKUP JOIN: each event looks up the per-(type, hour)
+    average-value baseline and the STATS counts how many rows beat it —
+    the anomaly-vs-baseline shape. The lookup side is itself an ES|QL
+    STATS (group-bounded, so the broadcast the compiler pins is sound at
+    any corpus scale), and the per-aggregate WHERE exercises the
+    filtered-count path through a composite-key join.
+
+    ES|QL:
+    """ + _LOOKUP_MULTI_TEXT
+    baseline = esql(spark, _BASELINE_TEXT, sf_dir)
+    return esql(spark, _LOOKUP_MULTI_TEXT, sf_dir,
+                tables={"baseline": baseline})
+
+
+QUERIES["q_esql_lookup_multi"] = q_esql_lookup_multi
+ORACLES["q_esql_lookup_multi"] = f"""
+WITH baseline AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+         {roundn_sql('avg(value)', 4)} AS base
+  FROM events GROUP BY 1, 2)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE e.value > b.base) AS BIGINT) AS n_above
+FROM events e
+LEFT JOIN baseline b ON b.event_type = e.event_type
+ AND b.hour = CAST(date_part('hour', e.ts) AS BIGINT)
+GROUP BY 1 ORDER BY 1"""
+
+
+_INDEXED_BM25_TEXT = """
+FROM documents
+| LOOKUP JOIN hits ON doc_id
+| WHERE rank IS NOT NULL
+| EVAL snippet = LEFT(text, 30)
+| KEEP doc_id, rank, score, snippet
+| SORT rank
+"""
+
+
+def q_esql_indexed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL composed over the INDEX layer: the ``hits`` table bound into
+    ``FROM``'s namespace is :func:`bm25_from_index` — BM25 top-20 served
+    from the materialized postings layout (pruned bucket read, stats
+    sidecar literals, zero corpus text scans) — and the language then
+    joins the corpus back for snippets. Scale shape: the lookup side is
+    the k-bounded hit list, so the compiler's broadcast lands on 20 rows
+    while the corpus-sized documents relation streams map-side.
+
+    ES|QL:
+    """ + _INDEXED_BM25_TEXT
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        bm25_from_index,
+        ensure_index,
+    )
+
+    hits = bm25_from_index(spark, ensure_index(spark, sf_dir))
+    return esql(spark, _INDEXED_BM25_TEXT, sf_dir, tables={"hits": hits})
+
+
+def _indexed_bm25_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        ORACLES as _SEARCH_ORACLES,
+    )
+
+    base = _SEARCH_ORACLES["q_bm25"]
+    tail = "SELECT * FROM ranked WHERE rank <= 20"
+    assert tail in base
+    return base.replace(tail, """
+SELECT d.doc_id, r.rank, r.score, substr(d.text, 1, 30) AS snippet
+FROM documents d JOIN ranked r USING (doc_id)
+WHERE r.rank <= 20 ORDER BY r.rank""")
+
+
+QUERIES["q_esql_indexed_bm25"] = q_esql_indexed_bm25
+ORACLES["q_esql_indexed_bm25"] = _indexed_bm25_oracle()

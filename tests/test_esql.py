@@ -81,18 +81,18 @@ def test_error_carries_position():
 def test_dissect_regex():
     regex, keys = _compile_dissect("%{a}-%{b}")
     assert regex == "^(.*?)\\-(.*)$" or regex == "^(.*?)-(.*)$"
-    assert [k for k, _ in keys] == ["a", "b"]
+    assert [k for k, _, _ in keys] == ["a", "b"]
 
 
 def test_dissect_skip_key():
     regex, keys = _compile_dissect("%{a} %{} %{c}")
-    assert [k for k, _ in keys] == ["a", "c"]
+    assert [k for k, _, _ in keys] == ["a", "c"]
     assert "(.*?)" in regex
 
 
 def test_grok_typed_and_unnamed():
     regex, keys = _compile_grok("%{WORD} id=%{INT:ident:int}")
-    assert keys == [("ident", "long")]
+    assert keys == [("ident", "long", False)]
     assert "(?:" in regex  # unnamed pattern is non-capturing
 
 
@@ -373,6 +373,83 @@ def test_mv_slice_negative_bounds(spark):
     assert row.tail2 == ["y", "z"]
     assert row.clamped == ["x", "y", "z"]  # start clamps to the head
     assert row.last == ["z"]
+
+
+def test_sample_deterministic_and_validated(spark):
+    t = spark.range(500).selectExpr("id")
+    n1 = esql(spark, "FROM t | SAMPLE 0.3 | STATS n = COUNT(*)",
+              tables={"t": t}).first().n
+    n2 = esql(spark, "FROM t | SAMPLE 0.3 | STATS n = COUNT(*)",
+              tables={"t": t}).first().n
+    assert n1 == n2 and 0 < n1 < 500  # content-hash coin: reproducible
+    with pytest.raises(ESQLError, match="probability"):
+        esql(spark, "FROM t | SAMPLE 1.5", tables={"t": t})
+    with pytest.raises(ESQLError, match="probability"):
+        esql(spark, "FROM t | SAMPLE 0", tables={"t": t})
+
+
+def test_lookup_join_multi_key(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), ("a", 2, 30.0)],
+        "k1 string, k2 int, v double")
+    dim = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y")], "k1 string, k2 int, tag string")
+    rows = esql(spark, "FROM l | LOOKUP JOIN d ON k1, k2 | SORT k1, k2",
+                tables={"l": left, "d": dim}).collect()
+    assert [(r.k1, r.k2, r.tag) for r in rows] == [
+        ("a", 1, "x"), ("a", 2, "y"), ("b", 2, None)]
+
+
+def test_dissect_append_modifier(spark):
+    row = esql(spark, 'ROW line = "2024-01-02 03:04:05 host1" | DISSECT '
+                      'line "%{date} %{+date} %{host}" '
+                      'APPEND_SEPARATOR="T"').first()
+    assert row.date == "2024-01-02T03:04:05" and row.host == "host1"
+    # default separator is empty (the ES default)
+    row2 = esql(spark, 'ROW s = "ab cd" | DISSECT s "%{x} %{+x}"').first()
+    assert row2.x == "abcd"
+
+
+def test_dissect_repeated_key_without_append_refused(spark):
+    with pytest.raises(ESQLError, match="append"):
+        esql(spark, 'ROW s = "a b" | DISSECT s "%{x} %{x}"')
+
+
+def test_mv_function_family(spark):
+    row = esql(spark, (
+        'ROW s = "3 1 2" | EVAL arr = SPLIT(s, " "), '
+        '  sm = MV_SUM(arr), av = MV_AVG(arr), md = MV_MEDIAN(arr), '
+        '  f = MV_FIRST(arr), l = MV_LAST(arr), '
+        '  c = MV_CONCAT(arr, "-"), ap = MV_COUNT(MV_APPEND(arr, arr)), '
+        '  z = MV_ZIP(arr, arr, ":")')).first()
+    assert row.sm == 6.0 and row.av == 2.0 and row.md == 2.0
+    assert row.f == "3" and row.l == "2" and row.c == "3-1-2"
+    assert row.ap == 6 and row.z == ["3:3", "1:1", "2:2"]
+    # even-count median is the mean of the two middle values
+    row2 = esql(spark,
+                'ROW s = "4 1 3 2" | EVAL md = MV_MEDIAN(SPLIT(s, " "))'
+                ).first()
+    assert row2.md == 2.5
+
+
+def test_mv_zip_uneven_tail_passes_through(spark):
+    row = esql(spark, 'ROW a = "x y z", b = "1" | EVAL z = '
+                      'MV_ZIP(SPLIT(a, " "), SPLIT(b, " "), "-")').first()
+    assert row.z == ["x-1", "y", "z"]
+
+
+def test_to_ip_and_ip_prefix(spark):
+    row = esql(spark, (
+        'ROW good = "10.1.2.3", bad = "10.1.2.300", zeros = "1.2.3.01" '
+        '| EVAL g = TO_IP(good), b = TO_IP(bad), z = TO_IP(zeros), '
+        '  p24 = IP_PREFIX(good, 24, 128), p16 = IP_PREFIX(good, 16, 128), '
+        '  p32 = IP_PREFIX(good, 32, 128), p0 = IP_PREFIX(good, 0, 128)'
+    )).first()
+    assert row.g == "10.1.2.3" and row.b is None and row.z is None
+    assert row.p24 == "10.1.2.0" and row.p16 == "10.1.0.0"
+    assert row.p32 == "10.1.2.3" and row.p0 == "0.0.0.0"
+    with pytest.raises(ESQLError, match="prefix length"):
+        esql(spark, 'ROW ip = "1.2.3.4" | EVAL p = IP_PREFIX(ip, 33, 128)')
 
 
 def test_mv_slice_mixed_sign_refused(spark):

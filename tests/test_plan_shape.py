@@ -294,6 +294,9 @@ _ALLOWED_SINGLE_PARTITION = {
                               # corpus size)
     "q_bucket_correlation",   # 1-row moment aggregate over the DAY
                               # bucket relation
+    "q_esql_sample",          # global STATS (no BY): map-side partial
+                              # agg then a 1-row final — scalar funnel
+    "q_esql_mv_numeric",      # same: corpus-wide scalar STATS
 }
 
 
@@ -413,6 +416,22 @@ def test_indexed_bm25_reads_index_not_corpus(spark, sf_dir):
     assert "Generate" not in plan, "indexed BM25 re-derived postings"
     assert "PartitionFilters" in plan and "tbucket" in plan
     assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_esql_indexed_bm25_composes_pruned_index_read(spark, sf_dir):
+    """ES|QL over the index layer: the compiled plan must show the SAME
+    pruned postings read as the hand-written indexed BM25 (partition
+    filter on tbucket, no Generate rebuild), with the hit list — not the
+    corpus — on the broadcast side of the snippet join."""
+    from elasticsearch_hbase_river_spark.operators.esql_pack import (
+        q_esql_indexed_bm25,
+    )
+
+    plan = _plan(q_esql_indexed_bm25(spark, sf_dir))
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    assert "Generate" not in plan, "ES|QL indexed BM25 re-derived postings"
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
