@@ -695,3 +695,102 @@ WHERE r.rank <= 20 ORDER BY r.rank""")
 
 QUERIES["q_esql_indexed_bm25"] = q_esql_indexed_bm25
 ORACLES["q_esql_indexed_bm25"] = _indexed_bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming ES|QL: the same language, maintained by the river's tick loop
+# (streaming/esql_stream.py). The registered query DRAINS a real multi-batch
+# availableNow stream once per sf_dir (idempotent fixture, maxFilesPerTrigger
+# = 1 over a 4-file source so the merge crosses real micro-batch boundaries)
+# and serves the merged partial aggregates — which must hash-equal the plain
+# batch GROUP BY the oracle computes. That is the materialized-view
+# correctness contract that makes the incremental maintenance safe at scale.
+
+ESQL_STREAM_TEXT = """
+FROM events
+| WHERE event_type IS NOT NULL
+| STATS n = COUNT(*),
+        total = ROUND(SUM(value), 4),
+        hi = ROUND(MAX(value), 4),
+        avg_v = ROUND(AVG(value), 4),
+        n_hot = COUNT(*) WHERE value > 90
+  BY event_type
+| SORT event_type
+"""
+
+
+def ensure_esql_stream_state(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent drained-stream fixture: build once per corpus, serve
+    forever after (same discipline as ``ensure_live_epochs``)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        index_path_for,
+    )
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+    from elasticsearch_hbase_river_spark.streaming.esql_stream import (
+        start_esql_stream,
+    )
+
+    root = index_path_for(sf_dir) + "-esql-stream-v1"
+    done = os.path.join(root, "_drained.json")
+    if os.path.exists(done):
+        return root
+    tmp = f"{root}.tmp-{uuid.uuid4().hex}"
+    src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    (load_table(spark, sf_dir, "events")
+     .select("event_id", "event_type", "value")
+     .repartition(4).write.parquet(src))
+    sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    q = start_esql_stream(spark, ESQL_STREAM_TEXT, sdf, state,
+                          os.path.join(tmp, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("esql stream fixture did not drain in 600s")
+    epochs = [n for n in os.listdir(os.path.join(state, "partials"))
+              if n.startswith("epoch=")]
+    if len(epochs) < 2:
+        raise RuntimeError(f"expected >=2 real micro-batches, got {epochs}")
+    with open(os.path.join(tmp, "_drained.json"), "w") as f:
+        json.dump({"epochs": len(epochs)}, f)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
+    return root
+
+
+def q_esql_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed materialized ES|QL STATS (COUNT/SUM/MAX/AVG + per-agg
+    WHERE, merged across >=2 real micro-batch epochs) must equal the batch
+    GROUP BY over the same rows.
+
+    ES|QL:
+    """ + ESQL_STREAM_TEXT
+    from elasticsearch_hbase_river_spark.streaming.esql_stream import (
+        read_esql_stream_result,
+    )
+
+    root = ensure_esql_stream_state(spark, sf_dir)
+    import os
+
+    return read_esql_stream_result(spark, ESQL_STREAM_TEXT,
+                                   os.path.join(root, "state"))
+
+
+QUERIES["q_esql_stream_rollup"] = q_esql_stream_rollup
+ORACLES["q_esql_stream_rollup"] = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(value)', 4)} AS total,
+       {roundn_sql('max(value)', 4)} AS hi,
+       {roundn_sql('avg(value)', 4)} AS avg_v,
+       CAST(count(*) FILTER (WHERE value > 90) AS BIGINT) AS n_hot
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type"""

@@ -1,0 +1,124 @@
+"""Streaming ES|QL: foreachBatch partial-agg maintenance + merge-at-read.
+
+The reference's tick loop ships transformed rows on a timer
+(`HBaseRiver.java:263`); here the same tick maintains an ES|QL STATS
+result. Mergeable mode must equal the batch compiler's answer exactly
+after a multi-batch availableNow drain — across REAL micro-batch
+boundaries (maxFilesPerTrigger=1 over a multi-file source)."""
+
+import os
+
+import pytest
+
+from elasticsearch_hbase_river_spark.esql import ESQLError, esql
+from elasticsearch_hbase_river_spark.sources.tables import load_table
+from elasticsearch_hbase_river_spark.streaming.esql_stream import (
+    plan_esql_stream,
+    read_esql_stream_result,
+    start_esql_stream,
+)
+
+MERGE_TEXT = """
+FROM ev
+| WHERE event_type IS NOT NULL AND value >= 0
+| EVAL vkind = CASE(value > 90, "hot", "normal")
+| STATS n = COUNT(*),
+        total = ROUND(SUM(value), 4),
+        hi = ROUND(MAX(value), 4),
+        avg_v = ROUND(AVG(value), 4),
+        n_hot = COUNT(*) WHERE vkind == "hot"
+  BY event_type
+| SORT event_type
+"""
+
+
+def _src(spark, sf_dir, tmp_path, n_files=4):
+    src = str(tmp_path / "ev_src")
+    (load_table(spark, sf_dir, "events")
+     .select("event_id", "event_type", "value")
+     .repartition(n_files).write.parquet(src))
+    return src
+
+
+def _stream(spark, src):
+    return (spark.readStream
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src))
+
+
+def test_mergeable_stream_equals_batch(spark, sf_dir, tmp_path):
+    src = _src(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, MERGE_TEXT, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+
+    # the maintenance crossed REAL micro-batch boundaries
+    epochs = [n for n in os.listdir(os.path.join(state, "partials"))
+              if n.startswith("epoch=")]
+    assert len(epochs) >= 2, epochs
+
+    got = read_esql_stream_result(spark, MERGE_TEXT, state)
+    expect = esql(spark, MERGE_TEXT,
+                  tables={"ev": spark.read.parquet(src)})
+    assert got.columns == expect.columns
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in expect.collect()]
+
+
+def test_recompute_mode_equals_batch(spark, sf_dir, tmp_path):
+    text = ("FROM ev | STATS med = MEDIAN(value), "
+            "users = COUNT_DISTINCT(event_id) BY event_type "
+            "| SORT event_type")
+    assert not plan_esql_stream(text)["mergeable"]
+    src = _src(spark, sf_dir, tmp_path, n_files=3)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+    got = read_esql_stream_result(spark, text, state)
+    expect = esql(spark, text, tables={"ev": spark.read.parquet(src)})
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in expect.collect()]
+
+
+def test_global_stats_no_by(spark, sf_dir, tmp_path):
+    text = ("FROM ev | WHERE value > 50 "
+            "| STATS n = COUNT(*), total = ROUND(SUM(value), 4)")
+    src = _src(spark, sf_dir, tmp_path, n_files=2)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    got = read_esql_stream_result(spark, text, state).collect()
+    expect = esql(spark, text,
+                  tables={"ev": spark.read.parquet(src)}).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def test_state_dir_refuses_different_query(spark, sf_dir, tmp_path):
+    src = _src(spark, sf_dir, tmp_path, n_files=2)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, MERGE_TEXT, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    other = "FROM ev | STATS n = COUNT(*) BY event_type"
+    with pytest.raises(ValueError, match="different"):
+        read_esql_stream_result(spark, other, state)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        start_esql_stream(spark, other, _stream(spark, src), state,
+                          str(tmp_path / "ckpt2"))
+
+
+def test_plan_validation():
+    with pytest.raises(ESQLError, match="exactly one STATS"):
+        plan_esql_stream("FROM ev | WHERE a == 1")
+    with pytest.raises(ESQLError, match="exactly one STATS"):
+        plan_esql_stream("FROM ev | STATS n = COUNT(*) BY a "
+                         "| STATS m = SUM(n)")
+    with pytest.raises(ESQLError, match="not streamable before STATS"):
+        plan_esql_stream("FROM ev | SORT a | STATS n = COUNT(*)")
+    with pytest.raises(ESQLError, match="FROM"):
+        plan_esql_stream("ROW a = 1 | STATS n = COUNT(*)")
+    # scalar wrappers and per-agg WHERE stay mergeable
+    assert plan_esql_stream(MERGE_TEXT)["mergeable"]
