@@ -28,7 +28,9 @@ Supported subset (documented; anything else raises ``ESQLError`` with the
 source position):
 
 Source commands
-  ``FROM table`` (single fixture table), ``ROW name = literal, ...``
+  ``FROM t1[, t2, ..] [METADATA _index]`` (multi-index unions by field
+  name with null padding, ES semantics; ``_index`` carries the source
+  table), ``ROW name = literal, ...``
 Processing commands
   ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``INLINESTATS .. [BY ..]``
   (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
@@ -36,7 +38,8 @@ Processing commands
   ``RENAME old AS new``, ``MV_EXPAND``,
   ``DISSECT`` (incl. ``%{+key}`` append + ``APPEND_SEPARATOR``), ``GROK``,
   ``LOOKUP JOIN table ON f1[, f2, ..]`` (multi-key),
-  ``ENRICH policy ON field [WITH f, ..]``,
+  ``ENRICH policy ON field [WITH f, ..]`` (``match`` and ``range``
+  policy types; range bounds are half-open ``[lo, hi)``),
   ``FORK ( .. ) ( .. )`` (branch pipelines unioned with ``_fork``),
   ``CHANGE_POINT value ON key [AS type, pvalue]`` (step-change detection
   with a two-sided z-test p-value; marks the first key of the new
@@ -58,11 +61,15 @@ Scalar functions
   MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE (incl. negative
   end-relative bounds) MV_SUM MV_AVG MV_MEDIAN MV_FIRST MV_LAST
   MV_CONCAT MV_APPEND MV_ZIP
+  SIN COS TAN ASIN ACOS ATAN ATAN2 SINH COSH TANH CBRT HYPOT PI TAU E
+  TO_DEGREES TO_RADIANS MD5 SHA1 SHA256 TO_BASE64 FROM_BASE64
+  BIT_LENGTH BYTE_LENGTH SPACE TO_BOOLEAN
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
 ``STATS n = COUNT(*) WHERE cond BY g``)
-  COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG VALUES
+  COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG
+  VALUES STD_DEV (population) TOP(field, limit, "asc"|"desc")
 
 Cross-engine determinism: ``ROUND`` compiles to the engine's portable
 ``floor(x*10^d + 0.5)/10^d`` rounding (`functions/determinism.py`) so ES|QL
@@ -77,6 +84,7 @@ DESC ("null is larger than any value"); the compiler emits
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
@@ -258,10 +266,17 @@ class _Parser:
         t = self.next()
         k = self.kw(t)
         if k == "FROM":
-            name = self.ident()
-            if self.accept_op(","):
-                self.err("multi-index FROM is outside the supported subset")
-            return {"cmd": "FROM", "table": name, "pos": t.pos}
+            names = [self.ident()]
+            while self.accept_op(","):
+                names.append(self.ident())
+            metadata = False
+            if self.accept_kw("METADATA"):
+                fld = self.ident()
+                if fld != "_index":
+                    self.err("only METADATA _index is supported")
+                metadata = True
+            return {"cmd": "FROM", "table": names[0], "tables": names,
+                    "metadata": metadata, "pos": t.pos}
         if k == "ROW":
             cols = []
             while True:
@@ -988,11 +1003,64 @@ def _fn_bucket(args, raw):
 
 _SCALARS["BUCKET"] = _fn_bucket
 
+# Round-9 tranche: trig/math, hash aliases, encodings, width/cast helpers.
+# All map 1:1 onto JVM-side built-ins (whole-stage codegen); the trig
+# family's cross-engine contract is IEEE-double libm — last-ulp drift vs
+# DuckDB exists, which is why registered queries round before hashing.
+_SCALARS["SIN"] = lambda a, r: F.sin(a[0])
+_SCALARS["COS"] = lambda a, r: F.cos(a[0])
+_SCALARS["TAN"] = lambda a, r: F.tan(a[0])
+_SCALARS["ASIN"] = lambda a, r: F.asin(a[0])
+_SCALARS["ACOS"] = lambda a, r: F.acos(a[0])
+_SCALARS["ATAN"] = lambda a, r: F.atan(a[0])
+_SCALARS["ATAN2"] = lambda a, r: F.atan2(a[0], a[1])
+_SCALARS["SINH"] = lambda a, r: F.sinh(a[0])
+_SCALARS["COSH"] = lambda a, r: F.cosh(a[0])
+_SCALARS["TANH"] = lambda a, r: F.tanh(a[0])
+_SCALARS["CBRT"] = lambda a, r: F.cbrt(a[0])
+_SCALARS["HYPOT"] = lambda a, r: F.hypot(a[0], a[1])
+_SCALARS["PI"] = lambda a, r: F.lit(math.pi)
+_SCALARS["TAU"] = lambda a, r: F.lit(math.tau)
+_SCALARS["E"] = lambda a, r: F.lit(math.e)
+_SCALARS["TO_DEGREES"] = lambda a, r: F.degrees(a[0])
+_SCALARS["TO_RADIANS"] = lambda a, r: F.radians(a[0])
+# MD5/SHA1/SHA256 are first-class ES|QL functions (HASH("alg", x) is the
+# generic form, kept above)
+_SCALARS["MD5"] = lambda a, r: F.md5(a[0].cast("binary"))
+_SCALARS["SHA1"] = lambda a, r: F.sha1(a[0].cast("binary"))
+_SCALARS["SHA256"] = lambda a, r: F.sha2(a[0].cast("binary"), 256)
+_SCALARS["TO_BASE64"] = lambda a, r: F.base64(a[0].cast("binary"))
+_SCALARS["FROM_BASE64"] = lambda a, r: F.unbase64(a[0]).cast("string")
+_SCALARS["BIT_LENGTH"] = lambda a, r: F.bit_length(a[0]).cast("long")
+_SCALARS["BYTE_LENGTH"] = lambda a, r: F.octet_length(a[0]).cast("long")
+_SCALARS["SPACE"] = lambda a, r: F.repeat(F.lit(" "), a[0].cast("int"))
+#: string "true"/"false" (any case) and numeric != 0; bad strings -> null
+#: (try_cast: the ES|QL null-with-warning convention, never a hard error)
+_SCALARS["TO_BOOLEAN"] = lambda a, r: a[0].try_cast("boolean")
+
 
 def _agg_percentile(args, raw):
     if len(raw) != 2 or raw[1][0] != "lit":
         raise ESQLError("PERCENTILE takes (field, percent literal)")
     return F.percentile(args[0], F.lit(raw[1][1] / 100.0))
+
+
+def _agg_top(args, raw):
+    """ES|QL ``TOP(field, limit, "asc"|"desc")``: multivalue of the top
+    ``limit`` values per group. Like ``VALUES``, the collect is
+    group-sized before the slice — at pathological group cardinalities
+    pre-reduce with a windowed row_number instead (ES bounds the same
+    way: per-shard heaps)."""
+    if (len(raw) != 3 or raw[1][0] != "lit"
+            or not isinstance(raw[1][1], int) or raw[2][0] != "lit"
+            or raw[2][1] not in ("asc", "desc")):
+        raise ESQLError('TOP takes (field, literal limit, "asc"|"desc")')
+    if raw[1][1] <= 0:
+        raise ESQLError("TOP limit must be positive")
+    arr = F.array_sort(F.collect_list(args[0]))
+    if raw[2][1] == "desc":
+        arr = F.reverse(arr)
+    return F.slice(arr, 1, raw[1][1])
 
 
 _AGGS: dict[str, Callable[[list[Column], list], Column]] = {
@@ -1007,6 +1075,9 @@ _AGGS: dict[str, Callable[[list[Column], list], Column]] = {
     "PERCENTILE": _agg_percentile,
     "WEIGHTED_AVG": lambda a, r: F.sum(a[0] * a[1]) / F.sum(a[1]),
     "VALUES": lambda a, r: F.array_sort(F.collect_set(a[0])),
+    # population std-dev: the moment ES's std_deviation reports
+    "STD_DEV": lambda a, r: F.stddev_pop(a[0]),
+    "TOP": _agg_top,
 }
 
 # GROK pattern name → (regex, default cast). Inner groups non-capturing so
@@ -1122,11 +1193,38 @@ def erf_sql(x: str) -> str:
 @dataclass
 class EnrichPolicy:
     """An ES enrich policy: match ``match_field`` in ``table``, expose
-    ``fields`` (the policy's enrich_fields)."""
+    ``fields`` (the policy's enrich_fields). ``match_type`` mirrors the
+    policy types ES supports: ``match`` (equality) or ``range`` — for
+    ``range`` the policy table carries half-open ``[lo, hi)`` bounds in
+    ``match_field + '_lo'`` / ``'_hi'`` columns (the DataFrame analog of
+    an ES range-typed enrich field; ES range types are configurable on
+    inclusivity, this engine pins half-open and documents it)."""
     table: str
     match_field: str
     fields: tuple[str, ...]
+    match_type: str = "match"
 
+
+#: Synthetic policy dimension tables (tiny, literal, broadcast by
+#: construction) — resolvable by name like fixture tables so range
+#: policies need no external fixture.
+PRICE_TIER_ROWS = (
+    (0.0, 50_000.0, "small"),
+    (50_000.0, 150_000.0, "medium"),
+    (150_000.0, 300_000.0, "large"),
+    (300_000.0, float("inf"), "jumbo"),
+)
+
+
+def _price_tiers_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(PRICE_TIER_ROWS), "price_lo double, price_hi double, "
+        "tier string")
+
+
+_SYNTH_TABLES: dict[str, Callable[[SparkSession], DataFrame]] = {
+    "__price_tiers": _price_tiers_df,
+}
 
 #: Policies resolvable by ``ENRICH`` out of the box (fixture dimensions).
 DEFAULT_POLICIES: dict[str, EnrichPolicy] = {
@@ -1134,6 +1232,8 @@ DEFAULT_POLICIES: dict[str, EnrichPolicy] = {
                             ("n_name", "n_regionkey")),
     "regions": EnrichPolicy("region", "r_regionkey", ("r_name",)),
     "parts": EnrichPolicy("part", "p_partkey", ("p_name", "p_type")),
+    "price_tiers": EnrichPolicy("__price_tiers", "price", ("tier",),
+                                match_type="range"),
 }
 
 
@@ -1150,6 +1250,8 @@ class _Compiler:
     def load(self, name: str, pos: int) -> DataFrame:
         if name in self.tables:
             return self.tables[name]
+        if name in _SYNTH_TABLES:
+            return _SYNTH_TABLES[name](self.spark)
         if self.sf_dir is not None and name in TABLES:
             return load_table(self.spark, self.sf_dir, name)
         raise ESQLError(f"unknown table {name!r}", pos, self.text)
@@ -1260,7 +1362,19 @@ class _Compiler:
     def run(self, cmds: list[dict]) -> DataFrame:
         head = cmds[0]
         if head["cmd"] == "FROM":
-            df = self.load(head["table"], head["pos"])
+            tables = head.get("tables", [head["table"]])
+            parts = []
+            for name in tables:
+                part = self.load(name, head["pos"])
+                if head.get("metadata"):
+                    part = part.withColumn("_index", F.lit(name))
+                parts.append(part)
+            # ES multi-index semantics: union by field NAME, null-padding
+            # fields an index lacks (mapping conflicts fail loudly in ES
+            # too — unionByName raises on irreconcilable types)
+            df = parts[0]
+            for part in parts[1:]:
+                df = df.unionByName(part, allowMissingColumns=True)
         else:  # ROW
             df = self.spark.range(1).select(
                 *[self.col(e, []).alias(n) for n, e in head["cols"]])
@@ -1536,6 +1650,21 @@ class _Compiler:
                     f"ENRICH WITH field(s) {bad} not in policy "
                     f"{c['policy']!r} (exposes: {list(pol.fields)})",
                     c["pos"], self.text)
+            if pol.match_type == "range":
+                # range policy: the dimension carries half-open [lo, hi)
+                # bounds. Broadcast range join — the policy table is
+                # dimension-sized by construction, so the probe stays
+                # map-side (BroadcastNestedLoopJoin over a handful of
+                # rows, never a corpus x corpus product).
+                lo, hi = pol.match_field + "_lo", pol.match_field + "_hi"
+                right = (self.load(pol.table, c["pos"])
+                         .select(F.col(lo).alias("__enrich_lo"),
+                                 F.col(hi).alias("__enrich_hi"), *fields))
+                cond = ((F.col(c["on"]) >= F.col("__enrich_lo"))
+                        & (F.col(c["on"]) < F.col("__enrich_hi")))
+                return (df.drop(*[f_ for f_ in fields if f_ in df.columns])
+                        .join(F.broadcast(right), cond, "left")
+                        .drop("__enrich_lo", "__enrich_hi"))
             right = (self.load(pol.table, c["pos"])
                      .select(F.col(pol.match_field).alias("__enrich_key"),
                              *fields))

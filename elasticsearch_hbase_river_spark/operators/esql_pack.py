@@ -794,3 +794,112 @@ SELECT event_type,
        CAST(count(*) FILTER (WHERE value > 90) AS BIGINT) AS n_hot
 FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche 2: multi-index FROM, range ENRICH, math/hash/encoding
+# function families, STD_DEV / TOP aggregates.
+
+_register(
+    "q_esql_multi_index",
+    """
+FROM customer, supplier METADATA _index
+| EVAL bal = COALESCE(c_acctbal, s_acctbal)
+| STATS n = COUNT(*), total = ROUND(SUM(bal), 4) BY _index
+| SORT _index
+""",
+    f"""
+SELECT _index, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(bal)', 4)} AS total
+FROM (
+  SELECT 'customer' AS _index, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS _index, s_acctbal AS bal FROM supplier
+) u GROUP BY _index ORDER BY _index""",
+    "Multi-index FROM: union-by-name with null padding (ES semantics), "
+    "METADATA _index tags provenance; per-source scan stays pruned.")
+
+
+_register(
+    "q_esql_enrich_range",
+    """
+FROM orders
+| ENRICH price_tiers ON o_totalprice WITH tier
+| STATS n = COUNT(*), hi = ROUND(MAX(o_totalprice), 4) BY tier
+| SORT tier
+""",
+    f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS tier,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('max(o_totalprice)', 4)} AS hi
+FROM orders GROUP BY tier ORDER BY tier""",
+    "Range-typed ENRICH policy: broadcast [lo, hi) interval join against "
+    "the 4-row tier dimension — BroadcastNestedLoopJoin, probe map-side.")
+
+
+_register(
+    "q_esql_math_surface",
+    """
+FROM events
+| WHERE value > 0
+| EVAL angle = TO_RADIANS(value)
+| STATS avg_sin = ROUND(AVG(SIN(angle)), 4),
+        sd = ROUND(STD_DEV(value), 4),
+        rms = ROUND(SQRT(AVG(value * value)), 4),
+        hyp = ROUND(MAX(HYPOT(value, 100.0)), 4)
+  BY event_type
+| SORT event_type
+""",
+    f"""
+SELECT event_type,
+       {roundn_sql('avg(sin(radians(value)))', 4)} AS avg_sin,
+       {roundn_sql('stddev_pop(value)', 4)} AS sd,
+       {roundn_sql('sqrt(avg(value * value))', 4)} AS rms,
+       {roundn_sql('max(sqrt(value*value + 100.0*100.0))', 4)} AS hyp
+FROM events WHERE value > 0
+GROUP BY event_type ORDER BY event_type""",
+    "Trig/math family inside aggregates: per-row codegen'd libm calls, "
+    "one partial-agg shuffle; rounding pins the cross-libm ulp contract.")
+
+
+_register(
+    "q_esql_hash_fingerprint",
+    """
+FROM documents
+| EVAL h = MD5(text), b = SUBSTRING(h, 1, 1), bl = BYTE_LENGTH(text)
+| STATS n = COUNT(*), uniq = COUNT_DISTINCT(h), bytes = SUM(bl) BY b
+| SORT b
+""",
+    """
+SELECT substr(md5(text), 1, 1) AS b,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq,
+       CAST(sum(strlen(text)) AS BIGINT) AS bytes
+FROM documents GROUP BY b ORDER BY b""",
+    "MD5 content fingerprints bucketed by first nibble — the dedup-hash "
+    "shape as a language-level query; map-side hash, one shuffle.")
+
+
+_register(
+    "q_esql_top_values",
+    """
+FROM events
+| STATS t3 = TOP(value, 3, "desc") BY event_type
+| EVAL top1 = MV_FIRST(t3), spread = ROUND(MV_MAX(t3) - MV_MIN(t3), 4),
+       s3 = ROUND(MV_SUM(t3), 4)
+| DROP t3
+| SORT event_type
+""",
+    f"""
+WITH t AS (
+  SELECT event_type, (list(value ORDER BY value DESC))[:3] AS t3
+  FROM events GROUP BY event_type)
+SELECT event_type, t3[1] AS top1,
+       {roundn_sql('t3[1] - t3[3]', 4)} AS spread,
+       {roundn_sql('t3[1] + t3[2] + t3[3]', 4)} AS s3
+FROM t ORDER BY event_type""",
+    "TOP(k) aggregate: per-group top-3 multivalue, then MV_* scalars "
+    "reduce it — value-multiset deterministic under ties.")

@@ -722,3 +722,82 @@ def test_maxsim_is_top_k_not_global_sort(spark, sf_dir):
     plan = QUERIES["q_rank_vectors_maxsim"](spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche 2: multi-index FROM, range ENRICH, math/hash functions,
+# STD_DEV / TOP aggregates.
+
+def test_multi_index_from_union_by_name(spark, sf_dir):
+    df = esql(spark, "FROM region, nation METADATA _index "
+                     "| STATS n = COUNT(*) BY _index | SORT _index", sf_dir)
+    rows = df.collect()
+    assert [r._index for r in rows] == ["nation", "region"]
+    assert [r.n for r in rows] == [25, 5]
+
+
+def test_multi_index_null_padding(spark, sf_dir):
+    df = esql(spark, "FROM region, nation METADATA _index "
+                     "| WHERE _index == \"region\" | LIMIT 3", sf_dir)
+    row = df.collect()[0]
+    assert row.n_name is None and row.r_name is not None
+
+
+def test_metadata_other_field_refused(spark):
+    with pytest.raises(ESQLError, match="METADATA _index"):
+        parse("FROM a METADATA _id")
+
+
+def test_enrich_range_policy(spark, sf_dir):
+    df = esql(spark, "ROW price = 149999.99 "
+                     "| ENRICH price_tiers ON price WITH tier", sf_dir)
+    assert df.collect()[0].tier == "medium"
+    # half-open [lo, hi): the boundary belongs to the NEXT tier
+    df = esql(spark, "ROW price = 150000.0 "
+                     "| ENRICH price_tiers ON price WITH tier", sf_dir)
+    assert df.collect()[0].tier == "large"
+
+
+def test_math_function_family(spark):
+    row = esql(spark, 'ROW x = 0.5 | EVAL s = ROUND(SIN(x), 6), '
+               'c = ROUND(COS(x), 6), h = HYPOT(3.0, 4.0), cb = CBRT(27.0), '
+               'd = TO_DEGREES(PI()), r = ROUND(TO_RADIANS(180.0), 6), '
+               'a2 = ROUND(ATAN2(1.0, 1.0), 6), t = ROUND(TANH(0.0), 6)'
+               ).collect()[0]
+    import math
+    assert row.h == 5.0 and row.cb == 3.0 and row.d == 180.0
+    assert abs(row.s - math.sin(0.5)) < 1e-5
+    assert abs(row.r - math.pi) < 1e-5 and row.a2 == 0.785398
+
+
+def test_hash_and_encoding_functions(spark):
+    row = esql(spark, 'ROW t = "abc" | EVAL m = MD5(t), s1 = SHA1(t), '
+               's2 = SHA256(t), b = TO_BASE64(t), rt = FROM_BASE64(b), '
+               'bl = BIT_LENGTH(t), ol = BYTE_LENGTH(t), sp = SPACE(2), '
+               'tb = TO_BOOLEAN("TRUE"), fb = TO_BOOLEAN("nope")'
+               ).collect()[0]
+    import hashlib
+    assert row.m == hashlib.md5(b"abc").hexdigest()
+    assert row.s1 == hashlib.sha1(b"abc").hexdigest()
+    assert row.s2 == hashlib.sha256(b"abc").hexdigest()
+    assert row.rt == "abc" and row.bl == 24 and row.ol == 3
+    assert row.sp == "  " and row.tb is True and row.fb is None
+
+
+def test_top_aggregate_and_std_dev(spark, sf_dir):
+    rows = esql(spark, 'FROM nation | STATS t2 = TOP(n_nationkey, 2, "asc"),'
+                ' sd = ROUND(STD_DEV(n_nationkey), 4) BY n_regionkey '
+                '| SORT n_regionkey | LIMIT 1', sf_dir).collect()
+    assert list(rows[0].t2) == sorted(rows[0].t2)[:2]
+    assert rows[0].sd is not None
+
+
+def test_top_validation():
+    with pytest.raises(ESQLError, match="TOP takes"):
+        parse_compile_err = None
+    from elasticsearch_hbase_river_spark.esql import _agg_top
+    with pytest.raises(ESQLError, match="TOP takes"):
+        _agg_top([None], [("field", "x")])
+    with pytest.raises(ESQLError, match="positive"):
+        _agg_top([None, None, None],
+                 [("field", "x"), ("lit", 0), ("lit", "desc")])
