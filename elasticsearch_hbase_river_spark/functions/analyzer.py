@@ -63,6 +63,11 @@ _NON_ASCII_RE = "[^\\x00-\\x7F]"
 #: Greek final sigma (the one CONTEXTUAL lower() divergence) is folded
 #: in-chain instead (ς→σ, Lucene's GreekLowerCaseFilter rule) so Greek
 #: text needs no guard. Frozen as (start, end) inclusive ranges.
+#: Fold contract (SCALE.md §3q): ROOT-locale simple mapping — 'I'→'i'
+#: (never Turkish 'ı'; Turkish-locale casing is the full-casemap class
+#: this guard refuses via U+0130), dotless ı is lower-stable, Arabic
+#: tatweel (U+0640, Lm) stays in-token. Re-swept round 9 over the full
+#: space: regenerated constant byte-identical to this one.
 _UNI_DIVERGENT_RANGES = (
     (0x130, 0x130), (0x870, 0x887), (0x889, 0x88E), (0x898, 0x89F),
     (0x8B5, 0x8B5), (0x8C8, 0x8D2), (0xC3C, 0xC3C), (0xC5D, 0xC5D),

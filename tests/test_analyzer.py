@@ -297,3 +297,43 @@ def test_index_stream_unicode_mode(spark, tmp_path):
     with _pytest.raises(Exception, match="non-ASCII"):
         q2.awaitTermination(120)
         q2.processAllAvailable()
+
+
+def test_unicode_fold_parity_turkish_arabic(spark):
+    """Stemming-free fold parity for the two classic trouble spots (round-9
+    VERDICT item 5): Turkish dotless-ı and Arabic tatweel (kashida).
+
+    Contract (documented in functions/analyzer.py): unicode mode folds
+    with the ROOT-locale simple mapping both engines share — 'I' → 'i'
+    (never 'ı': Turkish-locale casing is exactly the full-casemap
+    divergence class the guard exists for, and its marker codepoint
+    U+0130 İ is refused), dotless ı is lower-stable, and tatweel (U+0640,
+    category Lm → \\p{L}) stays INSIDE its token in both engines, so
+    elongated Arabic spellings tokenize identically — deduplication /
+    search treats 'اﻟـــكتاب'-style kashida stretching as its own token
+    string, NOT as a separator split."""
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens_unicode,
+        analyze_toks_unicode_sql,
+        assert_analyzable_corpus,
+    )
+
+    cases = [
+        ("ılık IRMAK", ["ılık", "irmak"]),      # ı stable; I → i (root)
+        ("ışık ışık", ["ışık", "ışık"]),        # lower-stable fixpoint
+        ("الـــكتاب كتاب", ["الـــكتاب", "كتاب"]),  # tatweel stays in-token
+        ("ـ", ["ـ"]),                            # bare tatweel is a token
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "i long, text string")
+    assert_analyzable_corpus(df, mode="unicode")  # guard admits all four
+    got = {r.i: r.toks for r in
+           df.select("i", analyze_tokens_unicode(F.col("text"))
+                     .alias("toks")).collect()}
+    con = duckdb.connect()
+    for i, (s, want) in enumerate(cases):
+        assert got[i] == want, f"{s!r} -> {got[i]}"
+        duck = con.execute("SELECT " + analyze_toks_unicode_sql("?"),
+                           [s]).fetchone()[0]
+        assert list(duck) == want, f"duckdb {s!r} -> {duck}"
+    con.close()
