@@ -30,7 +30,16 @@ source position):
 Source commands
   ``FROM t1[, t2, ..] [METADATA _index]`` (multi-index unions by field
   name with null padding, ES semantics; ``_index`` carries the source
-  table), ``ROW name = literal, ...``
+  table), ``ROW name = literal, ...``,
+  ``TS table`` (time-series source: the table's registered
+  ``TimeSeriesSpec`` — timestamp + dimension columns, the DataFrame
+  analog of TSDB mappings — arms the next ``STATS`` with per-series
+  inner aggregates ``AVG_OVER_TIME MAX_OVER_TIME MIN_OVER_TIME
+  SUM_OVER_TIME COUNT_OVER_TIME FIRST_OVER_TIME LAST_OVER_TIME RATE``
+  wrapped by an outer aggregate, e.g.
+  ``TS m | STATS qps = SUM(RATE(req)) BY host, tb = BUCKET(ts, 1 hour)``;
+  RATE is Prometheus-style increase / uniform bucket width, resets
+  contribute the post-reset value)
 Processing commands
   ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``INLINESTATS .. [BY ..]``
   (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
@@ -277,6 +286,8 @@ class _Parser:
                 metadata = True
             return {"cmd": "FROM", "table": names[0], "tables": names,
                     "metadata": metadata, "pos": t.pos}
+        if k == "TS":
+            return {"cmd": "TS", "table": self.ident(), "pos": t.pos}
         if k == "ROW":
             cols = []
             while True:
@@ -286,7 +297,7 @@ class _Parser:
                 if not self.accept_op(","):
                     break
             return {"cmd": "ROW", "cols": cols, "pos": t.pos}
-        self.err("query must start with FROM or ROW", t)
+        self.err("query must start with FROM, TS or ROW", t)
 
     def proc_cmd(self) -> dict:
         t = self.next()
@@ -1226,6 +1237,32 @@ _SYNTH_TABLES: dict[str, Callable[[SparkSession], DataFrame]] = {
     "__price_tiers": _price_tiers_df,
 }
 
+@dataclass
+class TimeSeriesSpec:
+    """What makes a table a time-series index: the timestamp column and
+    the dimension columns whose combination identifies a series — the
+    DataFrame analog of ES TSDB's ``@timestamp`` + ``time_series_dimension``
+    mappings, which the ``TS`` command reads from the index."""
+    ts: str
+    dimensions: tuple[str, ...]
+
+
+#: TS-queryable fixture tables (the mapping the TS command consults).
+DEFAULT_TS_SPECS: dict[str, TimeSeriesSpec] = {
+    "events": TimeSeriesSpec("ts", ("user_id", "event_type")),
+}
+
+#: per-series inner aggregates valid only inside STATS over a TS source
+_TS_AGG_NAMES = frozenset({
+    "RATE", "AVG_OVER_TIME", "MAX_OVER_TIME", "MIN_OVER_TIME",
+    "SUM_OVER_TIME", "COUNT_OVER_TIME", "FIRST_OVER_TIME",
+    "LAST_OVER_TIME"})
+
+#: uniform span widths RATE can normalize by (calendar months/years are
+#: non-uniform and refused)
+_SPAN_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                 "week": 604800}
+
 #: Policies resolvable by ``ENRICH`` out of the box (fixture dimensions).
 DEFAULT_POLICIES: dict[str, EnrichPolicy] = {
     "nations": EnrichPolicy("nation", "n_nationkey",
@@ -1240,12 +1277,16 @@ DEFAULT_POLICIES: dict[str, EnrichPolicy] = {
 class _Compiler:
     def __init__(self, spark: SparkSession, sf_dir: Optional[str],
                  tables: Optional[dict[str, DataFrame]],
-                 policies: dict[str, EnrichPolicy], text: str):
+                 policies: dict[str, EnrichPolicy], text: str,
+                 ts_specs: Optional[dict[str, TimeSeriesSpec]] = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables or {}
         self.policies = policies
         self.text = text
+        self.ts_specs = (ts_specs if ts_specs is not None
+                         else DEFAULT_TS_SPECS)
+        self.ts_spec: Optional[TimeSeriesSpec] = None
 
     def load(self, name: str, pos: int) -> DataFrame:
         if name in self.tables:
@@ -1308,6 +1349,10 @@ class _Compiler:
             }[op]()
         if kind == "call":
             name, raw_args, pos = ast[1], ast[2], ast[3]
+            if name in _TS_AGG_NAMES:
+                raise ESQLError(
+                    f"{name} is only valid inside STATS over a TS source",
+                    pos, self.text)
             if name in _AGGS:
                 if not allow_agg:
                     raise ESQLError(
@@ -1358,6 +1403,148 @@ class _Compiler:
         raise ESQLError("computed STATS/BY columns need an explicit "
                         "`name =` (the subset does not synthesize names)")
 
+    # -- time-series STATS (the TS command's aggregation) ---------------------
+    @staticmethod
+    def _split_ts_calls(ast, sink: list):
+        """Replace per-series aggregate calls with placeholder fields
+        ``__ts<k>``, collecting the originals into ``sink``."""
+        if isinstance(ast, tuple):
+            if ast[0] == "call" and ast[1] in _TS_AGG_NAMES:
+                sink.append(ast)
+                return ("field", f"__ts{len(sink) - 1}")
+            return tuple(
+                _Compiler._split_ts_calls(x, sink)
+                if isinstance(x, (tuple, list)) else x for x in ast)
+        if isinstance(ast, list):
+            return [_Compiler._split_ts_calls(x, sink)
+                    if isinstance(x, (tuple, list)) else x for x in ast]
+        return ast
+
+    def _apply_ts_stats(self, df: DataFrame, c: dict) -> DataFrame:
+        """STATS over a ``TS`` source — the ES time-series model: inner
+        ``*_OVER_TIME`` / ``RATE`` aggregates reduce each (series, bucket)
+        first, the outer aggregate then combines across series.
+
+        Plan shape: one projection (bucket + rate deltas via a window
+        partitioned BY SERIES — the partition key is the TSDB routing key,
+        so at scale the window never sees more than one series' bucket),
+        then two partial-aggregable groupBys, |series x buckets| rows in
+        between. RATE pins Prometheus-style increase: sum of positive
+        deltas, counter resets contribute the post-reset value, first
+        sample is baseline; normalized by the bucket's uniform width."""
+        spec, self.ts_spec = self.ts_spec, None
+        cols = df.columns
+        missing = [x for x in (spec.ts, *spec.dimensions) if x not in cols]
+        if missing:
+            raise ESQLError(
+                f"TS series column(s) {missing} were dropped before STATS",
+                c["pos"], self.text)
+        by_names: list[str] = []
+        bucket_name = None
+        bucket_secs = None
+        stage = df
+        for name, e in c["by"]:
+            if e[0] == "call" and e[1] == "BUCKET":
+                if name is None:
+                    raise ESQLError("BUCKET in TS BY needs an explicit "
+                                    "`name =`", c["pos"], self.text)
+                if bucket_name is not None:
+                    raise ESQLError("only one BUCKET per TS STATS",
+                                    c["pos"], self.text)
+                args = e[2]
+                if not (args and args[0][0] == "field"
+                        and args[0][1] == spec.ts):
+                    raise ESQLError(
+                        f"TS BUCKET must bucket the series timestamp "
+                        f"{spec.ts!r}", c["pos"], self.text)
+                span = args[1] if len(args) > 1 else None
+                if (span is not None and span[0] == "span"
+                        and span[1] == 1 and span[2] in _SPAN_SECONDS):
+                    bucket_secs = _SPAN_SECONDS[span[2]]
+                bucket_name = name
+                stage = stage.withColumn(name, self.col(e, stage.columns))
+                by_names.append(name)
+            elif e[0] == "field":
+                nm = name or e[1]
+                if e[1] not in spec.dimensions:
+                    raise ESQLError(
+                        f"TS BY key {e[1]!r} is not a series dimension "
+                        f"(dimensions: {list(spec.dimensions)})",
+                        c["pos"], self.text)
+                if nm != e[1]:
+                    stage = stage.withColumn(nm, F.col(e[1]))
+                by_names.append(nm)
+            else:
+                raise ESQLError("TS BY supports series dimensions and one "
+                                "BUCKET(ts, span)", c["pos"], self.text)
+        inner: list = []
+        outer_specs = []
+        for name, e, cond in c["aggs"]:
+            if cond is not None:
+                raise ESQLError("per-aggregate WHERE is outside the TS "
+                                "STATS subset", c["pos"], self.text)
+            te = self._split_ts_calls(e, inner)
+            if not self._has_agg(te):
+                raise ESQLError(
+                    f"TS STATS column {name!r} needs an OUTER aggregate "
+                    "over the per-series value, e.g. SUM(RATE(x))",
+                    c["pos"], self.text)
+            outer_specs.append((name or self._default_name(e), te))
+        if not inner:
+            raise ESQLError("TS STATS needs at least one *_OVER_TIME or "
+                            "RATE aggregate", c["pos"], self.text)
+        # rate contributions need per-row window deltas before the groupBy
+        for k, call in enumerate(inner):
+            fname, args, pos = call[1], call[2], call[3]
+            if fname != "RATE":
+                continue
+            if len(args) != 1:
+                raise ESQLError("RATE takes one counter field", pos,
+                                self.text)
+            if bucket_secs is None:
+                raise ESQLError(
+                    "RATE needs BY ... BUCKET(ts, span) with a uniform "
+                    f"span ({sorted(_SPAN_SECONDS)}) to normalize by",
+                    pos, self.text)
+            arg = self.col(args[0], stage.columns)
+            w = (Window.partitionBy(*spec.dimensions, bucket_name)
+                 .orderBy(F.col(spec.ts).asc(), arg.asc()))
+            delta = arg - F.lag(arg).over(w)
+            stage = stage.withColumn(
+                f"__rc{k}",
+                F.when(delta.isNull(), F.lit(0.0))
+                .when(delta >= 0, delta.cast("double"))
+                .otherwise(arg.cast("double")))
+        g1 = list(spec.dimensions)
+        g1 += [n for n in by_names if n not in g1]
+        inner_cols = []
+        for k, call in enumerate(inner):
+            fname, args, pos = call[1], call[2], call[3]
+            nm = f"__ts{k}"
+            a0 = (self.col(args[0], df.columns) if args else None)
+            if fname == "RATE":
+                inner_cols.append(
+                    (F.sum(f"__rc{k}") / F.lit(float(bucket_secs)))
+                    .alias(nm))
+            elif fname == "COUNT_OVER_TIME":
+                inner_cols.append(
+                    F.count(a0 if a0 is not None else F.lit(1))
+                    .cast("long").alias(nm))
+            elif fname == "FIRST_OVER_TIME":
+                inner_cols.append(F.min_by(a0, F.col(spec.ts)).alias(nm))
+            elif fname == "LAST_OVER_TIME":
+                inner_cols.append(F.max_by(a0, F.col(spec.ts)).alias(nm))
+            else:
+                op = {"AVG_OVER_TIME": F.avg, "MAX_OVER_TIME": F.max,
+                      "MIN_OVER_TIME": F.min, "SUM_OVER_TIME": F.sum}[fname]
+                inner_cols.append(op(a0).alias(nm))
+        stage1 = stage.groupBy(*g1).agg(*inner_cols)
+        out = [self.col(te, stage1.columns, allow_agg=True).alias(n)
+               for n, te in outer_specs]
+        if by_names:
+            return stage1.groupBy(*by_names).agg(*out)
+        return stage1.agg(*out)
+
     # -- command compilation --------------------------------------------------
     def run(self, cmds: list[dict]) -> DataFrame:
         head = cmds[0]
@@ -1375,6 +1562,20 @@ class _Compiler:
             df = parts[0]
             for part in parts[1:]:
                 df = df.unionByName(part, allowMissingColumns=True)
+        elif head["cmd"] == "TS":
+            spec = self.ts_specs.get(head["table"])
+            if spec is None:
+                raise ESQLError(
+                    f"{head['table']!r} is not a time-series table "
+                    f"(TS-queryable: {sorted(self.ts_specs)})",
+                    head["pos"], self.text)
+            df = self.load(head["table"], head["pos"])
+            missing = [x for x in (spec.ts, *spec.dimensions)
+                       if x not in df.columns]
+            if missing:
+                raise ESQLError(f"TS spec column(s) {missing} missing from "
+                                f"{head['table']!r}", head["pos"], self.text)
+            self.ts_spec = spec
         else:  # ROW
             df = self.spark.range(1).select(
                 *[self.col(e, []).alias(n) for n, e in head["cols"]])
@@ -1391,6 +1592,8 @@ class _Compiler:
             for name, e in c["cols"]:
                 df = df.withColumn(name, self.col(e, df.columns))
             return df
+        if k == "STATS" and self.ts_spec is not None:
+            return self._apply_ts_stats(df, c)
         if k == "STATS":
             group_cols = []
             for name, e in c["by"]:
@@ -1678,7 +1881,8 @@ class _Compiler:
 
 def esql(spark: SparkSession, text: str, sf_dir: Optional[str] = None,
          tables: Optional[dict[str, DataFrame]] = None,
-         policies: Optional[dict[str, EnrichPolicy]] = None) -> DataFrame:
+         policies: Optional[dict[str, EnrichPolicy]] = None,
+         ts_specs: Optional[dict[str, TimeSeriesSpec]] = None) -> DataFrame:
     """Compile and bind an ES|QL query to a lazy DataFrame.
 
     ``FROM x`` resolves ``x`` first in ``tables`` (pre-bound DataFrames),
@@ -1688,5 +1892,5 @@ def esql(spark: SparkSession, text: str, sf_dir: Optional[str] = None,
     cmds = parse(text)
     comp = _Compiler(spark, sf_dir, tables,
                      policies if policies is not None else DEFAULT_POLICIES,
-                     text)
+                     text, ts_specs=ts_specs)
     return comp.run(cmds)

@@ -903,3 +903,93 @@ SELECT event_type, t3[1] AS top1,
 FROM t ORDER BY event_type""",
     "TOP(k) aggregate: per-group top-3 multivalue, then MV_* scalars "
     "reduce it — value-multiset deterministic under ties.")
+
+
+# ---------------------------------------------------------------------------
+# TS: the time-series command (metrics semantics). Inner *_OVER_TIME /
+# RATE aggregates reduce each (series, bucket) first; the outer aggregate
+# combines across series — ES TSDB's two-level model, compiled to one
+# window projection (RATE deltas, partitioned by series so no partition
+# ever exceeds one series' bucket) + two partial-aggregable groupBys.
+
+_register(
+    "q_esql_ts_gauge",
+    """
+TS events
+| STATS load = ROUND(AVG(AVG_OVER_TIME(value)), 4),
+        peak = ROUND(MAX(MAX_OVER_TIME(value)), 4),
+        n_series = COUNT(*)
+  BY event_type, tb = BUCKET(ts, 1 day)
+| SORT event_type, tb
+| LIMIT 50
+""",
+    f"""
+WITH s AS (
+  SELECT user_id, event_type, date_trunc('day', ts) AS tb,
+         avg(value) AS a, max(value) AS m
+  FROM events GROUP BY user_id, event_type, tb)
+SELECT event_type, tb,
+       {roundn_sql('avg(a)', 4)} AS load,
+       {roundn_sql('max(m)', 4)} AS peak,
+       CAST(count(*) AS BIGINT) AS n_series
+FROM s GROUP BY event_type, tb ORDER BY event_type, tb LIMIT 50""",
+    "TS gauge rollup: per-(user, type, day) series averages/maxima, then "
+    "the cross-series combine — never a flat AVG that would weight "
+    "chatty series higher, the exact point of the TSDB model.")
+
+
+ESQL_TS_RATE_TEXT = """
+TS metrics
+| STATS inc = ROUND(SUM(RATE(req_total)) * 86400, 4)
+  BY tb = BUCKET(ts, 1 day)
+| SORT tb
+"""
+
+
+def q_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter RATE over a derived per-host request counter (cumulative
+    count mod 100 — the modulus forces RESETS, exercising the Prometheus
+    increase rule: positive deltas sum, a reset contributes the
+    post-reset value, the first sample is baseline; normalized by the
+    86400 s bucket).
+
+    ES|QL:
+    """ + ESQL_TS_RATE_TEXT
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    host = F.pmod(F.col("user_id"), F.lit(8)).cast("long")
+    w = Window.partitionBy(host).orderBy("ts", "event_id")
+    metrics = ev.select(
+        host.alias("host"), "ts",
+        (F.sum(F.lit(1)).over(w) % 100).alias("req_total"))
+    return esql(spark, ESQL_TS_RATE_TEXT, tables={"metrics": metrics},
+                ts_specs={"metrics": TimeSeriesSpec("ts", ("host",))})
+
+
+QUERIES["q_esql_ts_rate"] = q_esql_ts_rate
+ORACLES["q_esql_ts_rate"] = f"""
+WITH m AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS host, ts,
+         CAST(count(*) OVER (PARTITION BY user_id % 8
+                             ORDER BY ts, event_id) AS BIGINT) % 100
+           AS req_total
+  FROM events),
+d AS (
+  SELECT host, date_trunc('day', ts) AS tb, req_total,
+         req_total - lag(req_total) OVER (
+             PARTITION BY host, date_trunc('day', ts)
+             ORDER BY ts, req_total) AS delta
+  FROM m),
+r AS (
+  SELECT host, tb,
+         sum(CASE WHEN delta IS NULL THEN 0
+                  WHEN delta >= 0 THEN delta
+                  ELSE req_total END) / 86400.0 AS rate
+  FROM d GROUP BY host, tb)
+SELECT tb, {roundn_sql('sum(rate) * 86400', 4)} AS inc
+FROM r GROUP BY tb ORDER BY tb"""

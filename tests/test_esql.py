@@ -55,12 +55,12 @@ def test_parse_not_in():
 
 
 @pytest.mark.parametrize("bad,msg", [
-    ('SELECT * FROM x', "must start with FROM or ROW"),
+    ('SELECT * FROM x', "must start with FROM, TS or ROW"),
     ('FROM events | FROBNICATE x', "unknown command"),
     ('FROM events | WHERE "unterminated', "unterminated string"),
     ('FROM events | LIMIT "ten"', "integer literal"),
     ('FROM events extra', "trailing input"),
-    ('FROM a, b', "multi-index"),
+    ('FROM a METADATA _id', "METADATA _index"),
 ])
 def test_parse_errors(bad, msg):
     with pytest.raises(ESQLError, match=msg):
@@ -793,11 +793,82 @@ def test_top_aggregate_and_std_dev(spark, sf_dir):
 
 
 def test_top_validation():
-    with pytest.raises(ESQLError, match="TOP takes"):
-        parse_compile_err = None
     from elasticsearch_hbase_river_spark.esql import _agg_top
     with pytest.raises(ESQLError, match="TOP takes"):
         _agg_top([None], [("field", "x")])
     with pytest.raises(ESQLError, match="positive"):
         _agg_top([None, None, None],
                  [("field", "x"), ("lit", 0), ("lit", "desc")])
+
+
+# ---------------------------------------------------------------------------
+# TS: the time-series command
+
+def test_ts_two_level_semantics(spark):
+    """The inner aggregate reduces per series FIRST: a chatty series must
+    not outweigh a quiet one in the outer AVG."""
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+
+    rows = [  # host a: 3 samples all 10; host b: 1 sample of 40
+        ("a", "2024-01-01 00:01:00", 10.0),
+        ("a", "2024-01-01 00:02:00", 10.0),
+        ("a", "2024-01-01 00:03:00", 10.0),
+        ("b", "2024-01-01 00:04:00", 40.0),
+    ]
+    m = spark.createDataFrame(rows, "host string, t string, v double") \
+        .selectExpr("host", "cast(t as timestamp_ntz) as t", "v")
+    got = esql(spark, "TS m | STATS x = AVG(AVG_OVER_TIME(v)), "
+                      "f = MIN(FIRST_OVER_TIME(v)), "
+                      "l = MAX(LAST_OVER_TIME(v)), "
+                      "n = SUM(COUNT_OVER_TIME(v)) "
+                      "BY tb = BUCKET(t, 1 hour)",
+               tables={"m": m},
+               ts_specs={"m": TimeSeriesSpec("t", ("host",))}).collect()[0]
+    assert got.x == 25.0          # (10 + 40) / 2 series, NOT 70/4
+    assert got.f == 10.0 and got.l == 40.0 and got.n == 4
+
+
+def test_ts_rate_resets_and_baseline(spark):
+    """Prometheus increase: first sample is baseline, positive deltas sum,
+    a reset contributes the post-reset value."""
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+
+    rows = [("h", "2024-01-01 00:00:10", 100),   # baseline
+            ("h", "2024-01-01 00:10:00", 130),   # +30
+            ("h", "2024-01-01 00:20:00", 5),     # reset -> +5
+            ("h", "2024-01-01 00:30:00", 25)]    # +20
+    m = spark.createDataFrame(rows, "host string, t string, c long") \
+        .selectExpr("host", "cast(t as timestamp_ntz) as t", "c")
+    got = esql(spark, "TS m | STATS r = ROUND(SUM(RATE(c)) * 3600, 4) "
+                      "BY tb = BUCKET(t, 1 hour)",
+               tables={"m": m},
+               ts_specs={"m": TimeSeriesSpec("t", ("host",))}).collect()
+    assert len(got) == 1 and got[0].r == 55.0    # 30 + 5 + 20
+
+
+def test_ts_validation_errors(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.esql import esql as _esql
+    cases = {
+        "FROM events | STATS x = AVG(AVG_OVER_TIME(value))":
+            "only valid inside STATS over a TS source",
+        "TS events | STATS x = AVG_OVER_TIME(value)": "OUTER aggregate",
+        "TS events | STATS x = SUM(RATE(value)) BY event_type":
+            "uniform span",
+        "TS events | STATS x = COUNT(*) BY event_type": "at least one",
+        "TS events | STATS x = SUM(SUM_OVER_TIME(value)) BY value":
+            "not a series dimension",
+        "TS region | STATS x = SUM(SUM_OVER_TIME(r_regionkey))":
+            "not a time-series table",
+    }
+    for text, msg in cases.items():
+        with pytest.raises(ESQLError, match=msg):
+            _esql(spark, text, sf_dir).collect()
+
+
+def test_ts_prefix_where_applies(spark, sf_dir):
+    n_all = esql(spark, "TS events | STATS n = SUM(COUNT_OVER_TIME(value)) "
+                        "BY event_type | SORT event_type", sf_dir).collect()
+    n_f = esql(spark, "TS events | WHERE value > 50 "
+                      "| STATS n = SUM(COUNT_OVER_TIME(value)) "
+                      "BY event_type | SORT event_type", sf_dir).collect()
+    assert sum(r.n for r in n_f) < sum(r.n for r in n_all)
