@@ -73,6 +73,9 @@ Scalar functions
   SIN COS TAN ASIN ACOS ATAN ATAN2 SINH COSH TANH CBRT HYPOT PI TAU E
   TO_DEGREES TO_RADIANS MD5 SHA1 SHA256 TO_BASE64 FROM_BASE64
   BIT_LENGTH BYTE_LENGTH SPACE TO_BOOLEAN
+  ST_POINT TO_GEOPOINT ST_X ST_Y ST_DISTANCE (geo_point =
+  struct<lon, lat>, WKT "POINT (lon lat)"; ST_DISTANCE returns
+  great-circle meters on the same sphere as the DSL geo pack)
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
@@ -955,6 +958,66 @@ def _scalar_ip_prefix(args, raw):
 
 _SCALARS["TO_IP"] = _scalar_to_ip
 _SCALARS["IP_PREFIX"] = _scalar_ip_prefix
+
+# -- spatial: geo_point subset (struct<lon, lat>, WKT "POINT (lon lat)") --
+
+#: mean earth radius in meters — same sphere as the DSL geo pack
+#: (`operators/esdsl3.py:EARTH_R_KM` = 6371.0088), so language-level and
+#: DSL-level distances agree to the meter.
+_EARTH_R_M = 6371008.8
+
+_WKT_POINT_RE = re.compile(
+    r"^\s*POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\)\s*$",
+    re.IGNORECASE)
+_WKT_POINT_SQL = r"^\s*POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)\s*$"
+
+
+def _geopoint(lon: Column, lat: Column) -> Column:
+    return F.struct(lon.cast("double").alias("lon"),
+                    lat.cast("double").alias("lat"))
+
+
+def _scalar_st_point(args, raw):
+    if len(args) != 2:
+        raise ESQLError("ST_POINT takes (x, y) = (lon, lat)")
+    return _geopoint(args[0], args[1])
+
+
+def _scalar_to_geopoint(args, raw):
+    """WKT ``POINT (lon lat)`` → geo_point; malformed input folds to a
+    null-membered point (the ES|QL null-with-warning convention)."""
+    if len(raw) != 1:
+        raise ESQLError("TO_GEOPOINT takes one WKT string")
+    if raw[0][0] == "lit" and isinstance(raw[0][1], str):
+        m = _WKT_POINT_RE.match(raw[0][1])
+        if not m:
+            raise ESQLError(f"bad WKT point literal {raw[0][1]!r}")
+        return _geopoint(F.lit(float(m.group(1))),
+                         F.lit(float(m.group(2))))
+    lon = F.regexp_extract(args[0], _WKT_POINT_SQL, 1)
+    lat = F.regexp_extract(args[0], _WKT_POINT_SQL, 2)
+    return _geopoint(F.when(lon != "", lon), F.when(lat != "", lat))
+
+
+def _scalar_st_distance(args, raw):
+    """Great-circle METERS between two geo_points (the ES ST_DISTANCE
+    contract for geo_point) — haversine on the shared sphere, all
+    codegen'd JVM libm, no UDF."""
+    if len(args) != 2:
+        raise ESQLError("ST_DISTANCE takes two geo_points")
+    lat1, lon1 = F.radians(args[0]["lat"]), F.radians(args[0]["lon"])
+    lat2, lon2 = F.radians(args[1]["lat"]), F.radians(args[1]["lon"])
+    h = (F.pow(F.sin((lat2 - lat1) / 2), F.lit(2.0))
+         + F.cos(lat1) * F.cos(lat2)
+         * F.pow(F.sin((lon2 - lon1) / 2), F.lit(2.0)))
+    return F.lit(2.0 * _EARTH_R_M) * F.asin(F.sqrt(h))
+
+
+_SCALARS["ST_POINT"] = _scalar_st_point
+_SCALARS["TO_GEOPOINT"] = _scalar_to_geopoint
+_SCALARS["ST_DISTANCE"] = _scalar_st_distance
+_SCALARS["ST_X"] = lambda a, r: a[0]["lon"]
+_SCALARS["ST_Y"] = lambda a, r: a[0]["lat"]
 
 _SCALARS["MV_DEDUPE"] = lambda a, r: F.array_sort(F.array_distinct(a[0]))
 _SCALARS["MV_SORT"] = lambda a, r: F.array_sort(a[0])

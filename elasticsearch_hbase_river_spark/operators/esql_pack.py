@@ -993,3 +993,54 @@ r AS (
   FROM d GROUP BY host, tb)
 SELECT tb, {roundn_sql('sum(rate) * 86400', 4)} AS inc
 FROM r GROUP BY tb ORDER BY tb"""
+
+
+# ---------------------------------------------------------------------------
+# Spatial ST_* family over the DSL geo pack's derived user locations
+# (operators/esdsl3.py:_geo_users — md5-derived stable per-user points; the
+# synthesis is fixture plumbing, the language surface under test is
+# ST_POINT / TO_GEOPOINT / ST_DISTANCE / ring bucketing).
+
+ESQL_GEO_TEXT = """
+FROM geo_users
+| EVAL d = ST_DISTANCE(ST_POINT(lon, lat), TO_GEOPOINT("POINT (-122.0 37.0)"))
+| WHERE d < 4000000.0
+| EVAL dr = ROUND(d / 1000.0, 4), ring = TO_LONG(FLOOR(d / 1000000.0))
+| STATS n_users = COUNT(*), avg_km = ROUND(AVG(dr), 2) BY ring
+| SORT ring
+"""
+
+
+def q_esql_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-ring histogram in the language: per-user great-circle
+    meters from the origin (haversine, codegen'd libm), 1000 km rings.
+    Same sphere and derivation as the DSL's q_geo_distance, so the two
+    surfaces corroborate each other.
+
+    ES|QL:
+    """ + ESQL_GEO_TEXT
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import _geo_users
+
+    return esql(spark, ESQL_GEO_TEXT,
+                tables={"geo_users": _geo_users(spark, sf_dir)})
+
+
+def _esql_geo_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        _geo_users_sql,
+        _haversine_sql,
+    )
+
+    dist_m = "(" + _haversine_sql("37.0", "-122.0", "lat", "lon") + " * 1000.0)"
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")}),
+d AS (SELECT {dist_m} AS d FROM geo_users)
+SELECT CAST(floor(d / 1000000.0) AS BIGINT) AS ring,
+       CAST(count(*) AS BIGINT) AS n_users,
+       {roundn_sql(f"avg({roundn_sql('d / 1000.0', 4)})", 2)} AS avg_km
+FROM d WHERE d < 4000000.0
+GROUP BY ring ORDER BY ring"""
+
+
+QUERIES["q_esql_geo_rings"] = q_esql_geo_rings
+ORACLES["q_esql_geo_rings"] = _esql_geo_oracle()

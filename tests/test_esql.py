@@ -872,3 +872,22 @@ def test_ts_prefix_where_applies(spark, sf_dir):
                       "| STATS n = SUM(COUNT_OVER_TIME(value)) "
                       "BY event_type | SORT event_type", sf_dir).collect()
     assert sum(r.n for r in n_f) < sum(r.n for r in n_all)
+
+
+def test_st_point_family(spark):
+    row = esql(spark, 'ROW x = 1 | EVAL p = ST_POINT(-122.0, 37.0), '
+               'px = ST_X(p), py = ST_Y(p), '
+               'g = TO_GEOPOINT("POINT (2.5 -10.25)"), gx = ST_X(g), '
+               'bad = ST_X(TO_GEOPOINT(TO_STRING("nope"))), '
+               'd = ROUND(ST_DISTANCE(ST_POINT(0.0, 0.0), '
+               '                      ST_POINT(1.0, 0.0)) / 1000.0, 1)'
+               ).collect()[0]
+    assert row.px == -122.0 and row.py == 37.0
+    assert row.gx == 2.5 and row.bad is None
+    assert row.d == 111.2  # one equatorial degree on the 6371.0088 sphere
+
+
+def test_to_geopoint_bad_literal_is_compile_error():
+    from elasticsearch_hbase_river_spark.esql import _scalar_to_geopoint
+    with pytest.raises(ESQLError, match="bad WKT"):
+        _scalar_to_geopoint([None], [("lit", "LINESTRING (0 0, 1 1)")])
