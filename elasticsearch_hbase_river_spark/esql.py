@@ -50,6 +50,9 @@ Processing commands
   ``ENRICH policy ON field [WITH f, ..]`` (``match`` and ``range``
   policy types; range bounds are half-open ``[lo, hi)``),
   ``FORK ( .. ) ( .. )`` (branch pipelines unioned with ``_fork``),
+  ``FUSE [rrf|linear]`` (hybrid-ranking fusion of FORK branches keyed by
+  ``_id``: rrf = sum of 1/(60 + per-branch rank by ``_score``), linear =
+  raw score sum; other columns merge by MAX),
   ``CHANGE_POINT value ON key [AS type, pvalue]`` (step-change detection
   with a two-sided z-test p-value; marks the first key of the new
   regime, the ES convention),
@@ -208,7 +211,7 @@ _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
 
 _CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
          "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
-         "LOOKUP", "ENRICH", "FORK", "CHANGE_POINT", "SAMPLE")
+         "LOOKUP", "ENRICH", "FORK", "FUSE", "CHANGE_POINT", "SAMPLE")
 
 
 class _Parser:
@@ -428,6 +431,12 @@ class _Parser:
             if len(branches) < 2:
                 self.err("FORK needs at least two ( .. ) branches", t)
             return {"cmd": "FORK", "branches": branches, "pos": t.pos}
+        if k == "FUSE":
+            method = "rrf"
+            if self.peek().kind == "IDENT" and self.kw(self.peek()) in (
+                    "RRF", "LINEAR"):
+                method = self.kw(self.next()).lower()
+            return {"cmd": "FUSE", "method": method, "pos": t.pos}
         if k == "CHANGE_POINT":
             val = self.ident()
             self.expect_kw("ON")
@@ -1900,6 +1909,35 @@ class _Compiler:
             for b in outs[1:]:
                 out = out.unionByName(b, allowMissingColumns=True)
             return out
+        if k == "FUSE":
+            # Hybrid-ranking fusion of FORK branches (ES 9.x FUSE). Subset
+            # contract: rows carry `_id` (the fusion key) and `_score`;
+            # `rrf` ranks each branch by (_score desc, _id) and scores
+            # sum(1/(60 + rank)) — the published RRF constant — while
+            # `linear` sums the raw scores. Remaining columns merge by
+            # MAX (deterministic, unlike first-non-null under shuffles).
+            # Scale shape: the rank window partitions by _fork, and FORK
+            # branches are top-k-bounded by construction in retrieval
+            # pipelines, so the window never sorts more than one branch's
+            # k rows; the fuse itself is one |branches x k| groupBy.
+            for need in ("_fork", "_id", "_score"):
+                if need not in df.columns:
+                    raise ESQLError(
+                        f"FUSE needs a {need} column (FORK output with an "
+                        "_id key and per-branch _score)", c["pos"],
+                        self.text)
+            others = [x for x in df.columns
+                      if x not in ("_id", "_score", "_fork")]
+            if c["method"] == "rrf":
+                w = (Window.partitionBy("_fork")
+                     .orderBy(F.col("_score").desc(), F.col("_id").asc()))
+                contrib = F.lit(1.0) / (F.lit(60) + F.row_number().over(w))
+            else:  # linear
+                contrib = F.col("_score").cast("double")
+            scored = df.withColumn("__fuse_c", contrib)
+            return scored.groupBy("_id").agg(
+                F.sum("__fuse_c").alias("_score"),
+                *[F.max(x).alias(x) for x in others])
         if k == "ENRICH":
             pol = self.policies.get(c["policy"])
             if pol is None:

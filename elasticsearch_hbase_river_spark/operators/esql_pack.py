@@ -1044,3 +1044,47 @@ GROUP BY ring ORDER BY ring"""
 
 QUERIES["q_esql_geo_rings"] = q_esql_geo_rings
 ORACLES["q_esql_geo_rings"] = _esql_geo_oracle()
+
+
+# ---------------------------------------------------------------------------
+# FUSE: hybrid retrieval via reciprocal rank fusion (ES 9.x) — two term
+# rankings forked from one scan, fused by 1/(60 + rank), entirely in the
+# language. The term-frequency proxy keeps the oracle exact (byte counts,
+# no libm); the surface under test is FORK -> per-branch top-k -> FUSE.
+
+_register(
+    "q_esql_fuse_hybrid",
+    """
+FROM documents
+| EVAL _id = doc_id,
+       s1 = (BYTE_LENGTH(text) - BYTE_LENGTH(REPLACE(text, "data", ""))) / 4,
+       s2 = (BYTE_LENGTH(text) - BYTE_LENGTH(REPLACE(text, "model", ""))) / 5
+| FORK ( WHERE s1 > 0 | EVAL _score = TO_DOUBLE(s1)
+         | SORT _score DESC, _id | LIMIT 20 )
+       ( WHERE s2 > 0 | EVAL _score = TO_DOUBLE(s2)
+         | SORT _score DESC, _id | LIMIT 20 )
+| FUSE
+| EVAL _score = ROUND(_score, 6)
+| SORT _score DESC, _id
+| LIMIT 10
+| KEEP _id, _score
+""",
+    f"""
+WITH base AS (
+  SELECT doc_id AS _id,
+         (strlen(text) - strlen(replace(text, 'data', ''))) / 4 AS s1,
+         (strlen(text) - strlen(replace(text, 'model', ''))) / 5 AS s2
+  FROM documents),
+b1 AS (SELECT _id, row_number() OVER (ORDER BY CAST(s1 AS DOUBLE) DESC, _id)
+         AS r FROM base WHERE s1 > 0),
+b2 AS (SELECT _id, row_number() OVER (ORDER BY CAST(s2 AS DOUBLE) DESC, _id)
+         AS r FROM base WHERE s2 > 0),
+u AS (SELECT _id, 1.0 / (60 + r) AS c FROM b1 WHERE r <= 20
+      UNION ALL
+      SELECT _id, 1.0 / (60 + r) AS c FROM b2 WHERE r <= 20)
+SELECT _id, {roundn_sql('sum(c)', 6)} AS _score
+FROM u GROUP BY _id
+ORDER BY _score DESC, _id LIMIT 10""",
+    "Hybrid retrieval: two rankings from one scan, per-branch top-20, "
+    "RRF-fused — the FORK/FUSE shape of ES hybrid search; windows only "
+    "ever sort one branch's k rows.")

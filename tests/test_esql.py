@@ -891,3 +891,46 @@ def test_to_geopoint_bad_literal_is_compile_error():
     from elasticsearch_hbase_river_spark.esql import _scalar_to_geopoint
     with pytest.raises(ESQLError, match="bad WKT"):
         _scalar_to_geopoint([None], [("lit", "LINESTRING (0 0, 1 1)")])
+
+
+def test_fuse_rrf_semantics(spark):
+    """doc overlapping both branches outranks single-branch docs; rrf
+    contribution is 1/(60 + per-branch rank)."""
+    rows = [(1, 9.0, 0.0), (2, 5.0, 7.0), (3, 0.0, 8.0)]
+    t = spark.createDataFrame(rows, "doc long, a double, b double")
+    got = esql(spark, """
+FROM t
+| EVAL _id = doc
+| FORK ( WHERE a > 0 | EVAL _score = a | SORT _score DESC, _id | LIMIT 5 )
+       ( WHERE b > 0 | EVAL _score = b | SORT _score DESC, _id | LIMIT 5 )
+| FUSE
+| SORT _score DESC, _id
+| KEEP _id, _score
+""", tables={"t": t}).collect()
+    assert [r._id for r in got] == [2, 1, 3]
+    # doc 2 is rank 2 in BOTH branches; docs 1 and 3 are rank 1 in one
+    assert abs(got[0]._score - (1 / 62 + 1 / 62)) < 1e-12
+    assert abs(got[1]._score - 1 / 61) < 1e-12
+    assert abs(got[2]._score - 1 / 61) < 1e-12
+
+
+def test_fuse_linear_sums_scores(spark):
+    rows = [(1, 2.0, 3.0), (2, 10.0, 0.0)]
+    t = spark.createDataFrame(rows, "doc long, a double, b double")
+    got = esql(spark, """
+FROM t
+| EVAL _id = doc
+| FORK ( WHERE a > 0 | EVAL _score = a ) ( WHERE b > 0 | EVAL _score = b )
+| FUSE linear
+| SORT _score DESC
+| KEEP _id, _score
+""", tables={"t": t}).collect()
+    assert [(r._id, r._score) for r in got] == [(2, 10.0), (1, 5.0)]
+
+
+def test_fuse_requires_fork_id_score(spark):
+    with pytest.raises(ESQLError, match="_fork"):
+        esql(spark, "ROW _id = 1, _score = 1.0 | FUSE")
+    t_text = ("ROW a = 1 | FORK ( EVAL b = 1 ) ( EVAL b = 2 ) | FUSE")
+    with pytest.raises(ESQLError, match="_id"):
+        esql(spark, t_text)
