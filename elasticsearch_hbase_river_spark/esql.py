@@ -45,7 +45,8 @@ Processing commands
   (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
   FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
   ``RENAME old AS new``, ``MV_EXPAND``,
-  ``DISSECT`` (incl. ``%{+key}`` append + ``APPEND_SEPARATOR``), ``GROK``,
+  ``DISSECT`` (incl. ``%{+key}`` append + ``APPEND_SEPARATOR``,
+  ``%{?name}`` named skips, ``%{key->}`` right padding), ``GROK``,
   ``LOOKUP JOIN table ON f1[, f2, ..]`` (multi-key),
   ``ENRICH policy ON field [WITH f, ..]`` (``match`` and ``range``
   policy types; range bounds are half-open ``[lo, hi)``),
@@ -1183,7 +1184,7 @@ _GROK_PATTERNS = {
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
-_DISSECT_REF = re.compile(r"%\{(\+?)(\w*)\}")
+_DISSECT_REF = re.compile(r"%\{([+?]?)(\w*)(->)?\}")
 _GROK_CASTS = {"int": "long", "long": "long", "float": "double",
                "double": "double"}
 
@@ -1194,23 +1195,43 @@ def _compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     ``%{+key}`` is the ES dissect APPEND modifier: a repeated key whose
     captures are joined (in pattern order) with the command's
     APPEND_SEPARATOR — the key simply appears more than once in the
-    returned capture list and the apply site concatenates its groups."""
+    returned capture list and the apply site concatenates its groups.
+    ``%{?name}`` is a NAMED SKIP (documented, never captured); ``->``
+    after any key is the RIGHT-PADDING modifier: the delimiter that
+    follows may repeat, so ragged column alignment still dissects."""
     regex, keys, last = ["^"], [], 0
     matches = list(_DISSECT_REF.finditer(pattern))
     if not matches:
         raise ESQLError("DISSECT pattern has no %{key} captures")
+    pad_prev = False
     for idx, m in enumerate(matches):
-        regex.append(re.escape(pattern[last:m.start()]))
+        lit = pattern[last:m.start()]
+        if pad_prev and lit:
+            regex.append("(?:" + re.escape(lit) + ")+")
+        else:
+            regex.append(re.escape(lit))
+        pad_prev = bool(m.group(3))
         greedy = idx == len(matches) - 1
-        if m.group(2):
-            regex.append("(.*)" if greedy else "(.*?)")
-            keys.append((m.group(2), "string", bool(m.group(1))))
-        elif m.group(1):
+        mod, name = m.group(1), m.group(2)
+        if mod == "?":
+            if not name:
+                raise ESQLError("dissect %{?} named skip needs a name")
+            regex.append(".*" if greedy else ".*?")
+        elif name:
+            # a padded key must stay LAZY even in last position, or the
+            # greedy capture would swallow all but one delimiter repeat
+            regex.append("(.*)" if greedy and not pad_prev else "(.*?)")
+            keys.append((name, "string", mod == "+"))
+        elif mod == "+":
             raise ESQLError("dissect %{+} append modifier needs a key name")
         else:
             regex.append(".*" if greedy else ".*?")
         last = m.end()
-    regex.append(re.escape(pattern[last:]) + "$")
+    tail = pattern[last:]
+    if pad_prev and tail:
+        regex.append("(?:" + re.escape(tail) + ")+$")
+    else:
+        regex.append(re.escape(tail) + "$")
     seen = set()
     for key, _, append in keys:
         if key in seen and not append:

@@ -934,3 +934,19 @@ def test_fuse_requires_fork_id_score(spark):
     t_text = ("ROW a = 1 | FORK ( EVAL b = 1 ) ( EVAL b = 2 ) | FUSE")
     with pytest.raises(ESQLError, match="_id"):
         esql(spark, t_text)
+
+
+def test_dissect_right_padding_and_named_skip(spark):
+    row = esql(spark, 'ROW line = "ab   cd ef" '
+               '| DISSECT line "%{a->} %{?skipme} %{b}"').first()
+    assert row.a == "ab" and row.b == "ef"
+    assert "skipme" not in row.asDict()
+    # padding on the LAST capture's trailing literal
+    row2 = esql(spark, 'ROW line = "x=1;;;" '
+                '| DISSECT line "x=%{v->};"').first()
+    assert row2.v == "1"
+
+
+def test_dissect_named_skip_requires_name():
+    with pytest.raises(ESQLError, match="named skip needs a name"):
+        _compile_dissect("%{a} %{?}")
