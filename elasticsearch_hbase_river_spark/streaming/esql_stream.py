@@ -105,6 +105,10 @@ def plan_esql_stream(text: str) -> dict:
     if cmds[0]["cmd"] != "FROM":
         raise ESQLError("streaming ES|QL needs a FROM <stream> head", 0,
                         text)
+    if len(cmds[0].get("tables", [cmds[0]["table"]])) > 1:
+        raise ESQLError("streaming ES|QL binds exactly one stream — "
+                        "multi-index FROM is batch-only",
+                        cmds[0]["pos"], text)
     stats_ix = [i for i, c in enumerate(cmds) if c["cmd"] == "STATS"]
     if len(stats_ix) != 1:
         raise ESQLError(

@@ -122,3 +122,8 @@ def test_plan_validation():
         plan_esql_stream("ROW a = 1 | STATS n = COUNT(*)")
     # scalar wrappers and per-agg WHERE stay mergeable
     assert plan_esql_stream(MERGE_TEXT)["mergeable"]
+
+
+def test_multi_index_head_refused():
+    with pytest.raises(ESQLError, match="batch-only"):
+        plan_esql_stream("FROM a, b | STATS n = COUNT(*)")
