@@ -80,6 +80,8 @@ Scalar functions
   ST_POINT TO_GEOPOINT ST_X ST_Y ST_DISTANCE (geo_point =
   struct<lon, lat>, WKT "POINT (lon lat)"; ST_DISTANCE returns
   great-circle meters on the same sphere as the DSL geo pack)
+  CATEGORIZE (log-line grouping by alphabetic skeleton — deterministic
+  stand-in for ES's ML categorizer, documented in the function)
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
@@ -1121,6 +1123,23 @@ _SCALARS["SPACE"] = lambda a, r: F.repeat(F.lit(" "), a[0].cast("int"))
 #: string "true"/"false" (any case) and numeric != 0; bad strings -> null
 #: (try_cast: the ES|QL null-with-warning convention, never a hard error)
 _SCALARS["TO_BOOLEAN"] = lambda a, r: a[0].try_cast("boolean")
+
+
+def _scalar_categorize(args, raw):
+    """ES|QL ``CATEGORIZE(message)`` — group semi-structured log lines by
+    their stable text skeleton. ES's categorizer is an ML tokenizer; this
+    engine pins a DETERMINISTIC, oracle-mirrorable rule (documented
+    deviation in rendering, same grouping intent): the category is the
+    message's alphabetic-token sequence — every run of [A-Za-z] letters in
+    order, variable parts (numbers, ids, punctuation) masked out — joined
+    with single spaces. Pure codegen'd split/filter/join, no UDF."""
+    if len(args) != 1:
+        raise ESQLError("CATEGORIZE takes one string argument")
+    toks = F.split(args[0], "[^A-Za-z]+")
+    return F.array_join(F.filter(toks, lambda t: t != ""), " ")
+
+
+_SCALARS["CATEGORIZE"] = _scalar_categorize
 
 
 def _agg_percentile(args, raw):

@@ -1088,3 +1088,36 @@ ORDER BY _score DESC, _id LIMIT 10""",
     "Hybrid retrieval: two rankings from one scan, per-branch top-20, "
     "RRF-fused — the FORK/FUSE shape of ES hybrid search; windows only "
     "ever sort one branch's k rows.")
+
+
+# ---------------------------------------------------------------------------
+# CATEGORIZE: log-line categorization in STATS BY (deterministic skeleton
+# rule — see _scalar_categorize). The query synthesizes log-shaped lines
+# so the masking is load-bearing: ids and measures vary per row, the
+# category stays stable per (verb, type) shape.
+
+_register(
+    "q_esql_categorize",
+    """
+FROM events
+| EVAL msg = CONCAT("user ", TO_STRING(user_id), " did ", event_type,
+                    " value=", TO_STRING(value))
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id)
+  BY cat = CATEGORIZE(msg)
+| SORT n DESC, cat
+""",
+    """
+WITH c AS (
+  SELECT user_id,
+         array_to_string(list_filter(
+           string_split_regex('user ' || CAST(user_id AS VARCHAR)
+                              || ' did ' || event_type || ' value='
+                              || CAST(value AS VARCHAR), '[^A-Za-z]+'),
+           x -> x <> ''), ' ') AS cat
+  FROM events)
+SELECT cat, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM c GROUP BY cat ORDER BY n DESC, cat""",
+    "Log categorization: variable parts (ids, measures) mask out, the "
+    "alphabetic skeleton groups — map-side split/filter/join, one "
+    "partial-agg shuffle on the category.")

@@ -950,3 +950,14 @@ def test_dissect_right_padding_and_named_skip(spark):
 def test_dissect_named_skip_requires_name():
     with pytest.raises(ESQLError, match="named skip needs a name"):
         _compile_dissect("%{a} %{?}")
+
+
+def test_categorize_masks_variable_parts(spark):
+    rows = esql(spark, 'ROW a = 1 | FORK '
+                '( EVAL m = "Connected to 10.0.0.1 port 8080" ) '
+                '( EVAL m = "Connected to 10.9.3.7 port 443" ) '
+                '( EVAL m = "Disconnected after 12ms" ) '
+                '| STATS n = COUNT(*) BY cat = CATEGORIZE(m) '
+                '| SORT n DESC, cat').collect()
+    assert [(r.cat, r.n) for r in rows] == [
+        ("Connected to port", 2), ("Disconnected after ms", 1)]
