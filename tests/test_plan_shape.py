@@ -514,3 +514,40 @@ def test_hybrid_indexed_reads_both_indexes_pruned(spark, sf_dir):
     assert "PartitionFilters: [cell" in plan
     assert "PartitionFilters: [tbucket" in plan or "tbucket#" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_esql_ts_stats_is_two_partial_aggs_plus_series_window(spark, sf_dir):
+    """TS STATS must plan as: one window (RATE deltas, partitioned by the
+    SERIES key so no partition exceeds one series' bucket) below two
+    partial-aggregable groupBys — never a join, never a cartesian."""
+    from elasticsearch_hbase_river_spark.operators.esql_pack import QUERIES
+
+    plan = _plan(QUERIES["q_esql_ts_gauge"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+    plan_rate = _plan(QUERIES["q_esql_ts_rate"](spark, sf_dir))
+    assert "Window" in plan_rate
+    # the delta window is keyed by (series dims, bucket) — host must be
+    # in the partition spec, so scale-out never widens a partition past
+    # one series' bucket
+    assert "windowspecdefinition(host" in plan_rate.lower()
+
+
+def test_esql_fuse_ranks_within_branch_no_cartesian(spark, sf_dir):
+    from elasticsearch_hbase_river_spark.operators.esql_pack import QUERIES
+
+    plan = _plan(QUERIES["q_esql_fuse_hybrid"](spark, sf_dir))
+    assert "windowspecdefinition(_fork" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_esql_enrich_range_broadcasts_interval_dimension(spark, sf_dir):
+    """The range policy join must be a BROADCAST nested-loop over the
+    4-row tier dimension — a plain NestedLoop/Cartesian over the fact
+    side would be the 100 TB killer."""
+    from elasticsearch_hbase_river_spark.operators.esql_pack import QUERIES
+
+    plan = _plan(QUERIES["q_esql_enrich_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
