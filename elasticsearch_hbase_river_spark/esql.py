@@ -73,7 +73,8 @@ Scalar functions
   BUCKET LOG SIGNUM LOCATE REVERSE REPEAT HASH CIDR_MATCH TO_IP IP_PREFIX
   MV_COUNT MV_MIN MV_MAX MV_DEDUPE MV_SORT MV_SLICE (incl. negative
   end-relative bounds) MV_SUM MV_AVG MV_MEDIAN MV_FIRST MV_LAST
-  MV_CONCAT MV_APPEND MV_ZIP
+  MV_CONCAT MV_APPEND MV_ZIP MV_PERCENTILE
+  MV_MEDIAN_ABSOLUTE_DEVIATION
   SIN COS TAN ASIN ACOS ATAN ATAN2 SINH COSH TANH CBRT HYPOT PI TAU E
   TO_DEGREES TO_RADIANS MD5 SHA1 SHA256 TO_BASE64 FROM_BASE64
   BIT_LENGTH BYTE_LENGTH SPACE TO_BOOLEAN
@@ -899,6 +900,43 @@ def _scalar_mv_median(args, raw):
     even = ((F.element_at(arr, h).cast("double")
              + F.element_at(arr, h + 1).cast("double")) / 2.0)
     return F.when(n > 0, F.when(n % 2 == 1, odd).otherwise(even))
+
+
+def _mv_percentile_of(arr_sorted: Column, n: Column, p: Column) -> Column:
+    """Linear-interpolated percentile over a SORTED array (the PERCENTILE
+    aggregate's interpolation rule, applied per multivalue)."""
+    rank = (p.cast("double") / 100.0) * (n.cast("double") - 1)
+    lo = F.floor(rank).cast("int")
+    frac = rank - lo.cast("double")
+    v_lo = F.element_at(arr_sorted, lo + 1).cast("double")
+    v_hi = F.element_at(arr_sorted, F.least(lo + 2, n)).cast("double")
+    return F.when(n > 0, v_lo + (v_hi - v_lo) * frac)
+
+
+def _scalar_mv_percentile(args, raw):
+    if len(args) != 2:
+        raise ESQLError("MV_PERCENTILE takes (array, percent)")
+    arr = F.array_sort(args[0])
+    return _mv_percentile_of(arr, F.size(arr), args[1])
+
+
+def _scalar_mv_mad(args, raw):
+    """MV_MEDIAN_ABSOLUTE_DEVIATION: median(|x - median(values)|).
+    The median is captured inside the deviation transform — per-row
+    re-evaluation bounded by the MULTIVALUE length (O(m²) on a per-row
+    array, not the corpus-sized SPARK-36715 hazard)."""
+    if len(args) != 1:
+        raise ESQLError("MV_MEDIAN_ABSOLUTE_DEVIATION takes one array")
+    arr = F.array_sort(args[0])
+    n = F.size(arr)
+    med = _mv_percentile_of(arr, n, F.lit(50.0))
+    devs = F.array_sort(
+        F.transform(args[0], lambda x: F.abs(x.cast("double") - med)))
+    return _mv_percentile_of(devs, n, F.lit(50.0))
+
+
+_SCALARS["MV_PERCENTILE"] = _scalar_mv_percentile
+_SCALARS["MV_MEDIAN_ABSOLUTE_DEVIATION"] = _scalar_mv_mad
 
 
 def _scalar_mv_concat(args, raw):

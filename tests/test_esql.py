@@ -961,3 +961,15 @@ def test_categorize_masks_variable_parts(spark):
                 '| SORT n DESC, cat').collect()
     assert [(r.cat, r.n) for r in rows] == [
         ("Connected to port", 2), ("Disconnected after ms", 1)]
+
+
+def test_mv_percentile_and_mad(spark):
+    row = esql(spark, 'ROW a = 1 | EVAL v = MV_APPEND(MV_APPEND('
+               'MV_APPEND(SPLIT("1", ","), SPLIT("2", ",")), '
+               'SPLIT("3", ",")), SPLIT("4", ",")), '
+               'p50 = MV_PERCENTILE(v, 50), p0 = MV_PERCENTILE(v, 0), '
+               'p100 = MV_PERCENTILE(v, 100), '
+               'mad = MV_MEDIAN_ABSOLUTE_DEVIATION(v)').collect()[0]
+    assert row.p50 == 2.5 and row.p0 == 1.0 and row.p100 == 4.0
+    # median 2.5; |devs| = [1.5, 0.5, 0.5, 1.5]; median of devs = 1.0
+    assert row.mad == 1.0
