@@ -1121,3 +1121,73 @@ FROM c GROUP BY cat ORDER BY n DESC, cat""",
     "Log categorization: variable parts (ids, measures) mask out, the "
     "alphabetic skeleton groups — map-side split/filter/join, one "
     "partial-agg shuffle on the category.")
+
+
+# ---------------------------------------------------------------------------
+# TRUE hybrid search: FUSE over BOTH index layers — the materialized BM25
+# postings layout and the vector ranking — in one language pipeline. The
+# fixture's doc_id and vec_id share a key space, so this is the real
+# lexical+semantic RRF, not a proxy.
+
+ESQL_HYBRID_TEXT = """
+FROM hits
+| FORK ( WHERE bm IS NOT NULL | EVAL _score = bm )
+       ( WHERE cos IS NOT NULL | EVAL _score = cos )
+| FUSE
+| EVAL _score = ROUND(_score, 6)
+| SORT _score DESC, _id
+| LIMIT 10
+| KEEP _id, _score
+"""
+
+
+def q_esql_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 (served from the pruned postings index) fused with
+    cosine top-10 (query = vector 0's embedding) by reciprocal rank.
+    FUSE re-derives each branch's rank from _score with the same
+    (score desc, _id) tie-break both rankings were built with, so the
+    fused ranks equal the sources' own rank columns — pinned by the
+    oracle, which consumes those rank columns directly.
+
+    ES|QL:
+    """ + ESQL_HYBRID_TEXT
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        bm25_from_index,
+        ensure_index,
+    )
+    from elasticsearch_hbase_river_spark.operators.similarity import (
+        q_knn_cosine,
+    )
+
+    bm = bm25_from_index(spark, ensure_index(spark, sf_dir)).select(
+        F.col("doc_id").alias("_id"), F.col("score").alias("bm"))
+    kn = (q_knn_cosine(spark, sf_dir).filter(F.col("qid") == 0)
+          .select(F.col("vec_id").alias("_id"), F.col("cosine").alias("cos")))
+    hits = bm.join(kn, "_id", "full_outer")
+    return esql(spark, ESQL_HYBRID_TEXT, tables={"hits": hits})
+
+
+def _hybrid_rrf_oracle() -> str:
+    from elasticsearch_hbase_river_spark.operators.search import (
+        ORACLES as _SEARCH_ORACLES,
+    )
+    from elasticsearch_hbase_river_spark.operators.similarity import (
+        ORACLES as _SIM_ORACLES,
+    )
+
+    return f"""
+WITH bm AS (SELECT * FROM ({_SEARCH_ORACLES["q_bm25"]}) t1),
+kn AS (SELECT * FROM ({_SIM_ORACLES["q_knn_cosine"]}) t2 WHERE qid = 0),
+u AS (
+  SELECT doc_id AS _id, 1.0 / (60 + rank) AS c FROM bm
+  UNION ALL
+  SELECT vec_id AS _id, 1.0 / (60 + rank) AS c FROM kn)
+SELECT _id, {roundn_sql('sum(c)', 6)} AS _score
+FROM u GROUP BY _id
+ORDER BY _score DESC, _id LIMIT 10"""
+
+
+QUERIES["q_esql_hybrid_rrf"] = q_esql_hybrid_rrf
+ORACLES["q_esql_hybrid_rrf"] = _hybrid_rrf_oracle()
