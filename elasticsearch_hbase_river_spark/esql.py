@@ -1298,13 +1298,32 @@ def _compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     return "".join(regex), keys
 
 
+#: oniguruma-style inline named capture ``(?<name>body)`` — GROK's other
+#: capture syntax. Subset: the body may not itself contain parentheses
+#: (nested groups would desynchronize capture-group indexes from keys).
+_GROK_INLINE = re.compile(r"\(\?<(\w+)>([^()]*)\)")
+
+
 def _compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     regex, keys, last = ["^"], [], 0
-    matches = list(_GROK_REF.finditer(pattern))
+    matches = sorted(
+        list(_GROK_REF.finditer(pattern))
+        + list(_GROK_INLINE.finditer(pattern)),
+        key=lambda m: m.start())
     if not matches:
-        raise ESQLError("GROK pattern has no %{PATTERN:name} captures")
+        raise ESQLError("GROK pattern has no %{PATTERN:name} or "
+                        "(?<name>..) captures")
     for m in matches:
+        if m.start() < last:
+            raise ESQLError("GROK %{..} reference inside an inline "
+                            "(?<name>..) body is outside the subset")
         regex.append(re.escape(pattern[last:m.start()]))
+        if m.re is _GROK_INLINE:
+            key, body = m.group(1), m.group(2)
+            regex.append(f"({body})")
+            keys.append((key, "string", False))
+            last = m.end()
+            continue
         pname, key, typ = m.group(1), m.group(2), m.group(3)
         if pname not in _GROK_PATTERNS:
             raise ESQLError(f"unsupported GROK pattern %{{{pname}}} — "

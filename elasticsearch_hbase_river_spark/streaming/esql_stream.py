@@ -11,7 +11,8 @@ incrementally across micro-batches.
 Two maintenance modes, chosen automatically from the query:
 
 - **mergeable** (the scale path): every aggregate in ``STATS`` is
-  COUNT / SUM / MIN / MAX / AVG (scalar wrappers like ``ROUND(SUM(x), 4)``
+  COUNT / SUM / MIN / MAX / AVG / WEIGHTED_AVG (scalar wrappers like
+  ``ROUND(SUM(x), 4)``
   and per-aggregate ``WHERE`` filters allowed). Each micro-batch computes
   the batch's PARTIAL aggregates — one |groups|-sized relation — and
   overwrites ``partials/epoch=<batch_id>`` (idempotent on retry, the same
@@ -23,7 +24,7 @@ Two maintenance modes, chosen automatically from the query:
   rescanned, which is what makes the view maintainable against a 100 TB
   feed.
 - **recompute** (the honest fallback): a non-decomposable aggregate
-  (MEDIAN, PERCENTILE, COUNT_DISTINCT, VALUES, WEIGHTED_AVG) stores the
+  (MEDIAN, PERCENTILE, COUNT_DISTINCT, VALUES, TOP, STD_DEV) stores the
   prefix-transformed rows per epoch and re-runs the ``STATS`` over the
   accumulated rows at read time. Still exactly-once, but read cost grows
   with history — the mode is surfaced on the plan so callers can see which
@@ -57,7 +58,9 @@ from elasticsearch_hbase_river_spark.esql import (
 )
 
 #: aggregates with an algebraic partial/combine decomposition
-MERGEABLE_AGGS = frozenset({"COUNT", "SUM", "MIN", "MAX", "AVG"})
+#: (AVG = sum+count pair; WEIGHTED_AVG = sum(x*w)+sum(w) pair)
+MERGEABLE_AGGS = frozenset({"COUNT", "SUM", "MIN", "MAX", "AVG",
+                            "WEIGHTED_AVG"})
 
 #: per-row commands the compiler can bind to a streaming relation
 #: (LOOKUP JOIN / ENRICH are stream-static joins — the lookup side is a
@@ -192,10 +195,17 @@ def _partial_agg(comp: _Compiler, df: DataFrame, plan: dict) -> DataFrame:
         for ci, call in enumerate(calls):
             agg = call[1]
             args = [comp.col(a, cols) for a in call[2] if a[0] != "star"]
+            p = f"__p{si}_{ci}"
+            if agg == "WEIGHTED_AVG":
+                xw, w = args[0] * args[1], args[1]
+                if condc is not None:
+                    xw, w = F.when(condc, xw), F.when(condc, w)
+                pcols.append(F.sum(xw).alias(p + "_s"))
+                pcols.append(F.sum(w).alias(p + "_w"))
+                continue
             arg = args[0] if args else F.lit(1)
             if condc is not None:
                 arg = F.when(condc, arg)
-            p = f"__p{si}_{ci}"
             if agg == "COUNT":
                 pcols.append(F.count(arg).cast("long").alias(p))
             elif agg == "SUM":
@@ -273,6 +283,9 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                     mcols.append(F.min(p).alias(p))
                 elif agg == "MAX":
                     mcols.append(F.max(p).alias(p))
+                elif agg == "WEIGHTED_AVG":
+                    mcols.append(F.sum(p + "_s").alias(p + "_s"))
+                    mcols.append(F.sum(p + "_w").alias(p + "_w"))
                 else:  # AVG
                     mcols.append(F.sum(p + "_s").alias(p + "_s"))
                     mcols.append(
@@ -290,6 +303,11 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                         F.when(F.col(p + "_n") > 0,
                                F.col(p + "_s").cast("double")
                                / F.col(p + "_n")).alias(a))
+                elif agg == "WEIGHTED_AVG":
+                    # same expression shape as the batch aggregate
+                    # (sum(x*w)/sum(w)) so null/zero semantics match
+                    ph_cols.append(
+                        (F.col(p + "_s") / F.col(p + "_w")).alias(a))
                 else:
                     ph_cols.append(F.col(p).alias(a))
         ph = merged.select(*ph_cols)

@@ -973,3 +973,15 @@ def test_mv_percentile_and_mad(spark):
     assert row.p50 == 2.5 and row.p0 == 1.0 and row.p100 == 4.0
     # median 2.5; |devs| = [1.5, 0.5, 0.5, 1.5]; median of devs = 1.0
     assert row.mad == 1.0
+
+
+def test_grok_inline_named_capture(spark):
+    row = esql(spark, 'ROW line = "req id=ab12 took 35ms" '
+               '| GROK line "req id=(?<rid>[a-z0-9]+) took '
+               '%{INT:ms:int}ms"').first()
+    assert row.rid == "ab12" and row.ms == 35
+
+
+def test_grok_inline_nested_ref_refused():
+    with pytest.raises(ESQLError, match="outside the subset"):
+        _compile_grok("(?<a>%{INT})")

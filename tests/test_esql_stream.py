@@ -127,3 +127,18 @@ def test_plan_validation():
 def test_multi_index_head_refused():
     with pytest.raises(ESQLError, match="batch-only"):
         plan_esql_stream("FROM a, b | STATS n = COUNT(*)")
+
+
+def test_weighted_avg_is_mergeable_and_equals_batch(spark, sf_dir, tmp_path):
+    text = ("FROM ev | STATS w = ROUND(WEIGHTED_AVG(value, event_id), 4) "
+            "BY event_type | SORT event_type")
+    assert plan_esql_stream(text)["mergeable"]
+    src = _src(spark, sf_dir, tmp_path, n_files=3)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    got = read_esql_stream_result(spark, text, state).collect()
+    expect = esql(spark, text,
+                  tables={"ev": spark.read.parquet(src)}).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
