@@ -1113,7 +1113,11 @@ _SCALARS["DATE_PARSE"] = _scalar_date_parse
 
 def _fn_bucket(args, raw):
     """ES|QL ``BUCKET(field, span)``: numeric width → ``floor(x/w)*w``;
-    1-unit time span (or unit string) → calendar truncation."""
+    1-unit time span (or unit string) → calendar truncation; N-unit
+    UNIFORM spans (``15 minute``, ``6 hour``) → epoch-grid floor
+    (``floor(epoch/w)*w`` in seconds, via the tz-free long↔timestamp_ntz
+    casts so no session-timezone conversion sneaks in). N-unit calendar
+    spans (months/years) are non-uniform and refused."""
     if len(raw) != 2:
         raise ESQLError("BUCKET takes (field, span)")
     span = raw[1]
@@ -1122,6 +1126,22 @@ def _fn_bucket(args, raw):
         if w <= 0:
             raise ESQLError("BUCKET width must be positive")
         return F.floor(args[0] / F.lit(w)) * F.lit(w)
+    if (span[0] == "span" and span[1] != 1):
+        unit, n = span[2], span[1]
+        if unit not in _SPAN_SECONDS:
+            raise ESQLError(
+                f"multi-unit BUCKET spans need a uniform unit "
+                f"({sorted(_SPAN_SECONDS)}); {n} {unit} is calendar-"
+                "dependent")
+        if n <= 0:
+            raise ESQLError("BUCKET span count must be positive")
+        w = n * _SPAN_SECONDS[unit]
+        # tz-free epoch arithmetic: timestamp_diff/_add keep TIMESTAMP_NTZ
+        # end to end (a cast through LTZ would smuggle the session tz in)
+        zero = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+        epoch = F.timestamp_diff("SECOND", zero, args[0])
+        grid = (F.floor(epoch / F.lit(w)) * F.lit(w)).cast("long")
+        return F.timestamp_add("SECOND", grid, zero)
     return _fn_date_trunc([None, args[0]], [span, raw[0]])
 
 
@@ -1628,8 +1648,8 @@ class _Compiler:
                         f"{spec.ts!r}", c["pos"], self.text)
                 span = args[1] if len(args) > 1 else None
                 if (span is not None and span[0] == "span"
-                        and span[1] == 1 and span[2] in _SPAN_SECONDS):
-                    bucket_secs = _SPAN_SECONDS[span[2]]
+                        and span[1] >= 1 and span[2] in _SPAN_SECONDS):
+                    bucket_secs = span[1] * _SPAN_SECONDS[span[2]]
                 bucket_name = name
                 stage = stage.withColumn(name, self.col(e, stage.columns))
                 by_names.append(name)

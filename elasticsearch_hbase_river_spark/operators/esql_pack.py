@@ -1191,3 +1191,26 @@ ORDER BY _score DESC, _id LIMIT 10"""
 
 QUERIES["q_esql_hybrid_rrf"] = q_esql_hybrid_rrf
 ORACLES["q_esql_hybrid_rrf"] = _hybrid_rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multi-unit BUCKET span: the 6-hour metrics grid (epoch-floor, tz-free).
+
+_register(
+    "q_esql_bucket_6h",
+    """
+FROM events
+| STATS n = COUNT(*), total = ROUND(SUM(value), 4)
+  BY tb = BUCKET(ts, 6 hour)
+| SORT tb
+""",
+    f"""
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+         AS tb,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(value)', 4)} AS total
+FROM events GROUP BY tb ORDER BY tb""",
+    "N-unit uniform BUCKET span: floor onto the 21600 s epoch grid — "
+    "map-side arithmetic, one partial-agg shuffle; calendar-dependent "
+    "multi-unit spans are refused at compile time.")

@@ -985,3 +985,14 @@ def test_grok_inline_named_capture(spark):
 def test_grok_inline_nested_ref_refused():
     with pytest.raises(ESQLError, match="outside the subset"):
         _compile_grok("(?<a>%{INT})")
+
+
+def test_bucket_multi_unit_span(spark):
+    row = esql(spark, 'ROW t = TO_DATETIME("2024-03-01 13:47:09") '
+               '| EVAL q = BUCKET(t, 15 minute), h = BUCKET(t, 6 hour)'
+               ).first()
+    assert str(row.q) == "2024-03-01 13:45:00"
+    assert str(row.h) == "2024-03-01 12:00:00"
+    with pytest.raises(ESQLError, match="calendar"):
+        esql(spark, 'ROW t = TO_DATETIME("2024-03-01 13:47:09") '
+                    '| EVAL m = BUCKET(t, 3 month)')
