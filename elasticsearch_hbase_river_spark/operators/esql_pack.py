@@ -1214,3 +1214,103 @@ FROM events GROUP BY tb ORDER BY tb""",
     "N-unit uniform BUCKET span: floor onto the 21600 s epoch grid — "
     "map-side arithmetic, one partial-agg shuffle; calendar-dependent "
     "multi-unit spans are refused at compile time.")
+
+
+# ---------------------------------------------------------------------------
+# Streaming TS: the continuous hypertable rollup. Per-epoch INNER partials
+# per (series, bucket) — a series' bucket spans micro-batches in this
+# fixture by construction (repartition(4) is not time-partitioned) — must
+# merge to exactly the batch GROUP BY answer. The registered query uses
+# only association-exact aggregates (MAX / COUNT) so the oracle hash is
+# deterministic; the AVG/FIRST/LAST merge semantics are pinned by
+# tests/test_esql_stream.py against the batch TS compiler.
+
+ESQL_STREAM_TS_TEXT = """
+TS metrics
+| STATS peak = ROUND(MAX(MAX_OVER_TIME(value)), 4),
+        n = SUM(COUNT_OVER_TIME(value)),
+        n_series = COUNT(*)
+  BY event_type, tb = BUCKET(ts, 1 day)
+| SORT event_type, tb
+| LIMIT 40
+"""
+
+
+def ensure_esql_stream_ts_state(spark: SparkSession, sf_dir: str) -> str:
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        index_path_for,
+    )
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+    from elasticsearch_hbase_river_spark.streaming.esql_stream import (
+        start_esql_stream,
+    )
+
+    root = index_path_for(sf_dir) + "-esql-stream-ts-v1"
+    done = os.path.join(root, "_drained.json")
+    if os.path.exists(done):
+        return root
+    tmp = f"{root}.tmp-{uuid.uuid4().hex}"
+    src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    (load_table(spark, sf_dir, "events")
+     .select("event_id", "ts", "user_id", "event_type", "value")
+     .repartition(4).write.parquet(src))
+    sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    q = start_esql_stream(
+        spark, ESQL_STREAM_TS_TEXT, sdf, state, os.path.join(tmp, "ckpt"),
+        ts_specs={"metrics": TimeSeriesSpec("ts",
+                                            ("user_id", "event_type"))})
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("esql TS stream fixture did not drain in 600s")
+    epochs = [n for n in os.listdir(os.path.join(state, "partials"))
+              if n.startswith("epoch=")]
+    if len(epochs) < 2:
+        raise RuntimeError(f"expected >=2 real micro-batches, got {epochs}")
+    with open(os.path.join(tmp, "_drained.json"), "w") as f:
+        json.dump({"epochs": len(epochs)}, f)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
+    return root
+
+
+def q_esql_stream_ts_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed hypertable rollup (per-series inner partials merged
+    across >=2 real micro-batch epochs) must equal the two-level batch
+    GROUP BY.
+
+    ES|QL:
+    """ + ESQL_STREAM_TS_TEXT
+    import os
+
+    from elasticsearch_hbase_river_spark.streaming.esql_stream import (
+        read_esql_stream_result,
+    )
+
+    root = ensure_esql_stream_ts_state(spark, sf_dir)
+    return read_esql_stream_result(spark, ESQL_STREAM_TS_TEXT,
+                                   os.path.join(root, "state"))
+
+
+QUERIES["q_esql_stream_ts_peak"] = q_esql_stream_ts_peak
+ORACLES["q_esql_stream_ts_peak"] = f"""
+WITH s AS (
+  SELECT user_id, event_type, date_trunc('day', ts) AS tb,
+         max(value) AS m, count(value) AS c
+  FROM events GROUP BY user_id, event_type, tb)
+SELECT event_type, tb,
+       {roundn_sql('max(m)', 4)} AS peak,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_series
+FROM s GROUP BY event_type, tb
+ORDER BY event_type, tb LIMIT 40"""

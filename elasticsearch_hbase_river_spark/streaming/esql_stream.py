@@ -34,6 +34,16 @@ Commands after ``STATS`` (SORT / LIMIT / KEEP / DROP / RENAME / EVAL /
 WHERE) act on the |groups|-sized aggregate relation and are applied at
 read time by the same compiler.
 
+**Streaming TS** (the continuous hypertable rollup): a ``TS`` head works
+too — each tick lands per-(series, bucket) INNER partials of the
+``*_OVER_TIME`` aggregates (a series' bucket may span micro-batches, so
+these really are partials: AVG = sum+count, FIRST/LAST = (timestamp,
+value) pairs merged with min_by/max_by), and the read merges them, then
+runs the OUTER aggregate and suffix over the |series x buckets|
+relation. RATE is refused: its positive-delta sum needs ordered
+cross-batch boundaries per-epoch partials cannot carry — use batch TS
+for counters.
+
 State poisoning guard: the state dir is stamped with the query text's
 fingerprint; a tick or read against a different query refuses loudly
 instead of silently merging incompatible partials.
@@ -51,9 +61,11 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.esql import (
     DEFAULT_POLICIES,
+    DEFAULT_TS_SPECS,
     ESQLError,
     _AGGS,
     _Compiler,
+    _TS_AGG_NAMES,
     parse,
 )
 
@@ -61,6 +73,18 @@ from elasticsearch_hbase_river_spark.esql import (
 #: (AVG = sum+count pair; WEIGHTED_AVG = sum(x*w)+sum(w) pair)
 MERGEABLE_AGGS = frozenset({"COUNT", "SUM", "MIN", "MAX", "AVG",
                             "WEIGHTED_AVG"})
+
+#: per-series inner aggregates maintainable across micro-batches — a
+#: series' (bucket) may SPAN batches, so each tick lands partials of the
+#: inner aggregate and the read merges them (FIRST/LAST carry a
+#: (timestamp, value) pair merged with min_by/max_by). RATE is excluded:
+#: its positive-delta sum needs the ordered boundary between adjacent
+#: batches of the same series, which per-epoch partials do not carry —
+#: use the batch TS path for counters.
+TS_MERGEABLE = frozenset({"AVG_OVER_TIME", "MAX_OVER_TIME",
+                          "MIN_OVER_TIME", "SUM_OVER_TIME",
+                          "COUNT_OVER_TIME", "FIRST_OVER_TIME",
+                          "LAST_OVER_TIME"})
 
 #: per-row commands the compiler can bind to a streaming relation
 #: (LOOKUP JOIN / ENRICH are stream-static joins — the lookup side is a
@@ -98,6 +122,24 @@ def _split_agg_calls(ast, sink: list, spec_ix: int):
     return ast
 
 
+def _split_ts_agg_calls(ast, sink: list, spec_ix: int):
+    """TS variant of :func:`_split_agg_calls`: placeholders replace the
+    per-series ``*_OVER_TIME`` calls; the outer aggregate stays in the
+    expression and runs at read time over the merged series relation."""
+    if isinstance(ast, tuple):
+        if ast[0] == "call" and ast[1] in _TS_AGG_NAMES:
+            sink.append(ast)
+            return ("field", f"__a{spec_ix}_{len(sink) - 1}")
+        return tuple(
+            _split_ts_agg_calls(x, sink, spec_ix)
+            if isinstance(x, (tuple, list)) else x
+            for x in ast)
+    if isinstance(ast, list):
+        return [_split_ts_agg_calls(x, sink, spec_ix)
+                if isinstance(x, (tuple, list)) else x for x in ast]
+    return ast
+
+
 def plan_esql_stream(text: str) -> dict:
     """Validate and split the pipeline for streaming maintenance.
 
@@ -105,9 +147,10 @@ def plan_esql_stream(text: str) -> dict:
     where each spec is ``(out_name, final_ast, agg_calls, cond_ast)``.
     """
     cmds = parse(text)
-    if cmds[0]["cmd"] != "FROM":
-        raise ESQLError("streaming ES|QL needs a FROM <stream> head", 0,
-                        text)
+    is_ts = cmds[0]["cmd"] == "TS"
+    if cmds[0]["cmd"] not in ("FROM", "TS"):
+        raise ESQLError("streaming ES|QL needs a FROM or TS <stream> head",
+                        0, text)
     if len(cmds[0].get("tables", [cmds[0]["table"]])) > 1:
         raise ESQLError("streaming ES|QL binds exactly one stream — "
                         "multi-index FROM is batch-only",
@@ -131,23 +174,50 @@ def plan_esql_stream(text: str) -> dict:
     stats = cmds[at]
     specs = []
     mergeable = True
-    for si, (name, e, cond) in enumerate(stats["aggs"]):
-        calls: list = []
-        final_ast = _split_agg_calls(e, calls, si)
-        if not calls:
-            raise ESQLError(f"STATS column {name!r} contains no aggregate",
-                            stats["pos"], text)
-        if any(c[1] not in MERGEABLE_AGGS for c in calls):
-            mergeable = False
-        specs.append((name or _Compiler._default_name(e), final_ast,
-                      calls, cond))
+    if is_ts:
+        any_inner = False
+        for si, (name, e, cond) in enumerate(stats["aggs"]):
+            if cond is not None:
+                raise ESQLError("per-aggregate WHERE is outside the TS "
+                                "STATS subset", stats["pos"], text)
+            calls: list = []
+            final_ast = _split_ts_agg_calls(e, calls, si)
+            bad = [c[1] for c in calls if c[1] not in TS_MERGEABLE]
+            if bad:
+                raise ESQLError(
+                    f"{bad[0]} is not stream-maintainable (per-epoch "
+                    "partials cannot carry cross-batch deltas) — use the "
+                    "batch TS path", stats["pos"], text)
+            if not _Compiler._has_agg(final_ast):
+                raise ESQLError(
+                    f"TS STATS column {name!r} needs an OUTER aggregate "
+                    "over the per-series value", stats["pos"], text)
+            any_inner = any_inner or bool(calls)
+            specs.append((name or _Compiler._default_name(e), final_ast,
+                          calls, None))
+        if not any_inner:
+            raise ESQLError("TS STATS needs at least one *_OVER_TIME "
+                            "aggregate", stats["pos"], text)
+    else:
+        for si, (name, e, cond) in enumerate(stats["aggs"]):
+            calls = []
+            final_ast = _split_agg_calls(e, calls, si)
+            if not calls:
+                raise ESQLError(
+                    f"STATS column {name!r} contains no aggregate",
+                    stats["pos"], text)
+            if any(c[1] not in MERGEABLE_AGGS for c in calls):
+                mergeable = False
+            specs.append((name or _Compiler._default_name(e), final_ast,
+                          calls, cond))
     key_names = [name or _Compiler._default_name(e)
                  for name, e in stats["by"]]
-    return {"cmds": cmds, "stats_at": at, "specs": specs,
+    return {"cmds": cmds, "stats_at": at, "specs": specs, "ts": is_ts,
             "mergeable": mergeable, "key_names": key_names}
 
 
-def _stamp_state(state_dir: str, text: str, mode: str) -> None:
+def _stamp_state(state_dir: str, text: str, mode: str,
+                 extra: Optional[dict] = None) -> None:
     marker = os.path.join(state_dir, _META)
     if os.path.exists(marker):
         with open(marker) as f:
@@ -167,7 +237,12 @@ def _stamp_state(state_dir: str, text: str, mode: str) -> None:
     os.makedirs(state_dir, exist_ok=True)
     with open(marker, "w") as f:
         json.dump({"query_sha": _query_sha(text), "mode": mode,
-                   "text": text}, f)
+                   "text": text, **(extra or {})}, f)
+
+
+def _read_meta(state_dir: str) -> dict:
+    with open(os.path.join(state_dir, _META)) as f:
+        return json.load(f)
 
 
 def _check_state(state_dir: str, text: str) -> None:
@@ -220,10 +295,79 @@ def _partial_agg(comp: _Compiler, df: DataFrame, plan: dict) -> DataFrame:
     return df.groupBy(*keys).agg(*pcols) if keys else df.agg(*pcols)
 
 
+def _ts_partial_agg(comp: _Compiler, df: DataFrame, plan: dict,
+                    spec) -> DataFrame:
+    """The batch's per-(series, bucket) INNER partials for a TS pipeline —
+    a series' bucket may span micro-batches, so these are partials of the
+    *_OVER_TIME aggregates, merged at read (FIRST/LAST carry a
+    (timestamp, value) pair)."""
+    stats = plan["cmds"][plan["stats_at"]]
+    missing = [x for x in (spec.ts, *spec.dimensions) if x not in df.columns]
+    if missing:
+        raise ESQLError(f"TS series column(s) {missing} missing from the "
+                        "stream", stats["pos"], comp.text)
+    stage = df
+    by_names: list[str] = []
+    for name, e in stats["by"]:
+        if e[0] == "call" and e[1] == "BUCKET":
+            if name is None:
+                raise ESQLError("BUCKET in TS BY needs an explicit "
+                                "`name =`", stats["pos"], comp.text)
+            args = e[2]
+            if not (args and args[0][0] == "field"
+                    and args[0][1] == spec.ts):
+                raise ESQLError(
+                    f"TS BUCKET must bucket the series timestamp "
+                    f"{spec.ts!r}", stats["pos"], comp.text)
+            stage = stage.withColumn(name, comp.col(e, stage.columns))
+            by_names.append(name)
+        elif e[0] == "field":
+            nm = name or e[1]
+            if e[1] not in spec.dimensions:
+                raise ESQLError(
+                    f"TS BY key {e[1]!r} is not a series dimension "
+                    f"(dimensions: {list(spec.dimensions)})",
+                    stats["pos"], comp.text)
+            if nm != e[1]:
+                stage = stage.withColumn(nm, F.col(e[1]))
+            by_names.append(nm)
+        else:
+            raise ESQLError("TS BY supports series dimensions and one "
+                            "BUCKET(ts, span)", stats["pos"], comp.text)
+    g1 = list(spec.dimensions)
+    g1 += [n for n in by_names if n not in g1]
+    pcols: list[Column] = []
+    for si, (_o, _f, calls, _c) in enumerate(plan["specs"]):
+        for ci, call in enumerate(calls):
+            fname, args = call[1], call[2]
+            a0 = comp.col(args[0], df.columns) if args else None
+            p = f"__p{si}_{ci}"
+            if fname == "SUM_OVER_TIME":
+                pcols.append(F.sum(a0).alias(p))
+            elif fname == "MAX_OVER_TIME":
+                pcols.append(F.max(a0).alias(p))
+            elif fname == "MIN_OVER_TIME":
+                pcols.append(F.min(a0).alias(p))
+            elif fname == "COUNT_OVER_TIME":
+                pcols.append(F.count(a0 if a0 is not None else F.lit(1))
+                             .cast("long").alias(p))
+            elif fname == "AVG_OVER_TIME":
+                pcols.append(F.sum(a0).alias(p + "_s"))
+                pcols.append(F.count(a0).cast("long").alias(p + "_n"))
+            elif fname == "FIRST_OVER_TIME":
+                pcols.append(F.min(F.col(spec.ts)).alias(p + "_t"))
+                pcols.append(F.min_by(a0, F.col(spec.ts)).alias(p + "_v"))
+            else:  # LAST_OVER_TIME
+                pcols.append(F.max(F.col(spec.ts)).alias(p + "_t"))
+                pcols.append(F.max_by(a0, F.col(spec.ts)).alias(p + "_v"))
+    return stage.groupBy(*g1).agg(*pcols)
+
+
 def start_esql_stream(spark: SparkSession, text: str, stream_df: DataFrame,
                       state_dir: str, checkpoint_dir: str, *,
                       sf_dir: Optional[str] = None,
                       tables: Optional[dict[str, DataFrame]] = None,
+                      ts_specs: Optional[dict] = None,
                       available_now: bool = True):
     """Maintain the ES|QL query over a streaming relation.
 
@@ -233,23 +377,37 @@ def start_esql_stream(spark: SparkSession, text: str, stream_df: DataFrame,
     micro-batch lands its partials (or rows, in recompute mode) under
     ``state_dir`` keyed by batch_id, idempotent on retry."""
     plan = plan_esql_stream(text)
-    mode = "mergeable" if plan["mergeable"] else "recompute"
-    _stamp_state(state_dir, text, mode)
     head = plan["cmds"][0]["table"]
+    spec = None
+    if plan["ts"]:
+        spec = (ts_specs if ts_specs is not None
+                else DEFAULT_TS_SPECS).get(head)
+        if spec is None:
+            raise ESQLError(f"{head!r} has no TimeSeriesSpec",
+                            plan["cmds"][0]["pos"], text)
+        _stamp_state(state_dir, text, "ts",
+                     {"series_dims": list(spec.dimensions)})
+    else:
+        mode = "mergeable" if plan["mergeable"] else "recompute"
+        _stamp_state(state_dir, text, mode)
     bound = dict(tables or {})
     bound[head] = stream_df
     comp = _Compiler(spark, sf_dir, bound, DEFAULT_POLICIES, text)
     df = stream_df
     for c in plan["cmds"][1:plan["stats_at"]]:
         df = comp.apply(df, c)
-    sub = "partials" if plan["mergeable"] else "rows"
+    sub = ("partials" if plan["ts"] or plan["mergeable"] else "rows")
 
     def tick(batch_df: DataFrame, batch_id: int) -> None:
         _check_state(state_dir, text)
         bcomp = _Compiler(batch_df.sparkSession, sf_dir, bound,
                           DEFAULT_POLICIES, text)
-        out = (_partial_agg(bcomp, batch_df, plan) if plan["mergeable"]
-               else batch_df)
+        if plan["ts"]:
+            out = _ts_partial_agg(bcomp, batch_df, plan, spec)
+        elif plan["mergeable"]:
+            out = _partial_agg(bcomp, batch_df, plan)
+        else:
+            out = batch_df
         out.write.mode("overwrite").parquet(
             f"{state_dir}/{sub}/epoch={batch_id}")
 
@@ -269,7 +427,53 @@ def read_esql_stream_result(spark: SparkSession, text: str,
     stats = plan["cmds"][plan["stats_at"]]
     comp = _Compiler(spark, None, {}, DEFAULT_POLICIES, text)
     keys = plan["key_names"]
-    if plan["mergeable"]:
+    if plan["ts"]:
+        part = spark.read.parquet(f"{state_dir}/partials").drop("epoch")
+        dims = _read_meta(state_dir)["series_dims"]
+        g1 = list(dims) + [n for n in keys if n not in dims]
+        mcols: list[Column] = []
+        for si, (_o, _f, calls, _c) in enumerate(plan["specs"]):
+            for ci, call in enumerate(calls):
+                fname, p = call[1], f"__p{si}_{ci}"
+                if fname == "SUM_OVER_TIME":
+                    mcols.append(F.sum(p).alias(p))
+                elif fname == "MAX_OVER_TIME":
+                    mcols.append(F.max(p).alias(p))
+                elif fname == "MIN_OVER_TIME":
+                    mcols.append(F.min(p).alias(p))
+                elif fname == "COUNT_OVER_TIME":
+                    mcols.append(F.sum(p).cast("long").alias(p))
+                elif fname == "AVG_OVER_TIME":
+                    mcols.append(F.sum(p + "_s").alias(p + "_s"))
+                    mcols.append(
+                        F.sum(p + "_n").cast("long").alias(p + "_n"))
+                elif fname == "FIRST_OVER_TIME":
+                    mcols.append(
+                        F.min_by(p + "_v", F.col(p + "_t")).alias(p + "_v"))
+                else:  # LAST_OVER_TIME
+                    mcols.append(
+                        F.max_by(p + "_v", F.col(p + "_t")).alias(p + "_v"))
+        merged = part.groupBy(*g1).agg(*mcols)
+        ph_cols = [F.col(k) for k in keys]
+        for si, (_o, _f, calls, _c) in enumerate(plan["specs"]):
+            for ci, call in enumerate(calls):
+                fname, p = call[1], f"__p{si}_{ci}"
+                a = f"__a{si}_{ci}"
+                if fname == "AVG_OVER_TIME":
+                    ph_cols.append(
+                        F.when(F.col(p + "_n") > 0,
+                               F.col(p + "_s").cast("double")
+                               / F.col(p + "_n")).alias(a))
+                elif fname in ("FIRST_OVER_TIME", "LAST_OVER_TIME"):
+                    ph_cols.append(F.col(p + "_v").alias(a))
+                else:
+                    ph_cols.append(F.col(p).alias(a))
+        ph = merged.select(*ph_cols)
+        out = [comp.col(fast, ph.columns, allow_agg=True).alias(oname)
+               for oname, fast, _calls, _cond in plan["specs"]]
+        df = (ph.groupBy(*[F.col(k) for k in keys]).agg(*out) if keys
+              else ph.agg(*out))
+    elif plan["mergeable"]:
         part = spark.read.parquet(f"{state_dir}/partials").drop("epoch")
         mcols: list[Column] = []
         for si, (_oname, _fast, calls, _cond) in enumerate(plan["specs"]):

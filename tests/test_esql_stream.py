@@ -142,3 +142,58 @@ def test_weighted_avg_is_mergeable_and_equals_batch(spark, sf_dir, tmp_path):
     expect = esql(spark, text,
                   tables={"ev": spark.read.parquet(src)}).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+TS_TEXT = """
+TS ev
+| STATS load = ROUND(AVG(AVG_OVER_TIME(value)), 4),
+        peak = ROUND(MAX(MAX_OVER_TIME(value)), 4),
+        fst = MIN(FIRST_OVER_TIME(value)),
+        lst = MAX(LAST_OVER_TIME(value)),
+        n = SUM(COUNT_OVER_TIME(value)),
+        n_series = COUNT(*)
+  BY event_type, tb = BUCKET(ts, 1 day)
+| SORT event_type, tb
+| LIMIT 40
+"""
+
+
+def test_streaming_ts_gauge_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous hypertable rollup: a series' bucket SPANS micro-batches
+    (the source is NOT time-partitioned), so per-epoch inner partials
+    must merge back to exactly the batch TS answer."""
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+
+    spec = {"ev": TimeSeriesSpec("ts", ("user_id", "event_type"))}
+    src = str(tmp_path / "ev_src")
+    (load_table(spark, sf_dir, "events")
+     .select("event_id", "ts", "user_id", "event_type", "value")
+     .repartition(4).write.parquet(src))
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, TS_TEXT, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"), ts_specs=spec)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+    epochs = [n for n in os.listdir(os.path.join(state, "partials"))
+              if n.startswith("epoch=")]
+    assert len(epochs) >= 2, epochs
+    got = read_esql_stream_result(spark, TS_TEXT, state)
+    expect = esql(spark, TS_TEXT, tables={"ev": spark.read.parquet(src)},
+                  ts_specs=spec)
+    assert got.columns == expect.columns
+    g_rows, e_rows = got.collect(), expect.collect()
+    assert len(g_rows) == len(e_rows)
+    for g, e in zip(g_rows, e_rows):
+        # `load` re-associates double sums across epochs (the same class
+        # of variation Spark's own partial aggregation has), so the
+        # post-rounding value may flip one 1e-4 step on an exact
+        # boundary; everything else is association-exact
+        assert abs(g.load - e.load) <= 1e-4 + 1e-9, (g, e)
+        for col in ("event_type", "tb", "peak", "fst", "lst", "n",
+                    "n_series"):
+            assert g[col] == e[col], (col, g, e)
+
+
+def test_streaming_ts_rejects_rate():
+    with pytest.raises(ESQLError, match="not stream-maintainable"):
+        plan_esql_stream("TS ev | STATS r = SUM(RATE(c)) "
+                         "BY tb = BUCKET(ts, 1 hour)")
