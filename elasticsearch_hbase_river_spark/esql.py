@@ -83,6 +83,7 @@ Scalar functions
   great-circle meters on the same sphere as the DSL geo pack)
   CATEGORIZE (log-line grouping by alphabetic skeleton — deterministic
   stand-in for ES's ML categorizer, documented in the function)
+  ROUND_TO (round down to explicit literal points)
   MATCH (full-text predicate under the standard analyzer, OR operator)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
@@ -1198,6 +1199,31 @@ def _scalar_categorize(args, raw):
 
 
 _SCALARS["CATEGORIZE"] = _scalar_categorize
+
+
+def _scalar_round_to(args, raw):
+    """ES|QL ``ROUND_TO(field, p1, p2, ...)``: round DOWN to the greatest
+    literal point <= value; values below every point take the smallest
+    point (explicit-boundary histogram binning). Points must be numeric
+    literals — they compile to a chained comparison ladder, not a join."""
+    if len(raw) < 2:
+        raise ESQLError("ROUND_TO takes (field, point, [point, ...])")
+    pts = []
+    for a in raw[1:]:
+        if a[0] == "neg" and a[1][0] == "lit":
+            pts.append(-a[1][1])
+        elif a[0] == "lit" and isinstance(a[1], (int, float)):
+            pts.append(a[1])
+        else:
+            raise ESQLError("ROUND_TO points must be numeric literals")
+    pts = sorted(pts)
+    out = F.lit(pts[0])
+    for p in pts[1:]:
+        out = F.when(args[0] >= F.lit(p), F.lit(p)).otherwise(out)
+    return F.when(args[0].isNotNull(), out)
+
+
+_SCALARS["ROUND_TO"] = _scalar_round_to
 
 
 def _agg_percentile(args, raw):

@@ -1314,3 +1314,21 @@ SELECT event_type, tb,
        CAST(count(*) AS BIGINT) AS n_series
 FROM s GROUP BY event_type, tb
 ORDER BY event_type, tb LIMIT 40"""
+
+
+_register(
+    "q_esql_round_to",
+    """
+FROM events
+| EVAL tier = ROUND_TO(value, 0, 50, 100, 200)
+| STATS n = COUNT(*), avg_v = ROUND(AVG(value), 4) BY tier
+| SORT tier
+""",
+    f"""
+SELECT CASE WHEN value >= 200 THEN 200 WHEN value >= 100 THEN 100
+            WHEN value >= 50 THEN 50 ELSE 0 END AS tier,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('avg(value)', 4)} AS avg_v
+FROM events GROUP BY tier ORDER BY tier""",
+    "ROUND_TO explicit-boundary binning: a literal comparison ladder, "
+    "map-side, one partial-agg shuffle on the bin.")

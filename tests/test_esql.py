@@ -996,3 +996,13 @@ def test_bucket_multi_unit_span(spark):
     with pytest.raises(ESQLError, match="calendar"):
         esql(spark, 'ROW t = TO_DATETIME("2024-03-01 13:47:09") '
                     '| EVAL m = BUCKET(t, 3 month)')
+
+
+def test_round_to_points(spark):
+    row = esql(spark, 'ROW a = 1 | EVAL '
+               'lo = ROUND_TO(-5.0, 0, 50), mid = ROUND_TO(72.5, 0, 50, 100),'
+               ' hi = ROUND_TO(450.0, 0, 50, 100, 200), '
+               'neg = ROUND_TO(-3.0, -10, 0, 10)').first()
+    assert row.lo == 0 and row.mid == 50 and row.hi == 200 and row.neg == -10
+    with pytest.raises(ESQLError, match="numeric literals"):
+        esql(spark, "ROW a = 1 | EVAL t = ROUND_TO(a, a)")
