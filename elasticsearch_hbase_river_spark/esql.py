@@ -31,7 +31,12 @@ Source commands
   ``FROM t1[, t2, ..] [METADATA _index]`` (multi-index unions by field
   name with null padding, ES semantics; ``_index`` carries the source
   table), ``ROW name = literal, ...``,
-  ``TS table`` (time-series source: the table's registered
+  ``TS table`` (time-series source; TS STATS averages — inner
+  ``AVG_OVER_TIME`` and the outer combine ``AVG`` — use an ORDER-FREE
+  exact-decimal form: samples quantize to a fixed grid (1e-6 inner,
+  1e-9 outer, portable floor rounding), sum associatively in decimal,
+  divide once — so a continuously-maintained rollup is bit-identical
+  across engines, partitionings, and epoch merges; the table's registered
   ``TimeSeriesSpec`` — timestamp + dimension columns, the DataFrame
   analog of TSDB mappings — arms the next ``STATS`` with per-series
   inner aggregates ``AVG_OVER_TIME MAX_OVER_TIME MIN_OVER_TIME
@@ -61,10 +66,12 @@ Processing commands
   documented deviation from ES's random coin: same keep probability,
   reproducible across runs and engines)
 Expressions
-  literals (string/number/bool/null), fields (backquotes for odd names),
+  literals (string/number/bool/null), multivalue literals ``[1, 2, 3]``,
+  fields (backquotes for odd names),
   ``+ - * / %``, ``== != < <= > >=``, ``AND OR NOT``, ``IN (..)``,
   ``LIKE`` (``*``/``?`` wildcards), ``RLIKE``, ``IS [NOT] NULL``,
-  time spans (``1 day``) as ``DATE_TRUNC``'s first argument.
+  time spans (``1 day``) as ``DATE_TRUNC``'s first argument or in
+  datetime arithmetic (``ts + 3 hours``, ``NOW() - 90 day``).
 Scalar functions
   ABS CEIL FLOOR ROUND SQRT POW LOG10 EXP GREATEST LEAST LENGTH SUBSTRING
   CONCAT TO_UPPER TO_LOWER TRIM LTRIM RTRIM REPLACE SPLIT STARTS_WITH
@@ -85,6 +92,12 @@ Scalar functions
   stand-in for ES's ML categorizer, documented in the function)
   ROUND_TO (round down to explicit literal points)
   MATCH (full-text predicate under the standard analyzer, OR operator)
+  MATCH_PHRASE (consecutive analyzed-token containment)
+  QSTR (Lucene query-string subset: ``[+|-]field:term`` clauses,
+  trailing ``*`` wildcard; should-clauses are boost-only beside a must)
+  NOW (the query-start instant, constant per query; injectable via
+  ``esql(..., now=...)`` for reproducible pipelines)
+  MV_PSERIES_WEIGHTED_SUM (Σ value_i / i^p over 1-based positions)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
 ``STATS n = COUNT(*) WHERE cond BY g``)
@@ -107,6 +120,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -140,8 +154,8 @@ class Tok:
     pos: int
 
 
-_OPS = ("==", "!=", "<=", ">=", "|", ",", "(", ")", "=", "<", ">",
-        "+", "-", "*", "/", "%")
+_OPS = ("==", "!=", "<=", ">=", "|", ",", "(", ")", "[", "]", "=",
+        "<", ">", "+", "-", "*", "/", "%")
 
 _IDENT_RE = re.compile(r"[A-Za-z_@][A-Za-z0-9_.@]*")
 _NUM_RE = re.compile(r"\d+(\.\d+)?([eE][+-]?\d+)?")
@@ -584,6 +598,17 @@ class _Parser:
             e = self.expr()
             self.expect_op(")")
             return e
+        if t.kind == "OP" and t.value == "[":
+            # ES|QL multivalue literal: [e1, e2, ...]
+            items = []
+            if not self.accept_op("]"):
+                items.append(self.expr())
+                while self.accept_op(","):
+                    items.append(self.expr())
+                self.expect_op("]")
+            if not items:
+                self.err("empty [] literal has no type", t)
+            return ("arr", items)
         if t.kind == "OP" and t.value == "*":
             return ("star",)
         if t.kind == "IDENT":
@@ -1106,6 +1131,44 @@ def _scalar_date_parse(args, raw):
     return F.to_timestamp(args[1], raw[0][1]).cast("timestamp_ntz")
 
 
+def _scalar_match_phrase(args, raw):
+    """ES|QL ``MATCH_PHRASE(field, phrase)``: true iff the phrase's
+    analyzed tokens occur CONSECUTIVELY, in order, in the field's analyzed
+    tokens. Positions reduce to substring containment over the
+    space-joined token streams (single-space join + sentinel padding makes
+    token boundaries exact), so the whole predicate stays inside
+    whole-stage codegen; Catalyst folds the literal side to a constant."""
+    if len(args) != 2:
+        raise ESQLError("MATCH_PHRASE takes (field, phrase)")
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens,
+    )
+
+    def padded(c: Column) -> Column:
+        return F.concat(F.lit(" "), F.array_join(analyze_tokens(c), " "),
+                        F.lit(" "))
+
+    return padded(args[0]).contains(padded(args[1]))
+
+
+def _scalar_mv_pseries(args, raw):
+    """ES|QL ``MV_PSERIES_WEIGHTED_SUM(array, p)``: Σ value_i / i^p over
+    1-based positions (the caller supplies descending-sorted values, as ES
+    requires). Null input → null, empty → null; pure higher-order
+    functions, no UDF."""
+    if len(args) != 2:
+        raise ESQLError("MV_PSERIES_WEIGHTED_SUM takes (array, p)")
+    arr, p = args[0], args[1]
+    weighted = F.zip_with(
+        arr, F.sequence(F.lit(1), F.greatest(F.size(arr), F.lit(1))),
+        lambda v, i: v.cast("double") / F.pow(i.cast("double"),
+                                              p.cast("double")))
+    return F.when(F.size(arr) > 0,
+                  F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x))
+
+
+_SCALARS["MATCH_PHRASE"] = _scalar_match_phrase
+_SCALARS["MV_PSERIES_WEIGHTED_SUM"] = _scalar_mv_pseries
 _SCALARS["HASH"] = _scalar_hash
 _SCALARS["CIDR_MATCH"] = _scalar_cidr_match
 _SCALARS["DATE_FORMAT"] = _scalar_date_format
@@ -1248,6 +1311,25 @@ def _agg_top(args, raw):
     if raw[2][1] == "desc":
         arr = F.reverse(arr)
     return F.slice(arr, 1, raw[1][1])
+
+
+def _ts_dec6(x: Column) -> Column:
+    """Quantize a TS sample to the 1e-6 grid (portable floor rounding,
+    identical in every engine) and lift it into exact decimal — the input
+    normalization of the engine's order-free TS averages."""
+    return roundn_col(x.cast("double"), 6).cast("decimal(27,6)")
+
+
+def _ts_pinned_avg(x: Column) -> Column:
+    """Order-free TS combine-average: quantize each per-series value to
+    the 1e-9 grid, sum EXACTLY in decimal (associative — immune to
+    partial-aggregation merge order), divide once in doubles. The result
+    is bit-reproducible across engines, partitionings, and epoch merges —
+    the property a continuously-maintained hypertable rollup needs (a
+    plain double AVG re-associates per run and can flip a rounded output
+    on an exact half-grain boundary; observed on q_esql_ts_gauge)."""
+    dec = roundn_col(x.cast("double"), 9).cast("decimal(27,9)")
+    return F.sum(dec).cast("double") / F.count(x)
 
 
 _AGGS: dict[str, Callable[[list[Column], list], Column]] = {
@@ -1493,7 +1575,8 @@ class _Compiler:
     def __init__(self, spark: SparkSession, sf_dir: Optional[str],
                  tables: Optional[dict[str, DataFrame]],
                  policies: dict[str, EnrichPolicy], text: str,
-                 ts_specs: Optional[dict[str, TimeSeriesSpec]] = None):
+                 ts_specs: Optional[dict[str, TimeSeriesSpec]] = None,
+                 now: Optional[datetime] = None):
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables or {}
@@ -1502,6 +1585,9 @@ class _Compiler:
         self.ts_specs = (ts_specs if ts_specs is not None
                          else DEFAULT_TS_SPECS)
         self.ts_spec: Optional[TimeSeriesSpec] = None
+        self._ts_outer_pin = False
+        # naive UTC: the fixture timestamp columns are NTZ
+        self.now = now or datetime.now(timezone.utc).replace(tzinfo=None)
 
     def load(self, name: str, pos: int) -> DataFrame:
         if name in self.tables:
@@ -1523,9 +1609,13 @@ class _Compiler:
                 raise ESQLError(f"unknown column {ast[1]!r} "
                                 f"(have: {sorted(columns)})")
             return F.col(ast[1])
+        if kind == "arr":
+            return F.array(*[self.col(x, columns, allow_agg, agg_filter)
+                             for x in ast[1]])
         if kind == "span":
             raise ESQLError("time-span literal is only valid inside "
-                            "DATE_TRUNC")
+                            "DATE_TRUNC or added to/subtracted from a "
+                            "datetime")
         if kind == "star":
             raise ESQLError("* is only valid inside COUNT()")
         if kind == "neg":
@@ -1551,6 +1641,19 @@ class _Compiler:
                 "^(?:" + ast[2] + ")$")
         if kind == "bin":
             op, l_ast, r_ast = ast[1], ast[2], ast[3]
+            # ES|QL datetime arithmetic: `ts + 3 hours`, `NOW() - 90 day`.
+            # Spans compile to timestamp_add on the engine's calendar
+            # (months/years are calendar units there, uniform units exact).
+            if op in ("+", "-") and ("span" in (l_ast[0], r_ast[0])):
+                if l_ast[0] == "span" and op == "+":
+                    l_ast, r_ast = r_ast, l_ast  # span + ts commutes
+                if l_ast[0] == "span":
+                    raise ESQLError("a time span may only be added to or "
+                                    "subtracted from a datetime")
+                n, unit = r_ast[1], r_ast[2]
+                base = self.col(l_ast, columns, allow_agg, agg_filter)
+                qty = F.lit(n if op == "+" else -n).cast("int")
+                return F.timestamp_add(unit.upper(), qty, base)
             l = self.col(l_ast, columns, allow_agg, agg_filter)
             r = self.col(r_ast, columns, allow_agg, agg_filter)
             return {
@@ -1564,6 +1667,15 @@ class _Compiler:
             }[op]()
         if kind == "call":
             name, raw_args, pos = ast[1], ast[2], ast[3]
+            if name == "NOW":
+                # ES semantics: NOW() is the query start instant, constant
+                # for the whole query — captured once at compile time
+                # (injectable for reproducible pipelines/tests).
+                if raw_args:
+                    raise ESQLError("NOW takes no arguments", pos, self.text)
+                return F.lit(self.now)
+            if name == "QSTR":
+                return self._compile_qstr(raw_args, columns, pos)
             if name in _TS_AGG_NAMES:
                 raise ESQLError(
                     f"{name} is only valid inside STATS over a TS source",
@@ -1575,6 +1687,9 @@ class _Compiler:
                         pos, self.text)
                 args = [self.col(a, columns, False) for a in raw_args
                         if a[0] != "star"]
+                if name == "AVG" and self._ts_outer_pin:
+                    # TS outer combine: order-free exact-decimal average
+                    return _ts_pinned_avg(args[0])
                 if agg_filter is not None:
                     # per-agg WHERE: null out non-matching rows so every
                     # builtin aggregate (which skips nulls) sees only the
@@ -1599,6 +1714,66 @@ class _Compiler:
                                     pos, self.text)
             raise ESQLError(f"unknown function {name}", pos, self.text)
         raise ESQLError(f"unhandled expression node {kind}")
+
+    def _compile_qstr(self, raw_args: list, columns: list[str],
+                      pos: int) -> Column:
+        """``QSTR("query string")`` — Lucene query-string syntax as a
+        row-level predicate. Subset (documented; everything else raises):
+        whitespace-separated clauses ``[+|-]field:term``, where ``field``
+        must name a column and ``term`` is an analyzed token, optionally
+        with one trailing ``*`` wildcard. ``+`` clauses must all match,
+        ``-`` clauses must none match; bare clauses are Lucene *should* —
+        at least one must match only when no ``+`` clause exists
+        (with ``+`` present they are boost-only, and QSTR as a predicate
+        carries no score). Both sides run the standard analyzer, so
+        ``field:Spark,`` matches the token ``spark``."""
+        from elasticsearch_hbase_river_spark.functions.analyzer import (
+            analyze_tokens,
+        )
+        if (len(raw_args) != 1 or raw_args[0][0] != "lit"
+                or not isinstance(raw_args[0][1], str)):
+            raise ESQLError("QSTR takes one string literal", pos, self.text)
+        must, must_not, should = [], [], []
+        for clause in raw_args[0][1].split():
+            m = re.fullmatch(r"([+-]?)([A-Za-z_][A-Za-z0-9_.]*):(\S+)",
+                             clause)
+            if not m:
+                raise ESQLError(
+                    f"unsupported QSTR clause {clause!r} — the subset is "
+                    "[+|-]field:term with an optional trailing *",
+                    pos, self.text)
+            sign, fld, term = m.groups()
+            if fld not in columns:
+                raise ESQLError(f"QSTR: unknown column {fld!r}",
+                                pos, self.text)
+            # analyze the query term the way the analyzer would
+            toks = re.split("[^a-z0-9]+",
+                            term.rstrip("*").lower().strip())
+            toks = [x for x in toks if x]
+            if len(toks) != 1:
+                raise ESQLError(
+                    f"QSTR term {term!r} must analyze to one token",
+                    pos, self.text)
+            {"+": must, "-": must_not, "": should}[sign].append(
+                (fld, toks[0], term.endswith("*")))
+
+        def hit(fld: str, term: str, prefix: bool) -> Column:
+            toks = analyze_tokens(F.col(fld))
+            if prefix:
+                return F.exists(toks, lambda x: x.startswith(term))
+            return F.array_contains(toks, term)
+
+        pred = F.lit(True)
+        for f_, tm, px in must:
+            pred = pred & hit(f_, tm, px)
+        for f_, tm, px in must_not:
+            pred = pred & ~hit(f_, tm, px)
+        if should and not must:
+            any_ = F.lit(False)
+            for f_, tm, px in should:
+                any_ = any_ | hit(f_, tm, px)
+            pred = pred & any_
+        return pred
 
     @staticmethod
     def _has_agg(ast) -> bool:
@@ -1749,13 +1924,24 @@ class _Compiler:
                 inner_cols.append(F.min_by(a0, F.col(spec.ts)).alias(nm))
             elif fname == "LAST_OVER_TIME":
                 inner_cols.append(F.max_by(a0, F.col(spec.ts)).alias(nm))
+            elif fname == "AVG_OVER_TIME":
+                # exact-decimal per-series average (see _ts_pinned_avg):
+                # quantized samples sum associatively, so the inner value
+                # is identical whatever order partial aggregation merges
+                inner_cols.append(
+                    (F.sum(_ts_dec6(a0)).cast("double")
+                     / F.count(a0)).alias(nm))
             else:
-                op = {"AVG_OVER_TIME": F.avg, "MAX_OVER_TIME": F.max,
+                op = {"MAX_OVER_TIME": F.max,
                       "MIN_OVER_TIME": F.min, "SUM_OVER_TIME": F.sum}[fname]
                 inner_cols.append(op(a0).alias(nm))
         stage1 = stage.groupBy(*g1).agg(*inner_cols)
-        out = [self.col(te, stage1.columns, allow_agg=True).alias(n)
-               for n, te in outer_specs]
+        self._ts_outer_pin = True
+        try:
+            out = [self.col(te, stage1.columns, allow_agg=True).alias(n)
+                   for n, te in outer_specs]
+        finally:
+            self._ts_outer_pin = False
         if by_names:
             return stage1.groupBy(*by_names).agg(*out)
         return stage1.agg(*out)
@@ -2126,15 +2312,18 @@ class _Compiler:
 def esql(spark: SparkSession, text: str, sf_dir: Optional[str] = None,
          tables: Optional[dict[str, DataFrame]] = None,
          policies: Optional[dict[str, EnrichPolicy]] = None,
-         ts_specs: Optional[dict[str, TimeSeriesSpec]] = None) -> DataFrame:
+         ts_specs: Optional[dict[str, TimeSeriesSpec]] = None,
+         now: Optional[datetime] = None) -> DataFrame:
     """Compile and bind an ES|QL query to a lazy DataFrame.
 
     ``FROM x`` resolves ``x`` first in ``tables`` (pre-bound DataFrames),
     then as a fixture table under ``sf_dir``. Nothing executes here — the
-    returned DataFrame is a plain Catalyst plan.
+    returned DataFrame is a plain Catalyst plan. ``now`` pins the
+    ``NOW()`` query clock (default: compile-time UTC, the ES query-start
+    semantics) — pass it for reproducible pipelines.
     """
     cmds = parse(text)
     comp = _Compiler(spark, sf_dir, tables,
                      policies if policies is not None else DEFAULT_POLICIES,
-                     text, ts_specs=ts_specs)
+                     text, ts_specs=ts_specs, now=now)
     return comp.run(cmds)

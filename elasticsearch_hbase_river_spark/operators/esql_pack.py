@@ -45,9 +45,11 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
-def _register(name: str, text: str, oracle: str, doc: str) -> None:
-    def run(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
-        return esql(spark, _text, sf_dir)
+def _register(name: str, text: str, oracle: str, doc: str,
+              now=None) -> None:
+    def run(spark: SparkSession, sf_dir: str, _text=text,
+            _now=now) -> DataFrame:
+        return esql(spark, _text, sf_dir, now=_now)
 
     run.__name__ = name
     run.__doc__ = doc + "\n\nES|QL:\n" + text
@@ -926,16 +928,24 @@ TS events
     f"""
 WITH s AS (
   SELECT user_id, event_type, date_trunc('day', ts) AS tb,
-         avg(value) AS a, max(value) AS m
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(27,6))) AS DOUBLE) / count(value) AS a,
+         max(value) AS m
   FROM events GROUP BY user_id, event_type, tb)
 SELECT event_type, tb,
-       {roundn_sql('avg(a)', 4)} AS load,
+       {roundn_sql('CAST(sum(CAST(floor(a * 1000000000.0 + 0.5) '
+                    '/ 1000000000.0 AS DECIMAL(27,9))) AS DOUBLE) '
+                    '/ count(a)', 4)} AS load,
        {roundn_sql('max(m)', 4)} AS peak,
        CAST(count(*) AS BIGINT) AS n_series
 FROM s GROUP BY event_type, tb ORDER BY event_type, tb LIMIT 50""",
     "TS gauge rollup: per-(user, type, day) series averages/maxima, then "
     "the cross-series combine — never a flat AVG that would weight "
-    "chatty series higher, the exact point of the TSDB model.")
+    "chatty series higher, the exact point of the TSDB model. Both AVG "
+    "levels use the engine's ORDER-FREE exact-decimal form "
+    "(esql._ts_pinned_avg): quantize to a fixed grid, sum in decimal, "
+    "divide once — so the rounded output cannot flip with partial-agg "
+    "merge order (the 1-ulp half-grain flake this query once had).")
 
 
 ESQL_TS_RATE_TEXT = """
@@ -1332,3 +1342,100 @@ SELECT CASE WHEN value >= 200 THEN 200 WHEN value >= 100 THEN 100
 FROM events GROUP BY tier ORDER BY tier""",
     "ROUND_TO explicit-boundary binning: a literal comparison ladder, "
     "map-side, one partial-agg shuffle on the bin.")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation tranche: full-text functions (MATCH_PHRASE, QSTR),
+# the pinned query clock (NOW() + datetime±span arithmetic), and
+# MV_PSERIES_WEIGHTED_SUM over a TOP() multivalue.
+
+_register(
+    "q_esql_match_phrase",
+    """
+FROM documents
+| WHERE MATCH_PHRASE(text, "fast spark")
+| STATS n = COUNT(*), langs = COUNT_DISTINCT(lang) BY source
+| SORT source
+""",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT lang) AS BIGINT) AS langs
+FROM documents
+WHERE contains(
+    ' ' || array_to_string(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> ''), ' ') || ' ',
+    ' fast spark ')
+GROUP BY source ORDER BY source""",
+    "MATCH_PHRASE: consecutive analyzed-token containment, map-side "
+    "predicate under whole-stage codegen, one partial-agg shuffle.")
+
+
+_register(
+    "q_esql_qstr",
+    """
+FROM documents
+| WHERE QSTR("+text:spark -text:slow text:fast")
+| STATS n = COUNT(*), chars = SUM(n_chars) BY lang
+| SORT lang
+""",
+    """
+WITH t AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS toks
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM t
+WHERE list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow')
+GROUP BY lang ORDER BY lang""",
+    "QSTR Lucene query-string subset: +must/-must_not/bare-should "
+    "clauses as one analyzed row-level predicate (should is boost-only "
+    "beside a + clause, so it does not narrow the filter).")
+
+
+_register(
+    "q_esql_pseries",
+    """
+FROM events
+| STATS vals = TOP(value, 5, "desc") BY event_type
+| EVAL w = ROUND(MV_PSERIES_WEIGHTED_SUM(vals, 1.5), 4)
+| KEEP event_type, w
+| SORT event_type
+""",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         list_slice(list(value ORDER BY value DESC), 1, 5) AS vals
+  FROM events GROUP BY event_type)
+SELECT event_type,
+       {roundn_sql(
+           "list_sum(list_transform(vals, (x, i) -> x / pow(i, 1.5)))",
+           4)} AS w
+FROM g ORDER BY event_type""",
+    "MV_PSERIES_WEIGHTED_SUM over a TOP() multivalue: the ES relevance "
+    "combinator (sum of value_i / i^p) computed per group with "
+    "higher-order functions only.")
+
+
+_register(
+    "q_esql_recent",
+    """
+FROM events
+| WHERE ts >= NOW() - 7 day AND ts < NOW() - 2 day
+| EVAL day = DATE_TRUNC(1 day, ts)
+| STATS n = COUNT(*), total = ROUND(SUM(value), 4) BY event_type, day
+| SORT event_type, day
+""",
+    f"""
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(value)', 4)} AS total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
+  AND ts <  TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 2 DAY
+GROUP BY event_type, day ORDER BY event_type, day""",
+    "NOW() pinned query clock + datetime-minus-span arithmetic: the "
+    "relative time-window filter every dashboard query uses; the span "
+    "folds to a literal so the predicate reaches PushedFilters.",
+    now=__import__("datetime").datetime(2024, 1, 25))

@@ -66,6 +66,7 @@ from elasticsearch_hbase_river_spark.esql import (
     _AGGS,
     _Compiler,
     _TS_AGG_NAMES,
+    _ts_dec6,
     parse,
 )
 
@@ -352,7 +353,10 @@ def _ts_partial_agg(comp: _Compiler, df: DataFrame, plan: dict,
                 pcols.append(F.count(a0 if a0 is not None else F.lit(1))
                              .cast("long").alias(p))
             elif fname == "AVG_OVER_TIME":
-                pcols.append(F.sum(a0).alias(p + "_s"))
+                # exact-decimal partial (see esql._ts_dec6): decimal sums
+                # are associative, so merging per-epoch partials lands on
+                # EXACTLY the batch inner average, bit-for-bit
+                pcols.append(F.sum(_ts_dec6(a0)).alias(p + "_s"))
                 pcols.append(F.count(a0).cast("long").alias(p + "_n"))
             elif fname == "FIRST_OVER_TIME":
                 pcols.append(F.min(F.col(spec.ts)).alias(p + "_t"))
@@ -469,8 +473,15 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                 else:
                     ph_cols.append(F.col(p).alias(a))
         ph = merged.select(*ph_cols)
-        out = [comp.col(fast, ph.columns, allow_agg=True).alias(oname)
-               for oname, fast, _calls, _cond in plan["specs"]]
+        # the outer combine-AVG uses the same order-free exact-decimal
+        # form as batch TS STATS (esql._ts_pinned_avg), so the streamed
+        # rollup equals the batch answer bit-for-bit
+        comp._ts_outer_pin = True
+        try:
+            out = [comp.col(fast, ph.columns, allow_agg=True).alias(oname)
+                   for oname, fast, _calls, _cond in plan["specs"]]
+        finally:
+            comp._ts_outer_pin = False
         df = (ph.groupBy(*[F.col(k) for k in keys]).agg(*out) if keys
               else ph.agg(*out))
     elif plan["mergeable"]:

@@ -1006,3 +1006,95 @@ def test_round_to_points(spark):
     assert row.lo == 0 and row.mid == 50 and row.hi == 200 and row.neg == -10
     with pytest.raises(ESQLError, match="numeric literals"):
         esql(spark, "ROW a = 1 | EVAL t = ROUND_TO(a, a)")
+
+
+# ---------------------------------------------------------------------------
+# round-9 continuation: NOW/span arithmetic, MATCH_PHRASE, QSTR,
+# MV_PSERIES_WEIGHTED_SUM, array literals, order-free TS averages
+
+
+def test_now_pinned_and_span_arithmetic(spark):
+    from datetime import datetime
+    row = esql(spark, 'ROW x = 1 | EVAL lo = NOW() - 7 day, '
+                      'hi = NOW() + 3 hour, rev = 1 day + NOW()',
+               now=datetime(2024, 1, 25)).collect()[0]
+    assert row.lo == datetime(2024, 1, 18)
+    assert row.hi == datetime(2024, 1, 25, 3)
+    assert row.rev == datetime(2024, 1, 26)  # span + ts commutes
+
+
+def test_now_takes_no_args(spark):
+    with pytest.raises(ESQLError, match="NOW takes no arguments"):
+        esql(spark, 'ROW x = NOW(1)')
+
+
+def test_span_minus_datetime_refused(spark):
+    with pytest.raises(ESQLError, match="added to or subtracted"):
+        esql(spark, 'ROW x = 1 | EVAL y = 1 day - NOW()')
+
+
+def test_match_phrase_consecutive_in_order(spark):
+    row = esql(spark, 'ROW body = "The Quick, brown FOX jumps" '
+                      '| EVAL hit = MATCH_PHRASE(body, "quick BROWN fox"), '
+                      'rev = MATCH_PHRASE(body, "brown quick"), '
+                      'gap = MATCH_PHRASE(body, "quick fox")').collect()[0]
+    assert row.hit is True and row.rev is False and row.gap is False
+
+
+def test_qstr_clause_semantics(spark):
+    q = ('ROW body = "Spark merges fast batches" '
+         '| EVAL a = QSTR("+body:spark -body:slow body:zzz"), '
+         'b = QSTR("body:batch*"), '
+         'c = QSTR("-body:spark"), '
+         'd = QSTR("body:zzz body:merges")')
+    row = esql(spark, q).collect()[0]
+    assert row.a is True        # must + absent-must_not; should boost-only
+    assert row.b is True        # trailing * prefix clause
+    assert row.c is False       # must_not hits
+    assert row.d is True        # bare should: at least one matches
+
+
+def test_qstr_rejects_unknown_column_and_bad_clause(spark):
+    with pytest.raises(ESQLError, match="unknown column"):
+        esql(spark, 'ROW a = "x" | WHERE QSTR("b:term")')
+    with pytest.raises(ESQLError, match="unsupported QSTR clause"):
+        esql(spark, 'ROW a = "x" | WHERE QSTR("bare")')
+    with pytest.raises(ESQLError, match="one string literal"):
+        esql(spark, 'ROW a = "x" | WHERE QSTR(a)')
+
+
+def test_mv_pseries_weighted_sum(spark):
+    row = esql(spark, 'ROW v = [10.0, 4.0, 2.0] '
+                      '| EVAL s = MV_PSERIES_WEIGHTED_SUM(v, 1.5), '
+                      'one = MV_PSERIES_WEIGHTED_SUM([7.5], 2.0)'
+               ).collect()[0]
+    expect = 10.0 / 1.0 + 4.0 / 2.0 ** 1.5 + 2.0 / 3.0 ** 1.5
+    assert abs(row.s - expect) < 1e-12
+    assert row.one == 7.5
+
+
+def test_array_literal_and_empty_refused(spark):
+    row = esql(spark, 'ROW x = 1 | EVAL a = [1, 2, 3], n = MV_COUNT(a)'
+               ).collect()[0]
+    assert list(row.a) == [1, 2, 3] and row.n == 3
+    with pytest.raises(ESQLError, match="empty"):
+        esql(spark, 'ROW x = 1 | EVAL a = []')
+
+
+def test_ts_avg_is_order_free(spark):
+    """The exact-decimal TS average must not depend on partitioning:
+    1 and 32 shuffle partitions give bit-identical load values."""
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+
+    rows = [("h%d" % (i % 7), "2024-01-01 00:%02d:00" % (i % 60),
+             (i * 37 % 1000) / 7.0) for i in range(500)]
+    m = (spark.createDataFrame(rows, "host string, t string, v double")
+         .selectExpr("host", "cast(t as timestamp_ntz) as t", "v"))
+    text = ("TS m | STATS load = AVG(AVG_OVER_TIME(v)) "
+            "BY tb = BUCKET(t, 1 hour)")
+    spec = {"m": TimeSeriesSpec("t", ("host",))}
+    a = esql(spark, text, tables={"m": m.repartition(1)},
+             ts_specs=spec).collect()
+    b = esql(spark, text, tables={"m": m.repartition(32)},
+             ts_specs=spec).collect()
+    assert [(r.tb, r.load) for r in a] == [(r.tb, r.load) for r in b]

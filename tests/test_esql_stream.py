@@ -183,12 +183,10 @@ def test_streaming_ts_gauge_equals_batch(spark, sf_dir, tmp_path):
     g_rows, e_rows = got.collect(), expect.collect()
     assert len(g_rows) == len(e_rows)
     for g, e in zip(g_rows, e_rows):
-        # `load` re-associates double sums across epochs (the same class
-        # of variation Spark's own partial aggregation has), so the
-        # post-rounding value may flip one 1e-4 step on an exact
-        # boundary; everything else is association-exact
-        assert abs(g.load - e.load) <= 1e-4 + 1e-9, (g, e)
-        for col in ("event_type", "tb", "peak", "fst", "lst", "n",
+        # TS averages are order-free exact-decimal (esql._ts_pinned_avg),
+        # so even `load` — whose partials re-associate across epochs — is
+        # BIT-EXACT against batch, not merely within a rounding step
+        for col in ("event_type", "tb", "load", "peak", "fst", "lst", "n",
                     "n_series"):
             assert g[col] == e[col], (col, g, e)
 
