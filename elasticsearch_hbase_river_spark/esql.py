@@ -28,9 +28,18 @@ Supported subset (documented; anything else raises ``ESQLError`` with the
 source position):
 
 Source commands
-  ``FROM t1[, t2, ..] [METADATA _index]`` (multi-index unions by field
-  name with null padding, ES semantics; ``_index`` carries the source
-  table), ``ROW name = literal, ...``,
+  ``FROM t1[, t2, ..] [METADATA _index[, _score]]`` (multi-index unions
+  by field name with null padding, ES semantics; ``_index`` carries the
+  source table; ``_score`` arms relevance tracking — it starts at 0 and
+  every scored WHERE stage ADDS its contribution: a ``WHERE
+  MATCH(field, "query")`` whose call is the entire predicate both
+  filters (OR over analyzed terms) and adds the Lucene-BM25 score
+  (k1=1.2, b=0.75; row-local array tf over one tokenization + a
+  broadcast 1-row stats aggregate — no postings shuffle), and ``WHERE
+  KNN(field, [query vector], k)`` keeps the k nearest rows by cosine
+  via TakeOrderedAndProject and adds the similarity; chain WHERE stages
+  to combine, or FORK + FUSE for hybrid ranking),
+  ``ROW name = literal, ...``,
   ``TS table`` (time-series source; TS STATS averages — inner
   ``AVG_OVER_TIME`` and the outer combine ``AVG`` — use an ORDER-FREE
   exact-decimal form: samples quantize to a fixed grid (1e-6 inner,
@@ -303,12 +312,16 @@ class _Parser:
             names = [self.ident()]
             while self.accept_op(","):
                 names.append(self.ident())
-            metadata = False
+            metadata: list[str] = []
             if self.accept_kw("METADATA"):
-                fld = self.ident()
-                if fld != "_index":
-                    self.err("only METADATA _index is supported")
-                metadata = True
+                while True:
+                    fld = self.ident()
+                    if fld not in ("_index", "_score"):
+                        self.err("only METADATA _index and _score are "
+                                 "supported")
+                    metadata.append(fld)
+                    if not self.accept_op(","):
+                        break
             return {"cmd": "FROM", "table": names[0], "tables": names,
                     "metadata": metadata, "pos": t.pos}
         if k == "TS":
@@ -1676,6 +1689,9 @@ class _Compiler:
                 return F.lit(self.now)
             if name == "QSTR":
                 return self._compile_qstr(raw_args, columns, pos)
+            if name == "KNN":
+                raise ESQLError("KNN is only valid as the entire WHERE "
+                                "predicate", pos, self.text)
             if name in _TS_AGG_NAMES:
                 raise ESQLError(
                     f"{name} is only valid inside STATS over a TS source",
@@ -1774,6 +1790,139 @@ class _Compiler:
                 any_ = any_ | hit(f_, tm, px)
             pred = pred & any_
         return pred
+
+    @staticmethod
+    def _contains_call(ast, names: tuple[str, ...]) -> bool:
+        if isinstance(ast, tuple):
+            if ast[0] == "call" and ast[1] in names:
+                return True
+            return any(_Compiler._contains_call(x, names) for x in ast
+                       if isinstance(x, (tuple, list)))
+        if isinstance(ast, list):
+            return any(_Compiler._contains_call(x, names) for x in ast)
+        return False
+
+    def _apply_scored_match(self, df: DataFrame, call, pos: int) -> DataFrame:
+        """Scored ``WHERE MATCH(field, "query")`` under ``METADATA _score``:
+        keeps rows where any analyzed query term occurs (the OR operator)
+        and ADDS the Lucene-BM25 score of the matched terms to ``_score``.
+
+        Plan shape (100 TB stance): per-term tf/dl are row-local array
+        expressions over ONE tokenization (no postings explode, no
+        shuffle); the corpus statistics (N, avgdl, per-term df) are a
+        single partial-aggregated 1-row relation broadcast back — two
+        scans of the relation total, both whole-stage-codegen'd, and the
+        usual ``SORT _score DESC | LIMIT k`` folds to TakeOrdered.
+        Contract: the relation needs a ``doc_id``-style identity only for
+        deterministic downstream ordering — scoring itself is row-local.
+        Fixed query terms sum in literal order, so the score is
+        reproducible (and oracle-mirrorable) bit-for-bit."""
+        from elasticsearch_hbase_river_spark.functions.analyzer import (
+            analyze_tokens,
+        )
+        from elasticsearch_hbase_river_spark.operators.search import (
+            BM25_B,
+            BM25_K1,
+        )
+        args = call[2]
+        if (len(args) != 2 or args[0][0] != "field" or args[1][0] != "lit"
+                or not isinstance(args[1][1], str)):
+            raise ESQLError("scored MATCH takes (field, literal query)",
+                            pos, self.text)
+        field = args[0][1]
+        if field not in df.columns:
+            raise ESQLError(f"unknown column {field!r}", pos, self.text)
+        terms = [t for t in re.split("[^a-z0-9]+", args[1][1].lower()) if t]
+        seen: list[str] = []
+        for t in terms:
+            if t not in seen:
+                seen.append(t)
+        if not seen:
+            raise ESQLError("MATCH query analyzes to no tokens",
+                            pos, self.text)
+        base = df.withColumn("__toks", analyze_tokens(F.col(field)))
+
+        def tf(i: int) -> Column:
+            term = seen[i]
+            return F.size(F.filter(F.col("__toks"),
+                                   lambda x: x == F.lit(term)))
+
+        stats = base.agg(
+            F.count(F.lit(1)).cast("long").alias("__n_docs"),
+            F.avg(F.size("__toks")).alias("__avgdl"),
+            *[F.count(F.when(tf(i) > 0, F.lit(1))).cast("long")
+              .alias(f"__df{i}") for i in range(len(seen))])
+        scored = base.crossJoin(F.broadcast(stats))
+        total = F.lit(0.0)
+        for i in range(len(seen)):
+            idf = F.log(F.lit(1.0) + (F.col("__n_docs") - F.col(f"__df{i}")
+                                      + 0.5) / (F.col(f"__df{i}") + 0.5))
+            tf_norm = (tf(i) * (BM25_K1 + 1)) / (
+                tf(i) + BM25_K1 * (1 - BM25_B
+                                   + BM25_B * F.size("__toks")
+                                   / F.col("__avgdl")))
+            total = total + F.when(tf(i) > 0, idf * tf_norm).otherwise(0.0)
+        out = (scored.filter(total > 0)
+               .withColumn("_score", F.col("_score") + roundn_col(total)))
+        return out.drop("__toks", "__n_docs", "__avgdl",
+                        *[f"__df{i}" for i in range(len(seen))])
+
+    def _apply_knn(self, df: DataFrame, call, pos: int) -> DataFrame:
+        """``WHERE KNN(field, [query vector], k)``: keep the k nearest
+        rows by cosine similarity; under ``METADATA _score`` the
+        similarity adds to ``_score``. Brute-force top-k: the ranking is
+        a TakeOrderedAndProject (per-partition partial top-k, then the k
+        survivors merge — never a global sort), the ES|QL analog of the
+        engine's ``q_knn_cosine`` baseline; swap in the IVF/LSH variants
+        for recall/latency trade-offs at corpus scale. Ties break on the
+        relation's FIRST column (the identity column by the engine's
+        table convention), so results are deterministic."""
+        from elasticsearch_hbase_river_spark.operators.similarity import (
+            _dot,
+            _norm,
+        )
+        args = call[2]
+        if (len(args) != 3 or args[0][0] != "field" or args[1][0] != "arr"
+                or args[2][0] != "lit" or not isinstance(args[2][1], int)):
+            raise ESQLError(
+                "KNN takes (field, [literal query vector], literal k)",
+                pos, self.text)
+        field = args[0][1]
+        if field not in df.columns:
+            raise ESQLError(f"unknown column {field!r}", pos, self.text)
+        vals = []
+        for x in args[1][1]:
+            if x[0] == "lit" and isinstance(x[1], (int, float)):
+                vals.append(float(x[1]))
+            elif (x[0] == "neg" and x[1][0] == "lit"
+                  and isinstance(x[1][1], (int, float))):
+                vals.append(-float(x[1][1]))
+            else:
+                raise ESQLError("KNN query vector must be numeric literals",
+                                pos, self.text)
+        kk = args[2][1]
+        if kk <= 0:
+            raise ESQLError("KNN k must be positive", pos, self.text)
+        qnorm = math.sqrt(sum(v * v for v in vals))
+        if qnorm == 0.0:
+            raise ESQLError("KNN query vector must be non-zero",
+                            pos, self.text)
+        qe = F.array(*[F.lit(v) for v in vals])
+        emb = F.col(field)
+        cos = _dot(emb, qe) / (_norm(emb) * F.lit(qnorm))
+        # dimension contract enforced IN-PLAN (zip_with would silently
+        # null-pad a mismatched vector into a null score otherwise)
+        cos = F.when(F.size(emb) == len(vals), cos).otherwise(
+            F.raise_error(F.lit(
+                f"KNN query vector has {len(vals)} dimensions but "
+                f"{field!r} differs")))
+        scored = df.withColumn("__knn", roundn_col(cos))
+        tiebreak = df.columns[0]
+        out = (scored.orderBy(F.col("__knn").desc(), F.col(tiebreak).asc())
+               .limit(kk))
+        if "_score" in df.columns:
+            out = out.withColumn("_score", F.col("_score") + F.col("__knn"))
+        return out.drop("__knn")
 
     @staticmethod
     def _has_agg(ast) -> bool:
@@ -1951,10 +2100,11 @@ class _Compiler:
         head = cmds[0]
         if head["cmd"] == "FROM":
             tables = head.get("tables", [head["table"]])
+            meta = head.get("metadata") or []
             parts = []
             for name in tables:
                 part = self.load(name, head["pos"])
-                if head.get("metadata"):
+                if "_index" in meta:
                     part = part.withColumn("_index", F.lit(name))
                 parts.append(part)
             # ES multi-index semantics: union by field NAME, null-padding
@@ -1963,6 +2113,10 @@ class _Compiler:
             df = parts[0]
             for part in parts[1:]:
                 df = df.unionByName(part, allowMissingColumns=True)
+            if "_score" in meta:
+                # scoring starts at 0; scored WHERE stages (full-text
+                # MATCH, KNN) ADD their contributions, the ES convention
+                df = df.withColumn("_score", F.lit(0.0))
         elif head["cmd"] == "TS":
             spec = self.ts_specs.get(head["table"])
             if spec is None:
@@ -1988,7 +2142,25 @@ class _Compiler:
         k = c["cmd"]
         cols = df.columns
         if k == "WHERE":
-            return df.filter(self.col(c["expr"], cols))
+            e = c["expr"]
+            if e[0] == "call" and e[1] == "KNN":
+                return self._apply_knn(df, e, c["pos"])
+            if "_score" in cols and e[0] == "call" and e[1] == "MATCH":
+                return self._apply_scored_match(df, e, c["pos"])
+            if self._contains_call(e, ("KNN",)):
+                raise ESQLError(
+                    "KNN must be the ENTIRE WHERE predicate — chain "
+                    "additional filters as separate WHERE stages",
+                    c["pos"], self.text)
+            if "_score" in cols and self._contains_call(
+                    e, ("MATCH", "MATCH_PHRASE")):
+                raise ESQLError(
+                    "with METADATA _score, a scoring function must be the "
+                    "ENTIRE WHERE predicate (chain `| WHERE MATCH(..)` "
+                    "stages — each adds its contribution to _score); "
+                    "scored MATCH_PHRASE is outside the subset, use MATCH",
+                    c["pos"], self.text)
+            return df.filter(self.col(e, cols))
         if k == "EVAL":
             for name, e in c["cols"]:
                 df = df.withColumn(name, self.col(e, df.columns))

@@ -1439,3 +1439,97 @@ GROUP BY event_type, day ORDER BY event_type, day""",
     "relative time-window filter every dashboard query uses; the span "
     "folds to a literal so the predicate reaches PushedFilters.",
     now=__import__("datetime").datetime(2024, 1, 25))
+
+
+# ---------------------------------------------------------------------------
+# METADATA _score: BM25-scored MATCH and KNN vector search inside the
+# language — relevance-ranked retrieval as a first-class pipe stage.
+
+def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+    """DuckDB twin of the compiler's scored MATCH: per-term tf/dl are
+    row-local list expressions over ONE tokenization, corpus stats a
+    1-row CTE, contributions summed in literal term order — mirroring
+    the Spark expression operand-for-operand so scores hash-match."""
+    tfs = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    dfs = ", ".join(
+        f"CAST(count(*) FILTER (tf{i} > 0) AS BIGINT) AS df{i}"
+        for i in range(len(terms)))
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* (tf{i} * (1.2 + 1)) / "
+        f"(tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) "
+        f"ELSE 0.0 END)" for i in range(len(terms)))
+    total = f"(0.0 + {contribs})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, len(toks) AS dl,
+             {tfs}
+      FROM t),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+                 {dfs}
+          FROM b)
+SELECT doc_id, {roundn_sql(total)} AS _score
+FROM b, stats
+WHERE {total} > 0
+ORDER BY _score DESC, doc_id LIMIT {k}"""
+
+
+_register(
+    "q_esql_score_match",
+    """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark join window")
+| SORT _score DESC, doc_id
+| LIMIT 20
+| KEEP doc_id, _score
+""",
+    _bm25_oracle(("spark", "join", "window"), 20),
+    "Scored full-text retrieval in the language: METADATA _score + "
+    "MATCH compile to row-local BM25 (one tokenization, per-term array "
+    "tf, broadcast 1-row corpus stats — no postings shuffle); SORT "
+    "_score | LIMIT folds to TakeOrderedAndProject.")
+
+
+def _knn_query_vector(dim: int = 64) -> list:
+    import math as _m
+    return [round(_m.sin(i + 1.0), 3) for i in range(dim)]
+
+
+def _knn_oracle(vals: list, k: int) -> str:
+    import math as _m
+    from elasticsearch_hbase_river_spark.operators.similarity import (
+        _dot_sql,
+        _norm_sql,
+    )
+    qnorm = _m.sqrt(sum(v * v for v in vals))
+    lit = "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+    cos = (f"({_dot_sql('embedding', 'qv')} "
+           f"/ ({_norm_sql('embedding')} * {qnorm!r}))")
+    return f"""
+WITH q AS (SELECT {lit} AS qv)
+SELECT vec_id, {roundn_sql(cos)} AS _score
+FROM embeddings, q
+ORDER BY _score DESC, vec_id LIMIT {k}"""
+
+
+_KNN_VALS = _knn_query_vector()
+
+_register(
+    "q_esql_knn",
+    """
+FROM embeddings METADATA _score
+| WHERE KNN(embedding, [""" + ", ".join(repr(v) for v in _KNN_VALS) + """], 10)
+| KEEP vec_id, _score
+| SORT _score DESC, vec_id
+""",
+    _knn_oracle(_KNN_VALS, 10),
+    "Vector search in the language: KNN keeps the k nearest rows by "
+    "cosine (TakeOrderedAndProject partial top-k, never a global sort) "
+    "and adds the similarity to _score under METADATA _score.")

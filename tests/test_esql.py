@@ -1098,3 +1098,72 @@ def test_ts_avg_is_order_free(spark):
     b = esql(spark, text, tables={"m": m.repartition(32)},
              ts_specs=spec).collect()
     assert [(r.tb, r.load) for r in a] == [(r.tb, r.load) for r in b]
+
+
+def test_metadata_score_match_chains_sum(spark):
+    """Two chained scored WHERE MATCH stages each add their BM25
+    contribution to _score; a non-scoring filter leaves it alone."""
+    rows = [(1, "spark joins data"), (2, "spark spark spark"),
+            (3, "window functions"), (4, "nothing relevant")]
+    t = spark.createDataFrame(rows, "doc_id long, text string")
+    out = esql(spark, 'FROM d METADATA _score '
+                      '| WHERE MATCH(text, "spark") '
+                      '| WHERE doc_id < 3 '
+                      '| SORT _score DESC, doc_id',
+               tables={"d": t}).collect()
+    assert [r.doc_id for r in out] == [2, 1]
+    assert all(r._score > 0 for r in out)
+    two = esql(spark, 'FROM d METADATA _score '
+                      '| WHERE MATCH(text, "spark") '
+                      '| WHERE MATCH(text, "joins") '
+                      '| SORT _score DESC, doc_id',
+               tables={"d": t}).collect()
+    # each scored stage FILTERS (its own OR semantics) and ADDS score:
+    # only doc 1 contains both terms, and its score grew
+    assert [r.doc_id for r in two] == [1]
+    one = {r.doc_id: r._score for r in out}
+    assert two[0]._score > one[1]              # second stage added score
+
+
+def test_metadata_score_errors(spark):
+    t = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ESQLError, match="ENTIRE WHERE predicate"):
+        esql(spark, 'FROM d METADATA _score '
+                    '| WHERE MATCH(text, "x") AND doc_id > 0',
+             tables={"d": t})
+    with pytest.raises(ESQLError, match="outside the subset"):
+        esql(spark, 'FROM d METADATA _score '
+                    '| WHERE MATCH_PHRASE(text, "x y")', tables={"d": t})
+    with pytest.raises(ESQLError, match="analyzes to no tokens"):
+        esql(spark, 'FROM d METADATA _score | WHERE MATCH(text, "---")',
+             tables={"d": t})
+    with pytest.raises(ESQLError, match="only METADATA _index and _score"):
+        parse('FROM d METADATA _version')
+
+
+def test_knn_top_k_and_validation(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    t = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = esql(spark, 'FROM d METADATA _score '
+                      '| WHERE KNN(emb, [1.0, 1.0], 3) '
+                      '| SORT _score DESC, vec_id',
+               tables={"d": t}).collect()
+    assert len(out) == 3 and out[0].vec_id == 1   # [1,1] is the direction
+    with pytest.raises(ESQLError, match="entire WHERE predicate"):
+        esql(spark, 'FROM d | EVAL s = KNN(emb, [1.0], 1)', tables={"d": t})
+    with pytest.raises(ESQLError, match="ENTIRE WHERE predicate"):
+        esql(spark, 'FROM d | WHERE KNN(emb, [1.0, 1.0], 3) AND vec_id > 0',
+             tables={"d": t})
+    with pytest.raises(ESQLError, match="k must be positive"):
+        esql(spark, 'FROM d | WHERE KNN(emb, [1.0, 1.0], 0)',
+             tables={"d": t})
+    with pytest.raises(Exception, match="dimensions"):
+        esql(spark, 'FROM d | WHERE KNN(emb, [1.0, 2.0, 3.0], 2)',
+             tables={"d": t}).collect()
+
+
+def test_knn_plan_is_take_ordered(spark, sf_dir):
+    plan = esql(spark, 'FROM embeddings METADATA _score '
+                       '| WHERE KNN(embedding, [1.0], 5)',
+                sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
