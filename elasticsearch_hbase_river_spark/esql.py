@@ -97,6 +97,13 @@ Scalar functions
   ST_POINT TO_GEOPOINT ST_X ST_Y ST_DISTANCE (geo_point =
   struct<lon, lat>, WKT "POINT (lon lat)"; ST_DISTANCE returns
   great-circle meters on the same sphere as the DSL geo pack)
+  ST_INTERSECTS ST_WITHIN ST_CONTAINS ST_DISJOINT (point vs literal
+  TO_GEOSHAPE("POLYGON ((..))"): even-odd ray cast, division-free —
+  the literal polygon folds each edge's slope sign at compile time, so
+  the predicate is multiply/subtract only and bit-identical across
+  engines; see functions/geoshape.py)
+  ST_ENVELOPE ST_XMIN ST_XMAX ST_YMIN ST_YMAX (literal-shape bounding
+  box as struct<xmin, xmax, ymin, ymax>)
   CATEGORIZE (log-line grouping by alphabetic skeleton — deterministic
   stand-in for ES's ML categorizer, documented in the function)
   ROUND_TO (round down to explicit literal points)
@@ -112,6 +119,8 @@ Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``STATS n = COUNT(*) WHERE cond BY g``)
   COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG
   VALUES STD_DEV (population) TOP(field, limit, "asc"|"desc")
+  ST_CENTROID_AGG (order-free exact-decimal mean point)
+  ST_EXTENT_AGG (bounding box of a geo_point column)
 
 Cross-engine determinism: ``ROUND`` compiles to the engine's portable
 ``floor(x*10^d + 0.5)/10^d`` rounding (`functions/determinism.py`) so ES|QL
@@ -1108,6 +1117,98 @@ _SCALARS["ST_DISTANCE"] = _scalar_st_distance
 _SCALARS["ST_X"] = lambda a, r: a[0]["lon"]
 _SCALARS["ST_Y"] = lambda a, r: a[0]["lat"]
 
+
+def _shape_ring(raw_arg, what: str):
+    """A literal polygon passed as ``TO_GEOSHAPE("POLYGON ((..))")`` —
+    parsed driver-side (see functions/geoshape.py). Returns the closed
+    ring, or None if the argument is not a shape literal."""
+    from elasticsearch_hbase_river_spark.functions.geoshape import (
+        parse_wkt_polygon,
+    )
+    if not (raw_arg[0] == "call" and raw_arg[1] == "TO_GEOSHAPE"):
+        return None
+    inner = raw_arg[2]
+    if (len(inner) != 1 or inner[0][0] != "lit"
+            or not isinstance(inner[0][1], str)):
+        raise ESQLError("TO_GEOSHAPE takes one WKT string literal")
+    try:
+        return parse_wkt_polygon(inner[0][1])
+    except ValueError as ex:
+        raise ESQLError(f"{what}: {ex}")
+
+
+def _st_relation(name: str, point_first_only: bool,
+                 shape_first_only: bool):
+    """Build ST_INTERSECTS / ST_WITHIN / ST_CONTAINS / ST_DISJOINT for
+    the point-vs-literal-polygon subset: the even-odd ray cast of
+    functions/geoshape.py (division-free, bit-identical in both
+    engines). For a point against a polygon the three positive
+    relations coincide; the argument ORDER contract still mirrors ES
+    (WITHIN wants the point first, CONTAINS the shape first)."""
+    def rel(args, raw):
+        if len(raw) != 2:
+            raise ESQLError(f"{name} takes two geometries")
+        ring0 = _shape_ring(raw[0], name)
+        ring1 = _shape_ring(raw[1], name)
+        if (ring0 is None) == (ring1 is None):
+            raise ESQLError(
+                f"{name} subset: exactly one argument must be a "
+                "TO_GEOSHAPE polygon literal, the other a geo_point")
+        if ring1 is not None and shape_first_only:
+            raise ESQLError(
+                f"{name} expects (shape, point) — a point cannot "
+                "contain a polygon")
+        if ring0 is not None and point_first_only:
+            raise ESQLError(
+                f"{name} expects (point, shape) — a polygon is never "
+                "within a point")
+        ring = ring0 if ring0 is not None else ring1
+        pt = args[1] if ring0 is not None else args[0]
+        from elasticsearch_hbase_river_spark.functions.geoshape import (
+            point_in_ring_col,
+        )
+        inside = point_in_ring_col(pt["lon"], pt["lat"], ring)
+        return ~inside if name == "ST_DISJOINT" else inside
+
+    return rel
+
+
+_SCALARS["ST_INTERSECTS"] = _st_relation("ST_INTERSECTS", False, False)
+_SCALARS["ST_DISJOINT"] = _st_relation("ST_DISJOINT", False, False)
+_SCALARS["ST_WITHIN"] = _st_relation("ST_WITHIN", True, False)
+_SCALARS["ST_CONTAINS"] = _st_relation("ST_CONTAINS", False, True)
+
+
+def _scalar_st_envelope(args, raw):
+    """``ST_ENVELOPE(TO_GEOSHAPE(..))``: the literal shape's bounding
+    box as a struct<xmin, xmax, ymin, ymax> of driver-side constants."""
+    from elasticsearch_hbase_river_spark.functions.geoshape import ring_bbox
+    if len(raw) != 1:
+        raise ESQLError("ST_ENVELOPE takes one geometry")
+    ring = _shape_ring(raw[0], "ST_ENVELOPE")
+    if ring is None:
+        raise ESQLError("ST_ENVELOPE subset: the argument must be a "
+                        "TO_GEOSHAPE polygon literal")
+    xmin, xmax, ymin, ymax = ring_bbox(ring)
+    return F.struct(F.lit(xmin).alias("xmin"), F.lit(xmax).alias("xmax"),
+                    F.lit(ymin).alias("ymin"), F.lit(ymax).alias("ymax"))
+
+
+_SCALARS["ST_ENVELOPE"] = _scalar_st_envelope
+_SCALARS["ST_XMIN"] = lambda a, r: a[0]["xmin"]
+_SCALARS["ST_XMAX"] = lambda a, r: a[0]["xmax"]
+_SCALARS["ST_YMIN"] = lambda a, r: a[0]["ymin"]
+_SCALARS["ST_YMAX"] = lambda a, r: a[0]["ymax"]
+
+
+def _scalar_to_geoshape(args, raw):
+    raise ESQLError("TO_GEOSHAPE is only valid as a literal argument of "
+                    "ST_INTERSECTS / ST_WITHIN / ST_CONTAINS / "
+                    "ST_DISJOINT / ST_ENVELOPE")
+
+
+_SCALARS["TO_GEOSHAPE"] = _scalar_to_geoshape
+
 _SCALARS["MV_DEDUPE"] = lambda a, r: F.array_sort(F.array_distinct(a[0]))
 _SCALARS["MV_SORT"] = lambda a, r: F.array_sort(a[0])
 _SCALARS["MV_SLICE"] = _scalar_mv_slice
@@ -1360,6 +1461,16 @@ _AGGS: dict[str, Callable[[list[Column], list], Column]] = {
     # population std-dev: the moment ES's std_deviation reports
     "STD_DEV": lambda a, r: F.stddev_pop(a[0]),
     "TOP": _agg_top,
+    # spatial aggregates over geo_point columns. The centroid uses the
+    # same order-free exact-decimal average as TS STATS (_ts_pinned_avg)
+    # so it is bit-reproducible whatever order partials merge in; the
+    # extent is min/max, exact by nature.
+    "ST_CENTROID_AGG": lambda a, r: F.struct(
+        _ts_pinned_avg(a[0]["lon"]).alias("lon"),
+        _ts_pinned_avg(a[0]["lat"]).alias("lat")),
+    "ST_EXTENT_AGG": lambda a, r: F.struct(
+        F.min(a[0]["lon"]).alias("xmin"), F.max(a[0]["lon"]).alias("xmax"),
+        F.min(a[0]["lat"]).alias("ymin"), F.max(a[0]["lat"]).alias("ymax")),
 }
 
 # GROK pattern name → (regex, default cast). Inner groups non-capturing so
@@ -1716,9 +1827,11 @@ class _Compiler:
                     args = [F.when(agg_filter, a) for a in args]
                 return _AGGS[name](args, raw_args)
             if name in _SCALARS:
-                # span args are consumed raw by the builder (DATE_TRUNC);
-                # keep positions aligned with raw_args via a placeholder
+                # span args are consumed raw by the builder (DATE_TRUNC),
+                # and literal TO_GEOSHAPE args raw by the ST_* relations;
+                # keep positions aligned with raw_args via placeholders
                 args = [None if a[0] == "span"
+                        or (a[0] == "call" and a[1] == "TO_GEOSHAPE")
                         else self.col(a, columns, allow_agg, agg_filter)
                         for a in raw_args]
                 try:

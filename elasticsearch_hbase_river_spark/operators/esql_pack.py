@@ -1533,3 +1533,74 @@ FROM embeddings METADATA _score
     "Vector search in the language: KNN keeps the k nearest rows by "
     "cosine (TakeOrderedAndProject partial top-k, never a global sort) "
     "and adds the similarity to _score under METADATA _score.")
+
+
+# ---------------------------------------------------------------------------
+# Spatial relations: point-in-literal-polygon (ST_INTERSECTS/WITHIN/
+# CONTAINS/DISJOINT via the division-free ray cast in functions/
+# geoshape.py) + the ST_CENTROID_AGG / ST_EXTENT_AGG aggregates.
+
+#: Same region as the DSL pack's q_geo_polygon triangle (esdsl6.POLY,
+#: (lat, lon) order there) spelled as WKT (lon lat) — the two surfaces
+#: corroborate each other through DIFFERENT algorithms (cross-product
+#: sign test vs even-odd ray cast).
+ESQL_GEO_POLY_WKT = "POLYGON ((-150 60, -100 -50, 30 55, -150 60))"
+
+ESQL_GEO_POLY_TEXT = f"""
+FROM geo_users
+| EVAL p = ST_POINT(lon, lat)
+| WHERE ST_INTERSECTS(p, TO_GEOSHAPE("{ESQL_GEO_POLY_WKT}"))
+| STATS n = COUNT(*), c = ST_CENTROID_AGG(p), e = ST_EXTENT_AGG(p)
+| EVAL clon = ROUND(ST_X(c), 4), clat = ROUND(ST_Y(c), 4),
+       xmin = ROUND(ST_XMIN(e), 4), xmax = ROUND(ST_XMAX(e), 4),
+       ymin = ROUND(ST_YMIN(e), 4), ymax = ROUND(ST_YMAX(e), 4)
+| KEEP n, clon, clat, xmin, xmax, ymin, ymax
+"""
+
+
+def q_esql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial relations in the language: point-in-literal-polygon via
+    the even-odd ray cast (multiply/subtract only — the polygon is a
+    query literal, so each edge's slope sign folds at compile time and
+    no division ever runs), then the centroid (order-free exact-decimal
+    average) and extent aggregates. Map-side predicate riding the scan;
+    one 1-row aggregate.
+
+    ES|QL:
+    """ + ESQL_GEO_POLY_TEXT
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import _geo_users
+
+    return esql(spark, ESQL_GEO_POLY_TEXT,
+                tables={"geo_users": _geo_users(spark, sf_dir)})
+
+
+def _esql_geo_poly_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.geoshape import (
+        parse_wkt_polygon,
+        point_in_ring_sql,
+    )
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        _geo_users_sql,
+    )
+    ring = parse_wkt_polygon(ESQL_GEO_POLY_WKT)
+    inside = point_in_ring_sql("lon", "lat", ring)
+
+    def pinned_avg(x: str) -> str:
+        return (f"CAST(sum(CAST(floor({x} * 1000000000.0 + 0.5) "
+                f"/ 1000000000.0 AS DECIMAL(27,9))) AS DOUBLE) / count({x})")
+
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")}),
+hits AS (SELECT lon, lat FROM geo_users WHERE {inside})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql(pinned_avg('lon'), 4)} AS clon,
+       {roundn_sql(pinned_avg('lat'), 4)} AS clat,
+       {roundn_sql('min(lon)', 4)} AS xmin,
+       {roundn_sql('max(lon)', 4)} AS xmax,
+       {roundn_sql('min(lat)', 4)} AS ymin,
+       {roundn_sql('max(lat)', 4)} AS ymax
+FROM hits"""
+
+
+QUERIES["q_esql_geo_polygon"] = q_esql_geo_polygon
+ORACLES["q_esql_geo_polygon"] = _esql_geo_poly_oracle()

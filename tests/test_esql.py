@@ -1167,3 +1167,70 @@ def test_knn_plan_is_take_ordered(spark, sf_dir):
                        '| WHERE KNN(embedding, [1.0], 5)',
                 sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_spatial_relations_point_in_polygon(spark):
+    rows = [(1, -120.0, 30.0), (2, 0.0, 0.0), (3, 40.0, 10.0)]
+    t = spark.createDataFrame(rows, "id long, lon double, lat double")
+    poly = 'TO_GEOSHAPE("POLYGON ((-150 60, -100 -50, 30 55, -150 60))")'
+    out = esql(spark, f'FROM g | EVAL p = ST_POINT(lon, lat) '
+                      f'| EVAL w = ST_WITHIN(p, {poly}), '
+                      f'i = ST_INTERSECTS({poly}, p), '
+                      f'c = ST_CONTAINS({poly}, p), '
+                      f'd = ST_DISJOINT(p, {poly}) | SORT id',
+               tables={"g": t}).collect()
+    assert [(r.w, r.i, r.c, r.d) for r in out] == [
+        (True, True, True, False), (False, False, False, True),
+        (False, False, False, True)]
+
+
+def test_spatial_ray_cast_matches_cross_product_oracle(spark, sf_dir):
+    """The ES|QL ray cast and the DSL pack's cross-product triangle test
+    must agree on every fixture point (different algorithms, same
+    region)."""
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import _geo_users
+    from elasticsearch_hbase_river_spark.operators.esdsl6 import (
+        q_geo_polygon,
+    )
+    g = _geo_users(spark, sf_dir)
+    poly = 'TO_GEOSHAPE("POLYGON ((-150 60, -100 -50, 30 55, -150 60))")'
+    mine = esql(spark, f'FROM geo_users '
+                       f'| EVAL p = ST_POINT(lon, lat) '
+                       f'| WHERE ST_WITHIN(p, {poly}) '
+                       f'| KEEP user_id | SORT user_id',
+                tables={"geo_users": g})
+    theirs = q_geo_polygon(spark, sf_dir).select("user_id") \
+        .orderBy("user_id")
+    assert [r.user_id for r in mine.collect()] == \
+           [r.user_id for r in theirs.collect()]
+
+
+def test_spatial_envelope_and_validation(spark):
+    row = esql(spark, 'ROW x = 1 | EVAL e = ST_ENVELOPE(TO_GEOSHAPE('
+                      '"POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))")), '
+                      'a = ST_XMIN(e), b = ST_XMAX(e), '
+                      'c = ST_YMIN(e), d = ST_YMAX(e)').collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (0.0, 10.0, 0.0, 5.0)
+    with pytest.raises(ESQLError, match="only valid as a literal"):
+        esql(spark, 'ROW x = 1 | EVAL g = TO_GEOSHAPE("POLYGON '
+                    '((0 0, 1 0, 1 1, 0 0))")')
+    with pytest.raises(ESQLError, match="exactly one argument"):
+        esql(spark, 'ROW x = 1 | EVAL w = ST_WITHIN(ST_POINT(1.0, 1.0), '
+                    'ST_POINT(2.0, 2.0))')
+    with pytest.raises(ESQLError, match="single-ring POLYGON"):
+        esql(spark, 'ROW x = 1 | EVAL w = ST_WITHIN(ST_POINT(1.0, 1.0), '
+                    'TO_GEOSHAPE("LINESTRING (0 0, 1 1)"))')
+
+
+def test_spatial_centroid_extent_aggs(spark):
+    rows = [(i, float(i), float(10 - i)) for i in range(5)]
+    t = spark.createDataFrame(rows, "id long, lon double, lat double")
+    row = esql(spark, 'FROM g | EVAL p = ST_POINT(lon, lat) '
+                      '| STATS c = ST_CENTROID_AGG(p), '
+                      'e = ST_EXTENT_AGG(p) '
+                      '| EVAL cx = ST_X(c), cy = ST_Y(c), '
+                      'x0 = ST_XMIN(e), x1 = ST_XMAX(e), '
+                      'y0 = ST_YMIN(e), y1 = ST_YMAX(e)',
+               tables={"g": t}).collect()[0]
+    assert (row.cx, row.cy) == (2.0, 8.0)
+    assert (row.x0, row.x1, row.y0, row.y1) == (0.0, 4.0, 6.0, 10.0)
