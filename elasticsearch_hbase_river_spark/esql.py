@@ -73,7 +73,11 @@ Processing commands
   regime, the ES convention),
   ``SAMPLE probability`` (DETERMINISTIC content-hash Bernoulli — a
   documented deviation from ES's random coin: same keep probability,
-  reproducible across runs and engines)
+  reproducible across runs and engines),
+  ``RERANK "query" ON field`` (second-stage re-scoring under METADATA
+  _score; no inference model runs here, so the documented stand-in
+  REPLACES _score with the fraction of analyzed query terms present —
+  row-local over the already-bounded candidate set)
 Expressions
   literals (string/number/bool/null), multivalue literals ``[1, 2, 3]``,
   fields (backquotes for odd names),
@@ -248,7 +252,8 @@ _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
 
 _CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
          "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
-         "LOOKUP", "ENRICH", "FORK", "FUSE", "CHANGE_POINT", "SAMPLE")
+         "LOOKUP", "ENRICH", "FORK", "FUSE", "CHANGE_POINT", "SAMPLE",
+         "RERANK")
 
 
 class _Parser:
@@ -489,6 +494,13 @@ class _Parser:
                 names = (tname, self.ident())
             return {"cmd": "CHANGE_POINT", "value": val, "on": key,
                     "names": names, "pos": t.pos}
+        if k == "RERANK":
+            q = self.next()
+            if q.kind != "STRING":
+                self.err("RERANK expects a quoted query", q)
+            self.expect_kw("ON")
+            return {"cmd": "RERANK", "query": q.value,
+                    "field": self.ident(), "pos": t.pos}
         if k == "ENRICH":
             policy = self.ident()
             self.expect_kw("ON")
@@ -2552,6 +2564,40 @@ class _Compiler:
             return scored.groupBy("_id").agg(
                 F.sum("__fuse_c").alias("_score"),
                 *[F.max(x).alias(x) for x in others])
+        if k == "RERANK":
+            # ES 9.x ``RERANK "query" ON field`` re-scores the (top-k
+            # bounded) rows through an inference endpoint. No model runs
+            # in this engine, so the subset pins a DETERMINISTIC,
+            # oracle-mirrorable relevance rule (documented stand-in, the
+            # CATEGORIZE precedent): _score is REPLACED by the fraction
+            # of the query's analyzed terms present in the field's
+            # analyzed tokens (exact integer count / term count — no
+            # accumulation wobble). Row-local: rides the already-bounded
+            # relation, no shuffle.
+            from elasticsearch_hbase_river_spark.functions.analyzer import (
+                analyze_tokens,
+            )
+            if "_score" not in cols:
+                raise ESQLError(
+                    "RERANK needs METADATA _score on the pipeline",
+                    c["pos"], self.text)
+            if c["field"] not in cols:
+                raise ESQLError(f"RERANK: unknown column {c['field']!r}",
+                                c["pos"], self.text)
+            terms: list[str] = []
+            for t_ in re.split("[^a-z0-9]+", c["query"].lower()):
+                if t_ and t_ not in terms:
+                    terms.append(t_)
+            if not terms:
+                raise ESQLError("RERANK query analyzes to no tokens",
+                                c["pos"], self.text)
+            toks = analyze_tokens(F.col(c["field"]))
+            cnt = F.lit(0)
+            for t_ in terms:
+                cnt = cnt + F.array_contains(toks, t_).cast("int")
+            return df.withColumn(
+                "_score",
+                roundn_col(cnt.cast("double") / F.lit(float(len(terms)))))
         if k == "ENRICH":
             pol = self.policies.get(c["policy"])
             if pol is None:

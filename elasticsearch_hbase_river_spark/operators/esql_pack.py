@@ -1604,3 +1604,46 @@ FROM hits"""
 
 QUERIES["q_esql_geo_polygon"] = q_esql_geo_polygon
 ORACLES["q_esql_geo_polygon"] = _esql_geo_poly_oracle()
+
+
+# ---------------------------------------------------------------------------
+# RERANK: second-stage re-scoring of a retrieval pipeline (ES 9.x). The
+# engine's deterministic stand-in replaces _score with the fraction of
+# query terms present (documented in the compiler); the query under test
+# is the canonical retrieve-then-rerank funnel.
+
+def _rerank_oracle() -> str:
+    terms = ("spark", "fast", "merge")
+    cs = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        for t in terms)
+    return f"""
+WITH top AS ({_bm25_oracle(('spark', 'join', 'window'), 50)}),
+rt AS (
+  SELECT top.doc_id,
+         list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM top JOIN documents d USING (doc_id))
+SELECT doc_id,
+       {roundn_sql(f'CAST((0 + {cs}) AS DOUBLE) / {float(len(terms))!r}')}
+         AS _score
+FROM rt
+ORDER BY _score DESC, doc_id LIMIT 10"""
+
+
+_register(
+    "q_esql_rerank",
+    """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark join window")
+| SORT _score DESC, doc_id
+| LIMIT 50
+| RERANK "spark fast merge" ON text
+| SORT _score DESC, doc_id
+| LIMIT 10
+| KEEP doc_id, _score
+""",
+    _rerank_oracle(),
+    "Retrieve-then-rerank funnel: BM25 top-50 (TakeOrderedAndProject), "
+    "then RERANK replaces _score row-locally over the 50 survivors — "
+    "the second stage costs |candidates|, never |corpus|.")

@@ -1234,3 +1234,29 @@ def test_spatial_centroid_extent_aggs(spark):
                tables={"g": t}).collect()[0]
     assert (row.cx, row.cy) == (2.0, 8.0)
     assert (row.x0, row.x1, row.y0, row.y1) == (0.0, 4.0, 6.0, 10.0)
+
+
+def test_rerank_replaces_score_rowlocal(spark):
+    rows = [(1, "spark fast merge here"), (2, "spark only"),
+            (3, "nothing at all")]
+    t = spark.createDataFrame(rows, "doc_id long, text string")
+    out = esql(spark, 'FROM d METADATA _score '
+                      '| WHERE MATCH(text, "spark nothing") '
+                      '| RERANK "spark fast merge" ON text '
+                      '| SORT _score DESC, doc_id',
+               tables={"d": t}).collect()
+    got = {r.doc_id: r._score for r in out}
+    assert got[1] == 1.0
+    assert abs(got[2] - 1 / 3) < 1e-6
+    assert abs(got[3] - 0.0) < 1e-9   # matched "nothing", reranked to 0
+
+
+def test_rerank_validation(spark):
+    t = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ESQLError, match="needs METADATA _score"):
+        esql(spark, 'FROM d | RERANK "q" ON text', tables={"d": t})
+    with pytest.raises(ESQLError, match="analyzes to no tokens"):
+        esql(spark, 'FROM d METADATA _score | RERANK "---" ON text',
+             tables={"d": t})
+    with pytest.raises(ESQLError, match="quoted query"):
+        parse('FROM d | RERANK q ON text')
