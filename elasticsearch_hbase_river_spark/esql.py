@@ -118,6 +118,12 @@ Scalar functions
   NOW (the query-start instant, constant per query; injectable via
   ``esql(..., now=...)`` for reproducible pipelines)
   MV_PSERIES_WEIGHTED_SUM (Σ value_i / i^p over 1-based positions)
+  CHUNK_TEXT(field, size, overlap) (RAG word-window chunker to a
+  multivalue column; EVAL-only — the word array stages as an attribute
+  so the text splits once per row, the SPARK-36715 discipline)
+  TEXT_EMBEDDING(field, dims) (deterministic feature-hashing embedding
+  — signed md5-bucket token counts, the documented inference stand-in;
+  EVAL-only, token pairs staged before the per-dimension fold)
 Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
 ``STATS n = COUNT(*) WHERE cond BY g``)
@@ -1815,6 +1821,11 @@ class _Compiler:
             if name == "KNN":
                 raise ESQLError("KNN is only valid as the entire WHERE "
                                 "predicate", pos, self.text)
+            if name in ("TEXT_EMBEDDING", "CHUNK_TEXT"):
+                raise ESQLError(
+                    f"{name} is only valid as the top-level expression of "
+                    "an EVAL (its inputs are staged to avoid per-element "
+                    "recomputation)", pos, self.text)
             if name in _TS_AGG_NAMES:
                 raise ESQLError(
                     f"{name} is only valid inside STATS over a TS source",
@@ -1915,6 +1926,95 @@ class _Compiler:
                 any_ = any_ | hit(f_, tm, px)
             pred = pred & any_
         return pred
+
+    def _apply_text_embedding(self, df: DataFrame, name: str, call,
+                              pos: int) -> DataFrame:
+        """``EVAL emb = TEXT_EMBEDDING(field, dims)`` — a DETERMINISTIC
+        hashed bag-of-words embedding (documented stand-in for ES's
+        inference endpoint, the RERANK/CATEGORIZE precedent): each
+        analyzed token hashes to a bucket (first 4 md5 hex digits mod
+        dims) with a ±1 sign from the next hash bit, and emb[d] is the
+        signed token count — the classic feature-hashing construction,
+        so cosine over it is a real lexical similarity.
+
+        Staging note: the token (bucket, sign) pairs are materialized as
+        an ATTRIBUTE before the per-dimension fold — a lambda that
+        captured the computed md5 chain would re-evaluate it per
+        dimension (the SPARK-36715 class this repo has measured at 20×);
+        with the attribute staged, md5 runs once per token."""
+        from elasticsearch_hbase_river_spark.functions.analyzer import (
+            analyze_tokens,
+        )
+        args = call[2]
+        if (len(args) != 2 or args[1][0] != "lit"
+                or not isinstance(args[1][1], int)):
+            raise ESQLError("TEXT_EMBEDDING takes (field, literal dims)",
+                            pos, self.text)
+        dims = args[1][1]
+        if not 1 <= dims <= 256:
+            raise ESQLError("TEXT_EMBEDDING dims must be in 1..256 "
+                            "(the per-row fold costs O(dims x tokens))",
+                            pos, self.text)
+        field = self.col(args[0], df.columns)
+
+        def pair(t: Column) -> Column:
+            h = F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+            sign = F.when(
+                F.floor(h / F.lit(float(dims))).cast("long") % 2 == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0))
+            return F.struct((h % dims).alias("b"), sign.alias("s"))
+
+        tmp = "__te_pairs"
+        while tmp in df.columns:
+            tmp += "_"
+        staged = df.withColumn(
+            tmp, F.transform(analyze_tokens(field), pair))
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: F.aggregate(
+                F.col(tmp), F.lit(0.0),
+                lambda acc, p: acc + F.when(p["b"] == d, p["s"])
+                .otherwise(F.lit(0.0))))
+        return staged.withColumn(name, emb).drop(tmp)
+
+    def _apply_chunk_text(self, df: DataFrame, name: str, call,
+                          pos: int) -> DataFrame:
+        """``EVAL chunks = CHUNK_TEXT(field, size, overlap)`` — the RAG
+        chunker: whitespace words in windows of ``size`` words advancing
+        by ``size - overlap``, each chunk re-joined with single spaces,
+        as a multivalue column (MV_EXPAND yields one row per chunk).
+        The word array is staged as an attribute first (same
+        SPARK-36715 staging as TEXT_EMBEDDING), so the text splits once
+        per row, not once per chunk."""
+        args = call[2]
+        if (len(args) != 3
+                or args[1][0] != "lit" or not isinstance(args[1][1], int)
+                or args[2][0] != "lit" or not isinstance(args[2][1], int)):
+            raise ESQLError(
+                "CHUNK_TEXT takes (field, literal size, literal overlap)",
+                pos, self.text)
+        size, overlap = args[1][1], args[2][1]
+        if size <= 0 or overlap < 0 or overlap >= size:
+            raise ESQLError("CHUNK_TEXT needs size > 0 and "
+                            "0 <= overlap < size", pos, self.text)
+        stride = size - overlap
+        field = self.col(args[0], df.columns)
+        tmp = "__ct_words"
+        while tmp in df.columns:
+            tmp += "_"
+        staged = df.withColumn(
+            tmp, F.array_remove(F.split(field, r"\s+"), ""))
+        n = F.size(F.col(tmp))
+        nchunks = (F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(size)) / F.lit(float(stride)))
+            .cast("int") + F.lit(1)))
+        chunks = F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda j: F.array_join(
+                F.slice(F.col(tmp), j * stride + 1, size), " "))
+        out = F.when(n > 0, chunks).otherwise(
+            F.array().cast("array<string>"))
+        return staged.withColumn(name, out).drop(tmp)
 
     @staticmethod
     def _contains_call(ast, names: tuple[str, ...]) -> bool:
@@ -2288,7 +2388,12 @@ class _Compiler:
             return df.filter(self.col(e, cols))
         if k == "EVAL":
             for name, e in c["cols"]:
-                df = df.withColumn(name, self.col(e, df.columns))
+                if e[0] == "call" and e[1] == "TEXT_EMBEDDING":
+                    df = self._apply_text_embedding(df, name, e, c["pos"])
+                elif e[0] == "call" and e[1] == "CHUNK_TEXT":
+                    df = self._apply_chunk_text(df, name, e, c["pos"])
+                else:
+                    df = df.withColumn(name, self.col(e, df.columns))
             return df
         if k == "STATS" and self.ts_spec is not None:
             return self._apply_ts_stats(df, c)

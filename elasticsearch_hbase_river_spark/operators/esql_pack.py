@@ -1647,3 +1647,95 @@ FROM documents METADATA _score
     "Retrieve-then-rerank funnel: BM25 top-50 (TakeOrderedAndProject), "
     "then RERANK replaces _score row-locally over the 50 survivors — "
     "the second stage costs |candidates|, never |corpus|.")
+
+
+# ---------------------------------------------------------------------------
+# RAG-pipeline functions: CHUNK_TEXT (word-window chunker) and
+# TEXT_EMBEDDING (deterministic feature-hashing embedding). Both stage
+# their token/word arrays as attributes before any per-element fold —
+# the SPARK-36715 discipline — so cost is O(tokens), not O(chunks x
+# tokens) / O(dims x tokens) re-tokenizations.
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 40, 10
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_register(
+    "q_esql_chunk_text",
+    f"""
+FROM documents
+| EVAL chunks = CHUNK_TEXT(text, {_CHUNK_SIZE}, {_CHUNK_OVERLAP})
+| EVAL n_chunks = MV_COUNT(chunks)
+| MV_EXPAND chunks
+| EVAL wc = MV_COUNT(SPLIT(chunks, " "))
+| STATS n = COUNT(*), avg_words = ROUND(AVG(wc), 4), mx = MAX(n_chunks)
+  BY source
+| SORT source
+""",
+    f"""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+           AS words
+  FROM documents),
+c AS (
+  SELECT source,
+         CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(
+                range(0, CASE WHEN len(words) <= {_CHUNK_SIZE} THEN 1
+                              ELSE CAST(ceil((len(words) - {_CHUNK_SIZE})
+                                        / {float(_CHUNK_STRIDE)}) AS INTEGER)
+                                   + 1 END),
+                j -> array_to_string(
+                  list_slice(words, j * {_CHUNK_STRIDE} + 1,
+                             j * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' '))
+         END AS chunks
+  FROM w),
+x AS (SELECT source, len(chunks) AS n_chunks,
+             unnest(chunks) AS chunk FROM c)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql("avg(len(string_split(chunk, ' ')))", 4)} AS avg_words,
+       CAST(max(n_chunks) AS BIGINT) AS mx
+FROM x GROUP BY source ORDER BY source""",
+    "CHUNK_TEXT: the RAG word-window chunker (size 40, overlap 10) as a "
+    "multivalue column; MV_EXPAND yields the chunk relation. Map-side "
+    "only until the final rollup shuffle.")
+
+
+_TE_DIMS = 8
+
+
+def _te_oracle() -> str:
+    h = _md5_coin_sql("t")
+    bucket = f"({h} % {_TE_DIMS})"
+    sign = (f"(CASE WHEN CAST(floor({h} / {float(_TE_DIMS)}) AS BIGINT) "
+            f"% 2 = 0 THEN 1.0 ELSE -1.0 END)")
+    emb = (f"list_transform(range(0, {_TE_DIMS}), d -> "
+           f"coalesce(list_sum(list_transform(toks, t -> "
+           f"CASE WHEN {bucket} = d THEN {sign} ELSE 0.0 END)), 0.0))")
+    return f"""
+WITH tk AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+e AS (SELECT lang, {emb} AS emb FROM tk)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(emb[1])', 4)} AS t0,
+       {roundn_sql('sum(list_sum(emb))', 4)} AS ts
+FROM e GROUP BY lang ORDER BY lang"""
+
+
+_register(
+    "q_esql_text_embedding",
+    f"""
+FROM documents
+| EVAL emb = TEXT_EMBEDDING(text, {_TE_DIMS})
+| EVAL e0 = MV_FIRST(emb), s = MV_SUM(emb)
+| STATS n = COUNT(*), t0 = ROUND(SUM(e0), 4), ts = ROUND(SUM(s), 4)
+  BY lang
+| SORT lang
+""",
+    _te_oracle(),
+    "TEXT_EMBEDDING: deterministic feature-hashing embedding (signed "
+    "md5-bucket token counts — the documented inference stand-in); "
+    "integer-valued components keep every downstream sum exact.")

@@ -1260,3 +1260,34 @@ def test_rerank_validation(spark):
              tables={"d": t})
     with pytest.raises(ESQLError, match="quoted query"):
         parse('FROM d | RERANK q ON text')
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    out = esql(spark, 'ROW t = "a b c d e f g" '
+                      '| EVAL c = CHUNK_TEXT(t, 3, 1) '
+                      '| MV_EXPAND c | KEEP c').collect()
+    assert [r.c for r in out] == ["a b c", "c d e", "e f g"]
+    short = esql(spark, 'ROW t = "a b" | EVAL c = CHUNK_TEXT(t, 5, 2), '
+                        'n = MV_COUNT(c) | KEEP c, n').collect()[0]
+    assert list(short.c) == ["a b"] and short.n == 1
+    empty = esql(spark, 'ROW t = "   " | EVAL c = CHUNK_TEXT(t, 5, 0), '
+                        'n = MV_COUNT(c) | KEEP n').collect()[0]
+    assert empty.n == 0
+    with pytest.raises(ESQLError, match="overlap < size"):
+        esql(spark, 'ROW t = "x" | EVAL c = CHUNK_TEXT(t, 3, 3)')
+    with pytest.raises(ESQLError, match="top-level expression"):
+        esql(spark, 'ROW t = "x" | WHERE MV_COUNT(CHUNK_TEXT(t, 3, 1)) > 0')
+
+
+def test_text_embedding_deterministic_and_signed(spark):
+    one = esql(spark, 'ROW t = "spark join" '
+                      '| EVAL e = TEXT_EMBEDDING(t, 4)').collect()[0].e
+    again = esql(spark, 'ROW t = "spark join" '
+                        '| EVAL e = TEXT_EMBEDDING(t, 4)').collect()[0].e
+    assert list(one) == list(again) and len(one) == 4
+    assert sum(abs(x) for x in one) == 2.0   # two tokens, ±1 each
+    doubled = esql(spark, 'ROW t = "spark join spark join" '
+                          '| EVAL e = TEXT_EMBEDDING(t, 4)').collect()[0].e
+    assert [2 * x for x in one] == list(doubled)   # counts, linear
+    with pytest.raises(ESQLError, match="dims must be in"):
+        esql(spark, 'ROW t = "x" | EVAL e = TEXT_EMBEDDING(t, 0)')
