@@ -68,9 +68,13 @@ Processing commands
   ``FUSE [rrf|linear]`` (hybrid-ranking fusion of FORK branches keyed by
   ``_id``: rrf = sum of 1/(60 + per-branch rank by ``_score``), linear =
   raw score sum; other columns merge by MAX),
-  ``CHANGE_POINT value ON key [AS type, pvalue]`` (step-change detection
-  with a two-sided z-test p-value; marks the first key of the new
-  regime, the ES convention),
+  ``CHANGE_POINT value ON key [AS type, pvalue]`` (the detector family:
+  a step-change candidate — cumulative-split argmax, two-sided z-test,
+  marks the first key of the new regime, the ES convention — competes
+  with a spike/dip candidate — leave-one-out argmax of the single most
+  deviant point — and the smaller raw p-value wins, ties prefer
+  step_change; both argmax metrics are exact decimal so the choice is
+  engine-exact),
   ``SAMPLE probability`` (DETERMINISTIC content-hash Bernoulli — a
   documented deviation from ES's random coin: same keep probability,
   reproducible across runs and engines),
@@ -2617,12 +2621,60 @@ class _Compiler:
                    * (F.lit(1.0) + _erf(z / F.lit(1.4142135623730951))))
             pv = F.greatest(F.lit(0.0),
                             F.lit(2.0) * (F.lit(1.0) - phi))
-            marker = (prefix
+            step_m = (prefix
                       .select("__k", d.alias("__d"), pv.alias("__pv"))
                       .orderBy(F.col("__d").desc(), "__k").limit(1)
                       .select(F.col("__k").alias(key),
                               F.lit("step_change").alias(tname),
-                              roundn_col(F.col("__pv")).alias(pname)))
+                              F.col("__pv").alias("__rawpv"),
+                              F.lit(0).alias("__prio")))
+            # spike/dip candidate: the single most deviant point vs the
+            # REST (leave-one-out). The argmax metric |x·(n-1) − (Σ−x)|
+            # is exact decimal, so candidate choice is engine-exact; the
+            # p-value is a two-sided z of the point against the rest's
+            # moments. ES's detector family reports spike/dip when a
+            # lone excursion explains the series better than a level
+            # shift — this engine pins that as "the smaller p-value
+            # wins, ties prefer step_change".
+            spike_rel = (df.select(
+                F.col(key).alias("__sk"), dec.alias("__x"),
+                F.count(F.lit(1)).over(wall).alias("__tn"),
+                F.sum(dec).over(wall).alias("__ts"),
+                F.sum(dec * dec).over(wall).alias("__tq"))
+                .filter(F.col("__tn") > 1))
+            dm = F.abs(F.col("__x") * (F.col("__tn") - 1)
+                       - (F.col("__ts") - F.col("__x")))
+            rest_n = (F.col("__tn") - 1).cast("double")
+            mean_rest = ((F.col("__ts") - F.col("__x")).cast("double")
+                         / rest_n)
+            var_rest = F.greatest(
+                (F.col("__tq") - F.col("__x") * F.col("__x"))
+                .cast("double") / rest_n - mean_rest * mean_rest,
+                F.lit(0.0))
+            sd_rest = F.sqrt(var_rest)
+            dev = F.abs(F.col("__x").cast("double") - mean_rest)
+            zs = F.when(sd_rest > 0, dev / sd_rest).otherwise(F.lit(0.0))
+            phis = (F.lit(0.5)
+                    * (F.lit(1.0) + _erf(zs / F.lit(1.4142135623730951))))
+            # sd_rest == 0 with a deviant point: the point differs from a
+            # CONSTANT rest — maximally significant (p = 0), not z = 0
+            pvs = (F.when(sd_rest > 0,
+                          F.greatest(F.lit(0.0),
+                                     F.lit(2.0) * (F.lit(1.0) - phis)))
+                   .when(dev > 0, F.lit(0.0)).otherwise(F.lit(1.0)))
+            typ = F.when(F.col("__x").cast("double") > mean_rest,
+                         F.lit("spike")).otherwise(F.lit("dip"))
+            spike_m = (spike_rel
+                       .select("__sk", dm.alias("__dm"),
+                               typ.alias(tname), pvs.alias("__rawpv"))
+                       .orderBy(F.col("__dm").desc(), "__sk").limit(1)
+                       .select(F.col("__sk").alias(key), F.col(tname),
+                               F.col("__rawpv"), F.lit(1).alias("__prio")))
+            marker = (step_m.unionByName(spike_m)
+                      .orderBy(F.col("__rawpv").asc(), F.col("__prio").asc())
+                      .limit(1)
+                      .select(F.col(key), F.col(tname),
+                              roundn_col(F.col("__rawpv")).alias(pname)))
             left = df.drop(*[n for n in (tname, pname) if n in df.columns])
             return left.join(F.broadcast(marker), key, "left")
         if k == "FORK":

@@ -298,10 +298,15 @@ ORDER BY _fork, event_type""",
     "branches.")
 
 
-def _change_point_oracle() -> str:
+def _change_point_mark_cte(key: str, val: str) -> str:
+    """The DuckDB twin of the compiler's CHANGE_POINT marker over a CTE
+    ``s({key}, {val})``: the step-change candidate (cumulative split
+    argmax) and the spike/dip candidate (leave-one-out argmax) each
+    produce one row; the smaller RAW p-value wins, ties prefer step —
+    spelled operand-for-operand like the Column expressions."""
     from elasticsearch_hbase_river_spark.esql import erf_sql
 
-    dec = "CAST(n AS DECIMAL(19,3))"
+    dec = f"CAST({val} AS DECIMAL(19,3))"
     d = "abs((ts_ - cs)::DOUBLE / (tn - cn) - cs::DOUBLE / cn)"
     var = ("greatest(tq::DOUBLE / tn"
            " - (ts_::DOUBLE / tn) * (ts_::DOUBLE / tn), 0.0)")
@@ -309,26 +314,55 @@ def _change_point_oracle() -> str:
     z = f"(CASE WHEN {se} > 0 THEN {d} / {se} ELSE 0.0 END)"
     phi = f"(0.5 * (1.0 + {erf_sql(f'{z} / 1.4142135623730951')}))"
     pv = f"greatest(0.0, 2.0 * (1.0 - {phi}))"
+    mr = "((ts_ - x)::DOUBLE / (tn - 1)::DOUBLE)"
+    varr = (f"greatest((tq - x * x)::DOUBLE / (tn - 1)::DOUBLE"
+            f" - {mr} * {mr}, 0.0)")
+    zs = (f"(CASE WHEN sqrt({varr}) > 0 "
+          f"THEN abs(x::DOUBLE - {mr}) / sqrt({varr}) ELSE 0.0 END)")
+    phis = f"(0.5 * (1.0 + {erf_sql(f'{zs} / 1.4142135623730951')}))"
+    pvs = (f"(CASE WHEN sqrt({varr}) > 0 "
+           f"THEN greatest(0.0, 2.0 * (1.0 - {phis})) "
+           f"WHEN abs(x::DOUBLE - {mr}) > 0 THEN 0.0 ELSE 1.0 END)")
     return f"""
-WITH h AS (
-  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1),
 c AS (
-  SELECT lead(hour) OVER (ORDER BY hour) AS hour_next, n,
-         count(*) OVER (ORDER BY hour) AS cn,
-         sum({dec}) OVER (ORDER BY hour) AS cs,
-         sum({dec} * {dec}) OVER (ORDER BY hour) AS cq,
+  SELECT lead({key}) OVER (ORDER BY {key}) AS k_next,
+         count(*) OVER (ORDER BY {key}) AS cn,
+         sum({dec}) OVER (ORDER BY {key}) AS cs,
+         sum({dec} * {dec}) OVER (ORDER BY {key}) AS cq,
          count(*) OVER () AS tn,
          sum({dec}) OVER () AS ts_,
          sum({dec} * {dec}) OVER () AS tq
-  FROM h),
-mark AS (
-  SELECT hour_next AS hour, 'step_change' AS type,
-         {roundn_sql(pv)} AS pvalue
+  FROM s),
+stepm AS (
+  SELECT k_next AS mk, 'step_change' AS mtype, {pv} AS rawpv, 0 AS prio
   FROM c WHERE cn < tn
-  ORDER BY {d} DESC, hour_next LIMIT 1)
-SELECT h.hour, h.n, m.type, m.pvalue
-FROM h JOIN mark m USING (hour)"""
+  ORDER BY {d} DESC, k_next LIMIT 1),
+sp AS (
+  SELECT {key} AS sk, {dec} AS x,
+         count(*) OVER () AS tn,
+         sum({dec}) OVER () AS ts_,
+         sum({dec} * {dec}) OVER () AS tq
+  FROM s),
+spikem AS (
+  SELECT sk AS mk,
+         CASE WHEN x::DOUBLE > {mr} THEN 'spike' ELSE 'dip' END AS mtype,
+         {pvs} AS rawpv, 1 AS prio
+  FROM sp WHERE tn > 1
+  ORDER BY abs(x * (tn - 1) - (ts_ - x)) DESC, sk LIMIT 1),
+mark AS (
+  SELECT mk, mtype, rawpv
+  FROM (SELECT * FROM stepm UNION ALL SELECT * FROM spikem)
+  ORDER BY rawpv, prio LIMIT 1)"""
+
+
+def _change_point_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+{_change_point_mark_cte('hour', 'n')}
+SELECT s.hour, s.n, m.mtype AS type, {roundn_sql('m.rawpv')} AS pvalue
+FROM s JOIN mark m ON s.hour = m.mk"""
 
 
 _register(
@@ -1739,3 +1773,33 @@ FROM documents
     "TEXT_EMBEDDING: deterministic feature-hashing embedding (signed "
     "md5-bucket token counts — the documented inference stand-in); "
     "integer-valued components keep every downstream sum exact.")
+
+
+# ---------------------------------------------------------------------------
+# CHANGE_POINT spike/dip: the detector family beyond step_change. A
+# 20x burst planted at one bucket makes the leave-one-out candidate
+# beat every level-shift split, so the marker reports type 'spike'.
+
+_register(
+    "q_esql_change_spike",
+    """
+FROM events
+| STATS n = COUNT(*) BY ub = BUCKET(user_id, 500.0)
+| EVAL v = CASE(ub == 2000.0, n * 20, n)
+| CHANGE_POINT v ON ub
+| WHERE type IS NOT NULL
+| KEEP ub, v, type, pvalue
+""",
+    f"""
+WITH s AS (
+  SELECT floor(user_id / 500.0) * 500.0 AS ub,
+         CASE WHEN floor(user_id / 500.0) * 500.0 = 2000.0
+              THEN CAST(count(*) AS BIGINT) * 20
+              ELSE CAST(count(*) AS BIGINT) END AS v
+  FROM events GROUP BY floor(user_id / 500.0) * 500.0),
+{_change_point_mark_cte('ub', 'v')}
+SELECT s.ub, s.v, m.mtype AS type, {roundn_sql('m.rawpv')} AS pvalue
+FROM s JOIN mark m ON s.ub = m.mk""",
+    "CHANGE_POINT spike/dip: step-change and leave-one-out candidates "
+    "compete on raw p-value (ties prefer step); exact-decimal argmax "
+    "metrics keep the candidate choice engine-exact.")

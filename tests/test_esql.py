@@ -1291,3 +1291,35 @@ def test_text_embedding_deterministic_and_signed(spark):
     assert [2 * x for x in one] == list(doubled)   # counts, linear
     with pytest.raises(ESQLError, match="dims must be in"):
         esql(spark, 'ROW t = "x" | EVAL e = TEXT_EMBEDDING(t, 0)')
+
+
+def test_change_point_spike_and_dip(spark, tmp_path):
+    src = str(tmp_path / "cp_spike")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 200.0), (5, 10.0),
+         (6, 10.0), (7, 10.0)], "k int, v double").write.parquet(src)
+    rows = esql(spark, "FROM t | CHANGE_POINT v ON k AS cp, pv | SORT k",
+                tables={"t": spark.read.parquet(src)}).collect()
+    marked = [r for r in rows if r.cp is not None]
+    assert len(marked) == 1
+    assert marked[0].k == 4 and marked[0].cp == "spike"
+
+    src2 = str(tmp_path / "cp_dip")
+    spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 100.0), (4, 1.0), (5, 100.0),
+         (6, 100.0), (7, 100.0)], "k int, v double").write.parquet(src2)
+    rows = esql(spark, "FROM t | CHANGE_POINT v ON k AS cp, pv | SORT k",
+                tables={"t": spark.read.parquet(src2)}).collect()
+    marked = [r for r in rows if r.cp is not None]
+    assert marked[0].k == 4 and marked[0].cp == "dip"
+
+
+def test_change_point_step_still_wins_on_level_shift(spark, tmp_path):
+    src = str(tmp_path / "cp_step2")
+    spark.createDataFrame(
+        [(i, 10.0) for i in range(1, 5)] + [(i, 100.0) for i in range(5, 9)],
+        "k int, v double").write.parquet(src)
+    rows = esql(spark, "FROM t | CHANGE_POINT v ON k AS cp, pv | SORT k",
+                tables={"t": spark.read.parquet(src)}).collect()
+    marked = [r for r in rows if r.cp is not None]
+    assert marked[0].k == 5 and marked[0].cp == "step_change"
