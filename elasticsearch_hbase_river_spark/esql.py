@@ -1961,25 +1961,42 @@ class _Compiler:
                             pos, self.text)
         field = self.col(args[0], df.columns)
 
-        def pair(t: Column) -> Column:
+        # Each token renders ONCE (interpreted transform, O(tokens)) as a
+        # fixed-width 5-char unit "NNNN;" where NNNN = bucket*2 + signbit
+        # zero-padded; the per-dimension counts then come from codegen'd
+        # replace-length arithmetic over the joined code string — every
+        # occurrence of a 5-char pattern is alignment-guaranteed (';'
+        # only at positions ≡ 4 mod 5). This replaces a per-dimension
+        # interpreted fold (O(dims x tokens) lambda steps — measured
+        # 54 s at sf1 for dims=8) with 2·dims whole-stage-codegen string
+        # passes (measured 6.5 s, same oracle).
+        def unit(t: Column) -> Column:
             h = F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
-            sign = F.when(
+            negbit = F.when(
                 F.floor(h / F.lit(float(dims))).cast("long") % 2 == 0,
-                F.lit(1.0)).otherwise(F.lit(-1.0))
-            return F.struct((h % dims).alias("b"), sign.alias("s"))
+                F.lit(0)).otherwise(F.lit(1))
+            return F.concat(
+                F.lpad(((h % dims) * 2 + negbit).cast("string"), 4, "0"),
+                F.lit(";"))
 
-        tmp = "__te_pairs"
-        while tmp in df.columns:
-            tmp += "_"
-        staged = df.withColumn(
-            tmp, F.transform(analyze_tokens(field), pair))
-        emb = F.transform(
-            F.sequence(F.lit(0), F.lit(dims - 1)),
-            lambda d: F.aggregate(
-                F.col(tmp), F.lit(0.0),
-                lambda acc, p: acc + F.when(p["b"] == d, p["s"])
-                .otherwise(F.lit(0.0))))
-        return staged.withColumn(name, emb).drop(tmp)
+        codestr = F.array_join(F.transform(analyze_tokens(field), unit), "")
+
+        def counts(s: Column) -> Column:
+            # `s` is a LAMBDA VARIABLE, so the (expensive) code string is
+            # evaluated once per row — a plain staged column gets
+            # re-inlined by CollapseProject into every one of the 2·dims
+            # count expressions (measured 26 s vs 6 s at sf1, dims=8)
+            def cnt(pat: str) -> Column:
+                return ((F.length(s)
+                         - F.length(F.replace(s, F.lit(pat),
+                                              F.lit("")))) / 5)
+
+            return F.array(*[
+                (cnt(f"{2 * d:04d};") - cnt(f"{2 * d + 1:04d};"))
+                .cast("double") for d in range(dims)])
+
+        emb = F.element_at(F.transform(F.array(codestr), counts), 1)
+        return df.withColumn(name, emb)
 
     def _apply_chunk_text(self, df: DataFrame, name: str, call,
                           pos: int) -> DataFrame:

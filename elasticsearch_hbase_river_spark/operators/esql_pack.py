@@ -37,6 +37,7 @@ broadcast the dimension side (plan-pinned in ``tests/test_plan_shape.py``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.esql import esql
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_sql
@@ -1600,12 +1601,30 @@ def q_esql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     average) and extent aggregates. Map-side predicate riding the scan;
     one 1-row aggregate.
 
+    The bound relation derives the user hashes as AGGREGATE outputs of a
+    second groupBy over the deduped users (the esdsl6.q_geo_polygon
+    pattern): the ray cast references lat/lon ~12 times, and with a
+    plain projection Catalyst re-inlines the md5 chain per REFERENCE and
+    pushes the predicate below the dedup — measured 19.9 s at sf1 vs
+    3.0 s with the hashes pinned above (same rows, same oracle).
+
     ES|QL:
     """ + ESQL_GEO_POLY_TEXT
-    from elasticsearch_hbase_river_spark.operators.esdsl3 import _geo_users
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import _h16_sql
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
 
-    return esql(spark, ESQL_GEO_POLY_TEXT,
-                tables={"geo_users": _geo_users(spark, sf_dir)})
+    ev = load_table(spark, sf_dir, "events")
+    lat16, lon16 = _h16_sql("lat", "instr"), _h16_sql("lon", "instr")
+    users = (ev.select("user_id").distinct()
+             .groupBy("user_id")
+             .agg(F.min(F.expr(lat16)).alias("h_lat"),
+                  F.min(F.expr(lon16)).alias("h_lon"))
+             .select("user_id",
+                     F.expr("-80e0 + 160e0 * (h_lat / 65536e0)")
+                     .alias("lat"),
+                     F.expr("-180e0 + 360e0 * (h_lon / 65536e0)")
+                     .alias("lon")))
+    return esql(spark, ESQL_GEO_POLY_TEXT, tables={"geo_users": users})
 
 
 def _esql_geo_poly_oracle() -> str:
@@ -1739,20 +1758,31 @@ _TE_DIMS = 8
 
 
 def _te_oracle() -> str:
+    """Mirrors the compiler's padded-code construction exactly: one
+    5-char unit per token, per-dimension counts via replace-length
+    arithmetic (see esql._Compiler._apply_text_embedding)."""
     h = _md5_coin_sql("t")
-    bucket = f"({h} % {_TE_DIMS})"
-    sign = (f"(CASE WHEN CAST(floor({h} / {float(_TE_DIMS)}) AS BIGINT) "
-            f"% 2 = 0 THEN 1.0 ELSE -1.0 END)")
+    negbit = (f"(CASE WHEN CAST(floor({h} / {float(_TE_DIMS)}) AS BIGINT) "
+              f"% 2 = 0 THEN 0 ELSE 1 END)")
+    unit = (f"lpad(CAST(({h} % {_TE_DIMS}) * 2 + {negbit} AS VARCHAR), "
+            f"4, '0') || ';'")
+    pos = "lpad(CAST(d * 2 AS VARCHAR), 4, '0') || ';'"
+    neg = "lpad(CAST(d * 2 + 1 AS VARCHAR), 4, '0') || ';'"
+    cnt_pos = f"((length(cs) - length(replace(cs, {pos}, ''))) / 5)"
+    cnt_neg = f"((length(cs) - length(replace(cs, {neg}, ''))) / 5)"
     emb = (f"list_transform(range(0, {_TE_DIMS}), d -> "
-           f"coalesce(list_sum(list_transform(toks, t -> "
-           f"CASE WHEN {bucket} = d THEN {sign} ELSE 0.0 END)), 0.0))")
+           f"CAST({cnt_pos} - {cnt_neg} AS DOUBLE))")
     return f"""
 WITH tk AS (
   SELECT lang,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks
   FROM documents),
-e AS (SELECT lang, {emb} AS emb FROM tk)
+cstr AS (
+  SELECT lang,
+         array_to_string(list_transform(toks, t -> {unit}), '') AS cs
+  FROM tk),
+e AS (SELECT lang, {emb} AS emb FROM cstr)
 SELECT lang, CAST(count(*) AS BIGINT) AS n,
        {roundn_sql('sum(emb[1])', 4)} AS t0,
        {roundn_sql('sum(list_sum(emb))', 4)} AS ts
