@@ -49,7 +49,8 @@ Source commands
   ``TimeSeriesSpec`` — timestamp + dimension columns, the DataFrame
   analog of TSDB mappings — arms the next ``STATS`` with per-series
   inner aggregates ``AVG_OVER_TIME MAX_OVER_TIME MIN_OVER_TIME
-  SUM_OVER_TIME COUNT_OVER_TIME FIRST_OVER_TIME LAST_OVER_TIME RATE``
+  SUM_OVER_TIME COUNT_OVER_TIME FIRST_OVER_TIME LAST_OVER_TIME RATE
+  INCREASE IRATE DELTA``
   wrapped by an outer aggregate, e.g.
   ``TS m | STATS qps = SUM(RATE(req)) BY host, tb = BUCKET(ts, 1 hour)``;
   RATE is Prometheus-style increase / uniform bucket width, resets
@@ -1697,7 +1698,8 @@ DEFAULT_TS_SPECS: dict[str, TimeSeriesSpec] = {
 
 #: per-series inner aggregates valid only inside STATS over a TS source
 _TS_AGG_NAMES = frozenset({
-    "RATE", "AVG_OVER_TIME", "MAX_OVER_TIME", "MIN_OVER_TIME",
+    "RATE", "INCREASE", "IRATE", "DELTA",
+    "AVG_OVER_TIME", "MAX_OVER_TIME", "MIN_OVER_TIME",
     "SUM_OVER_TIME", "COUNT_OVER_TIME", "FIRST_OVER_TIME",
     "LAST_OVER_TIME"})
 
@@ -2278,15 +2280,20 @@ class _Compiler:
         if not inner:
             raise ESQLError("TS STATS needs at least one *_OVER_TIME or "
                             "RATE aggregate", c["pos"], self.text)
-        # rate contributions need per-row window deltas before the groupBy
+        # counter aggregates need per-row window deltas before the groupBy
         for k, call in enumerate(inner):
             fname, args, pos = call[1], call[2], call[3]
-            if fname != "RATE":
+            if fname not in ("RATE", "INCREASE", "IRATE"):
                 continue
             if len(args) != 1:
-                raise ESQLError("RATE takes one counter field", pos,
+                raise ESQLError(f"{fname} takes one counter field", pos,
                                 self.text)
-            if bucket_secs is None:
+            if bucket_name is None:
+                raise ESQLError(
+                    f"{fname} needs BY ... BUCKET(ts, span) (the window "
+                    "the counter increase is measured over)",
+                    pos, self.text)
+            if fname == "RATE" and bucket_secs is None:
                 raise ESQLError(
                     "RATE needs BY ... BUCKET(ts, span) with a uniform "
                     f"span ({sorted(_SPAN_SECONDS)}) to normalize by",
@@ -2295,11 +2302,27 @@ class _Compiler:
             w = (Window.partitionBy(*spec.dimensions, bucket_name)
                  .orderBy(F.col(spec.ts).asc(), arg.asc()))
             delta = arg - F.lag(arg).over(w)
-            stage = stage.withColumn(
-                f"__rc{k}",
-                F.when(delta.isNull(), F.lit(0.0))
-                .when(delta >= 0, delta.cast("double"))
-                .otherwise(arg.cast("double")))
+            if fname == "IRATE":
+                # instantaneous rate: the LAST adjusted delta over its
+                # sample interval (Prometheus irate; resets contribute
+                # the post-reset value). Microsecond-exact dt in both
+                # engines (unix_micros / epoch_us); the NTZ→TZ cast's
+                # session offset cancels in the difference.
+                us = F.unix_micros(F.col(spec.ts).cast("timestamp"))
+                dt = (us - F.lag(us).over(w)).cast("double") / F.lit(1e6)
+                adj = (F.when(delta >= 0, delta.cast("double"))
+                       .otherwise(arg.cast("double")))
+                val = F.when(delta.isNotNull() & (dt > 0), adj / dt)
+                stage = (stage
+                         .withColumn(f"__iv{k}", val)
+                         .withColumn(f"__it{k}",
+                                     F.when(val.isNotNull(), us)))
+            else:
+                stage = stage.withColumn(
+                    f"__rc{k}",
+                    F.when(delta.isNull(), F.lit(0.0))
+                    .when(delta >= 0, delta.cast("double"))
+                    .otherwise(arg.cast("double")))
         g1 = list(spec.dimensions)
         g1 += [n for n in by_names if n not in g1]
         inner_cols = []
@@ -2311,6 +2334,20 @@ class _Compiler:
                 inner_cols.append(
                     (F.sum(f"__rc{k}") / F.lit(float(bucket_secs)))
                     .alias(nm))
+            elif fname == "INCREASE":
+                # Prometheus increase = rate without the width division
+                inner_cols.append(F.sum(f"__rc{k}").alias(nm))
+            elif fname == "IRATE":
+                inner_cols.append(
+                    F.max_by(F.col(f"__iv{k}"), F.col(f"__it{k}"))
+                    .alias(nm))
+            elif fname == "DELTA":
+                # gauge delta: last sample minus first sample by time
+                # (no extrapolation — documented simplification of the
+                # Prometheus boundary-extrapolated delta)
+                inner_cols.append(
+                    (F.max_by(a0, F.col(spec.ts))
+                     - F.min_by(a0, F.col(spec.ts))).alias(nm))
             elif fname == "COUNT_OVER_TIME":
                 inner_cols.append(
                     F.count(a0 if a0 is not None else F.lit(1))

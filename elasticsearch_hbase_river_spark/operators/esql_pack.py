@@ -1833,3 +1833,80 @@ FROM s JOIN mark m ON s.ub = m.mk""",
     "CHANGE_POINT spike/dip: step-change and leave-one-out candidates "
     "compete on raw p-value (ties prefer step); exact-decimal argmax "
     "metrics keep the candidate choice engine-exact.")
+
+
+# ---------------------------------------------------------------------------
+# TS Prometheus counter family: DELTA / INCREASE / IRATE over the same
+# reset-forcing derived counter as q_esql_ts_rate.
+
+ESQL_TS_PROM_TEXT = """
+TS metrics
+| STATS d = ROUND(SUM(DELTA(req_total)), 4),
+        inc = ROUND(SUM(INCREASE(req_total)), 4),
+        ir = ROUND(SUM(IRATE(req_total)), 6)
+  BY tb = BUCKET(ts, 1 day)
+| SORT tb
+"""
+
+
+def q_esql_ts_prom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA (last-first gauge delta, no extrapolation), INCREASE (reset-
+    aware positive-delta sum = RATE without width normalization) and
+    IRATE (last adjusted delta over its microsecond-exact interval) per
+    series-day, combined across series.
+
+    ES|QL:
+    """ + ESQL_TS_PROM_TEXT
+    from pyspark.sql import Window
+
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+    from elasticsearch_hbase_river_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    host = F.pmod(F.col("user_id"), F.lit(8)).cast("long")
+    w = Window.partitionBy(host).orderBy("ts", "event_id")
+    metrics = ev.select(
+        host.alias("host"), "ts",
+        (F.sum(F.lit(1)).over(w) % 100).alias("req_total"))
+    return esql(spark, ESQL_TS_PROM_TEXT, tables={"metrics": metrics},
+                ts_specs={"metrics": TimeSeriesSpec("ts", ("host",))})
+
+
+QUERIES["q_esql_ts_prom"] = q_esql_ts_prom
+ORACLES["q_esql_ts_prom"] = f"""
+WITH m AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS host, ts,
+         CAST(count(*) OVER (PARTITION BY user_id % 8
+                             ORDER BY ts, event_id) AS BIGINT) % 100
+           AS req_total
+  FROM events),
+d AS (
+  SELECT host, date_trunc('day', ts) AS tb, ts, req_total,
+         req_total - lag(req_total) OVER (
+             PARTITION BY host, date_trunc('day', ts)
+             ORDER BY ts, req_total) AS delta,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY host, date_trunc('day', ts)
+             ORDER BY ts, req_total) AS dt_us
+  FROM m),
+v AS (
+  SELECT host, tb, ts, req_total, delta,
+         CASE WHEN delta IS NOT NULL AND dt_us > 0 THEN
+           (CASE WHEN delta >= 0 THEN CAST(delta AS DOUBLE)
+                 ELSE CAST(req_total AS DOUBLE) END)
+           / (CAST(dt_us AS DOUBLE) / 1000000.0)
+         END AS irv
+  FROM d),
+per AS (
+  SELECT host, tb,
+         arg_max(req_total, ts) - arg_min(req_total, ts) AS dlt,
+         sum(CASE WHEN delta IS NULL THEN 0.0
+                  WHEN delta >= 0 THEN CAST(delta AS DOUBLE)
+                  ELSE CAST(req_total AS DOUBLE) END) AS inc,
+         arg_max(irv, CASE WHEN irv IS NOT NULL
+                           THEN epoch_us(ts) END) AS ir
+  FROM v GROUP BY host, tb)
+SELECT tb, {roundn_sql('sum(dlt)', 4)} AS d,
+       {roundn_sql('sum(inc)', 4)} AS inc,
+       {roundn_sql('sum(ir)', 6)} AS ir
+FROM per GROUP BY tb ORDER BY tb"""

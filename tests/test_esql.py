@@ -853,7 +853,9 @@ def test_ts_validation_errors(spark, sf_dir):
             "only valid inside STATS over a TS source",
         "TS events | STATS x = AVG_OVER_TIME(value)": "OUTER aggregate",
         "TS events | STATS x = SUM(RATE(value)) BY event_type":
-            "uniform span",
+            "needs BY",
+        "TS events | STATS x = SUM(RATE(value)) "
+        "BY tb = BUCKET(ts, 1 month)": "uniform span",
         "TS events | STATS x = COUNT(*) BY event_type": "at least one",
         "TS events | STATS x = SUM(SUM_OVER_TIME(value)) BY value":
             "not a series dimension",
@@ -1323,3 +1325,32 @@ def test_change_point_step_still_wins_on_level_shift(spark, tmp_path):
                 tables={"t": spark.read.parquet(src)}).collect()
     marked = [r for r in rows if r.cp is not None]
     assert marked[0].k == 5 and marked[0].cp == "step_change"
+
+
+def test_ts_prom_family_semantics(spark):
+    """DELTA = last-first; INCREASE = reset-aware positive-delta sum;
+    IRATE = last adjusted delta over its interval."""
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+
+    rows = [("h", "2024-01-01 00:00:00", 100),
+            ("h", "2024-01-01 00:10:00", 130),   # +30 over 600 s
+            ("h", "2024-01-01 00:20:00", 5),     # reset -> +5
+            ("h", "2024-01-01 00:30:00", 25)]    # +20 over 600 s
+    m = spark.createDataFrame(rows, "host string, t string, c long") \
+        .selectExpr("host", "cast(t as timestamp_ntz) as t", "c")
+    got = esql(spark, "TS m | STATS d = SUM(DELTA(c)), "
+                      "inc = SUM(INCREASE(c)), "
+                      "ir = ROUND(SUM(IRATE(c)) * 600, 4) "
+                      "BY tb = BUCKET(t, 1 hour)",
+               tables={"m": m},
+               ts_specs={"m": TimeSeriesSpec("t", ("host",))}).collect()
+    assert len(got) == 1
+    assert got[0].d == 25 - 100          # last - first, signed
+    assert got[0].inc == 55.0            # 30 + 5 + 20
+    assert got[0].ir == 20.0             # last delta 20 over 600 s
+
+
+def test_ts_prom_requires_bucket(spark, sf_dir):
+    with pytest.raises(ESQLError, match="needs BY"):
+        esql(spark, "TS events | STATS x = SUM(INCREASE(value)) "
+                    "BY event_type", sf_dir)

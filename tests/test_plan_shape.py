@@ -258,6 +258,10 @@ _ALLOWED_SINGLE_PARTITION = {
                               # bucket-count-sized (thousands of rows at
                               # 100 TB), the corpus only pays the keyed
                               # partial-agg shuffle below it
+    "q_esql_geo_polygon",     # 1-row global STATS (count + centroid +
+                              # extent) merging map-side partials; the
+                              # polygon filter and per-user hashing run
+                              # below it, partition-parallel
     "q_moving_fn",            # same bucket-relation window shape
     "q_frequent_item_sets",   # 1-row transaction-count aggregate broadcast
                               # into the (bounded) itemset relation
