@@ -88,6 +88,8 @@ Expressions
   fields (backquotes for odd names),
   ``+ - * / %``, ``== != < <= > >=``, ``AND OR NOT``, ``IN (..)``,
   ``LIKE`` (``*``/``?`` wildcards), ``RLIKE``, ``IS [NOT] NULL``,
+  ``field : "query"`` (the match-operator shorthand for MATCH, scored
+  semantics included),
   time spans (``1 day``) as ``DATE_TRUNC``'s first argument or in
   datetime arithmetic (``ts + 3 hours``, ``NOW() - 90 day``).
 Scalar functions
@@ -188,7 +190,7 @@ class Tok:
 
 
 _OPS = ("==", "!=", "<=", ">=", "|", ",", "(", ")", "[", "]", "=",
-        "<", ">", "+", "-", "*", "/", "%")
+        "<", ">", "+", "-", "*", "/", "%", ":")
 
 _IDENT_RE = re.compile(r"[A-Za-z_@][A-Za-z0-9_.@]*")
 _NUM_RE = re.compile(r"\d+(\.\d+)?([eE][+-]?\d+)?")
@@ -570,6 +572,19 @@ class _Parser:
         if t.kind == "OP" and t.value in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
             return ("bin", t.value, e, self.add_expr())
+        if t.kind == "OP" and t.value == ":":
+            # ES|QL match operator shorthand: `field : "query"` ≡
+            # MATCH(field, "query") — including scored semantics when it
+            # is the entire WHERE predicate under METADATA _score
+            self.next()
+            q = self.next()
+            if q.kind != "STRING":
+                self.err('the ":" match operator expects a quoted query',
+                         q)
+            if e[0] != "field":
+                self.err('the ":" match operator needs a field on its '
+                         'left', t)
+            return ("call", "MATCH", [e, ("lit", q.value)], t.pos)
         negate = False
         if (self.kw(t) == "NOT"
                 and self.kw(self.toks[self.i + 1]) in ("IN", "LIKE", "RLIKE")):

@@ -1354,3 +1354,19 @@ def test_ts_prom_requires_bucket(spark, sf_dir):
     with pytest.raises(ESQLError, match="needs BY"):
         esql(spark, "TS events | STATS x = SUM(INCREASE(value)) "
                     "BY event_type", sf_dir)
+
+
+def test_colon_match_operator(spark):
+    t = spark.createDataFrame([(1, "spark joins data"), (2, "nothing")],
+                              "doc_id long, text string")
+    out = esql(spark, 'FROM d | WHERE text : "spark" | KEEP doc_id',
+               tables={"d": t}).collect()
+    assert [r.doc_id for r in out] == [1]
+    scored = esql(spark, 'FROM d METADATA _score '
+                         '| WHERE text : "spark joins"',
+                  tables={"d": t}).collect()
+    assert len(scored) == 1 and scored[0]._score > 0
+    with pytest.raises(ESQLError, match="quoted query"):
+        parse('FROM d | WHERE text : 5')
+    with pytest.raises(ESQLError, match="field on its left"):
+        parse('FROM d | WHERE LENGTH(text) : "x"')
