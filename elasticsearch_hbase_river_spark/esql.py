@@ -119,6 +119,7 @@ Scalar functions
   stand-in for ES's ML categorizer, documented in the function)
   ROUND_TO (round down to explicit literal points)
   MATCH (full-text predicate under the standard analyzer, OR operator)
+  TERM (exact term against the analyzed field, query side verbatim)
   MATCH_PHRASE (consecutive analyzed-token containment)
   QSTR (Lucene query-string subset: ``[+|-]field:term`` clauses,
   trailing ``*`` wildcard; should-clauses are boost-only beside a must)
@@ -136,6 +137,9 @@ Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``STATS n = COUNT(*) WHERE cond BY g``)
   COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG
   VALUES STD_DEV (population) TOP(field, limit, "asc"|"desc")
+  MEDIAN_ABSOLUTE_DEVIATION (exact interpolated percentiles over the
+  group's collected values) SAMPLE(field, limit) (DETERMINISTIC
+  content-hash-ordered draw — the SAMPLE command precedent)
   ST_CENTROID_AGG (order-free exact-decimal mean point)
   ST_EXTENT_AGG (bounding box of a geo_point column)
 
@@ -1319,6 +1323,20 @@ def _scalar_mv_pseries(args, raw):
                   F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x))
 
 
+def _scalar_term(args, raw):
+    """ES|QL ``TERM(field, "term")``: the exact term query — true iff
+    the UNANALYZED query term occurs among the field's analyzed tokens
+    (ES term queries probe the inverted index verbatim; only the field
+    side was analyzed at index time)."""
+    if len(args) != 2:
+        raise ESQLError("TERM takes (field, term)")
+    from elasticsearch_hbase_river_spark.functions.analyzer import (
+        analyze_tokens,
+    )
+    return F.array_contains(analyze_tokens(args[0]), args[1])
+
+
+_SCALARS["TERM"] = _scalar_term
 _SCALARS["MATCH_PHRASE"] = _scalar_match_phrase
 _SCALARS["MV_PSERIES_WEIGHTED_SUM"] = _scalar_mv_pseries
 _SCALARS["HASH"] = _scalar_hash
@@ -1447,6 +1465,32 @@ def _agg_percentile(args, raw):
     return F.percentile(args[0], F.lit(raw[1][1] / 100.0))
 
 
+def _agg_mad(args, raw):
+    """MEDIAN_ABSOLUTE_DEVIATION aggregate: median(|x − median(x)|) with
+    the engine's linear-interpolated percentile rule — computed over the
+    group's collected values (group-sized collect, the same bound as
+    VALUES/TOP/MEDIAN; ES computes it from a TDigest sketch, this engine
+    pins the exact value)."""
+    if len(raw) != 1:
+        raise ESQLError("MEDIAN_ABSOLUTE_DEVIATION takes one field")
+    return _scalar_mv_mad([F.collect_list(args[0])], raw)
+
+
+def _agg_sample(args, raw):
+    """ES|QL ``SAMPLE(field, limit)`` aggregate: ``limit`` sample values
+    per group. ES draws randomly; this engine pins a DETERMINISTIC draw
+    (the SAMPLE command precedent): values orderd by the md5 of their
+    string rendering (ties by value), first ``limit`` — a stable,
+    engine-mirrorable pseudo-random sample."""
+    if (len(raw) != 2 or raw[1][0] != "lit"
+            or not isinstance(raw[1][1], int) or raw[1][1] <= 0):
+        raise ESQLError("SAMPLE takes (field, positive literal limit)")
+    h = F.md5(args[0].cast("string"))
+    arr = F.array_sort(F.collect_list(
+        F.struct(h.alias("h"), args[0].alias("v"))))
+    return F.transform(F.slice(arr, 1, raw[1][1]), lambda s: s["v"])
+
+
 def _agg_top(args, raw):
     """ES|QL ``TOP(field, limit, "asc"|"desc")``: multivalue of the top
     ``limit`` values per group. Like ``VALUES``, the collect is
@@ -1499,6 +1543,8 @@ _AGGS: dict[str, Callable[[list[Column], list], Column]] = {
     # population std-dev: the moment ES's std_deviation reports
     "STD_DEV": lambda a, r: F.stddev_pop(a[0]),
     "TOP": _agg_top,
+    "MEDIAN_ABSOLUTE_DEVIATION": _agg_mad,
+    "SAMPLE": _agg_sample,
     # spatial aggregates over geo_point columns. The centroid uses the
     # same order-free exact-decimal average as TS STATS (_ts_pinned_avg)
     # so it is bit-reproducible whatever order partials merge in; the

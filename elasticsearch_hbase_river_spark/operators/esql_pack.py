@@ -1910,3 +1910,61 @@ SELECT tb, {roundn_sql('sum(dlt)', 4)} AS d,
        {roundn_sql('sum(inc)', 4)} AS inc,
        {roundn_sql('sum(ir)', 6)} AS ir
 FROM per GROUP BY tb ORDER BY tb"""
+
+
+# ---------------------------------------------------------------------------
+# TERM exact-term predicate + MEDIAN_ABSOLUTE_DEVIATION / SAMPLE
+# aggregates.
+
+def _interp_sql(lst: str, n: str, p: float) -> str:
+    """DuckDB twin of esql._mv_percentile_of (linear interpolation over a
+    sorted list) — operand order mirrored."""
+    rank = f"(({p!r} / 100.0) * (CAST({n} AS DOUBLE) - 1))"
+    lo = f"CAST(floor({rank}) AS INTEGER)"
+    frac = f"({rank} - CAST({lo} AS DOUBLE))"
+    v_lo = f"CAST({lst}[{lo} + 1] AS DOUBLE)"
+    v_hi = f"CAST({lst}[least({lo} + 2, {n})] AS DOUBLE)"
+    return f"({v_lo} + ({v_hi} - {v_lo}) * {frac})"
+
+
+def _mad_sql(col: str) -> str:
+    med = _interp_sql("l", "n", 50.0)
+    devs = f"list_sort(list_transform(l, x -> abs(CAST(x AS DOUBLE) - {med})))"
+    inner = (f"(SELECT {_interp_sql('d', 'nn', 50.0)} FROM "
+             f"(SELECT {devs} AS d, n AS nn) _m)")
+    return (f"(SELECT {inner} FROM (SELECT list_sort(list({col})) AS l, "
+            f"count({col}) AS n) _o)")
+
+
+_register(
+    "q_esql_term_mad_sample",
+    """
+FROM documents
+| WHERE TERM(text, "spark")
+| STATS n = COUNT(*),
+        mad = ROUND(MEDIAN_ABSOLUTE_DEVIATION(n_chars), 4),
+        sm = SAMPLE(doc_id, 3)
+  BY lang
+| MV_EXPAND sm
+| SORT lang, sm
+""",
+    f"""
+WITH hits AS (
+  SELECT lang, n_chars, doc_id
+  FROM documents
+  WHERE list_contains(
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''), 'spark')),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         {roundn_sql(_mad_sql('n_chars'), 4)} AS mad,
+         list_transform(
+           list_slice(list_sort(list(struct_pack(
+             h := md5(CAST(doc_id AS VARCHAR)), v := doc_id))), 1, 3),
+           s -> s.v) AS sm
+  FROM hits GROUP BY lang)
+SELECT lang, n, mad, unnest(sm) AS sm FROM g ORDER BY lang, sm""",
+    "TERM exact-term predicate (field analyzed, query term verbatim) "
+    "with the MAD aggregate (exact interpolated percentiles over the "
+    "group's values) and the deterministic SAMPLE aggregate "
+    "(content-hash-ordered draw).")

@@ -1370,3 +1370,21 @@ def test_colon_match_operator(spark):
         parse('FROM d | WHERE text : 5')
     with pytest.raises(ESQLError, match="field on its left"):
         parse('FROM d | WHERE LENGTH(text) : "x"')
+
+
+def test_term_exact_and_mad_sample_aggs(spark):
+    t = spark.createDataFrame(
+        [(1, "Spark, runs", 10.0), (2, "sparky", 20.0), (3, "spark", 40.0)],
+        "doc_id long, text string, v double")
+    out = esql(spark, 'FROM d | WHERE TERM(text, "spark") | KEEP doc_id '
+                      '| SORT doc_id', tables={"d": t}).collect()
+    assert [r.doc_id for r in out] == [1, 3]   # 'sparky' is a different term
+    agg = esql(spark, 'FROM d | STATS mad = MEDIAN_ABSOLUTE_DEVIATION(v), '
+                      'sm = SAMPLE(doc_id, 2)', tables={"d": t}).collect()[0]
+    assert agg.mad == 10.0                      # median 20; |dev| = 10,0,20
+    assert len(agg.sm) == 2 and set(agg.sm) <= {1, 2, 3}
+    again = esql(spark, 'FROM d | STATS sm = SAMPLE(doc_id, 2)',
+                 tables={"d": t}).collect()[0]
+    assert list(agg.sm) == list(again.sm)       # deterministic draw
+    with pytest.raises(ESQLError, match="positive literal limit"):
+        esql(spark, 'FROM d | STATS s = SAMPLE(doc_id, 0)', tables={"d": t})
