@@ -71,6 +71,9 @@ def esql_main(argv: list[str]) -> int:
     p.add_argument("--limit", type=int, default=50,
                    help="max rows to print (the plan itself is NOT "
                         "limited — add | LIMIT for that)")
+    p.add_argument("--explain", action="store_true",
+                   help="print the optimized physical plan "
+                        "(explain formatted) instead of running")
     p.add_argument("--master", default="local[*]")
     args = p.parse_args(argv)
 
@@ -82,7 +85,12 @@ def esql_main(argv: list[str]) -> int:
     try:
         try:
             df = esql(spark, args.query, sf_dir=args.data)
-            df.show(args.limit, truncate=False)
+            if args.explain:
+                # the plan a user should read before running at scale:
+                # check PushedFilters / ReadSchema / broadcast / TakeOrdered
+                df.explain(mode="formatted")
+            else:
+                df.show(args.limit, truncate=False)
         except ESQLError as e:
             print(str(e), file=sys.stderr)
             return 2

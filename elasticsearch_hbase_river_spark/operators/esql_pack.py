@@ -1968,3 +1968,27 @@ SELECT lang, n, mad, unnest(sm) AS sm FROM g ORDER BY lang, sm""",
     "with the MAD aggregate (exact interpolated percentiles over the "
     "group's values) and the deterministic SAMPLE aggregate "
     "(content-hash-ordered draw).")
+
+
+_register(
+    "q_esql_kql",
+    """
+FROM events
+| WHERE KQL("event_type:click OR (event_type:purchase AND value >= 50)")
+| STATS n = COUNT(*), avg_v = ROUND(AVG(value), 4) BY event_type
+| SORT event_type
+""",
+    f"""
+WITH t AS (
+  SELECT *, list_filter(string_split_regex(lower(event_type),
+                        '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('avg(value)', 4)} AS avg_v
+FROM t
+WHERE list_contains(toks, 'click')
+   OR (list_contains(toks, 'purchase') AND value >= 50)
+GROUP BY event_type ORDER BY event_type""",
+    "KQL (Kibana Query Language) as a row-level predicate: field:term "
+    "matches on the analyzed tokens, numeric ranges compare natively, "
+    "NOT > AND > OR precedence with parentheses — all map-side.")

@@ -1388,3 +1388,47 @@ def test_term_exact_and_mad_sample_aggs(spark):
     assert list(agg.sm) == list(again.sm)       # deterministic draw
     with pytest.raises(ESQLError, match="positive literal limit"):
         esql(spark, 'FROM d | STATS s = SAMPLE(doc_id, 0)', tables={"d": t})
+
+
+def test_cli_esql_explain_prints_plan(spark, sf_dir, capsys):
+    from elasticsearch_hbase_river_spark.__main__ import main
+
+    rc = main(["esql",
+               "FROM events | WHERE value > 50 "
+               "| STATS n = COUNT(*) BY event_type "
+               "| SORT n DESC, event_type | LIMIT 3",
+               "--data", sf_dir, "--explain"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "TakeOrderedAndProject" in out        # SORT|LIMIT folded
+    assert "PushedFilters" in out                # WHERE reached the scan
+
+
+def test_kql_predicate(spark):
+    t = spark.createDataFrame(
+        [(1, "spark joins data fast", 10.0),
+         (2, "slow batch window", 90.0),
+         (3, "spark window", 50.0)],
+        "doc_id long, text string, v double")
+
+    def run(q):
+        esc = q.replace('"', '\\"')
+        return sorted(r.doc_id for r in esql(
+            spark, f'FROM d | WHERE KQL("{esc}") | KEEP doc_id',
+            tables={"d": t}).collect())
+
+    assert run("text:spark") == [1, 3]
+    assert run("text:spark AND v >= 50") == [3]
+    assert run("text:spark OR text:batch") == [1, 2, 3]
+    assert run("NOT text:spark AND v > 10") == [2]
+    assert run("(text:spark OR text:slow) AND v < 60") == [1, 3]
+    assert run("text:join*") == [1]
+    assert run('text:"spark joins"') == [1]      # quoted = phrase
+    from elasticsearch_hbase_river_spark.esql import ESQLError as E
+    import pytest as _pt
+    with _pt.raises(E, match="unknown column"):
+        run("nope:x")
+    with _pt.raises(E, match="range needs a numeric"):
+        run("v > abc")
+    with _pt.raises(E, match="missing \\)"):
+        run("(text:spark")
