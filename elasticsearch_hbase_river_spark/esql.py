@@ -118,7 +118,9 @@ Scalar functions
   CATEGORIZE (log-line grouping by alphabetic skeleton — deterministic
   stand-in for ES's ML categorizer, documented in the function)
   ROUND_TO (round down to explicit literal points)
-  MATCH (full-text predicate under the standard analyzer, OR operator)
+  MATCH (full-text predicate under the standard analyzer; OR operator
+  by default, MATCH(field, query, "and") pins AND — the subset
+  spelling of the {"operator"} options map)
   TERM (exact term against the analyzed field, query side verbatim)
   MATCH_PHRASE (consecutive analyzed-token containment)
   QSTR (Lucene query-string subset: ``[+|-]field:term`` clauses,
@@ -894,14 +896,29 @@ def _scalar_match(args, raw):
     full-text match under the engine's standard analyzer chain, default
     OR operator — true iff any analyzed query term occurs in the field's
     analyzed tokens. Both sides run the SAME analyzer expression, so a
-    literal query is folded by Catalyst into a constant term array."""
-    if len(args) != 2:
-        raise ESQLError("MATCH takes (field, query)")
+    literal query is folded by Catalyst into a constant term array.
+    ``MATCH(field, query, "and")`` pins the AND operator (every analyzed
+    query term must occur) — the subset spelling of ES's
+    ``{"operator": "AND"}`` options map, documented deviation."""
+    if len(args) not in (2, 3):
+        raise ESQLError('MATCH takes (field, query[, "and"|"or"])')
     from elasticsearch_hbase_river_spark.functions.analyzer import (
         analyze_tokens,
     )
-    return F.arrays_overlap(analyze_tokens(args[0]),
-                            analyze_tokens(args[1]))
+    op = "or"
+    if len(args) == 3:
+        if (raw[2][0] != "lit" or raw[2][1] not in ("and", "or")):
+            raise ESQLError('MATCH operator must be the literal "and" '
+                            'or "or"')
+        op = raw[2][1]
+    field_toks = analyze_tokens(args[0])
+    query_toks = analyze_tokens(args[1])
+    if op == "and":
+        # every distinct query term present: the query-token set minus
+        # the field tokens is empty (both sides analyzed identically)
+        return (F.size(F.array_except(query_toks, field_toks)) == 0) \
+            & (F.size(query_toks) > 0)
+    return F.arrays_overlap(field_toks, query_toks)
 
 
 def _scalar_case(args, raw):
@@ -2268,10 +2285,17 @@ class _Compiler:
             BM25_K1,
         )
         args = call[2]
-        if (len(args) != 2 or args[0][0] != "field" or args[1][0] != "lit"
+        if (len(args) not in (2, 3) or args[0][0] != "field"
+                or args[1][0] != "lit"
                 or not isinstance(args[1][1], str)):
-            raise ESQLError("scored MATCH takes (field, literal query)",
-                            pos, self.text)
+            raise ESQLError('scored MATCH takes (field, literal query'
+                            '[, "and"|"or"])', pos, self.text)
+        op = "or"
+        if len(args) == 3:
+            if args[2][0] != "lit" or args[2][1] not in ("and", "or"):
+                raise ESQLError('MATCH operator must be the literal '
+                                '"and" or "or"', pos, self.text)
+            op = args[2][1]
         field = args[0][1]
         if field not in df.columns:
             raise ESQLError(f"unknown column {field!r}", pos, self.text)
@@ -2305,7 +2329,11 @@ class _Compiler:
                                    + BM25_B * F.size("__toks")
                                    / F.col("__avgdl")))
             total = total + F.when(tf(i) > 0, idf * tf_norm).otherwise(0.0)
-        out = (scored.filter(total > 0)
+        keep = total > 0
+        if op == "and":
+            for i in range(len(seen)):
+                keep = keep & (tf(i) > 0)
+        out = (scored.filter(keep)
                .withColumn("_score", F.col("_score") + roundn_col(total)))
         return out.drop("__toks", "__n_docs", "__avgdl",
                         *[f"__df{i}" for i in range(len(seen))])

@@ -1432,3 +1432,24 @@ def test_kql_predicate(spark):
         run("v > abc")
     with _pt.raises(E, match="missing \\)"):
         run("(text:spark")
+
+
+def test_match_and_operator(spark):
+    t = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "spark only"), (3, "joins only")],
+        "doc_id long, text string")
+    both = esql(spark, 'FROM d | WHERE MATCH(text, "spark joins", "and") '
+                       '| KEEP doc_id | SORT doc_id',
+                tables={"d": t}).collect()
+    assert [r.doc_id for r in both] == [1]
+    either = esql(spark, 'FROM d | WHERE MATCH(text, "spark joins") '
+                         '| KEEP doc_id | SORT doc_id',
+                  tables={"d": t}).collect()
+    assert [r.doc_id for r in either] == [1, 2, 3]
+    scored = esql(spark, 'FROM d METADATA _score '
+                         '| WHERE MATCH(text, "spark joins", "and")',
+                  tables={"d": t}).collect()
+    assert len(scored) == 1 and scored[0].doc_id == 1
+    with pytest.raises(ESQLError, match='literal "and" or "or"'):
+        esql(spark, 'FROM d | WHERE MATCH(text, "x", "xor")',
+             tables={"d": t})
