@@ -57,7 +57,8 @@ Source commands
   contribute the post-reset value)
 Processing commands
   ``WHERE``, ``EVAL``, ``STATS .. [BY ..]``, ``INLINESTATS .. [BY ..]``
-  (stats joined back onto the rows), ``SORT`` (ASC/DESC, NULLS
+  (stats joined back onto the rows; computed BY keys materialize as
+  named columns), ``SORT`` (ASC/DESC, NULLS
   FIRST/LAST), ``LIMIT``, ``KEEP`` (wildcards), ``DROP`` (wildcards),
   ``RENAME old AS new``, ``MV_EXPAND``,
   ``DISSECT`` (incl. ``%{+key}`` append + ``APPEND_SEPARATOR``,
@@ -2703,13 +2704,19 @@ class _Compiler:
             # high-cardinality keys degrade to a shuffle join, not an OOM).
             keys = []
             for name, e in c["by"]:
-                if e[0] != "field" or (name and name != e[1]):
+                if e[0] == "field" and (name is None or name == e[1]):
+                    self.col(e, cols)  # existence check
+                    keys.append(e[1])
+                    continue
+                # computed BY key: materialize it as a named column on
+                # the row side first (ES keeps the computed key column)
+                if name is None:
                     raise ESQLError(
-                        "INLINESTATS BY supports bare field keys in this "
-                        "subset — EVAL the expression into a column first",
-                        c["pos"], self.text)
-                self.col(e, cols)  # existence check
-                keys.append(e[1])
+                        "computed INLINESTATS BY keys need an explicit "
+                        "`name =`", c["pos"], self.text)
+                df = df.withColumn(name, self.col(e, df.columns))
+                keys.append(name)
+            cols = df.columns
             agg_cols, agg_names = [], []
             for name, e, cond in c["aggs"]:
                 name = name or self._default_name(e)

@@ -478,10 +478,12 @@ def test_inlinestats_grouped(spark, tmp_path):
     assert [(r.g, r.v) for r in rows] == [("a", 3.0)]
 
 
-def test_inlinestats_computed_key_refused(spark):
-    with pytest.raises(ESQLError, match="bare field keys"):
-        esql(spark, 'ROW a = 1 | INLINESTATS n = COUNT(*) '
-                    'BY k = TO_STRING(a)')
+def test_inlinestats_computed_key_materializes(spark):
+    # computed BY keys are EVAL'd onto the rows first (ES keeps the
+    # computed key column); unnamed computed keys still refuse
+    row = esql(spark, 'ROW a = 1 | INLINESTATS n = COUNT(*) '
+                      'BY k = TO_STRING(a)').collect()[0]
+    assert row.k == "1" and row.n == 1
 
 
 def test_scalar_function_breadth(spark):
@@ -1452,4 +1454,20 @@ def test_match_and_operator(spark):
     assert len(scored) == 1 and scored[0].doc_id == 1
     with pytest.raises(ESQLError, match='literal "and" or "or"'):
         esql(spark, 'FROM d | WHERE MATCH(text, "x", "xor")',
+             tables={"d": t})
+
+
+def test_inlinestats_computed_by(spark):
+    t = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+        "id long, v double")
+    out = esql(spark, 'FROM d '
+                      '| INLINESTATS n = COUNT(*), s = SUM(v) '
+                      '  BY par = id % 2 '
+                      '| SORT id', tables={"d": t}).collect()
+    assert [r.par for r in out] == [1, 0, 1, 0]
+    assert all(r.n == 2 for r in out)
+    assert [r.s for r in out] == [40.0, 60.0, 40.0, 60.0]
+    with pytest.raises(ESQLError, match="explicit"):
+        esql(spark, 'FROM d | INLINESTATS n = COUNT(*) BY id % 2',
              tables={"d": t})
