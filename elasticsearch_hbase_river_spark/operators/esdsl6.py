@@ -386,3 +386,78 @@ QUERIES.update({
     "q_geo_bounding_box": q_geo_bounding_box,
     "q_geo_polygon": q_geo_polygon,
 })
+
+
+# ---------------------------------------------------------------------------
+# geo_shape query: indexed points tested against a WKT query polygon with
+# an explicit spatial relation — ES's general-geometry query, of which
+# geo_polygon (above) is the deprecated special case. The polygon is a
+# query literal, so the even-odd ray cast compiles division-free
+# (functions/geoshape.py) and the two relations this engine pins
+# (`intersects`, the ES default, and `disjoint`) are complements for
+# point geometries. A different WKT ring than the triangle, so the two
+# geo predicates cover different code paths AND different regions.
+
+GEO_SHAPE_WKT = ("POLYGON ((-120 -20, -40 -45, 60 -10, 40 55, -80 50, "
+                 "-120 -20))")
+
+
+def _geo_shape_hits(spark: SparkSession, sf_dir: str,
+                    relation: str) -> DataFrame:
+    from elasticsearch_hbase_river_spark.functions.geoshape import (
+        parse_wkt_polygon,
+        point_in_ring_col,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    lat16, lon16 = _h16_sql("lat", "instr"), _h16_sql("lon", "instr")
+    # aggregate-output pin (see q_geo_polygon): the ray cast references
+    # lon/lat many times; min() outputs stop Catalyst re-inlining the
+    # md5 chain per reference / per event
+    users = (ev.select("user_id").distinct()
+             .groupBy("user_id")
+             .agg(F.min(F.expr(lat16)).alias("h_lat"),
+                  F.min(F.expr(lon16)).alias("h_lon"))
+             .select("user_id",
+                     F.expr("-80e0 + 160e0 * (h_lat / 65536e0)").alias("lat"),
+                     F.expr("-180e0 + 360e0 * (h_lon / 65536e0)").alias("lon")))
+    inside = point_in_ring_col(F.col("lon"), F.col("lat"),
+                               parse_wkt_polygon(GEO_SHAPE_WKT))
+    pred = inside if relation == "intersects" else ~inside
+    return (users.filter(pred)
+            .select("user_id", roundn_col(F.col("lat")).alias("lat"),
+                    roundn_col(F.col("lon")).alias("lon")))
+
+
+def q_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_shape`` query, relation=intersects, against the WKT
+    pentagon {GEO_SHAPE_WKT}: a stateless map-side point-in-polygon
+    predicate (division-free ray cast — bit-identical in both engines)
+    riding the per-user point derivation."""
+    return _geo_shape_hits(spark, sf_dir, "intersects")
+
+
+def q_geo_shape_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_shape`` with relation=disjoint — the complement for
+    point geometries; together with q_geo_shape it partitions the user
+    set (pinned by the shared oracle construction)."""
+    return _geo_shape_hits(spark, sf_dir, "disjoint")
+
+
+def _geo_shape_oracle(relation: str) -> str:
+    from elasticsearch_hbase_river_spark.functions.geoshape import (
+        parse_wkt_polygon,
+        point_in_ring_sql,
+    )
+    inside = point_in_ring_sql("lon", "lat",
+                               parse_wkt_polygon(GEO_SHAPE_WKT))
+    pred = inside if relation == "intersects" else f"NOT ({inside})"
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")})
+SELECT user_id, {roundn_sql('lat')} AS lat, {roundn_sql('lon')} AS lon
+FROM geo_users WHERE {pred}"""
+
+
+QUERIES["q_geo_shape"] = q_geo_shape
+QUERIES["q_geo_shape_disjoint"] = q_geo_shape_disjoint
+ORACLES["q_geo_shape"] = _geo_shape_oracle("intersects")
+ORACLES["q_geo_shape_disjoint"] = _geo_shape_oracle("disjoint")
