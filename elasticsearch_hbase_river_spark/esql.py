@@ -39,7 +39,8 @@ Source commands
   KNN(field, [query vector], k)`` keeps the k nearest rows by cosine
   via TakeOrderedAndProject and adds the similarity; chain WHERE stages
   to combine, or FORK + FUSE for hybrid ranking),
-  ``ROW name = literal, ...``,
+  ``ROW name = literal, ...``, ``SHOW INFO`` (the engine/Spark
+  version row),
   ``TS table`` (time-series source; TS STATS averages — inner
   ``AVG_OVER_TIME`` and the outer combine ``AVG`` — use an ORDER-FREE
   exact-decimal form: samples quantize to a fixed grid (1e-6 inner,
@@ -362,6 +363,9 @@ class _Parser:
                     "metadata": metadata, "pos": t.pos}
         if k == "TS":
             return {"cmd": "TS", "table": self.ident(), "pos": t.pos}
+        if k == "SHOW":
+            self.expect_kw("INFO")
+            return {"cmd": "SHOW", "pos": t.pos}
         if k == "ROW":
             cols = []
             while True:
@@ -371,7 +375,7 @@ class _Parser:
                 if not self.accept_op(","):
                     break
             return {"cmd": "ROW", "cols": cols, "pos": t.pos}
-        self.err("query must start with FROM, TS or ROW", t)
+        self.err("query must start with FROM, TS, ROW or SHOW", t)
 
     def proc_cmd(self) -> dict:
         t = self.next()
@@ -2605,7 +2609,16 @@ class _Compiler:
     # -- command compilation --------------------------------------------------
     def run(self, cmds: list[dict]) -> DataFrame:
         head = cmds[0]
-        if head["cmd"] == "FROM":
+        if head["cmd"] == "SHOW":
+            # SHOW INFO: the engine's version row (ES returns the node's
+            # version/date/hash; this engine reports its package version
+            # and the Spark version executing the plan)
+            from elasticsearch_hbase_river_spark import __version__
+            df = self.spark.range(1).select(
+                F.lit(__version__).alias("version"),
+                F.lit(self.spark.version).alias("spark_version"),
+                F.lit("elasticsearch-hbase-river-spark").alias("engine"))
+        elif head["cmd"] == "FROM":
             tables = head.get("tables", [head["table"]])
             meta = head.get("metadata") or []
             parts = []

@@ -1471,3 +1471,36 @@ def test_inlinestats_computed_by(spark):
     with pytest.raises(ESQLError, match="explicit"):
         esql(spark, 'FROM d | INLINESTATS n = COUNT(*) BY id % 2',
              tables={"d": t})
+
+
+def test_show_info(spark):
+    row = esql(spark, 'SHOW INFO').collect()
+    assert len(row) == 1 and row[0].version and row[0].spark_version
+    row2 = esql(spark, 'SHOW INFO | KEEP version').collect()[0]
+    assert row2.version == row[0].version
+    with pytest.raises(ESQLError, match="expected"):
+        parse('SHOW TABLES')
+
+
+def test_kql_qstr_parser_totality_property(spark):
+    """KQL/QSTR mini-parsers are TOTAL over arbitrary query strings:
+    they either compile or raise ESQLError — never IndexError/KeyError.
+    (Column construction only — no Spark job per example.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    t = spark.createDataFrame([(1, "x", 1.0)],
+                              "doc_id long, text string, v double")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet='abtextv: ()"*<>=ANDORNT-.0123', max_size=30))
+    def check(q):
+        esc = q.replace("\\", "\\\\").replace('"', '\\"')
+        for fn in ("KQL", "QSTR"):
+            try:
+                esql(spark, f'FROM d | WHERE {fn}("{esc}")',
+                     tables={"d": t})
+            except ESQLError:
+                pass
+
+    check()
