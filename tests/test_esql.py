@@ -55,7 +55,7 @@ def test_parse_not_in():
 
 
 @pytest.mark.parametrize("bad,msg", [
-    ('SELECT * FROM x', "must start with FROM, TS or ROW"),
+    ('SELECT * FROM x', "must start with FROM, TS, ROW or SHOW"),
     ('FROM events | FROBNICATE x', "unknown command"),
     ('FROM events | WHERE "unterminated', "unterminated string"),
     ('FROM events | LIMIT "ten"', "integer literal"),
