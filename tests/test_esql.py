@@ -1504,3 +1504,16 @@ def test_kql_qstr_parser_totality_property(spark):
                 pass
 
     check()
+
+
+def test_scored_match_plan_broadcasts_stats(spark, sf_dir):
+    """Scored MATCH's corpus statistics ride a broadcast 1-row relation
+    (never a shuffle join), and the SORT _score | LIMIT funnel folds to
+    TakeOrderedAndProject."""
+    plan = esql(spark, 'FROM documents METADATA _score '
+                       '| WHERE MATCH(text, "spark join") '
+                       '| SORT _score DESC, doc_id | LIMIT 10',
+                sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
