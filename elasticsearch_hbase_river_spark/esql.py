@@ -81,6 +81,9 @@ Processing commands
   ``SAMPLE probability`` (DETERMINISTIC content-hash Bernoulli — a
   documented deviation from ES's random coin: same keep probability,
   reproducible across runs and engines),
+  ``COMPLETION name = prompt_expr`` (no inference endpoints in this
+  engine, so the documented stand-in is deterministic EXTRACTIVE
+  completion: the prompt's first sentence),
   ``RERANK "query" ON field`` (second-stage re-scoring under METADATA
   _score; no inference model runs here, so the documented stand-in
   REPLACES _score with the fraction of analyzed query terms present —
@@ -276,7 +279,7 @@ _TIME_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
 _CMDS = ("FROM", "ROW", "WHERE", "EVAL", "STATS", "INLINESTATS", "SORT",
          "LIMIT", "KEEP", "DROP", "RENAME", "MV_EXPAND", "DISSECT", "GROK",
          "LOOKUP", "ENRICH", "FORK", "FUSE", "CHANGE_POINT", "SAMPLE",
-         "RERANK")
+         "RERANK", "COMPLETION")
 
 
 class _Parser:
@@ -527,6 +530,11 @@ class _Parser:
             self.expect_kw("ON")
             return {"cmd": "RERANK", "query": q.value,
                     "field": self.ident(), "pos": t.pos}
+        if k == "COMPLETION":
+            name = self.ident()
+            self.expect_op("=")
+            return {"cmd": "COMPLETION", "name": name,
+                    "prompt": self.expr(), "pos": t.pos}
         if k == "ENRICH":
             policy = self.ident()
             self.expect_kw("ON")
@@ -3052,6 +3060,18 @@ class _Compiler:
             return df.withColumn(
                 "_score",
                 roundn_col(cnt.cast("double") / F.lit(float(len(terms)))))
+        if k == "COMPLETION":
+            # ES 9.x ``COMPLETION name = prompt WITH {inference_id}``
+            # generates text through an inference endpoint. No model runs
+            # in this engine, so the subset pins a DETERMINISTIC
+            # EXTRACTIVE stand-in (the RERANK/CATEGORIZE precedent,
+            # documented deviation): the completion is the prompt's
+            # first sentence (text up to and including the first
+            # ``.!?``, whole prompt if none), whitespace-trimmed — a
+            # row-local codegen'd regexp, no shuffle, no state.
+            prompt = self.col(c["prompt"], cols)
+            first = F.regexp_extract(prompt, r"^\s*([^.!?]*[.!?]?)", 1)
+            return df.withColumn(c["name"], F.trim(first))
         if k == "ENRICH":
             pol = self.policies.get(c["policy"])
             if pol is None:

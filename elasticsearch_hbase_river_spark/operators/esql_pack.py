@@ -1992,3 +1992,30 @@ GROUP BY event_type ORDER BY event_type""",
     "KQL (Kibana Query Language) as a row-level predicate: field:term "
     "matches on the analyzed tokens, numeric ranges compare natively, "
     "NOT > AND > OR precedence with parentheses — all map-side.")
+
+
+_register(
+    "q_esql_completion",
+    """
+FROM documents
+| EVAL p = CONCAT("Summarize: ", SUBSTRING(text, 1, 40), ". ", text)
+| COMPLETION lead = p
+| EVAL n = LENGTH(lead)
+| STATS docs = COUNT(*), avg_lead = ROUND(AVG(n), 4),
+        longest = MAX(n) BY source
+| SORT source
+""",
+    f"""
+WITH c AS (
+  SELECT source,
+         length(trim(regexp_extract(
+           'Summarize: ' || substring(text, 1, 40) || '. ' || text,
+           '^\\s*([^.!?]*[.!?]?)', 1))) AS n
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       {roundn_sql('avg(n)', 4)} AS avg_lead,
+       CAST(max(n) AS BIGINT) AS longest
+FROM c GROUP BY source ORDER BY source""",
+    "COMPLETION: deterministic extractive stand-in (first sentence of "
+    "the prompt — no inference endpoints in this engine, documented "
+    "deviation); row-local codegen'd regexp, no shuffle.")

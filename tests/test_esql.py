@@ -1517,3 +1517,19 @@ def test_scored_match_plan_broadcasts_stats(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_completion_extractive_standin(spark):
+    t = spark.createDataFrame(
+        [(1, "First sentence. Second part here."),
+         (2, "no punctuation at all"),
+         (3, "  padded! rest")],
+        "doc_id long, text string")
+    out = esql(spark, 'FROM d '
+                      '| COMPLETION summary = CONCAT("Summarize: ", text) '
+                      '| KEEP doc_id, summary | SORT doc_id',
+               tables={"d": t}).collect()
+    assert out[0].summary == "Summarize: First sentence."
+    assert out[1].summary == "Summarize: no punctuation at all"
+    # internal whitespace is content; only the ends trim
+    assert out[2].summary == "Summarize:   padded!"
