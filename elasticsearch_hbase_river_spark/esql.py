@@ -765,7 +765,23 @@ def _fn_date_trunc(args, raw):
         unit = span[1].lower().rstrip("s")
     elif span[0] == "span":
         if span[1] != 1:
-            raise ESQLError("only 1-unit spans are supported in DATE_TRUNC")
+            # multi-unit spans: uniform units truncate onto the same
+            # epoch-anchored grid BUCKET uses (ES|QL's DATE_TRUNC(3 hour,
+            # ts) is grid-floor, not calendar truncation); calendar units
+            # (month/year) are non-uniform and stay refused.
+            unit, n = span[2], span[1]
+            if unit not in _SPAN_SECONDS:
+                raise ESQLError(
+                    f"multi-unit DATE_TRUNC spans need a uniform unit "
+                    f"({sorted(_SPAN_SECONDS)}); {n} {unit} is calendar-"
+                    "dependent")
+            if n <= 0:
+                raise ESQLError("DATE_TRUNC span count must be positive")
+            w = n * _SPAN_SECONDS[unit]
+            zero = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+            epoch = F.timestamp_diff("SECOND", zero, args[1])
+            grid = (F.floor(epoch / F.lit(w)) * F.lit(w)).cast("long")
+            return F.timestamp_add("SECOND", grid, zero)
         unit = span[2]
     else:
         raise ESQLError("DATE_TRUNC's first argument must be a time span")
@@ -1843,6 +1859,7 @@ class _Compiler:
                          else DEFAULT_TS_SPECS)
         self.ts_spec: Optional[TimeSeriesSpec] = None
         self._ts_outer_pin = False
+        self._cur_dtypes: dict[str, str] = {}
         # naive UTC: the fixture timestamp columns are NTZ
         self.now = now or datetime.now(timezone.utc).replace(tzinfo=None)
 
@@ -1908,6 +1925,13 @@ class _Compiler:
                     raise ESQLError("a time span may only be added to or "
                                     "subtracted from a datetime")
                 n, unit = r_ast[1], r_ast[2]
+                # ES|QL time spans are integer-quantified; a fractional
+                # quantity must be rejected, not silently truncated
+                # (1.5 hour would otherwise cast to 1 hour).
+                if float(n) != int(n):
+                    raise ESQLError(
+                        f"time-span quantity must be an integer, got {n}")
+                n = int(n)
                 base = self.col(l_ast, columns, allow_agg, agg_filter)
                 qty = F.lit(n if op == "+" else -n).cast("int")
                 return F.timestamp_add(unit.upper(), qty, base)
@@ -2023,11 +2047,19 @@ class _Compiler:
                 pad = F.concat(F.lit(" "), F.array_join(col_toks, " "),
                                F.lit(" "))
                 return pad.contains(" " + " ".join(words) + " ")
-            try:
-                num = float(value)
+            # dispatch on the bound column's dtype (the Kibana rule:
+            # the field MAPPING decides, not the value's shape) —
+            # text_field:404 is an analyzed term match on token "404",
+            # numeric_field:404 is numeric equality
+            dt = getattr(self, "_cur_dtypes", {}).get(fld, "")
+            if dt in ("tinyint", "smallint", "int", "bigint",
+                      "float", "double") or dt.startswith("decimal"):
+                try:
+                    num = float(value)
+                except ValueError:
+                    err(f"numeric field {fld!r} needs a numeric "
+                        f"value, got {value!r}")
                 return F.col(fld) == F.lit(num)
-            except ValueError:
-                pass
             vtoks = [w for w in
                      re.split("[^a-z0-9]+", value.rstrip("*").lower())
                      if w]
@@ -2067,12 +2099,27 @@ class _Compiler:
             if op in (">", ">=", "<", "<="):
                 if i >= len(toks):
                     err("missing value after range operator")
+                c = F.col(fld)
+                dt = getattr(self, "_cur_dtypes", {}).get(fld, "")
+                if dt.startswith("timestamp") or dt == "date":
+                    # KQL date ranges: ts >= "2024-01-01" (quoted or
+                    # bare ISO date/datetime), parsed against the
+                    # column's own temporal type
+                    raw_v = toks[i].strip('"')
+                    try:
+                        datetime.fromisoformat(raw_v.replace(" ", "T"))
+                    except ValueError:
+                        err(f"date range on {fld!r} needs an ISO "
+                            f"date/datetime, got {toks[i]!r}")
+                    i += 1
+                    val = F.lit(raw_v).cast(dt)
+                    return {">": c > val, ">=": c >= val,
+                            "<": c < val, "<=": c <= val}[op]
                 try:
                     num = float(toks[i])
                 except ValueError:
                     err(f"range needs a numeric value, got {toks[i]!r}")
                 i += 1
-                c = F.col(fld)
                 return {">": c > num, ">=": c >= num,
                         "<": c < num, "<=": c <= num}[op]
             err(f"unsupported operator {op!r}")
@@ -2327,9 +2374,14 @@ class _Compiler:
             return F.size(F.filter(F.col("__toks"),
                                    lambda x: x == F.lit(term)))
 
+        # corpus stats over rows where the field analyzed to a token
+        # array: count(col) skips NULLs, and avgdl must not fold the
+        # size(NULL) == -1 sentinel (default legacy.sizeOfNull) into the
+        # average — the DuckDB oracle's len(NULL) is NULL and skipped.
         stats = base.agg(
-            F.count(F.lit(1)).cast("long").alias("__n_docs"),
-            F.avg(F.size("__toks")).alias("__avgdl"),
+            F.count(F.col("__toks")).cast("long").alias("__n_docs"),
+            F.avg(F.when(F.col("__toks").isNotNull(),
+                         F.size("__toks"))).alias("__avgdl"),
             *[F.count(F.when(tf(i) > 0, F.lit(1))).cast("long")
               .alias(f"__df{i}") for i in range(len(seen))])
         scored = base.crossJoin(F.broadcast(stats))
@@ -2395,12 +2447,17 @@ class _Compiler:
         emb = F.col(field)
         cos = _dot(emb, qe) / (_norm(emb) * F.lit(qnorm))
         # dimension contract enforced IN-PLAN (zip_with would silently
-        # null-pad a mismatched vector into a null score otherwise)
-        cos = F.when(F.size(emb) == len(vals), cos).otherwise(
-            F.raise_error(F.lit(
-                f"KNN query vector has {len(vals)} dimensions but "
-                f"{field!r} differs")))
-        scored = df.withColumn("__knn", roundn_col(cos))
+        # null-pad a mismatched vector into a null score otherwise);
+        # ES knn skips documents missing the field, so a NULL embedding
+        # must not reach the size() check (size(NULL) is -1 under the
+        # default legacy.sizeOfNull and would abort the whole query).
+        cos = (F.when(emb.isNull(), F.lit(None).cast("double"))
+               .when(F.size(emb) == len(vals), cos)
+               .otherwise(F.raise_error(F.lit(
+                   f"KNN query vector has {len(vals)} dimensions but "
+                   f"{field!r} differs"))))
+        scored = (df.withColumn("__knn", roundn_col(cos))
+                  .filter(F.col("__knn").isNotNull()))
         tiebreak = df.columns[0]
         out = (scored.orderBy(F.col("__knn").desc(), F.col(tiebreak).asc())
                .limit(kk))
@@ -2574,24 +2631,33 @@ class _Compiler:
                 # Prometheus increase = rate without the width division
                 inner_cols.append(F.sum(f"__rc{k}").alias(nm))
             elif fname == "IRATE":
+                # instantaneous value as secondary key — deterministic
+                # when two samples share the last interval's end instant
+                it, iv = F.col(f"__it{k}"), F.col(f"__iv{k}")
                 inner_cols.append(
-                    F.max_by(F.col(f"__iv{k}"), F.col(f"__it{k}"))
-                    .alias(nm))
+                    F.max_by(iv, F.when(it.isNotNull(),
+                                        F.struct(it, iv))).alias(nm))
             elif fname == "DELTA":
                 # gauge delta: last sample minus first sample by time
                 # (no extrapolation — documented simplification of the
-                # Prometheus boundary-extrapolated delta)
+                # Prometheus boundary-extrapolated delta). The sample
+                # value is a deterministic secondary key: two samples
+                # sharing a timestamp would otherwise make max_by/min_by
+                # order-dependent across partial-aggregation merges.
+                key = F.struct(F.col(spec.ts), a0)
                 inner_cols.append(
-                    (F.max_by(a0, F.col(spec.ts))
-                     - F.min_by(a0, F.col(spec.ts))).alias(nm))
+                    (F.max_by(a0, key) - F.min_by(a0, key)).alias(nm))
             elif fname == "COUNT_OVER_TIME":
                 inner_cols.append(
                     F.count(a0 if a0 is not None else F.lit(1))
                     .cast("long").alias(nm))
             elif fname == "FIRST_OVER_TIME":
-                inner_cols.append(F.min_by(a0, F.col(spec.ts)).alias(nm))
+                # value as secondary key: deterministic under ts ties
+                inner_cols.append(
+                    F.min_by(a0, F.struct(F.col(spec.ts), a0)).alias(nm))
             elif fname == "LAST_OVER_TIME":
-                inner_cols.append(F.max_by(a0, F.col(spec.ts)).alias(nm))
+                inner_cols.append(
+                    F.max_by(a0, F.struct(F.col(spec.ts), a0)).alias(nm))
             elif fname == "AVG_OVER_TIME":
                 # exact-decimal per-series average (see _ts_pinned_avg):
                 # quantized samples sum associatively, so the inner value
@@ -2669,6 +2735,10 @@ class _Compiler:
     def apply(self, df: DataFrame, c: dict) -> DataFrame:
         k = c["cmd"]
         cols = df.columns
+        # KQL term dispatch is on the bound column's MAPPING (its Spark
+        # dtype), the Kibana rule — stashed here so the expression
+        # compiler can reach it without threading schemas everywhere
+        self._cur_dtypes = dict(df.dtypes)
         if k == "WHERE":
             e = c["expr"]
             if e[0] == "call" and e[1] == "KNN":

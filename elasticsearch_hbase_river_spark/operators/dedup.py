@@ -562,8 +562,118 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming"))
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find documents sharing a contiguous
+# duplicated token span of >= SUB_L tokens ANYWHERE in the text — the
+# shifted-boilerplate case that whole-doc / passage / line dedup misses.
+#
+# Scale design: the suffix-array of the paper is re-expressed as fixed-L
+# token windows — a span of length >= L is shared between two documents
+# IFF some L-token window is (detection-equivalent, no suffix sort
+# needed). Each doc emits (n_tokens - L + 1) windows; windows shuffle
+# ONCE on their span text (exact — no hash-collision risk), duplicated
+# spans join back on the same key (co-partitioned, exchange reuse), and
+# per-doc contiguous runs of duplicated window positions reconstruct the
+# maximal removable region (run of k windows = k + L - 1 shared tokens).
+# Everything is linear in corpus size: no all-pairs join, no global
+# suffix sort, the only wide payload on the wire is the L-token span
+# string (~6L bytes; at 100 TB swap the shuffle key for
+# (xxhash64(span), span) to compare 8 bytes first — same plan shape).
+
+SUB_L = 15          # minimum duplicated span, in tokens
+SUB_MID_OFF = 6     # synthetic copies embed tokens [6, 25] of the source
+SUB_MID_LEN = 20    # ... a 20-token span behind fresh flanking text
+
+
+def _substring_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-boilerplate copies: every COPY_MOD-th doc's
+    middle SUB_MID_LEN tokens re-appear inside an otherwise-new text, at
+    a DIFFERENT token offset — invisible to exact/passage dedup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mid = F.array_join(F.slice(toks, SUB_MID_OFF, SUB_MID_LEN), " ")
+    copies = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit("boiler plate header tokens "), mid,
+                 F.lit(" trailing footer tokens")).alias("text"))
+    return docs.unionByName(copies)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing a duplicated span of >= SUB_L contiguous
+    tokens shared with ANY other document: per doc, the number of
+    duplicated window positions and the longest contiguous duplicated
+    region in tokens (the span Lee et al. would cut).
+
+    Plan: windows explode map-side (sequence + transform + posexplode,
+    all JVM); one hash shuffle on the span text for the duplicate-span
+    aggregate; the join back is on the same key; the island window
+    partitions by doc_id (never a single-partition window)."""
+    aug = _substring_aug(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    wins = aug.select(
+        "doc_id",
+        F.posexplode(
+            F.when(n >= SUB_L, F.transform(
+                F.sequence(F.lit(1), n - SUB_L + 1),
+                lambda i: F.array_join(F.slice(toks, i, SUB_L), " ")))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "span")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+    dup_spans = (wins.groupBy("span")
+                 .agg(F.count_distinct("doc_id").alias("nd"))
+                 .filter(F.col("nd") >= 2)
+                 .select("span"))
+    dup = wins.join(dup_spans, "span").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("g", F.col("pos") - F.row_number().over(w))
+    runs = isl.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("run"))
+    return (runs.groupBy("doc_id")
+            .agg(F.sum("run").cast("long").alias("dup_windows"),
+                 (F.max("run") + SUB_L - 1).cast("long")
+                 .alias("max_run_tokens"))
+            .orderBy("doc_id"))
+
+
+_AUG_SQL_SUB = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {COPY_OFFSET},
+       'boiler plate header tokens ' ||
+       array_to_string(list_slice(string_split(text, ' '),
+                                  {SUB_MID_OFF},
+                                  {SUB_MID_OFF + SUB_MID_LEN - 1}), ' ') ||
+       ' trailing footer tokens'
+FROM documents WHERE doc_id % {COPY_MOD} = 0
+"""
+
+_SUB_ORACLE = f"""
+WITH aug AS ({_AUG_SQL_SUB}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+wins AS (
+  SELECT doc_id, i.i AS pos,
+         array_to_string(list_slice(t, i.i, i.i + {SUB_L - 1}), ' ') AS span
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - {SUB_L - 1}))
+                     AS i) i
+  WHERE len(t) >= {SUB_L}),
+spans AS (SELECT span FROM wins GROUP BY span
+          HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN spans USING (span)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS g
+        FROM dup),
+runs AS (SELECT doc_id, g, count(*) AS run FROM isl GROUP BY doc_id, g)
+SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_windows,
+       CAST(max(run) + {SUB_L - 1} AS BIGINT) AS max_run_tokens
+FROM runs GROUP BY doc_id ORDER BY doc_id"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
+    "q_substring_dedup": q_substring_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_edit_distance": q_edit_distance,
     "q_minhash_signature": q_minhash_signature,
@@ -592,6 +702,7 @@ sigb AS (
 """
 
 ORACLES = {
+    "q_substring_dedup": _SUB_ORACLE,
     "q_exact_dedup": f"""
 WITH aug AS ({_AUG_SQL_EXACT})
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

@@ -1899,12 +1899,13 @@ v AS (
   FROM d),
 per AS (
   SELECT host, tb,
-         arg_max(req_total, ts) - arg_min(req_total, ts) AS dlt,
+         list_sort(list({{'t': ts, 'v': req_total}}))[-1].v
+           - list_sort(list({{'t': ts, 'v': req_total}}))[1].v AS dlt,
          sum(CASE WHEN delta IS NULL THEN 0.0
                   WHEN delta >= 0 THEN CAST(delta AS DOUBLE)
                   ELSE CAST(req_total AS DOUBLE) END) AS inc,
-         arg_max(irv, CASE WHEN irv IS NOT NULL
-                           THEN epoch_us(ts) END) AS ir
+         list_sort(list({{'t': epoch_us(ts), 'v': irv}})
+                   FILTER (irv IS NOT NULL))[-1].v AS ir
   FROM v GROUP BY host, tb)
 SELECT tb, {roundn_sql('sum(dlt)', 4)} AS d,
        {roundn_sql('sum(inc)', 4)} AS inc,

@@ -359,11 +359,15 @@ def _ts_partial_agg(comp: _Compiler, df: DataFrame, plan: dict,
                 pcols.append(F.sum(_ts_dec6(a0)).alias(p + "_s"))
                 pcols.append(F.count(a0).cast("long").alias(p + "_n"))
             elif fname == "FIRST_OVER_TIME":
+                # (ts, value) struct key = batch semantics (value is the
+                # deterministic tiebreak under equal timestamps)
                 pcols.append(F.min(F.col(spec.ts)).alias(p + "_t"))
-                pcols.append(F.min_by(a0, F.col(spec.ts)).alias(p + "_v"))
+                pcols.append(F.min_by(
+                    a0, F.struct(F.col(spec.ts), a0)).alias(p + "_v"))
             else:  # LAST_OVER_TIME
                 pcols.append(F.max(F.col(spec.ts)).alias(p + "_t"))
-                pcols.append(F.max_by(a0, F.col(spec.ts)).alias(p + "_v"))
+                pcols.append(F.max_by(
+                    a0, F.struct(F.col(spec.ts), a0)).alias(p + "_v"))
     return stage.groupBy(*g1).agg(*pcols)
 
 
@@ -452,11 +456,17 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                     mcols.append(
                         F.sum(p + "_n").cast("long").alias(p + "_n"))
                 elif fname == "FIRST_OVER_TIME":
-                    mcols.append(
-                        F.min_by(p + "_v", F.col(p + "_t")).alias(p + "_v"))
+                    # merge on the same (ts, value) struct key as the
+                    # per-batch partial — min over structs is associative
+                    mcols.append(F.min_by(
+                        F.col(p + "_v"),
+                        F.struct(F.col(p + "_t"), F.col(p + "_v"))
+                    ).alias(p + "_v"))
                 else:  # LAST_OVER_TIME
-                    mcols.append(
-                        F.max_by(p + "_v", F.col(p + "_t")).alias(p + "_v"))
+                    mcols.append(F.max_by(
+                        F.col(p + "_v"),
+                        F.struct(F.col(p + "_t"), F.col(p + "_v"))
+                    ).alias(p + "_v"))
         merged = part.groupBy(*g1).agg(*mcols)
         ph_cols = [F.col(k) for k in keys]
         for si, (_o, _f, calls, _c) in enumerate(plan["specs"]):

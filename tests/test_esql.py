@@ -549,8 +549,10 @@ def test_date_trunc_span_and_string(spark, sf_dir):
 
 
 def test_date_trunc_multi_unit_span_refused(spark, sf_dir):
-    with pytest.raises(ESQLError, match="1-unit"):
-        esql(spark, "FROM events | EVAL d = DATE_TRUNC(3 day, ts)", sf_dir)
+    # uniform multi-unit spans are supported (grid-floor; see
+    # test_date_trunc_multi_unit_grid); calendar units stay refused
+    with pytest.raises(ESQLError, match="calendar"):
+        esql(spark, "FROM events | EVAL d = DATE_TRUNC(2 year, ts)", sf_dir)
 
 
 def test_span_outside_date_trunc_refused(spark):
@@ -1533,3 +1535,139 @@ def test_completion_extractive_standin(spark):
     assert out[1].summary == "Summarize: no punctuation at all"
     # internal whitespace is content; only the ends trim
     assert out[2].summary == "Summarize:   padded!"
+
+
+# ---------------------------------------------------------------------------
+# round-10 ADVICE regressions: null-tolerant KNN / MATCH stats, integer
+# spans, mapping-dispatched KQL terms, tie-deterministic TS picks
+
+
+def test_knn_skips_null_embeddings(spark):
+    """ES knn skips docs missing the field; a NULL vector must not trip
+    the in-plan dimension check (size(NULL) is -1 under legacy
+    sizeOfNull) and abort the query."""
+    t = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id long, emb array<double>")
+    out = esql(spark, 'FROM d | WHERE KNN(emb, [1.0, 1.0], 5) '
+                      '| SORT vec_id', tables={"d": t}).collect()
+    assert [r.vec_id for r in out] == [1, 3]
+    # a genuinely mismatched NON-null vector still raises in-plan
+    with pytest.raises(Exception, match="dimensions"):
+        esql(spark, 'FROM d | WHERE KNN(emb, [1.0, 1.0, 1.0], 5)',
+             tables={"d": t}).collect()
+
+
+def test_scored_match_corpus_stats_skip_null_rows(spark):
+    """BM25 corpus stats (N, avgdl) count only rows where the field is
+    present — a NULL-text row must not perturb any score (the DuckDB
+    oracle's len(NULL) is NULL and skipped)."""
+    rows = [(1, "spark engine"), (2, None), (3, "spark spark data fast")]
+    t = spark.createDataFrame(rows, "doc_id long, text string")
+    t2 = spark.createDataFrame([r for r in rows if r[1] is not None],
+                               "doc_id long, text string")
+    q = ('FROM d METADATA _score | WHERE MATCH(text, "spark") '
+         '| KEEP doc_id, _score | SORT doc_id')
+    a = [(r.doc_id, r["_score"]) for r in
+         esql(spark, q, tables={"d": t}).collect()]
+    b = [(r.doc_id, r["_score"]) for r in
+         esql(spark, q, tables={"d": t2}).collect()]
+    assert a == b and len(a) == 2
+
+
+def test_span_fractional_quantity_rejected(spark):
+    """ES|QL time spans are integer-quantified: 1.5 hour is an error,
+    never a silent truncation to 1 hour."""
+    t = spark.createDataFrame([("2024-01-01 00:00:00",)], "t string") \
+        .selectExpr("cast(t as timestamp_ntz) as ts")
+    with pytest.raises(ESQLError, match="integer"):
+        esql(spark, 'FROM d | EVAL x = ts + 1.5 hour', tables={"d": t})
+    out = esql(spark, 'FROM d | EVAL x = ts + 2 hour',
+               tables={"d": t}).collect()[0]
+    assert str(out.x).startswith("2024-01-01 02:00:00")
+
+
+def test_kql_term_dispatch_on_column_dtype(spark):
+    """KQL dispatches on the field MAPPING (column dtype), not the
+    value's shape: text:404 is an analyzed term match on token "404";
+    numeric:404 is numeric equality; numeric:abc is an error."""
+    t = spark.createDataFrame(
+        [(1, "error 404 page", 404.0), (2, "ok 200", 200.0),
+         (3, "code 404 again", 200.0)],
+        "id long, text string, code double")
+
+    def run(q):
+        esc = q.replace('"', '\\"')
+        return sorted(r.id for r in esql(
+            spark, f'FROM d | WHERE KQL("{esc}") | KEEP id',
+            tables={"d": t}).collect())
+
+    assert run("text:404") == [1, 3]       # term match, not cast-to-double
+    assert run("code:404") == [1]          # numeric equality
+    assert run("text:404 AND code:200") == [3]
+    with pytest.raises(ESQLError, match="numeric field"):
+        run("code:abc")
+
+
+def test_ts_delta_first_last_tie_deterministic(spark):
+    """Two samples sharing a timestamp: DELTA / FIRST / LAST break the
+    tie on the sample value (max for last, min for first), so the result
+    does not depend on partial-aggregation merge order."""
+    from elasticsearch_hbase_river_spark.esql import TimeSeriesSpec
+
+    rows = [("h", "2024-01-01 00:01:00", 7.0),
+            ("h", "2024-01-01 00:01:00", 3.0),   # tie at the start
+            ("h", "2024-01-01 00:09:00", 20.0),
+            ("h", "2024-01-01 00:09:00", 30.0)]  # tie at the end
+    m = spark.createDataFrame(rows, "host string, t string, v double") \
+        .selectExpr("host", "cast(t as timestamp_ntz) as t", "v")
+    for parts in (1, 4):   # merge order must not matter
+        got = esql(spark, "TS m2 | STATS d = SUM(DELTA(v)), "
+                          "f = MIN(FIRST_OVER_TIME(v)), "
+                          "l = MAX(LAST_OVER_TIME(v)) "
+                          "BY tb = BUCKET(t, 1 hour)",
+                   tables={"m2": m.repartition(parts)},
+                   ts_specs={"m2": TimeSeriesSpec("t", ("host",))}
+                   ).collect()[0]
+        assert (got.d, got.f, got.l) == (27.0, 3.0, 30.0)
+
+
+def test_date_trunc_multi_unit_grid(spark):
+    """Multi-unit uniform spans truncate onto the epoch-anchored grid
+    (same math as BUCKET); calendar multi-unit spans stay refused."""
+    t = spark.createDataFrame(
+        [("2024-01-01 07:45:00",), ("2024-01-01 14:10:00",)],
+        "t string").selectExpr("cast(t as timestamp_ntz) as ts")
+    out = esql(spark, 'FROM d | EVAL b = DATE_TRUNC(6 hour, ts) | SORT ts',
+               tables={"d": t}).collect()
+    assert [str(r.b) for r in out] == [
+        "2024-01-01 06:00:00", "2024-01-01 12:00:00"]
+    out = esql(spark, 'FROM d | EVAL b = DATE_TRUNC(15 minute, ts) '
+                      '| SORT ts', tables={"d": t}).collect()
+    assert [str(r.b) for r in out] == [
+        "2024-01-01 07:45:00", "2024-01-01 14:00:00"]
+    with pytest.raises(ESQLError, match="calendar"):
+        esql(spark, 'FROM d | EVAL b = DATE_TRUNC(3 month, ts)',
+             tables={"d": t})
+
+
+def test_kql_date_range_comparisons(spark):
+    """KQL ranges on a temporal column parse the value as an ISO
+    date/datetime against the column's own type."""
+    t = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-02-15 12:00:00"),
+         (3, "2024-03-01 00:00:00")],
+        "id long, t string").selectExpr(
+        "id", "cast(t as timestamp_ntz) as ts")
+
+    def run(q):
+        esc = q.replace('"', '\\"')
+        return sorted(r.id for r in esql(
+            spark, f'FROM d | WHERE KQL("{esc}") | KEEP id',
+            tables={"d": t}).collect())
+
+    assert run("ts >= 2024-02-01") == [2, 3]
+    assert run('ts < "2024-02-15 12:00:00"') == [1]
+    assert run("ts >= 2024-01-01 AND ts <= 2024-02-28") == [1, 2]
+    with pytest.raises(ESQLError, match="ISO date"):
+        run("ts >= notadate")

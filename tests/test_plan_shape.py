@@ -555,3 +555,41 @@ def test_esql_enrich_range_broadcasts_interval_dimension(spark, sf_dir):
     plan = _plan(QUERIES["q_esql_enrich_range"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_no_global_sort_no_pairs(spark, sf_dir):
+    """The exact-substring dedup must NEVER materialize a global suffix
+    sort or an all-pairs comparison: windows shuffle hash-partitioned on
+    the span, the island window partitions by doc_id, and the only
+    single-partition stage permitted is the final presentation ORDER BY
+    (rangepartitioning, not a SinglePartition exchange)."""
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        q_substring_dedup,
+    )
+
+    plan = _plan(q_substring_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the duplicated-span aggregate and the join-back share the span
+    # hash-partitioning; the doc-side window is hash-partitioned too
+    assert "hashpartitioning(span" in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_substring_dedup_finds_shifted_boilerplate(spark, sf_dir):
+    """A >=SUB_L-token span embedded at a DIFFERENT offset inside fresh
+    text must be detected (the case passage/line dedup misses), and the
+    reconstructed maximal run must be exactly the embedded span."""
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        COPY_OFFSET,
+        SUB_MID_LEN,
+        q_substring_dedup,
+    )
+
+    rows = {r.doc_id: r for r in q_substring_dedup(spark, sf_dir).collect()}
+    # doc 0 and its shifted copy both carry the 20-token embedded span
+    assert 0 in rows and COPY_OFFSET in rows
+    assert rows[0].max_run_tokens >= SUB_MID_LEN
+    assert rows[COPY_OFFSET].max_run_tokens >= SUB_MID_LEN
+    assert rows[COPY_OFFSET].dup_windows >= SUB_MID_LEN - 15 + 1
