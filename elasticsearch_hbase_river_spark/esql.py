@@ -1115,10 +1115,13 @@ _IPV4_RE = f"^{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}$"
 
 
 def _scalar_to_ip(args, raw):
-    # valid IPv4 dotted quad passes through; anything else (including
-    # IPv6, which is outside the subset) folds to null — the ES|QL
-    # null-with-warning convention for unconvertible values
-    return F.when(args[0].rlike(_IPV4_RE), args[0])
+    # IPv4 dotted quad passes through; IPv6 canonicalizes per RFC 5952
+    # (lowercase, zeros stripped, leftmost-longest zero run compressed —
+    # functions/ip.py, pure column expressions); anything else (incl.
+    # IPv4-mapped v6 forms) folds to null — the ES|QL null-with-warning
+    # convention for unconvertible values
+    from elasticsearch_hbase_river_spark.functions.ip import to_ip_col
+    return to_ip_col(args[0])
 
 
 def _scalar_ip_prefix(args, raw):

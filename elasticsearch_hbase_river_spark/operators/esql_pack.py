@@ -593,6 +593,40 @@ FROM e GROUP BY 1 ORDER BY n DESC, net LIMIT 20""",
 
 
 _register(
+    "q_esql_to_ip6",
+    """
+FROM events
+| EVAL ip6 = CONCAT(TO_STRING(user_id % 50), ":0:",
+                    TO_STRING(event_id % 3), ":0:0:0:00AB:",
+                    TO_STRING(event_id % 7))
+| EVAL canon = TO_IP(ip6)
+| STATS n = COUNT(*) BY canon
+| SORT n DESC, canon
+| LIMIT 25
+""",
+    None,  # twin filled in below (needs the generated canonicalizer)
+    "TO_IP IPv6 canonicalization (RFC 5952: lowercase, leading zeros "
+    "stripped, leftmost-longest zero run compressed) over synthesized "
+    "addresses with varying zero runs — map-side column expressions, "
+    "one aggregate shuffle.")
+
+def _to_ip6_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.ip import to_ip_sql
+    ip6 = ("(user_id % 50) || ':0:' || (event_id % 3) || "
+           "':0:0:0:00AB:' || (event_id % 7)")
+    # canonicalize AFTER pre-aggregating on the raw string (~1k distinct
+    # values) — the 28-case run-search subquery runs once per distinct
+    # address, not once per event row
+    return f"""
+WITH src AS (SELECT {ip6} AS ip6, count(*) AS c FROM events GROUP BY 1),
+cn AS (SELECT {to_ip_sql('ip6')} AS canon, c FROM src)
+SELECT canon, CAST(sum(c) AS BIGINT) AS n
+FROM cn GROUP BY canon ORDER BY n DESC, canon LIMIT 25"""
+
+ORACLES["q_esql_to_ip6"] = _to_ip6_oracle()
+
+
+_register(
     "q_esql_mv_strings",
     """
 FROM documents

@@ -1671,3 +1671,65 @@ def test_kql_date_range_comparisons(spark):
     assert run("ts >= 2024-01-01 AND ts <= 2024-02-28") == [1, 2]
     with pytest.raises(ESQLError, match="ISO date"):
         run("ts >= notadate")
+
+
+def test_to_ip_ipv6_rfc5952(spark):
+    """TO_IP canonicalizes IPv6 per RFC 5952: lowercase, leading zeros
+    stripped, the leftmost-longest run of >= 2 zero groups compressed;
+    single zero groups never compress; malformed / IPv4-mapped forms
+    fold to null (documented subset)."""
+    cases = [
+        ("2001:0db8:0:0:0:0:2:1", "2001:db8::2:1"),
+        ("1:0:0:2:0:0:0:3", "1:0:0:2::3"),        # longest wins
+        ("0:0:1:0:0:0:0:1", "0:0:1::1"),          # leftmost on longer right
+        ("1:0:0:0:2:0:0:0", "1::2:0:0:0"),        # leftmost on equal, trailing
+        ("2001:DB8::8:800:200C:417A", "2001:db8::8:800:200c:417a"),
+        ("0:0:0:0:0:0:0:1", "::1"),
+        ("::", "::"),
+        ("1::", "1::"),
+        ("fe80:0:0:0:0:0:0:0", "fe80::"),
+        ("1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8"),
+        ("10.1.2.3", "10.1.2.3"),
+        ("1::2::3", None), ("12345::1", None), ("g::1", None),
+        ("1:2:3:4:5:6:7", None), ("::ffff:1.2.3.4", None),
+    ]
+    t = spark.createDataFrame([(c,) for c, _ in cases], "ip string")
+    got = {r.ip: r.c for r in esql(
+        spark, 'FROM d | EVAL c = TO_IP(ip)', tables={"d": t}).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_to_ip_spark_and_duckdb_twins_agree(spark):
+    """The generated Spark column and the generated DuckDB SQL implement
+    the SAME algorithm — property-check them against each other on a
+    seeded random address corpus."""
+    import random
+
+    import duckdb
+
+    from elasticsearch_hbase_river_spark.functions.ip import (
+        to_ip_col,
+        to_ip_sql,
+    )
+
+    rng = random.Random(1234)
+    cases = []
+    for _ in range(150):
+        n = rng.randint(1, 8)
+        gs = [rng.choice(["0", "0000", "1", "00a", "ffff",
+                          "%x" % rng.randint(0, 65535)]) for _ in range(n)]
+        if n == 8:
+            cases.append(":".join(gs))
+        else:
+            cut = rng.randint(0, n)
+            cases.append(":".join(gs[:cut]) + "::" + ":".join(gs[cut:]))
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got_spark = {r.ip: r.c for r in
+                 df.select("ip", to_ip_col(F.col("ip")).alias("c"))
+                 .collect()}
+    con = duckdb.connect()
+    for c in cases:
+        got_duck = con.execute(
+            "SELECT " + to_ip_sql("?"), [c]).fetchone()[0]
+        assert got_spark[c] == got_duck, (c, got_spark[c], got_duck)
