@@ -997,13 +997,16 @@ def q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Both output branches (promoted lookups, organic top-k) consume the
     # scored relation; without materialization the union duplicates the
-    # ENTIRE BM25 pipeline and the two concurrent corpus scans OOMed the
-    # default 1 GB heap at the 100x fixture — the only query in the
-    # registry whose plan ran the corpus pipeline twice in one job.
-    # DISK_ONLY (never memory): the relation is (doc_id, score)-narrow
-    # but corpus-rows-sized, and pinned heap blocks are the round-4 OOM
-    # class.
-    scored = bm25_scores(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    # ENTIRE BM25 pipeline (16 parquet scans, zero ReusedExchange — the
+    # per-branch filters defeat exchange reuse), which is the wrong plan
+    # at any real scale even though it wins at fixture scale. Round-10
+    # same-day A/B (SCALE.md §8): DISK_ONLY pays an 11 s first-run write
+    # (the driver-visible bimodality), MEMORY_AND_DISK is 1.9 s cold /
+    # 1.25 s warm and survives the 100x fixture on a default 1 GB driver
+    # (15.1 s, no OOM — storage blocks evict to disk under the unified
+    # memory manager; the round-4 "pinned heap" class was the
+    # DESERIALIZED level, this is the serialized one).
+    scored = bm25_scores(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     pins = spark.createDataFrame(
         [(int(d), i + 1) for i, d in enumerate(PINNED_IDS)],
         "doc_id long, rank long")

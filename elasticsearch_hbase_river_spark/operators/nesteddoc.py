@@ -253,6 +253,27 @@ def _score_fielded(tf: DataFrame, fdl: DataFrame,
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def _score_fielded_inline_dl(tf: DataFrame, fstats: DataFrame,
+                             dfr: DataFrame) -> DataFrame:
+    """``_score_fielded`` for callers whose ``tf`` already carries the
+    (doc, field) length on every row (index-served postings do): skips
+    the (doc_id, field) self-join entirely — one broadcast-joined
+    map-side projection, one aggregate shuffle, bounded top-k."""
+    scored = (tf.join(F.broadcast(dfr), ["field", "token"])
+              .join(F.broadcast(fstats), "field"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfnorm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B
+                                 + BM25_B * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.select("doc_id", (idf * tfnorm).alias("c"))
+               .groupBy("doc_id")
+               .agg(roundn_col(F.sum("c")).alias("score")))
+    top = (per_doc.orderBy(F.col("score").desc(), "doc_id").limit(NFS_TOP))
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def _field_dl(fc: DataFrame) -> DataFrame:
     """(doc_id, field, dl): per-doc field lengths, MAP-SIDE ONLY — each
     (doc, field) appears once in the fielded melt, so dl is a projection,
@@ -578,6 +599,80 @@ def read_nested_epochs(spark: SparkSession, epochs_dir: str):
     return fp, fdl, latest.select("doc_id")
 
 
+def _epoch_ids(root: str, sub: str) -> set[int]:
+    d = os.path.join(root, sub)
+    if not os.path.isdir(d):
+        return set()
+    return {int(name.split("=", 1)[1]) for name in os.listdir(d)
+            if name.startswith("epoch=")}
+
+
+def write_nested_epoch_stats_sidecar(spark: SparkSession, base: str,
+                                     epochs_dir: str,
+                                     epoch_id: int) -> None:
+    """``fstats_delta/epoch=N``: per-field length-moment correction of
+    epoch N relative to the live view JUST BEFORE it — (n_r, s_r) from
+    the changed docs' previous version (the latest earlier epoch, else
+    the base index), (n_a, s_a) from this epoch's own fdl. Summing the
+    sidecars over all epochs telescopes to exactly the base→live
+    correction, so the serve path reads a handful of tiny rows instead
+    of re-deriving the removal from a doc-bucket-pruned base read per
+    query (the 0.6 s hot spot in the round-9 bench). Delta-proportional
+    at write time: earlier-epoch fdl is delta-sized and the base read
+    prunes to this epoch's changed docs' dbuckets."""
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        changed_dbuckets,
+    )
+
+    changed = (spark.read.parquet(os.path.join(epochs_dir, "docs"))
+               .filter(F.col("epoch") == epoch_id).select("doc_id")
+               .localCheckpoint(eager=True))
+    earlier = sorted(e for e in _epoch_ids(epochs_dir, "docs")
+                     if e < epoch_id)
+    z = F.lit(0).cast("long")
+    prev_parts = []
+    if earlier:
+        docs_e = (spark.read.parquet(os.path.join(epochs_dir, "docs"))
+                  .filter(F.col("epoch") < epoch_id))
+        prev_owner = (docs_e.join(F.broadcast(changed), "doc_id",
+                                  "left_semi")
+                      .groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+                      .localCheckpoint(eager=True))
+        prev_parts.append(
+            spark.read.parquet(os.path.join(epochs_dir, "fdl"))
+            .filter(F.col("epoch") < epoch_id)
+            .join(F.broadcast(prev_owner), ["doc_id", "epoch"])
+            .select("doc_id", "field", "dl"))
+        from_base = changed.join(prev_owner, "doc_id", "left_anti") \
+            .localCheckpoint(eager=True)
+    else:
+        from_base = changed
+    dbuckets = changed_dbuckets(from_base)
+    prev_parts.append(
+        read_fdoclen(spark, base, dbuckets)
+        .join(F.broadcast(from_base), "doc_id", "left_semi")
+        .select("doc_id", "field", "dl"))
+    prev = prev_parts[0]
+    for p in prev_parts[1:]:
+        prev = prev.unionByName(p)
+    removed = prev.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.coalesce(F.sum("dl"), z).alias("s_r"))
+    added = (spark.read.parquet(os.path.join(epochs_dir, "fdl"))
+             .filter(F.col("epoch") == epoch_id)
+             .groupBy("field").agg(
+                 F.count(F.lit(1)).cast("long").alias("n_a"),
+                 F.coalesce(F.sum("dl"), z).alias("s_a")))
+    out = (removed.join(added, "field", "full_outer")
+           .select("field",
+                   F.coalesce("n_r", z).alias("n_r"),
+                   F.coalesce("s_r", z).alias("s_r"),
+                   F.coalesce("n_a", z).alias("n_a"),
+                   F.coalesce("s_a", z).alias("s_a")))
+    out.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(epochs_dir, "fstats_delta", f"epoch={epoch_id}"))
+
+
 def nested_field_search_live(spark: SparkSession, base: str,
                              epochs_dir: str,
                              terms: tuple[str, ...] = NFS_TERMS) -> DataFrame:
@@ -596,44 +691,111 @@ def nested_field_search_live(spark: SparkSession, base: str,
       + the epochs' new ones.
 
     Hash-equal to a full rebuild over the post-churn corpus — proven by
-    ``q_nested_field_search_live``'s oracle."""
-    fp_new, fdl_new, changed = read_nested_epochs(spark, epochs_dir)
-    fp_new = fp_new.localCheckpoint(eager=True)   # delta-sized, read twice
-    fdl_new = fdl_new.localCheckpoint(eager=True)
-    changed = changed.localCheckpoint(eager=True)
-    from elasticsearch_hbase_river_spark.operators.indexed_search import (
-        changed_dbuckets,
-    )
+    ``q_nested_field_search_live``'s oracle.
 
-    # bounded-collect + saturation-to-full-scan guard (indexed_search.py)
-    dbuckets = changed_dbuckets(changed)
+    Serve-path cost note (round-10, SCALE.md §8): when every epoch
+    carries an ``fstats_delta`` sidecar (written at epoch-land time by
+    ``write_nested_epoch_stats_sidecar``), the N/sum_dl correction reads
+    the tiny sidecar sums instead of re-deriving the removal from a
+    doc-bucket-pruned base fdoclen read per query; the scoring also
+    rides ``dl`` straight off the live postings (each (doc, field)
+    appears once per token row with its length) instead of a
+    (doc_id, field) self-join. Epoch dirs without full sidecar coverage
+    fall back to the per-query derivation — same answer, slower."""
+    z = F.lit(0).cast("long")
+    fp_new, fdl_new, changed = read_nested_epochs(spark, epochs_dir)
+    doc_epochs = _epoch_ids(epochs_dir, "docs")
+    sidecars = _epoch_ids(epochs_dir, "fstats_delta")
+    use_sidecar = bool(doc_epochs) and doc_epochs <= sidecars
+
+    if not use_sidecar:
+        # the fallback derivation reads these relations several times;
+        # pin them once (the sidecar path reads each twice — re-reading
+        # a delta-sized parquet is cheaper than an eager checkpoint job)
+        fp_new = fp_new.localCheckpoint(eager=True)
+        changed = changed.localCheckpoint(eager=True)
 
     base_p = read_fpostings(spark, base, terms)
     tf_new = fp_new.filter(F.col("token").isin(*terms))
     p_live = (base_p.join(F.broadcast(changed), "doc_id", "left_anti")
               .unionByName(tf_new.select("doc_id", "field", "token",
                                          "tf", "dl")))
-    tf = p_live.select("doc_id", "field", "token", "tf")
-    fdl_scoring = p_live.select("doc_id", "field", "dl").distinct()
+    tf = p_live.select("doc_id", "field", "token", "tf", "dl")
 
-    z = F.lit(0).cast("long")
-    removed = (read_fdoclen(spark, base, dbuckets)
-               .join(F.broadcast(changed), "doc_id", "left_semi")
-               .groupBy("field")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_r"),
-                    F.coalesce(F.sum("dl"), z).alias("s_r")))
-    added = (fdl_new.groupBy("field")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_a"),
-                  F.coalesce(F.sum("dl"), z).alias("s_a")))
+    if use_sidecar:
+        # TWO jobs total. Job 1 collects the per-field (N, avgdl) from
+        # the base fstats + the sidecar sums (both tiny files). Job 2
+        # scores: the per-(field, term) df is a WINDOW COUNT over the
+        # live postings themselves — p_live IS the terms-pruned live
+        # view, one row per (doc, field, token), so counting its rows
+        # per (field, token) is exactly the live df; the
+        # fvocab − df_old + df_new derivation the fallback runs is
+        # redundant here.
+        n_by_field: dict[str, tuple[int, int]] = {}
+        stats_rows = (
+            read_fstats(spark, base)
+            .select("field", F.col("n_docs").alias("a"),
+                    F.col("sum_dl").alias("b"))
+            .unionByName(
+                spark.read.parquet(os.path.join(epochs_dir, "fstats_delta"))
+                .select("field", (F.col("n_a") - F.col("n_r")).alias("a"),
+                        (F.col("s_a") - F.col("s_r")).alias("b")))
+            .groupBy("field").agg(F.sum("a").alias("n"),
+                                  F.sum("b").alias("s"))
+            .collect())
+        kv: list = []
+        for r in sorted(stats_rows, key=lambda r: r["field"]):
+            if r["n"] and r["n"] > 0:
+                kv += [F.lit(r["field"]),
+                       F.struct(F.lit(int(r["n"])).alias("n"),
+                                F.lit(float(r["s"]) / r["n"])
+                                .alias("avgdl"))]
+        fent = F.create_map(*kv)[F.col("field")]
+        wdf = Window.partitionBy("field", "token")
+        dfc = F.count(F.lit(1)).over(wdf).cast("long")
+        idf = F.log(F.lit(1.0) + (fent["n"] - dfc + 0.5) / (dfc + 0.5))
+        tfnorm = (F.col("tf") * (BM25_K1 + 1)) / (
+            F.col("tf") + BM25_K1 * (1 - BM25_B
+                                     + BM25_B * F.col("dl")
+                                     / fent["avgdl"]))
+        per_doc = (tf.select("doc_id", (idf * tfnorm).alias("c"))
+                   .filter(F.col("c").isNotNull())
+                   .groupBy("doc_id")
+                   .agg(roundn_col(F.sum("c")).alias("score")))
+        top = per_doc.orderBy(F.col("score").desc(), "doc_id") \
+            .limit(NFS_TOP)
+        w = Window.orderBy(F.col("score").desc(), "doc_id")
+        return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    else:
+        from elasticsearch_hbase_river_spark.operators.indexed_search import (
+            changed_dbuckets,
+        )
+
+        # bounded-collect + saturation-to-full-scan guard (indexed_search)
+        dbuckets = changed_dbuckets(changed)
+        fdl_new = fdl_new.localCheckpoint(eager=True)
+        removed = (read_fdoclen(spark, base, dbuckets)
+                   .join(F.broadcast(changed), "doc_id", "left_semi")
+                   .groupBy("field")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_r"),
+                        F.coalesce(F.sum("dl"), z).alias("s_r")))
+        added = (fdl_new.groupBy("field")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_a"),
+                      F.coalesce(F.sum("dl"), z).alias("s_a")))
+        corr = (removed.join(added, "field", "full_outer")
+                .select("field",
+                        (F.coalesce("n_a", z)
+                         - F.coalesce("n_r", z)).alias("dn"),
+                        (F.coalesce("s_a", z)
+                         - F.coalesce("s_r", z)).alias("ds")))
     fstats_live = (
         read_fstats(spark, base).select("field", "n_docs", "sum_dl")
-        .join(removed, "field", "full_outer")
-        .join(added, "field", "full_outer")
+        .join(corr, "field", "full_outer")
         .select("field",
-                (F.coalesce("n_docs", z) - F.coalesce("n_r", z)
-                 + F.coalesce("n_a", z)).alias("n_docs"),
-                (F.coalesce("sum_dl", z) - F.coalesce("s_r", z)
-                 + F.coalesce("s_a", z)).alias("sum_dl"))
+                (F.coalesce("n_docs", z) + F.coalesce("dn", z))
+                .alias("n_docs"),
+                (F.coalesce("sum_dl", z) + F.coalesce("ds", z))
+                .alias("sum_dl"))
         .filter(F.col("n_docs") > 0)
         .select("field", "n_docs",
                 (F.col("sum_dl").cast("double") / F.col("n_docs"))
@@ -651,7 +813,7 @@ def nested_field_search_live(spark: SparkSession, base: str,
                    (F.coalesce("df", z) - F.coalesce("df_o", z)
                     + F.coalesce("df_n", z)).alias("df"))
            .filter(F.col("df") > 0))
-    return _score_fielded(tf, fdl_scoring, fstats_live, dfr)
+    return _score_fielded_inline_dl(tf, fstats_live, dfr)
 
 
 #: Churn-epoch fixture for the live-serving oracle gate: 1-in-20 events
@@ -689,6 +851,10 @@ def ensure_nested_live_epochs(spark: SparkSession, sf_dir: str) -> str:
     (_field_dl(fc).write.mode("overwrite").parquet(f"{tmp}/fdl/epoch=0"))
     (churned.select(F.col("event_id").cast("string").alias("doc_id"))
      .distinct().write.mode("overwrite").parquet(f"{tmp}/docs/epoch=0"))
+    # length-stats sidecar: the serve path reads these tiny sums instead
+    # of re-deriving the base removal per query
+    write_nested_epoch_stats_sidecar(
+        spark, ensure_nested_index(spark, sf_dir), tmp, 0)
     _stamp_nested_epochs_layout(tmp)
     try:
         os.rename(tmp, path)

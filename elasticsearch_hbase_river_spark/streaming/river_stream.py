@@ -742,7 +742,9 @@ def _stamp_nested_epochs_layout(index_dir: str) -> None:
 def start_nested_index_stream(spark: SparkSession, cells_source_dir: str,
                               index_dir: str, checkpoint_dir: str,
                               available_now: bool = True,
-                              files_per_trigger: int = 16) -> StreamingQuery:
+                              files_per_trigger: int = 16,
+                              base_index_dir: str | None = None
+                              ) -> StreamingQuery:
     """Maintain the FIELDED (nested-document) index incrementally: each
     micro-batch of CELLS (the river's input unit) melts to dynamic
     fields and lands as one epoch of fielded postings — the streaming
@@ -795,6 +797,19 @@ def start_nested_index_stream(spark: SparkSession, cells_source_dir: str,
         (latest.select(F.col("row_key").alias("doc_id")).distinct()
          .write.mode("overwrite")
          .parquet(f"{index_dir}/docs/epoch={batch_id}"))
+        # length-stats sidecar (nesteddoc.write_nested_epoch_stats_sidecar):
+        # per-field (n_r, s_r, n_a, s_a) vs the live view just before this
+        # epoch, so serving never re-derives the base removal per query.
+        # Only written when a base index exists alongside the epochs (the
+        # maintainer can also run before any base build; serving then uses
+        # the fallback derivation).
+        if base_index_dir is not None:
+            from elasticsearch_hbase_river_spark.operators.nesteddoc import (
+                write_nested_epoch_stats_sidecar,
+            )
+
+            write_nested_epoch_stats_sidecar(
+                spark, base_index_dir, index_dir, batch_id)
         latest.unpersist()
 
     writer = (cells.writeStream.foreachBatch(build_delta)

@@ -255,3 +255,68 @@ def test_nested_stream_single_drain_multibatch_live_equals_rebuild(
         p.select("doc_id", "field", "token", "tf"), fdl, fstats,
         dfr).collect()))
     assert live == want and len(live) > 0
+
+
+def test_nested_stream_sidecar_fast_path_equals_rebuild(spark, tmp_path):
+    """Same three-epoch drain as above but with ``base_index_dir`` set,
+    so every epoch lands an ``fstats_delta`` sidecar (prev-version
+    removal: base for first-touch docs, the latest earlier epoch after
+    that). The serve path then takes the two-job sidecar route — it must
+    still equal the rebuild exactly, including the doc re-indexed twice
+    (telescoping deltas) and the doc emptied of analyzable fields."""
+    import os
+
+    from elasticsearch_hbase_river_spark.streaming.river_stream import (
+        start_nested_index_stream,
+    )
+
+    base_cells = _mk_cells(spark, (
+        _doc_cells("1", "error", "87", 10)
+        + _doc_cells("2", "click", "12", 10)
+        + _doc_cells("3", "error error purchase", "87", 10)
+        + _doc_cells("5", "error", "87", 10)))
+    base = str(tmp_path / "sc_base_idx")
+    nd.build_nested_index(spark, nd.fielded_cells_from(base_cells), base)
+
+    src = str(tmp_path / "sc_src")
+    _mk_cells(spark, _doc_cells("1", "error", "12", 20)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _mk_cells(spark, _doc_cells("1", "view", "87", 30)
+              + _doc_cells("4", "error purchase", "87", 30)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _mk_cells(spark, [("5", "meta", "event_type", "", 40),
+                      ("5", "meta", "user_id", "", 40)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    epochs = str(tmp_path / "sc_epochs")
+    q = start_nested_index_stream(spark, src, epochs,
+                                  str(tmp_path / "sc_ckpt"),
+                                  files_per_trigger=1,
+                                  base_index_dir=base)
+    assert q.awaitTermination(240), "stream did not drain in 240s"
+    assert nd._epoch_ids(epochs, "docs") == {0, 1, 2}
+    assert nd._epoch_ids(epochs, "fstats_delta") == {0, 1, 2}
+
+    final_cells = _mk_cells(spark, (
+        _doc_cells("1", "view", "87", 30)
+        + _doc_cells("2", "click", "12", 10)
+        + _doc_cells("3", "error error purchase", "87", 10)
+        + _doc_cells("4", "error purchase", "87", 30)
+        + [("5", "meta", "event_type", "", 40),
+           ("5", "meta", "user_id", "", 40)]))
+    rebuilt = str(tmp_path / "sc_rebuilt_idx")
+    nd.build_nested_index(spark, nd.fielded_cells_from(final_cells),
+                          rebuilt)
+
+    terms = ("error", "87")
+    live = sorted(map(tuple, nd.nested_field_search_live(
+        spark, base, epochs, terms=terms).collect()))
+    p = nd.read_fpostings(spark, rebuilt, terms)
+    fdl = p.select("doc_id", "field", "dl").distinct()
+    fstats = (nd.read_fstats(spark, rebuilt)
+              .select("field", "n_docs", "avgdl"))
+    dfr = nd.read_fvocab(spark, rebuilt, terms)
+    want = sorted(map(tuple, nd._score_fielded(
+        p.select("doc_id", "field", "token", "tf"), fdl, fstats,
+        dfr).collect()))
+    assert live == want and len(live) > 0
