@@ -436,17 +436,31 @@ def _hash32(col) -> F.Column:
 
 
 def slot_dictionary(vocab: DataFrame) -> DataFrame:
-    """(sid, token): the percolator's hash-slot dictionary — one vocab
-    pass (partial-aggregated groupBy onto ≤ PERC_SLOTS groups; the only
-    global ordering runs over that constant-bounded relation). The
+    """(sid, token[, df]): the percolator's hash-slot dictionary — one
+    vocab pass (partial-aggregated groupBy onto ≤ PERC_SLOTS groups; the
+    only global ordering runs over that constant-bounded relation). The
     dictionary is corpus-derived and epoch-stable, so the materialized
     index persists it as the ``percslots`` sidecar
     (`operators/indexed_search.py:build_index`) and index-served
     percolation reads it back instead of re-paying the vocab pass per
-    query (round-7 measured that fixed stage at ~1 s per percolate)."""
+    query (round-7 measured that fixed stage at ~1 s per percolate).
+
+    When the vocab relation carries ``df``, the slot token's document
+    frequency rides along (layout v7) — rarest-term candidate generation
+    (`q_percolate_k3`) then ranks stored-query terms from the persisted
+    dictionary instead of re-counting the registered-token postings per
+    query."""
     slot = F.pmod(_hash32(F.col("token")), F.lit(PERC_SLOTS)).alias("slot")
-    sdict = vocab.groupBy(slot).agg(F.min("token").alias("token"))
     w = Window.orderBy("slot")
+    if "df" in vocab.columns:
+        # min over (token, df) structs = the slot's min token with ITS df
+        sdict = vocab.groupBy(slot).agg(
+            F.min(F.struct("token", "df")).alias("m"))
+        return sdict.select(
+            (F.row_number().over(w) - 1).cast("long").alias("sid"),
+            F.col("m.token").alias("token"),
+            F.col("m.df").cast("long").alias("df"))
+    sdict = vocab.groupBy(slot).agg(F.min("token").alias("token"))
     return sdict.select(
         (F.row_number().over(w) - 1).cast("long").alias("sid"), "token")
 
@@ -992,8 +1006,11 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ensure_index(spark, sf_dir)
     posts = read_postings(spark, idx).select("doc_id", "token")
+    sidx = read_percslots(spark, idx, with_df=True) \
+        .localCheckpoint(eager=True)  # ≤ PERC_SLOTS rows, read twice
     stored = _stored_queries_from_sidx(
-        spark, read_percslots(spark, idx), PERC_K3_N_QUERIES, PERC_K3_TERMS)
+        spark, sidx.select("sid", "token"),
+        PERC_K3_N_QUERIES, PERC_K3_TERMS)
     qsets = (stored.groupBy("query_id")
              .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
                   .alias("terms"))
@@ -1008,22 +1025,23 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(sets.select(F.col("t2").alias("token")))
               .unionByName(sets.select(F.col("t3").alias("token")))
               .distinct())
-    # registered-token slice of the corpus, shared by df ranking,
-    # candidate generation and both verify joins. DISK_ONLY, not
-    # localCheckpoint: with a real Zipf vocabulary this slice is
-    # query-vocabulary-sized, but the fixture's tiny vocab makes it
-    # corpus-sized, and an eagerly-pinned corpus-sized block starved the
-    # default 1 GB heap's aggregates at the 100x fixture (the round-4
-    # lesson again: never pin corpus-scale relations in memory). Disk
-    # persistence keeps the single tokenization without the heap claim.
+    # registered-token slice of the corpus, shared by candidate
+    # generation and both verify joins. Serialized memory-first with
+    # disk spill (the §9a A/B): blocks evict under pressure instead of
+    # OOMing — the round-4 "never pin corpus-scale" lesson applied to
+    # the DESERIALIZED level — while skipping DISK_ONLY's cold write of
+    # the whole slice.
     from pyspark import StorageLevel
 
     # index postings are already distinct per (token, doc_id) — no
     # distinct shuffle needed on the registered-token slice
     dtq = (posts.join(F.broadcast(qvocab), "token", "left_semi")
-           .persist(StorageLevel.DISK_ONLY))
-    dfr = dtq.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    # rarest-term ranking from the PERSISTED df (percslots layout v7):
+    # stored-query terms are slot tokens, so their corpus df is already
+    # in the dictionary — no per-query re-count of the registered-token
+    # postings (was one full pass over dtq).
+    dfr = sidx.select("token", "df")
     melted = sets.select(
         "set_key", "t1", "t2", "t3",
         F.explode(F.array("t1", "t2", "t3")).alias("token"))

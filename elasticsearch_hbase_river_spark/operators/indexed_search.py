@@ -119,7 +119,7 @@ META = "_index_meta.json"
 #: pass + slot ranking per query.
 #: The version rides the index path fingerprint, so older directories are
 #: never served or appended.
-LAYOUT_VERSION = 6
+LAYOUT_VERSION = 7
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -215,11 +215,14 @@ def read_tvectors(spark: SparkSession, path: str,
     return tv.select("doc_id", "token", "tf", "tf_title")
 
 
-def read_percslots(spark: SparkSession, path: str) -> DataFrame:
-    """The persisted percolator slot dictionary (sid, token) — ≤
-    PERC_SLOTS rows, written at build time (layout v6)."""
-    return (spark.read.parquet(os.path.join(path, "percslots"))
-            .select("sid", "token"))
+def read_percslots(spark: SparkSession, path: str,
+                   with_df: bool = False) -> DataFrame:
+    """The persisted percolator slot dictionary (sid, token[, df]) — ≤
+    PERC_SLOTS rows, written at build time (layout v6; df since v7)."""
+    p = spark.read.parquet(os.path.join(path, "percslots"))
+    if with_df:
+        return p.select("sid", "token", "df")
+    return p.select("sid", "token")
 
 
 def read_vocab(spark: SparkSession, path: str,
@@ -383,14 +386,17 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str,
     vocab_tokens = (spark.read.parquet(os.path.join(tmp, "vocab"))
                     .select("token"))
     _write_vkeys(_vkeys_rel(vocab_tokens), tmp)
-    # Percolator slot dictionary (layout v6): corpus-derived and epoch-
-    # stable, so persisting it here moves the percolate queries' fixed
-    # synthesis stage (one vocab pass + the slot row_number, ~1 s/query
-    # measured at sf1 in round 7) into the one-time build.
+    # Percolator slot dictionary (layout v6; v7 adds the slot token's df
+    # so rarest-term ranking never re-counts postings): corpus-derived
+    # and epoch-stable, so persisting it here moves the percolate
+    # queries' fixed synthesis stage (one vocab pass + the slot
+    # row_number, ~1 s/query measured at sf1 in round 7) into the
+    # one-time build.
     from elasticsearch_hbase_river_spark.operators.esagg import (
         slot_dictionary,
     )
-    (slot_dictionary(vocab_tokens).coalesce(1)
+    (slot_dictionary(spark.read.parquet(os.path.join(tmp, "vocab"))
+                     .select("token", "df")).coalesce(1)
      .write.mode("overwrite").parquet(os.path.join(tmp, "percslots")))
     # doclen comes from the CORPUS, not the postings: zero-token documents
     # (empty / punctuation-only text) have no postings rows but are still
@@ -807,7 +813,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     )
 
     (slot_dictionary(spark.read.parquet(os.path.join(tmp, "vocab"))
-                     .select("token"))
+                     .select("token", "df"))
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(tmp, "percslots")))
 
