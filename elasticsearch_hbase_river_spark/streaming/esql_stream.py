@@ -73,7 +73,24 @@ from elasticsearch_hbase_river_spark.esql import (
 #: aggregates with an algebraic partial/combine decomposition
 #: (AVG = sum+count pair; WEIGHTED_AVG = sum(x*w)+sum(w) pair)
 MERGEABLE_AGGS = frozenset({"COUNT", "SUM", "MIN", "MAX", "AVG",
-                            "WEIGHTED_AVG"})
+                            "WEIGHTED_AVG",
+                            "MEDIAN", "PERCENTILE",
+                            "MEDIAN_ABSOLUTE_DEVIATION"})
+
+#: order statistics (MEDIAN / PERCENTILE / MAD) stream as EXACT bounded
+#: partials: each micro-batch lands the group's sorted value array, the
+#: read concatenates and re-aggregates with the SAME batch aggregate
+#: functions (bit-for-bit batch equality). The array is a per-group
+#: cardinality contract — a group whose per-batch or merged value count
+#: exceeds this cap aborts in-plan with a clear error instead of
+#: building an unbounded state row (at that cardinality a TDigest-class
+#: sketch is the right tool, which this engine exposes batch-side as
+#: q_approx_stats).
+STREAM_VALUES_CAP = 100_000
+
+#: list-partial aggregates (subset of MERGEABLE_AGGS)
+_LIST_AGGS = frozenset({"MEDIAN", "PERCENTILE",
+                        "MEDIAN_ABSOLUTE_DEVIATION"})
 
 #: per-series inner aggregates maintainable across micro-batches — a
 #: series' (bucket) may SPAN batches, so each tick lands partials of the
@@ -258,6 +275,15 @@ def _check_state(state_dir: str, text: str) -> None:
             "query; refusing")
 
 
+def _capped_list(lst: Column) -> Column:
+    return F.when(F.size(lst) <= STREAM_VALUES_CAP, lst).otherwise(
+        F.raise_error(F.lit(
+            "esql stream: a group's value count exceeds "
+            f"STREAM_VALUES_CAP={STREAM_VALUES_CAP} for an exact "
+            "order-statistic partial (MEDIAN/PERCENTILE/MAD) — use a "
+            "sketch or the batch path for groups this large")))
+
+
 def _partial_agg(comp: _Compiler, df: DataFrame, plan: dict) -> DataFrame:
     """The batch's partial aggregates: one row per group, columns
     ``__p<spec>_<k>`` (AVG contributes ``_s`` / ``_n`` sum+count pairs)."""
@@ -290,6 +316,12 @@ def _partial_agg(comp: _Compiler, df: DataFrame, plan: dict) -> DataFrame:
                 pcols.append(F.min(arg).alias(p))
             elif agg == "MAX":
                 pcols.append(F.max(arg).alias(p))
+            elif agg in _LIST_AGGS:
+                # exact order-statistic partial: the group's sorted
+                # values, bounded by STREAM_VALUES_CAP (in-plan abort
+                # beyond it — see the constant's rationale)
+                lst = F.sort_array(F.collect_list(arg))
+                pcols.append(_capped_list(lst).alias(p + "_l"))
             else:  # AVG: sum+count pair, finalized at merge
                 pcols.append(F.sum(arg).alias(p + "_s"))
                 pcols.append(F.count(arg).cast("long").alias(p + "_n"))
@@ -511,12 +543,41 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                 elif agg == "WEIGHTED_AVG":
                     mcols.append(F.sum(p + "_s").alias(p + "_s"))
                     mcols.append(F.sum(p + "_w").alias(p + "_w"))
+                elif agg in _LIST_AGGS:
+                    # concatenate the per-epoch sorted arrays (the same
+                    # cardinality cap applies to the merged multiset)
+                    mcols.append(_capped_list(F.flatten(
+                        F.collect_list(F.col(p + "_l")))).alias(p + "_l"))
                 else:  # AVG
                     mcols.append(F.sum(p + "_s").alias(p + "_s"))
                     mcols.append(
                         F.sum(p + "_n").cast("long").alias(p + "_n"))
         merged = (part.groupBy(*keys).agg(*mcols) if keys
                   else part.agg(*mcols))
+        # order statistics finalize by EXPLODING the merged multiset and
+        # re-running the BATCH aggregate function per group — bit-for-bit
+        # the batch answer (no reimplemented interpolation to drift). The
+        # relation here is result-sized, so the explode + re-aggregate +
+        # join-back is trivial.
+        list_fins = [(si, ci, call)
+                     for si, (_o, _f, calls, _c) in enumerate(plan["specs"])
+                     for ci, call in enumerate(calls)
+                     if call[1] in _LIST_AGGS]
+        for si, ci, call in list_fins:
+            agg, p = call[1], f"__p{si}_{ci}"
+            vals = merged.select(*keys, F.explode(F.col(p + "_l"))
+                                 .alias("__v"))
+            fin_args = [F.col("__v")]
+            if agg == "PERCENTILE":
+                fin_args.append(F.lit(call[2][1][1]))
+            fin_col = _AGGS[agg](fin_args, call[2]).alias(p + "_fin")
+            fin = (vals.groupBy(*keys).agg(fin_col) if keys
+                   else vals.agg(fin_col))
+            if keys:
+                merged = merged.join(F.broadcast(fin), keys, "left")
+            else:
+                merged = merged.crossJoin(F.broadcast(fin))
+            merged = merged.drop(p + "_l")
         # placeholder columns __a<spec>_<k>, then the wrapper expressions
         ph_cols = [F.col(k) for k in keys]
         for si, (_oname, _fast, calls, _cond) in enumerate(plan["specs"]):
@@ -533,6 +594,8 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                     # (sum(x*w)/sum(w)) so null/zero semantics match
                     ph_cols.append(
                         (F.col(p + "_s") / F.col(p + "_w")).alias(a))
+                elif agg in _LIST_AGGS:
+                    ph_cols.append(F.col(p + "_fin").alias(a))
                 else:
                     ph_cols.append(F.col(p).alias(a))
         ph = merged.select(*ph_cols)

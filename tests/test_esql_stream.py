@@ -195,3 +195,61 @@ def test_streaming_ts_rejects_rate():
     with pytest.raises(ESQLError, match="not stream-maintainable"):
         plan_esql_stream("TS ev | STATS r = SUM(RATE(c)) "
                          "BY tb = BUCKET(ts, 1 hour)")
+
+
+def test_order_statistics_stream_as_exact_list_partials(
+        spark, sf_dir, tmp_path):
+    """MEDIAN / PERCENTILE / MEDIAN_ABSOLUTE_DEVIATION stream as exact
+    bounded partials (per-group sorted arrays, concatenated at read and
+    finalized with the BATCH aggregate functions) — the result must
+    equal the batch compiler bit-for-bit across real micro-batch
+    boundaries."""
+    text = ("FROM ev | STATS med = MEDIAN(value), "
+            "p90 = PERCENTILE(value, 90), "
+            "mad = MEDIAN_ABSOLUTE_DEVIATION(value), "
+            "n = COUNT(*) BY event_type | SORT event_type")
+    assert plan_esql_stream(text)["mergeable"]
+    src = _src(spark, sf_dir, tmp_path, n_files=3)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+    epochs = [n for n in os.listdir(os.path.join(state, "partials"))
+              if n.startswith("epoch=")]
+    assert len(epochs) >= 2, epochs
+    got = read_esql_stream_result(spark, text, state)
+    expect = esql(spark, text, tables={"ev": spark.read.parquet(src)})
+    assert got.columns == expect.columns
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in expect.collect()]
+
+
+def test_order_statistics_global_no_by(spark, sf_dir, tmp_path):
+    text = ("FROM ev | WHERE value > 10 "
+            "| STATS med = MEDIAN(value), p50 = PERCENTILE(value, 50)")
+    src = _src(spark, sf_dir, tmp_path, n_files=2)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    got = read_esql_stream_result(spark, text, state).collect()
+    expect = esql(spark, text,
+                  tables={"ev": spark.read.parquet(src)}).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def test_order_statistics_cap_aborts_loudly(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """A group whose value count exceeds STREAM_VALUES_CAP must abort
+    in-plan with the documented message, never build unbounded state."""
+    import elasticsearch_hbase_river_spark.streaming.esql_stream as es
+
+    monkeypatch.setattr(es, "STREAM_VALUES_CAP", 5)
+    text = "FROM ev | STATS med = MEDIAN(value) BY event_type"
+    src = _src(spark, sf_dir, tmp_path, n_files=1)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="STREAM_VALUES_CAP"):
+        q.awaitTermination(180)
+        raise AssertionError("drain should have failed")
