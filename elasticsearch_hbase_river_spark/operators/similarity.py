@@ -21,7 +21,7 @@ Centroids are rounded to 4 decimals so the (order-sensitive) avg is stable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col, roundn_sql
@@ -314,6 +314,189 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         roundn_col(F.col("n_hits") / F.lit(float(RECALL_K)))))
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embedding space, then deduplicate WITHIN each cluster by pairwise
+# cosine — catches paraphrase-level duplicates that shingle/MinHash
+# methods (lexical) miss entirely.
+#
+# Scale shape: Lloyd iterations are K-row broadcast joins (assignment is
+# map-side argmin over K centroids, re-estimation a per-(cluster, dim)
+# partial agg); the pairwise stage never crosses clusters and is capped
+# per cluster (same discipline as the MinHash/SimHash bucket caps), so
+# total pair volume is LINEAR in corpus size. Determinism across
+# engines: centroid components and distances round to 4 decimals before
+# every argmin (ties break on cluster id), so Spark and DuckDB run the
+# IDENTICAL unrolled iterations.
+
+SEM_K = 8            # k-means clusters
+SEM_ITERS = 2        # Lloyd iterations (unrolled in the oracle SQL)
+SEM_TAU = 0.99       # within-cluster cosine duplicate threshold
+SEM_EPS = 0.001      # synthetic near-dup perturbation (first component)
+
+
+def _sem_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of every DUP_MOD-th vector: +EPS on
+    the first component — cosine ≈ 0.9999 to the source (semantic dup),
+    byte-unequal (invisible to exact dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda v, i: F.when(i == 0, v + F.lit(SEM_EPS)).otherwise(v))
+    copies = emb.filter(F.col("vec_id") % DUP_MOD == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        pert.cast("array<float>").alias("embedding"))
+    return emb.unionByName(copies)
+
+
+def _sem_sqdist(a: Column, b: Column) -> Column:
+    return roundn_col(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v), 4)
+
+
+def _sem_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, k): nearest-centroid assignment — broadcast
+    K-row join, per-row argmin on the rounded squared distance."""
+    d = _sem_sqdist(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy("d", "k")
+    return (emb.join(F.broadcast(cent))
+            .select("vec_id", "embedding", "k", d.alias("d"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", "k"))
+
+
+def _sem_centroids(assigned: DataFrame) -> DataFrame:
+    """(k, centroid): per-cluster per-dimension means, rounded."""
+    return (assigned
+            .select("k", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("k", "pos")
+            .agg(roundn_col(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+            .groupBy("k")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv).alias("centroid")))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the (near-dup-augmented) embedding corpus: k-means
+    blocks, within-cluster cosine >= {SEM_TAU} marks duplicates; the keep
+    rule follows the paper — per duplicate group, the vector with the
+    LOWEST cosine to its cluster centroid survives (preserves diversity),
+    ties on vec_id. Output: one row per duplicated vector with its
+    cluster, centroid cosine and keep flag."""
+    emb = _sem_aug(spark, sf_dir)
+    # init: the K smallest vec_ids' embeddings, cluster id = rank
+    w0 = Window.orderBy("vec_id")
+    cent = (emb.orderBy("vec_id").limit(SEM_K)
+            .select((F.row_number().over(w0) - 1).alias("k"),
+                    F.transform("embedding",
+                                lambda v: v.cast("double")).alias("centroid")))
+    for _ in range(SEM_ITERS):
+        cent = _sem_centroids(_sem_assign(emb, cent))
+    assigned = _sem_assign(emb, cent)
+    nrm = _norm(F.col("embedding"))
+    ccos = roundn_col(_dot(F.col("embedding"), F.col("centroid"))
+                      / (nrm * _norm(F.col("centroid"))))
+    scored = (assigned.join(F.broadcast(cent), "k")
+              .select("vec_id", "embedding", "k",
+                      nrm.alias("enorm"), ccos.alias("ccos")))
+    # paper keep rule: survivors are LOW-centroid-cosine first
+    wk = Window.partitionBy("k").orderBy("ccos", "vec_id")
+    ranked = (scored.withColumn("r", F.row_number().over(wk))
+              .localCheckpoint(eager=True))  # both pair sides + output
+    keepers = (ranked.filter(F.col("r") <= EMB_BLOCK_CAP)
+               .select("k", F.col("vec_id").alias("keep_id"),
+                       F.col("embedding").alias("ke"),
+                       F.col("enorm").alias("knorm"),
+                       F.col("r").alias("kr")))
+    pcos = roundn_col(_dot(F.col("embedding"), F.col("ke"))
+                      / (F.col("enorm") * F.col("knorm")))
+    dups = (ranked.join(keepers, "k")
+            .filter(F.col("kr") < F.col("r"))
+            .select("vec_id", "k", "ccos", pcos.alias("pcos"))
+            .filter(F.col("pcos") >= SEM_TAU)
+            .groupBy("vec_id", "k", "ccos")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_better_dups")))
+    return dups.orderBy("vec_id")
+
+
+_SEM_ASSIGN_SQL = """
+  SELECT vec_id, embedding, k FROM (
+    SELECT e.vec_id, e.embedding, c.k,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {dist}, c.k) AS r
+    FROM {emb} e, {cent} c) WHERE r = 1"""
+
+
+def _sem_oracle() -> str:
+    dist = roundn_sql(
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (e.embedding[i]::DOUBLE - c.centroid[i]) "
+        "* (e.embedding[i]::DOUBLE - c.centroid[i])))", 4)
+    def cent_of(assign: str) -> str:
+        cv = roundn_sql("avg(v::DOUBLE)", 4)
+        return f"""
+  SELECT k, list_transform(
+           list_sort(list({{'pos': pos, 'cv': cv}})), s -> s.cv) AS centroid
+  FROM (SELECT k, pos, {cv} AS cv
+        FROM (SELECT a.k, u.pos - 1 AS pos, u.v
+              FROM {assign} a,
+                   LATERAL (SELECT unnest(a.embedding) AS v,
+                                   generate_subscripts(a.embedding, 1)
+                                     AS pos) u)
+        GROUP BY k, pos) GROUP BY k"""
+    parts = [f"""
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET},
+         list_transform(list_transform(range(1, len(embedding) + 1),
+             i -> CASE WHEN i = 1 THEN embedding[i] + {SEM_EPS}
+                       ELSE embedding[i] END), x -> x::FLOAT)
+  FROM embeddings WHERE vec_id % {DUP_MOD} = 0),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k,
+         list_transform(embedding, x -> x::DOUBLE) AS centroid
+  FROM (SELECT vec_id, embedding FROM aug ORDER BY vec_id LIMIT {SEM_K}))"""]
+    prev = "cent0"
+    for it in range(SEM_ITERS):
+        parts.append(f"""
+assign{it} AS ({_SEM_ASSIGN_SQL.format(dist=dist, emb='aug',
+                                       cent=prev)})""")
+        parts.append(f"""
+cent{it + 1} AS ({cent_of(f'assign{it}')})""")
+        prev = f"cent{it + 1}"
+    parts.append(f"""
+fin AS ({_SEM_ASSIGN_SQL.format(dist=dist, emb='aug', cent=prev)}),
+scored AS (
+  SELECT f.vec_id, f.embedding, f.k,
+         {_norm_sql('f.embedding')} AS enorm,
+         {roundn_sql(_dot_sql('f.embedding', 'c.centroid')
+                     + f" / ({_norm_sql('f.embedding')}"
+                       " * sqrt(list_sum(list_transform(c.centroid,"
+                       " x -> x * x))))")} AS ccos
+  FROM fin f JOIN {prev} c USING (k)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY ccos, vec_id) AS r
+  FROM scored),
+dups AS (
+  SELECT b.vec_id, b.k, b.ccos,
+         CAST(count(*) AS BIGINT) AS n_better_dups
+  FROM ranked b JOIN ranked a ON a.k = b.k AND a.r < b.r
+                             AND a.r <= {EMB_BLOCK_CAP}
+  WHERE {roundn_sql(_dot_sql('a.embedding', 'b.embedding')
+                    + ' / (a.enorm * b.enorm)')} >= {SEM_TAU}
+  GROUP BY b.vec_id, b.k, b.ccos)
+SELECT vec_id, k, ccos, n_better_dups FROM dups ORDER BY vec_id""")
+    return "WITH " + ",".join(parts)
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_embedding_dedup": q_embedding_dedup,
@@ -321,11 +504,13 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_recall": q_ann_recall,
+    "q_semdedup": q_semdedup,
 }
 
 _COS = roundn_sql(f"{_dot_sql('qe', 'embedding')} / (qnorm * enorm)")
 
 ORACLES = {
+    "q_semdedup": _sem_oracle(),
     "q_knn_cosine": f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe, {_norm_sql('embedding')} AS qnorm

@@ -593,3 +593,20 @@ def test_substring_dedup_finds_shifted_boilerplate(spark, sf_dir):
     assert rows[0].max_run_tokens >= SUB_MID_LEN
     assert rows[COPY_OFFSET].max_run_tokens >= SUB_MID_LEN
     assert rows[COPY_OFFSET].dup_windows >= SUB_MID_LEN - 15 + 1
+
+
+def test_semdedup_blocks_pairs_inside_clusters(spark, sf_dir):
+    """SemDeDup's pairwise stage must never cross clusters: the only
+    nested-loop join allowed is the K-row centroid broadcast (assignment
+    is a map-side argmin); the pair join is an equi-join on the cluster
+    id, capped per cluster."""
+    from elasticsearch_hbase_river_spark.operators.similarity import (
+        q_semdedup,
+    )
+
+    plan = _plan(q_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the K-row centroid joins ARE BroadcastNestedLoopJoins by design;
+    # the corpus-side pair join must be an equi-join (hash or sort-merge)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
