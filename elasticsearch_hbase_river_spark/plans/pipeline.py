@@ -213,8 +213,13 @@ def run_once(spark: SparkSession, cells: DataFrame, config: RiverConfig,
         # Count the tick's OWN output (cached across write+count), never a
         # re-scan of the whole sink — the sink is O(history), the tick delta
         # is O(new rows), and re-reading history per tick is a driver-side
-        # scale-killer at 100 TB.
-        out = out.persist()
+        # scale-killer at 100 TB. Serialized memory-first with disk spill
+        # (SCALE.md §9a): the bare .persist() default is DESERIALIZED
+        # memory, which pinned the tick-sized delta in heap and OOM'd the
+        # 60M-event campaign on a default 1 GB driver (§3t).
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
         write_bulk(out, sink_path, config.batch_size)
         indexed = out.count()
         out.unpersist()
