@@ -435,6 +435,18 @@ def _hash32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _pin_small(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a SMALL relation as driver-local rows re-parallelized
+    into the plan. Functionally what an eager localCheckpoint did here,
+    but immune to the accumulated-session block-manager pressure class
+    (SCALE.md §8): checkpointed blocks share eviction state with every
+    earlier query's leftovers, and the percolate family's two pinned
+    relations (slot dictionary <= PERC_SLOTS rows, stored-query sets
+    |Q| rows) measured 2-3x slower in-bench than isolated because of
+    it. Only for constant-bounded relations — never corpus-sized."""
+    return spark.createDataFrame(df.toPandas(), df.schema)
+
+
 def slot_dictionary(vocab: DataFrame) -> DataFrame:
     """(sid, token[, df]): the percolator's hash-slot dictionary — one
     vocab pass (partial-aggregated groupBy onto ≤ PERC_SLOTS groups; the
@@ -572,9 +584,9 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |Q|·k rows, consumed THREE times (term collect, match join, terms
     # output) — checkpoint eagerly so percslots + synthesis run once,
     # not per consumer (the fixed cost this query exists to shave).
-    stored = _stored_queries_from_sidx(
+    stored = _pin_small(spark, _stored_queries_from_sidx(
         spark, read_percslots(spark, idx), PERC_N_QUERIES,
-        PERC_TERMS_PER_QUERY).localCheckpoint(eager=True)
+        PERC_TERMS_PER_QUERY))
     # |Q|·k is a small constant here (24 terms): collecting them enables
     # bucket-literal pruning of the postings read — the bounded-literal
     # pattern the ANN probe path established.
@@ -1006,16 +1018,14 @@ def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ensure_index(spark, sf_dir)
     posts = read_postings(spark, idx).select("doc_id", "token")
-    sidx = read_percslots(spark, idx, with_df=True) \
-        .localCheckpoint(eager=True)  # ≤ PERC_SLOTS rows, read twice
+    sidx = _pin_small(spark, read_percslots(spark, idx, with_df=True))
     stored = _stored_queries_from_sidx(
         spark, sidx.select("sid", "token"),
         PERC_K3_N_QUERIES, PERC_K3_TERMS)
-    qsets = (stored.groupBy("query_id")
-             .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
-                  .alias("terms"))
-             .withColumn("set_key", F.xxhash64("terms"))
-             .localCheckpoint(eager=True))  # read twice: sets + fan-back
+    qsets = _pin_small(spark, stored.groupBy("query_id")
+                       .agg(F.array_join(F.array_sort(
+                           F.collect_list("token")), ",").alias("terms"))
+                       .withColumn("set_key", F.xxhash64("terms")))
     t = F.split("terms", ",")
     sets = (qsets.select("set_key",
                          t.getItem(0).alias("t1"),
