@@ -600,6 +600,22 @@ def _substring_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
+def _token_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, span): every SUB_L-token window of every document —
+    map-side only (sequence + transform + posexplode, all JVM)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(n >= SUB_L, F.transform(
+                F.sequence(F.lit(1), n - SUB_L + 1),
+                lambda i: F.array_join(F.slice(toks, i, SUB_L), " ")))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "span")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents containing a duplicated span of >= SUB_L contiguous
     tokens shared with ANY other document: per doc, the number of
@@ -611,17 +627,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the join back is on the same key; the island window
     partitions by doc_id (never a single-partition window)."""
     aug = _substring_aug(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    wins = aug.select(
-        "doc_id",
-        F.posexplode(
-            F.when(n >= SUB_L, F.transform(
-                F.sequence(F.lit(1), n - SUB_L + 1),
-                lambda i: F.array_join(F.slice(toks, i, SUB_L), " ")))
-            .otherwise(F.array().cast("array<string>"))
-        ).alias("pos0", "span")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+    wins = _token_windows(aug)
     dup_spans = (wins.groupBy("span")
                  .agg(F.count_distinct("doc_id").alias("nd"))
                  .filter(F.col("nd") >= 2)
@@ -671,9 +677,88 @@ SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_windows,
 FROM runs GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_incremental_substring_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup against a HISTORICAL corpus:
+    the documents table plays the already-ingested history; the incoming
+    batch is synthetic — shifted-boilerplate re-embeddings of every
+    COPY_MOD-th doc's middle span (should REJECT: they share a >= SUB_L
+    token window with history at a different offset) plus token-reversed
+    fresh docs (should ACCEPT: windows are order-sensitive). Each
+    incoming doc gets its verdict plus how many of its windows already
+    exist in history — the batch twin of a streaming ingest gate, and
+    the substring complement of ``q_incremental_near_dedup``.
+
+    Scale shape: ONE hash shuffle on the span text joins the incoming
+    windows against the history's distinct-span relation; at production
+    scale the history side is a PRECOMPUTED span store maintained by the
+    ingest pipeline (append new accepted docs' windows per tick), so the
+    per-batch cost is O(batch windows), never a history re-scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mid = F.array_join(F.slice(toks, SUB_MID_OFF, SUB_MID_LEN), " ")
+    shifted = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit("fresh intro words "), mid,
+                 F.lit(" closing remark tokens")).alias("text"))
+    fresh = docs.filter(F.col("doc_id") % COPY_MOD == 1).select(
+        (F.col("doc_id") + 2 * COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"))
+    incoming = shifted.unionByName(fresh)
+    hist_spans = _token_windows(docs).select("span").distinct()
+    hits = (_token_windows(incoming)
+            .join(hist_spans, "span")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_windows")))
+    return (incoming.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("shared_windows", F.lit(0)).cast("long")
+                    .alias("shared_windows"))
+            .withColumn("is_dup", F.col("shared_windows") > 0)
+            .orderBy("doc_id"))
+
+
+_INC_SUB_ORACLE = f"""
+WITH incoming AS (
+  SELECT doc_id + {COPY_OFFSET} AS doc_id,
+         'fresh intro words ' ||
+         array_to_string(list_slice(string_split(text, ' '),
+                                    {SUB_MID_OFF},
+                                    {SUB_MID_OFF + SUB_MID_LEN - 1}), ' ')
+         || ' closing remark tokens' AS text
+  FROM documents WHERE doc_id % {COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * COPY_OFFSET},
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % {COPY_MOD} = 1),
+htok AS (SELECT string_split(text, ' ') AS t FROM documents),
+hspans AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i.i, i.i + {SUB_L - 1}),
+                                  ' ') AS span
+  FROM htok, LATERAL (SELECT unnest(generate_series(1, len(t)
+                                                    - {SUB_L - 1})) AS i) i
+  WHERE len(t) >= {SUB_L}),
+itok AS (SELECT doc_id, string_split(text, ' ') AS t FROM incoming),
+iwins AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i.i, i.i + {SUB_L - 1}), ' ') AS span
+  FROM itok, LATERAL (SELECT unnest(generate_series(1, len(t)
+                                                    - {SUB_L - 1})) AS i) i
+  WHERE len(t) >= {SUB_L}),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_windows
+  FROM iwins JOIN hspans USING (span) GROUP BY doc_id)
+SELECT i.doc_id, CAST(coalesce(h.shared_windows, 0) AS BIGINT)
+         AS shared_windows,
+       coalesce(h.shared_windows, 0) > 0 AS is_dup
+FROM incoming i LEFT JOIN hits h USING (doc_id) ORDER BY i.doc_id"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_substring_dedup": q_substring_dedup,
+    "q_incremental_substring_dedup": q_incremental_substring_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_edit_distance": q_edit_distance,
     "q_minhash_signature": q_minhash_signature,
@@ -703,6 +788,7 @@ sigb AS (
 
 ORACLES = {
     "q_substring_dedup": _SUB_ORACLE,
+    "q_incremental_substring_dedup": _INC_SUB_ORACLE,
     "q_exact_dedup": f"""
 WITH aug AS ({_AUG_SQL_EXACT})
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

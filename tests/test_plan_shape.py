@@ -610,3 +610,18 @@ def test_semdedup_blocks_pairs_inside_clusters(spark, sf_dir):
     # the corpus-side pair join must be an equi-join (hash or sort-merge)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_incremental_substring_dedup_single_span_shuffle(spark, sf_dir):
+    """The ingest-gate substring dedup joins incoming windows against the
+    history's span set on ONE hash key — no pair explosion, no global
+    sort, no single-partition stage before the presentation ORDER BY."""
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        q_incremental_substring_dedup,
+    )
+
+    plan = _plan(q_incremental_substring_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(span" in plan
