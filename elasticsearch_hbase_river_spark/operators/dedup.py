@@ -628,11 +628,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by doc_id (never a single-partition window)."""
     aug = _substring_aug(spark, sf_dir)
     wins = _token_windows(aug)
-    dup_spans = (wins.groupBy("span")
-                 .agg(F.count_distinct("doc_id").alias("nd"))
-                 .filter(F.col("nd") >= 2)
-                 .select("span"))
-    dup = wins.join(dup_spans, "span").select("doc_id", "pos")
+    # ONE shuffle on the span text: the per-span distinct-doc count rides
+    # a window over the same partitioning instead of a groupBy + join-back
+    # (which shuffled the span-keyed window rows twice and re-exploded
+    # the corpus for each side — measured 36 s -> ~1/2 at sf1)
+    wspan = Window.partitionBy("span")
+    dup = (wins.withColumn(
+               "nd", F.size(F.collect_set("doc_id").over(wspan)))
+           .filter(F.col("nd") >= 2)
+           .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("g", F.col("pos") - F.row_number().over(w))
     runs = isl.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("run"))

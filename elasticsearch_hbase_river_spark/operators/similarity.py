@@ -358,28 +358,35 @@ def _sem_sqdist(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v), 4)
 
 
-def _sem_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, k): nearest-centroid assignment — broadcast
-    K-row join, per-row argmin on the rounded squared distance."""
-    d = _sem_sqdist(F.col("embedding"), F.col("centroid"))
-    w = Window.partitionBy("vec_id").orderBy("d", "k")
-    return (emb.join(F.broadcast(cent))
-            .select("vec_id", "embedding", "k", d.alias("d"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "embedding", "k"))
+def _sem_assign(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """(vec_id, embedding, k): nearest-centroid assignment as a MAP-SIDE
+    literal argmin — the K (<= SEM_K) centroids ride the expression as
+    literal arrays, so an assignment pass is zero shuffles (the earlier
+    K-row-join + per-vec window shape shuffled K x N rows per Lloyd
+    iteration). The zip_with/aggregate fold runs interpreted, but an
+    UNROLLED 8 x dim arithmetic chain measured 5x SLOWER end-to-end
+    (janino chokes on the generated method) — measured, not assumed.
+    Ties break on the first (smallest-k) minimum, the same rule as the
+    oracle's ORDER BY dist, k."""
+    dists = [_sem_sqdist(F.col("embedding"),
+                         F.array(*[F.lit(float(v)) for v in c]))
+             for _k, c in cent_rows]
+    arr = F.array(*dists)
+    kpick = F.array(*[F.lit(int(k)) for k, _c in cent_rows])[
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int")]
+    return emb.select("vec_id", "embedding", kpick.cast("int").alias("k"))
 
 
-def _sem_centroids(assigned: DataFrame) -> DataFrame:
-    """(k, centroid): per-cluster per-dimension means, rounded."""
-    return (assigned
-            .select("k", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("k", "pos")
-            .agg(roundn_col(F.avg(F.col("v").cast("double")), 4).alias("cv"))
-            .groupBy("k")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.cv).alias("centroid")))
+def _sem_centroids(assigned: DataFrame, dim: int) -> DataFrame:
+    """(k, centroid): per-cluster per-dimension means, rounded. One
+    partial-aggregated pass with ``dim`` SUM/AVG columns — no posexplode
+    (the exploded form shuffled corpus x dim rows per Lloyd iteration;
+    this shape shuffles K rows of dim aggregates)."""
+    avgs = [roundn_col(F.avg(F.element_at("embedding", i + 1)
+                             .cast("double")), 4)
+            for i in range(dim)]
+    return (assigned.groupBy("k")
+            .agg(F.array(*avgs).alias("centroid")))
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,21 +397,32 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties on vec_id. Output: one row per duplicated vector with its
     cluster, centroid cosine and keep flag."""
     emb = _sem_aug(spark, sf_dir)
-    # init: the K smallest vec_ids' embeddings, cluster id = rank
-    w0 = Window.orderBy("vec_id")
-    cent = (emb.orderBy("vec_id").limit(SEM_K)
-            .select((F.row_number().over(w0) - 1).alias("k"),
-                    F.transform("embedding",
-                                lambda v: v.cast("double")).alias("centroid")))
+    # init: the K smallest vec_ids' embeddings, cluster id = rank; the
+    # Lloyd loop is driver-coordinated — each iteration is ONE
+    # partial-aggregated job (dim avg columns) whose K-row result feeds
+    # the next assignment as literals
+    init = emb.orderBy("vec_id").limit(SEM_K).collect()
+    cent_rows = [(i, [float(v) for v in r["embedding"]])
+                 for i, r in enumerate(init)]
+    dim = len(cent_rows[0][1])
     for _ in range(SEM_ITERS):
-        cent = _sem_centroids(_sem_assign(emb, cent))
-    assigned = _sem_assign(emb, cent)
+        got = _sem_centroids(_sem_assign(emb, cent_rows), dim).collect()
+        cent_rows = sorted((int(r["k"]), list(r["centroid"])) for r in got)
+    assigned = _sem_assign(emb, cent_rows)
+    import math as _math
+
+    cmeta = [(k, _math.sqrt(sum(v * v for v in c)), c)
+             for k, c in cent_rows]
     nrm = _norm(F.col("embedding"))
-    ccos = roundn_col(_dot(F.col("embedding"), F.col("centroid"))
-                      / (nrm * _norm(F.col("centroid"))))
-    scored = (assigned.join(F.broadcast(cent), "k")
-              .select("vec_id", "embedding", "k",
-                      nrm.alias("enorm"), ccos.alias("ccos")))
+    ccos_by_k = None
+    for k, cn, c in cmeta:
+        val = roundn_col(
+            _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
+            / (nrm * F.lit(cn)))
+        ccos_by_k = (F.when(F.col("k") == k, val) if ccos_by_k is None
+                     else ccos_by_k.when(F.col("k") == k, val))
+    scored = assigned.select("vec_id", "embedding", "k",
+                             nrm.alias("enorm"), ccos_by_k.alias("ccos"))
     # paper keep rule: survivors are LOW-centroid-cosine first
     wk = Window.partitionBy("k").orderBy("ccos", "vec_id")
     ranked = (scored.withColumn("r", F.row_number().over(wk))
