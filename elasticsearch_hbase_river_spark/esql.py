@@ -145,7 +145,9 @@ Aggregate functions (inside STATS; scalar wrappers allowed, e.g.
 ``ROUND(SUM(x), 4)``; per-aggregate filters via
 ``STATS n = COUNT(*) WHERE cond BY g``)
   COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE WEIGHTED_AVG
-  VALUES STD_DEV (population) TOP(field, limit, "asc"|"desc")
+  VALUES STD_DEV VARIANCE SKEWNESS KURTOSIS (all population; the
+  moment family computes from raw power sums so both engines agree)
+  TOP(field, limit, "asc"|"desc")
   MEDIAN_ABSOLUTE_DEVIATION (exact interpolated percentiles over the
   group's collected values) SAMPLE(field, limit) (DETERMINISTIC
   content-hash-ordered draw — the SAMPLE command precedent)
@@ -814,6 +816,13 @@ _SCALARS: dict[str, Callable[[list[Column], list], Column]] = {
     "COALESCE": lambda a, r: F.coalesce(*a),
     "TO_STRING": lambda a, r: a[0].cast("string"),
     "TO_LONG": lambda a, r: a[0].cast("long"),
+    # unsigned 64-bit range via DECIMAL(20,0) (Spark has no unsigned
+    # type); out-of-range folds to null, the ES|QL convention
+    "TO_UNSIGNED_LONG": lambda a, r: F.when(
+        (a[0].cast("decimal(20,0)") >= 0)
+        & (a[0].cast("decimal(20,0)")
+           <= F.lit("18446744073709551615").cast("decimal(20,0)")),
+        a[0].cast("decimal(20,0)")),
     "TO_INT": lambda a, r: a[0].cast("int"),
     "TO_DOUBLE": lambda a, r: a[0].cast("double"),
     # fixture timestamps are TIMESTAMP_NTZ (sources/tables.py); parity of
@@ -1516,6 +1525,43 @@ def _agg_percentile(args, raw):
     return F.percentile(args[0], F.lit(raw[1][1] / 100.0))
 
 
+def _agg_variance(args, raw):
+    """Population variance s2/n − mean² from raw power sums — the same
+    formula the oracle twin runs (var_pop's co-moment algorithm differs
+    in low-order bits, which can flip a rounded digit at scale)."""
+    x = args[0].cast("double")
+    n = F.count(x).cast("double")
+    m = F.sum(x) / n
+    return F.sum(x * x) / n - m * m
+
+
+def _agg_skewness(args, raw):
+    """Population skewness m3 / m2^1.5 from raw power sums (one
+    partial-aggregated pass; the same quantity ES's extended_stats
+    derives — NOT Spark's skewness()/DuckDB's skewness(), which disagree
+    with each other on sample-vs-population normalization)."""
+    x = args[0].cast("double")
+    n = F.count(x).cast("double")
+    s1, s2, s3 = F.sum(x), F.sum(x * x), F.sum(x * x * x)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
+    return F.when(m2 > 0, m3 / F.pow(m2, 1.5))
+
+
+def _agg_kurtosis(args, raw):
+    """Population EXCESS kurtosis m4 / m2^2 − 3 from raw power sums."""
+    x = args[0].cast("double")
+    n = F.count(x).cast("double")
+    s1, s2, s3, s4 = (F.sum(x), F.sum(x * x), F.sum(x * x * x),
+                      F.sum(x * x * x * x))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m4 = (s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n
+          - 3 * m * m * m * m)
+    return F.when(m2 > 0, m4 / (m2 * m2) - 3)
+
+
 def _agg_mad(args, raw):
     """MEDIAN_ABSOLUTE_DEVIATION aggregate: median(|x − median(x)|) with
     the engine's linear-interpolated percentile rule — computed over the
@@ -1609,6 +1655,13 @@ _AGGS: dict[str, Callable[[list[Column], list], Column]] = {
     "VALUES": lambda a, r: F.array_sort(F.collect_set(a[0])),
     # population std-dev: the moment ES's std_deviation reports
     "STD_DEV": lambda a, r: F.stddev_pop(a[0]),
+    # population variance / skewness / excess kurtosis from raw moments:
+    # Spark's skewness()/kurtosis() are population-based but DuckDB's are
+    # SAMPLE-based — the explicit moment formulas make both engines
+    # compute the identical quantity (registered twins mirror them)
+    "VARIANCE": _agg_variance,
+    "SKEWNESS": _agg_skewness,
+    "KURTOSIS": _agg_kurtosis,
     "TOP": _agg_top,
     "MEDIAN_ABSOLUTE_DEVIATION": _agg_mad,
     "SAMPLE": _agg_sample,

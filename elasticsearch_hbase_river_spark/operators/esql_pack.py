@@ -593,6 +593,46 @@ FROM e GROUP BY 1 ORDER BY n DESC, net LIMIT 20""",
 
 
 _register(
+    "q_esql_extended_stats",
+    """
+FROM events
+| STATS var = ROUND(VARIANCE(value), 4),
+        sd = ROUND(SQRT(VARIANCE(value)), 4),
+        skew = ROUND(SKEWNESS(value), 6),
+        kurt = ROUND(KURTOSIS(value), 6),
+        n = COUNT(value)
+  BY event_type
+| SORT event_type
+""",
+    """
+WITH m AS (
+  SELECT event_type,
+         count(value) AS n,
+         sum(value::DOUBLE) AS s1,
+         sum(value::DOUBLE * value) AS s2,
+         sum(value::DOUBLE * value * value) AS s3,
+         sum(value::DOUBLE * value * value * value) AS s4
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+d AS (
+  SELECT event_type, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) AS m3,
+         s4 / n - 4 * (s1 / n) * s3 / n + 6 * pow(s1 / n, 2) * s2 / n
+           - 3 * pow(s1 / n, 4) AS m4
+  FROM m)
+SELECT event_type, round(m2, 4) AS var, round(sqrt(m2), 4) AS sd,
+       round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skew,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6) AS kurt,
+       CAST(n AS BIGINT) AS n
+FROM d ORDER BY event_type""",
+    "Extended stats family: population VARIANCE / STD_DEV / SKEWNESS / "
+    "excess KURTOSIS from raw power sums (one partial-aggregated pass; "
+    "identical moment formulas in both engines — the built-in "
+    "skewness/kurtosis of Spark and DuckDB disagree on sample-vs-"
+    "population normalization, so neither is used).")
+
+
+_register(
     "q_esql_to_ip6",
     """
 FROM events
@@ -918,7 +958,7 @@ FROM events
 | WHERE value > 0
 | EVAL angle = TO_RADIANS(value)
 | STATS avg_sin = ROUND(AVG(SIN(angle)), 4),
-        sd = ROUND(STD_DEV(value), 4),
+        sd = ROUND(SQRT(VARIANCE(value)), 4),
         rms = ROUND(SQRT(AVG(value * value)), 4),
         hyp = ROUND(MAX(HYPOT(value, 100.0)), 4)
   BY event_type

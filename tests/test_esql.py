@@ -1733,3 +1733,19 @@ def test_to_ip_spark_and_duckdb_twins_agree(spark):
         got_duck = con.execute(
             "SELECT " + to_ip_sql("?"), [c]).fetchone()[0]
         assert got_spark[c] == got_duck, (c, got_spark[c], got_duck)
+
+
+def test_extended_stats_aggregates(spark):
+    """VARIANCE / SKEWNESS / KURTOSIS: population moments from raw power
+    sums; TO_UNSIGNED_LONG folds out-of-range to null."""
+    t = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    got = esql(spark, 'FROM d | STATS var = VARIANCE(v), '
+                      'sk = ROUND(SKEWNESS(v), 6), '
+                      'ku = ROUND(KURTOSIS(v), 6)',
+               tables={"d": t}).collect()[0]
+    assert got.var == 1.25            # population variance of 1..4
+    assert got.sk == 0.0              # symmetric
+    assert got.ku == -1.36            # uniform-4 excess kurtosis
+    row = esql(spark, 'ROW a = 5, b = -3 | EVAL ua = TO_UNSIGNED_LONG(a), '
+                      'ub = TO_UNSIGNED_LONG(b)').first()
+    assert int(row.ua) == 5 and row.ub is None
