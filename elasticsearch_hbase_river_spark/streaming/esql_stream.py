@@ -75,7 +75,13 @@ from elasticsearch_hbase_river_spark.esql import (
 MERGEABLE_AGGS = frozenset({"COUNT", "SUM", "MIN", "MAX", "AVG",
                             "WEIGHTED_AVG",
                             "MEDIAN", "PERCENTILE",
-                            "MEDIAN_ABSOLUTE_DEVIATION"})
+                            "MEDIAN_ABSOLUTE_DEVIATION",
+                            "VARIANCE", "SKEWNESS", "KURTOSIS"})
+
+#: moment-family aggregates (population, from raw power sums): the
+#: partial is (n, Σx, Σx², [Σx³, Σx⁴]) — algebraic, merged by summation,
+#: finalized with the same formulas as the batch aggregates
+_MOMENT_AGGS = {"VARIANCE": 2, "SKEWNESS": 3, "KURTOSIS": 4}
 
 #: order statistics (MEDIAN / PERCENTILE / MAD) stream as EXACT bounded
 #: partials: each micro-batch lands the group's sorted value array, the
@@ -322,6 +328,15 @@ def _partial_agg(comp: _Compiler, df: DataFrame, plan: dict) -> DataFrame:
                 # beyond it — see the constant's rationale)
                 lst = F.sort_array(F.collect_list(arg))
                 pcols.append(_capped_list(lst).alias(p + "_l"))
+            elif agg in _MOMENT_AGGS:
+                x = arg.cast("double")
+                pcols.append(F.count(x).cast("long").alias(p + "_n"))
+                pcols.append(F.sum(x).alias(p + "_s1"))
+                pcols.append(F.sum(x * x).alias(p + "_s2"))
+                if _MOMENT_AGGS[agg] >= 3:
+                    pcols.append(F.sum(x * x * x).alias(p + "_s3"))
+                if _MOMENT_AGGS[agg] >= 4:
+                    pcols.append(F.sum(x * x * x * x).alias(p + "_s4"))
             else:  # AVG: sum+count pair, finalized at merge
                 pcols.append(F.sum(arg).alias(p + "_s"))
                 pcols.append(F.count(arg).cast("long").alias(p + "_n"))
@@ -548,6 +563,12 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                     # cardinality cap applies to the merged multiset)
                     mcols.append(_capped_list(F.flatten(
                         F.collect_list(F.col(p + "_l")))).alias(p + "_l"))
+                elif agg in _MOMENT_AGGS:
+                    mcols.append(F.sum(p + "_n").cast("long")
+                                 .alias(p + "_n"))
+                    for s in ["_s1", "_s2", "_s3", "_s4"][
+                            :_MOMENT_AGGS[agg]]:
+                        mcols.append(F.sum(p + s).alias(p + s))
                 else:  # AVG
                     mcols.append(F.sum(p + "_s").alias(p + "_s"))
                     mcols.append(
@@ -596,6 +617,24 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                         (F.col(p + "_s") / F.col(p + "_w")).alias(a))
                 elif agg in _LIST_AGGS:
                     ph_cols.append(F.col(p + "_fin").alias(a))
+                elif agg in _MOMENT_AGGS:
+                    n = F.col(p + "_n").cast("double")
+                    mu = F.col(p + "_s1") / n
+                    m2 = F.col(p + "_s2") / n - mu * mu
+                    if agg == "VARIANCE":
+                        fin = F.when(F.col(p + "_n") > 0, m2)
+                    elif agg == "SKEWNESS":
+                        m3 = (F.col(p + "_s3") / n
+                              - 3 * mu * F.col(p + "_s2") / n
+                              + 2 * mu * mu * mu)
+                        fin = F.when(m2 > 0, m3 / F.pow(m2, 1.5))
+                    else:  # KURTOSIS
+                        m4 = (F.col(p + "_s4") / n
+                              - 4 * mu * F.col(p + "_s3") / n
+                              + 6 * mu * mu * F.col(p + "_s2") / n
+                              - 3 * mu * mu * mu * mu)
+                        fin = F.when(m2 > 0, m4 / (m2 * m2) - 3)
+                    ph_cols.append(fin.alias(a))
                 else:
                     ph_cols.append(F.col(p).alias(a))
         ph = merged.select(*ph_cols)

@@ -253,3 +253,24 @@ def test_order_statistics_cap_aborts_loudly(spark, sf_dir, tmp_path,
     with pytest.raises(Exception, match="STREAM_VALUES_CAP"):
         q.awaitTermination(180)
         raise AssertionError("drain should have failed")
+
+
+def test_moment_family_streams_as_power_sums(spark, sf_dir, tmp_path):
+    """VARIANCE / SKEWNESS / KURTOSIS stream as algebraic power-sum
+    partials; the merged result equals the batch compiler (to the
+    query's rounding — double addition order differs between one pass
+    and merged partials, the same contract as AVG)."""
+    text = ("FROM ev | STATS var = ROUND(VARIANCE(value), 4), "
+            "sk = ROUND(SKEWNESS(value), 6), "
+            "ku = ROUND(KURTOSIS(value), 6) BY event_type "
+            "| SORT event_type")
+    assert plan_esql_stream(text)["mergeable"]
+    src = _src(spark, sf_dir, tmp_path, n_files=3)
+    state = str(tmp_path / "state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+    got = read_esql_stream_result(spark, text, state)
+    expect = esql(spark, text, tables={"ev": spark.read.parquet(src)})
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in expect.collect()]
