@@ -759,6 +759,25 @@ def _fn_round(args, raw):
     return roundn_col(args[0], d)
 
 
+def _grid_floor(ts: Column, width_secs: int) -> Column:
+    """Epoch-anchored grid floor for uniform multi-unit spans — tz-free
+    NTZ arithmetic (a cast through LTZ would smuggle the session tz in).
+    Shared by multi-unit DATE_TRUNC and BUCKET so their grids cannot
+    drift apart."""
+    zero = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    epoch = F.timestamp_diff("SECOND", zero, ts)
+    grid = (F.floor(epoch / F.lit(width_secs)) * F.lit(width_secs))         .cast("long")
+    return F.timestamp_add("SECOND", grid, zero)
+
+
+def _scalar_to_unsigned_long(args, raw):
+    d = args[0].cast("decimal(38,10)")
+    t = (d - (d % 1)).cast("decimal(20,0)")  # truncate toward zero
+    return F.when(
+        (t >= 0) & (t <= F.lit("18446744073709551615")
+                    .cast("decimal(20,0)")), t)
+
+
 def _fn_date_trunc(args, raw):
     if len(raw) != 2:
         raise ESQLError("DATE_TRUNC takes (span, timestamp)")
@@ -777,13 +796,13 @@ def _fn_date_trunc(args, raw):
                     f"multi-unit DATE_TRUNC spans need a uniform unit "
                     f"({sorted(_SPAN_SECONDS)}); {n} {unit} is calendar-"
                     "dependent")
+            if float(n) != int(n):
+                raise ESQLError(
+                    f"time-span quantity must be an integer, got {n}")
+            n = int(n)
             if n <= 0:
                 raise ESQLError("DATE_TRUNC span count must be positive")
-            w = n * _SPAN_SECONDS[unit]
-            zero = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
-            epoch = F.timestamp_diff("SECOND", zero, args[1])
-            grid = (F.floor(epoch / F.lit(w)) * F.lit(w)).cast("long")
-            return F.timestamp_add("SECOND", grid, zero)
+            return _grid_floor(args[1], n * _SPAN_SECONDS[unit])
         unit = span[2]
     else:
         raise ESQLError("DATE_TRUNC's first argument must be a time span")
@@ -817,12 +836,10 @@ _SCALARS: dict[str, Callable[[list[Column], list], Column]] = {
     "TO_STRING": lambda a, r: a[0].cast("string"),
     "TO_LONG": lambda a, r: a[0].cast("long"),
     # unsigned 64-bit range via DECIMAL(20,0) (Spark has no unsigned
-    # type); out-of-range folds to null, the ES|QL convention
-    "TO_UNSIGNED_LONG": lambda a, r: F.when(
-        (a[0].cast("decimal(20,0)") >= 0)
-        & (a[0].cast("decimal(20,0)")
-           <= F.lit("18446744073709551615").cast("decimal(20,0)")),
-        a[0].cast("decimal(20,0)")),
+    # type); fractional input TRUNCATES toward zero like the other
+    # TO_* integral casts (a bare decimal(20,0) cast would round
+    # half-up); out-of-range folds to null, the ES|QL convention
+    "TO_UNSIGNED_LONG": _scalar_to_unsigned_long,
     "TO_INT": lambda a, r: a[0].cast("int"),
     "TO_DOUBLE": lambda a, r: a[0].cast("double"),
     # fixture timestamps are TIMESTAMP_NTZ (sources/tables.py); parity of
@@ -1427,15 +1444,13 @@ def _fn_bucket(args, raw):
                 f"multi-unit BUCKET spans need a uniform unit "
                 f"({sorted(_SPAN_SECONDS)}); {n} {unit} is calendar-"
                 "dependent")
+        if float(n) != int(n):
+            raise ESQLError(
+                f"time-span quantity must be an integer, got {n}")
+        n = int(n)
         if n <= 0:
             raise ESQLError("BUCKET span count must be positive")
-        w = n * _SPAN_SECONDS[unit]
-        # tz-free epoch arithmetic: timestamp_diff/_add keep TIMESTAMP_NTZ
-        # end to end (a cast through LTZ would smuggle the session tz in)
-        zero = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
-        epoch = F.timestamp_diff("SECOND", zero, args[0])
-        grid = (F.floor(epoch / F.lit(w)) * F.lit(w)).cast("long")
-        return F.timestamp_add("SECOND", grid, zero)
+        return _grid_floor(args[0], n * _SPAN_SECONDS[unit])
     return _fn_date_trunc([None, args[0]], [span, raw[0]])
 
 
@@ -2162,6 +2177,17 @@ class _Compiler:
                     # bare ISO date/datetime), parsed against the
                     # column's own temporal type
                     raw_v = toks[i].strip('"')
+                    # only forms Spark's string->timestamp cast parses:
+                    # dashed date, optional [T ]HH:MM[:SS[.frac]].
+                    # fromisoformat alone is too permissive ('20240101'
+                    # passes it but casts to NULL — a silently-empty
+                    # predicate instead of the intended error)
+                    if not re.fullmatch(
+                            r"\d{4}-\d{2}-\d{2}"
+                            r"([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?",
+                            raw_v):
+                        err(f"date range on {fld!r} needs an ISO "
+                            f"date/datetime, got {toks[i]!r}")
                     try:
                         datetime.fromisoformat(raw_v.replace(" ", "T"))
                     except ValueError:

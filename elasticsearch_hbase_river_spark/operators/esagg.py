@@ -444,7 +444,10 @@ def _pin_small(spark: SparkSession, df: DataFrame) -> DataFrame:
     relations (slot dictionary <= PERC_SLOTS rows, stored-query sets
     |Q| rows) measured 2-3x slower in-bench than isolated because of
     it. Only for constant-bounded relations — never corpus-sized."""
-    return spark.createDataFrame(df.toPandas(), df.schema)
+    # collect(), not toPandas(): pandas coerces nullable integer
+    # columns to float64/NaN, which a re-application of the original
+    # schema then rejects — the Row round-trip is schema-faithful
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 def slot_dictionary(vocab: DataFrame) -> DataFrame:

@@ -606,19 +606,24 @@ FROM events
 """,
     """
 WITH m AS (
+  -- group over ALL rows (an all-NULL group is still a group: the engine
+  -- emits it with n = 0 and NULL stats); sums skip NULLs on their own
   SELECT event_type,
          count(value) AS n,
          sum(value::DOUBLE) AS s1,
          sum(value::DOUBLE * value) AS s2,
          sum(value::DOUBLE * value * value) AS s3,
          sum(value::DOUBLE * value * value * value) AS s4
-  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+  FROM events GROUP BY event_type),
 d AS (
-  SELECT event_type, n, s1 / n AS mu,
-         s2 / n - (s1 / n) * (s1 / n) AS m2,
-         s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) AS m3,
-         s4 / n - 4 * (s1 / n) * s3 / n + 6 * pow(s1 / n, 2) * s2 / n
-           - 3 * pow(s1 / n, 4) AS m4
+  SELECT event_type, n,
+         CASE WHEN n > 0 THEN s1 / n END AS mu,
+         CASE WHEN n > 0 THEN s2 / n - (s1 / n) * (s1 / n) END AS m2,
+         CASE WHEN n > 0 THEN
+           s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) END AS m3,
+         CASE WHEN n > 0 THEN
+           s4 / n - 4 * (s1 / n) * s3 / n + 6 * pow(s1 / n, 2) * s2 / n
+           - 3 * pow(s1 / n, 4) END AS m4
   FROM m)
 SELECT event_type, round(m2, 4) AS var, round(sqrt(m2), 4) AS sd,
        round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skew,
@@ -958,7 +963,7 @@ FROM events
 | WHERE value > 0
 | EVAL angle = TO_RADIANS(value)
 | STATS avg_sin = ROUND(AVG(SIN(angle)), 4),
-        sd = ROUND(SQRT(VARIANCE(value)), 4),
+        sd = ROUND(STD_DEV(value), 4),
         rms = ROUND(SQRT(AVG(value * value)), 4),
         hyp = ROUND(MAX(HYPOT(value, 100.0)), 4)
   BY event_type

@@ -233,13 +233,11 @@ def _fpostings(fcells: DataFrame) -> DataFrame:
 # Rebuild-path queries.
 
 
-def _score_fielded(tf: DataFrame, fdl: DataFrame,
-                   fstats: DataFrame, dfr: DataFrame) -> DataFrame:
-    """Per-field-statistics BM25, summed per doc across fields, top-k.
-    ``fstats`` and ``dfr`` are field-count-sized — broadcast."""
-    scored = (tf.join(F.broadcast(dfr), ["field", "token"])
-              .join(fdl, ["doc_id", "field"])
-              .join(F.broadcast(fstats), "field"))
+def _bm25_rank_tail(scored: DataFrame) -> DataFrame:
+    """Shared scoring tail: BM25 contribution per (doc, field, token)
+    row carrying tf/dl/df/n_docs/avgdl, summed per doc, bounded top-k.
+    The ONE place the formula and the tie-break live — both the
+    snapshot-served and the live-served paths call it."""
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tfnorm = (F.col("tf") * (BM25_K1 + 1)) / (
@@ -251,6 +249,16 @@ def _score_fielded(tf: DataFrame, fdl: DataFrame,
     top = (per_doc.orderBy(F.col("score").desc(), "doc_id").limit(NFS_TOP))
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _score_fielded(tf: DataFrame, fdl: DataFrame,
+                   fstats: DataFrame, dfr: DataFrame) -> DataFrame:
+    """Per-field-statistics BM25, summed per doc across fields, top-k.
+    ``fstats`` and ``dfr`` are field-count-sized — broadcast."""
+    return _bm25_rank_tail(
+        tf.join(F.broadcast(dfr), ["field", "token"])
+        .join(fdl, ["doc_id", "field"])
+        .join(F.broadcast(fstats), "field"))
 
 
 def _score_fielded_inline_dl(tf: DataFrame, fstats: DataFrame,
@@ -258,20 +266,10 @@ def _score_fielded_inline_dl(tf: DataFrame, fstats: DataFrame,
     """``_score_fielded`` for callers whose ``tf`` already carries the
     (doc, field) length on every row (index-served postings do): skips
     the (doc_id, field) self-join entirely — one broadcast-joined
-    map-side projection, one aggregate shuffle, bounded top-k."""
-    scored = (tf.join(F.broadcast(dfr), ["field", "token"])
-              .join(F.broadcast(fstats), "field"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    tfnorm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B
-                                 + BM25_B * F.col("dl") / F.col("avgdl")))
-    per_doc = (scored.select("doc_id", (idf * tfnorm).alias("c"))
-               .groupBy("doc_id")
-               .agg(roundn_col(F.sum("c")).alias("score")))
-    top = (per_doc.orderBy(F.col("score").desc(), "doc_id").limit(NFS_TOP))
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    map-side projection, then the shared rank tail."""
+    return _bm25_rank_tail(
+        tf.join(F.broadcast(dfr), ["field", "token"])
+        .join(F.broadcast(fstats), "field"))
 
 
 def _field_dl(fc: DataFrame) -> DataFrame:

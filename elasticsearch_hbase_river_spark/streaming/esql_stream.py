@@ -295,6 +295,11 @@ def _partial_agg(comp: _Compiler, df: DataFrame, plan: dict) -> DataFrame:
     ``__p<spec>_<k>`` (AVG contributes ``_s`` / ``_n`` sum+count pairs)."""
     stats = plan["cmds"][plan["stats_at"]]
     cols = df.columns
+    # mapping-dispatched predicates (KQL term/date forms) read the bound
+    # column dtypes; apply() stashes these, but this entry point calls
+    # comp.col() directly — without the stash a per-aggregate
+    # WHERE KQL("num:404") would silently take the analyzed-text path
+    comp._cur_dtypes = dict(df.dtypes)
     keys = [comp.col(e, cols).alias(name or _Compiler._default_name(e))
             for name, e in stats["by"]]
     pcols: list[Column] = []
@@ -350,6 +355,7 @@ def _ts_partial_agg(comp: _Compiler, df: DataFrame, plan: dict,
     *_OVER_TIME aggregates, merged at read (FIRST/LAST carry a
     (timestamp, value) pair)."""
     stats = plan["cmds"][plan["stats_at"]]
+    comp._cur_dtypes = dict(df.dtypes)  # see _partial_agg
     missing = [x for x in (spec.ts, *spec.dimensions) if x not in df.columns]
     if missing:
         raise ESQLError(f"TS series column(s) {missing} missing from the "
@@ -595,7 +601,17 @@ def read_esql_stream_result(spark: SparkSession, text: str,
             fin = (vals.groupBy(*keys).agg(fin_col) if keys
                    else vals.agg(fin_col))
             if keys:
-                merged = merged.join(F.broadcast(fin), keys, "left")
+                # NULL-SAFE key equality: a NULL BY-key group is a real
+                # group (groupBy keeps it) and must get its finalized
+                # value back — a plain equi-join would drop it to null
+                m, f_ = merged.alias("__m"), fin.alias("__f")
+                cond = None
+                for k in keys:
+                    c = F.col(f"__m.{k}").eqNullSafe(F.col(f"__f.{k}"))
+                    cond = c if cond is None else cond & c
+                merged = (m.join(F.broadcast(f_), cond, "left")
+                          .select("__m.*", F.col(f"__f.{p}_fin")
+                                  .alias(p + "_fin")))
             else:
                 merged = merged.crossJoin(F.broadcast(fin))
             merged = merged.drop(p + "_l")

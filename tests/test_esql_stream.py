@@ -274,3 +274,40 @@ def test_moment_family_streams_as_power_sums(spark, sf_dir, tmp_path):
     expect = esql(spark, text, tables={"ev": spark.read.parquet(src)})
     assert [tuple(r) for r in got.collect()] == \
            [tuple(r) for r in expect.collect()]
+
+
+def test_order_statistics_null_group_key(spark, tmp_path):
+    """A NULL BY-key group must keep its streamed MEDIAN — the finalize
+    join-back is null-safe on the group keys."""
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0),
+            (None, 30.0)]
+    src = str(tmp_path / "ng_src")
+    spark.createDataFrame(rows, "g string, v double") \
+        .repartition(2).write.parquet(src)
+    text = "FROM ev | STATS med = MEDIAN(v) BY g | SORT g"
+    state = str(tmp_path / "ng_state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "ng_ckpt"))
+    assert q.awaitTermination(180)
+    got = {r.g: r.med for r in
+           read_esql_stream_result(spark, text, state).collect()}
+    assert got == {None: 20.0, "a": 2.0}
+
+
+def test_stream_partial_agg_kql_dtype_dispatch(spark, tmp_path):
+    """A per-aggregate WHERE KQL on a numeric column must dispatch on the
+    column dtype in the STREAMING partial too (the compiler's dtype
+    stash is populated at this entry point, not only in apply())."""
+    rows = [(404.0,), (404.5,), (200.0,)]
+    src = str(tmp_path / "kd_src")
+    spark.createDataFrame(rows, "value double") \
+        .coalesce(1).write.parquet(src)
+    text = 'FROM ev | STATS n404 = COUNT(*) WHERE KQL("value:404")'
+    state = str(tmp_path / "kd_state")
+    q = start_esql_stream(spark, text, _stream(spark, src), state,
+                          str(tmp_path / "kd_ckpt"))
+    assert q.awaitTermination(180)
+    got = read_esql_stream_result(spark, text, state).collect()[0]
+    # numeric equality: only 404.0 (an analyzed-text match would also
+    # count 404.5, whose stringified tokens contain "404")
+    assert got.n404 == 1
