@@ -1540,14 +1540,35 @@ def _agg_percentile(args, raw):
     return F.percentile(args[0], F.lit(raw[1][1] / 100.0))
 
 
+# Noise floor for the central second moment: raw power sums cancel
+# catastrophically when |mean| >> spread, so a constant-valued group can
+# produce a tiny NEGATIVE m2 (→ NaN under SQRT) or a tiny positive one
+# whose float noise differs between Spark's and DuckDB's summation order
+# (→ huge unstable skew/kurt that diverge across engines).  Summation
+# error grows with group size (≤ n ulps of s2/n), so the floor is
+# n·2⁻⁵⁰ relative to s2/n — a few bits above the worst case, still far
+# below any spread double precision can actually resolve for that n.
+# Any m2 at or below it is treated AS zero — variance 0, skew/kurt
+# NULL — identically here, in the streaming finalize (esql_stream.py)
+# and in the DuckDB twins.
+M2_EPS_PER_N = 2.0 ** -50
+
+
+def _m2_clamped(n, s1, s2):
+    m = s1 / n
+    raw = s2 / n - m * m
+    return F.when(raw <= n * F.lit(M2_EPS_PER_N) * F.abs(s2 / n),
+                  F.lit(0.0)).otherwise(raw)
+
+
 def _agg_variance(args, raw):
     """Population variance s2/n − mean² from raw power sums — the same
     formula the oracle twin runs (var_pop's co-moment algorithm differs
-    in low-order bits, which can flip a rounded digit at scale)."""
+    in low-order bits, which can flip a rounded digit at scale).
+    Clamped to exactly 0 within M2_REL_EPS of cancellation."""
     x = args[0].cast("double")
     n = F.count(x).cast("double")
-    m = F.sum(x) / n
-    return F.sum(x * x) / n - m * m
+    return _m2_clamped(n, F.sum(x), F.sum(x * x))
 
 
 def _agg_skewness(args, raw):
@@ -1559,7 +1580,7 @@ def _agg_skewness(args, raw):
     n = F.count(x).cast("double")
     s1, s2, s3 = F.sum(x), F.sum(x * x), F.sum(x * x * x)
     m = s1 / n
-    m2 = s2 / n - m * m
+    m2 = _m2_clamped(n, s1, s2)
     m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
     return F.when(m2 > 0, m3 / F.pow(m2, 1.5))
 
@@ -1571,7 +1592,7 @@ def _agg_kurtosis(args, raw):
     s1, s2, s3, s4 = (F.sum(x), F.sum(x * x), F.sum(x * x * x),
                       F.sum(x * x * x * x))
     m = s1 / n
-    m2 = s2 / n - m * m
+    m2 = _m2_clamped(n, s1, s2)
     m4 = (s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n
           - 3 * m * m * m * m)
     return F.when(m2 > 0, m4 / (m2 * m2) - 3)
@@ -2123,8 +2144,18 @@ class _Compiler:
             # text_field:404 is an analyzed term match on token "404",
             # numeric_field:404 is numeric equality
             dt = getattr(self, "_cur_dtypes", {}).get(fld, "")
-            if dt in ("tinyint", "smallint", "int", "bigint",
-                      "float", "double") or dt.startswith("decimal"):
+            if dt in ("tinyint", "smallint", "int", "bigint"):
+                # integral columns compare in the column's OWN type:
+                # going through float would do the comparison in double,
+                # where values above 2^53 (id:9007199254740993) silently
+                # match neighboring integers
+                try:
+                    num_i = int(value)
+                except ValueError:
+                    err(f"integer field {fld!r} needs an integer "
+                        f"value, got {value!r}")
+                return F.col(fld) == F.lit(num_i).cast(dt)
+            if dt in ("float", "double") or dt.startswith("decimal"):
                 try:
                     num = float(value)
                 except ValueError:
@@ -2194,6 +2225,17 @@ class _Compiler:
                         err(f"date range on {fld!r} needs an ISO "
                             f"date/datetime, got {toks[i]!r}")
                     i += 1
+                    if dt == "date" and len(raw_v) > 10:
+                        # datetime literal against a DATE column: casting
+                        # the literal to date would drop the time part
+                        # (d > "2024-01-01 10:00" → d > "2024-01-01",
+                        # matching rows it should exclude); promote the
+                        # COLUMN to timestamp (midnight) instead and
+                        # compare against the full literal
+                        c_ts = c.cast("timestamp")
+                        val = F.lit(raw_v).cast("timestamp")
+                        return {">": c_ts > val, ">=": c_ts >= val,
+                                "<": c_ts < val, "<=": c_ts <= val}[op]
                     val = F.lit(raw_v).cast(dt)
                     return {">": c > val, ">=": c >= val,
                             "<": c < val, "<=": c <= val}[op]

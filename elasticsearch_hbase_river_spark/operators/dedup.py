@@ -577,9 +577,13 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc contiguous runs of duplicated window positions reconstruct the
 # maximal removable region (run of k windows = k + L - 1 shared tokens).
 # Everything is linear in corpus size: no all-pairs join, no global
-# suffix sort, the only wide payload on the wire is the L-token span
-# string (~6L bytes; at 100 TB swap the shuffle key for
-# (xxhash64(span), span) to compare 8 bytes first — same plan shape).
+# suffix sort. The shuffle/sort key leads with xxhash64(span) so the
+# sort comparisons are 8 bytes (the span string is compared only on
+# hash ties, keeping exactness), and the duplicated-span test is
+# min(doc_id) != max(doc_id) over the span window — O(1) aggregate
+# state per span, so a boilerplate span shared by millions of documents
+# never materializes its doc set (the old size(collect_set(doc_id))
+# shape was O(M) state per hot span and O(M²) work across its rows).
 
 SUB_L = 15          # minimum duplicated span, in tokens
 SUB_MID_OFF = 6     # synthetic copies embed tokens [6, 25] of the source
@@ -623,19 +627,31 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     region in tokens (the span Lee et al. would cut).
 
     Plan: windows explode map-side (sequence + transform + posexplode,
-    all JVM); one hash shuffle on the span text for the duplicate-span
-    aggregate; the join back is on the same key; the island window
-    partitions by doc_id (never a single-partition window)."""
+    all JVM); ONE hash shuffle keyed (xxhash64(span), span) — 8-byte
+    comparisons first, span only on hash ties, exactness kept; the
+    island window partitions by doc_id (never a single-partition
+    window)."""
     aug = _substring_aug(spark, sf_dir)
-    wins = _token_windows(aug)
-    # ONE shuffle on the span text: the per-span distinct-doc count rides
-    # a window over the same partitioning instead of a groupBy + join-back
-    # (which shuffled the span-keyed window rows twice and re-exploded
-    # the corpus for each side — measured 36 s -> ~1/2 at sf1)
-    wspan = Window.partitionBy("span")
-    dup = (wins.withColumn(
-               "nd", F.size(F.collect_set("doc_id").over(wspan)))
-           .filter(F.col("nd") >= 2)
+    return substring_dup_report(aug)
+
+
+def substring_dup_report(docs: DataFrame) -> DataFrame:
+    """Core of the exact-substring dedup over a (doc_id, text) relation:
+    per doc with any >= SUB_L-token span shared with another doc, the
+    duplicated-window count and the longest contiguous duplicated
+    region. Factored out so scale/skew tests drive the product path."""
+    wins = _token_windows(docs).withColumn("span_h", F.xxhash64("span"))
+    # ONE shuffle: the duplicated-span test rides a window over the
+    # span partitioning instead of a groupBy + join-back (which shuffled
+    # the span-keyed rows twice — measured 36 s -> 18 s at sf1), and the
+    # test itself is min(doc_id) != max(doc_id) — O(1) window state, so
+    # a hot boilerplate span shared by millions of docs never
+    # materializes its doc set (the old size(collect_set(..)) was O(M)
+    # state per span and a one-task memory hazard at 100 TB)
+    wspan = Window.partitionBy("span_h", "span")
+    dup = (wins.withColumn("is_dup", F.min("doc_id").over(wspan)
+                           != F.max("doc_id").over(wspan))
+           .filter("is_dup")
            .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("g", F.col("pos") - F.row_number().over(w))
@@ -709,9 +725,15 @@ def q_incremental_substring_dedup(spark: SparkSession,
         (F.col("doc_id") + 2 * COPY_OFFSET).alias("doc_id"),
         F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"))
     incoming = shifted.unionByName(fresh)
-    hist_spans = _token_windows(docs).select("span").distinct()
+    # join keys lead with xxhash64(span): sort-merge comparisons are 8
+    # bytes first, the span string only breaks hash ties (exactness
+    # kept); the history side dedups map-side before its one shuffle
+    hist_spans = (_token_windows(docs)
+                  .select(F.xxhash64("span").alias("span_h"), "span")
+                  .distinct())
     hits = (_token_windows(incoming)
-            .join(hist_spans, "span")
+            .withColumn("span_h", F.xxhash64("span"))
+            .join(hist_spans, ["span_h", "span"])
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("shared_windows")))
     return (incoming.select("doc_id")

@@ -616,9 +616,16 @@ WITH m AS (
          sum(value::DOUBLE * value * value * value) AS s4
   FROM events GROUP BY event_type),
 d AS (
+  -- m2 carries the engine's n·2^-50 cancellation clamp: at or below
+  -- the group's summation noise floor, m2 is exactly 0 (variance 0,
+  -- skew/kurt NULL) so float-noise sign never diverges across engines
   SELECT event_type, n,
          CASE WHEN n > 0 THEN s1 / n END AS mu,
-         CASE WHEN n > 0 THEN s2 / n - (s1 / n) * (s1 / n) END AS m2,
+         CASE WHEN n > 0 THEN
+           CASE WHEN s2 / n - (s1 / n) * (s1 / n)
+                     <= n * power(2.0, -50) * abs(s2 / n)
+                THEN 0.0
+                ELSE s2 / n - (s1 / n) * (s1 / n) END END AS m2,
          CASE WHEN n > 0 THEN
            s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) END AS m3,
          CASE WHEN n > 0 THEN

@@ -729,7 +729,6 @@ def nested_field_search_live(spark: SparkSession, base: str,
         # per (field, token) is exactly the live df; the
         # fvocab − df_old + df_new derivation the fallback runs is
         # redundant here.
-        n_by_field: dict[str, tuple[int, int]] = {}
         stats_rows = (
             read_fstats(spark, base)
             .select("field", F.col("n_docs").alias("a"),

@@ -636,7 +636,16 @@ def read_esql_stream_result(spark: SparkSession, text: str,
                 elif agg in _MOMENT_AGGS:
                     n = F.col(p + "_n").cast("double")
                     mu = F.col(p + "_s1") / n
-                    m2 = F.col(p + "_s2") / n - mu * mu
+                    # same n·2⁻⁵⁰ cancellation clamp as the batch
+                    # aggregate (esql._m2_clamped): sub-noise m2 is
+                    # exactly 0 → variance 0, skew/kurt NULL
+                    from elasticsearch_hbase_river_spark.esql import \
+                        M2_EPS_PER_N
+                    raw_m2 = F.col(p + "_s2") / n - mu * mu
+                    m2 = F.when(
+                        raw_m2 <= n * F.lit(M2_EPS_PER_N)
+                        * F.abs(F.col(p + "_s2") / n),
+                        F.lit(0.0)).otherwise(raw_m2)
                     if agg == "VARIANCE":
                         fin = F.when(F.col(p + "_n") > 0, m2)
                     elif agg == "SKEWNESS":

@@ -1749,3 +1749,68 @@ def test_extended_stats_aggregates(spark):
     row = esql(spark, 'ROW a = 5, b = -3 | EVAL ua = TO_UNSIGNED_LONG(a), '
                       'ub = TO_UNSIGNED_LONG(b)').first()
     assert int(row.ua) == 5 and row.ub is None
+
+
+def test_extended_stats_cancellation_clamp(spark):
+    """A constant-valued group with a huge mean cancels catastrophically
+    in raw power sums: the M2_REL_EPS clamp must pin variance to exactly
+    0 (so SQRT never goes NaN on a tiny negative) and skew/kurt to NULL,
+    and the near-constant case (spread ~1e-6 of mean) must survive."""
+    t = spark.createDataFrame(
+        [("a", 1e9 + 0.25)] * 4
+        + [("b", 1e6), ("b", 1e6 + 1.0), ("b", 1e6 + 2.0)],
+        "g string, v double")
+    got = {r.g: r for r in esql(
+        spark, 'FROM d | STATS var = VARIANCE(v), '
+               'sd = SQRT(VARIANCE(v)), '
+               'sk = SKEWNESS(v), ku = KURTOSIS(v) BY g',
+        tables={"d": t}).collect()}
+    assert got["a"].var == 0.0
+    assert got["a"].sd == 0.0
+    assert got["a"].sk is None and got["a"].ku is None
+    # genuine (tiny relative) spread is NOT clamped away
+    assert abs(got["b"].var - 2.0 / 3.0) < 1e-3
+    assert got["b"].sk is not None
+
+
+def test_kql_bigint_term_exact_above_2_53(spark):
+    """KQL term equality on an integral column compares in the column's
+    own type: 9007199254740993 (2^53 + 1) must not match its double-
+    rounded neighbors, and a non-integer value on an integer field is a
+    positioned error."""
+    big = 9007199254740993  # 2^53 + 1; float(big) == float(big - 1)
+    t = spark.createDataFrame(
+        [(1, big), (2, big - 1), (3, big + 1)], "id long, v long")
+
+    def run(q):
+        esc = q.replace('"', '\\"')
+        return sorted(r.id for r in esql(
+            spark, f'FROM d | WHERE KQL("{esc}") | KEEP id',
+            tables={"d": t}).collect())
+
+    assert run(f"v:{big}") == [1]
+    assert run(f"v:{big - 1}") == [2]
+    with pytest.raises(ESQLError, match="integer field"):
+        run("v:4.5")
+
+
+def test_kql_date_column_datetime_literal(spark):
+    """A datetime literal against a DATE column must not silently
+    truncate its time part: the column is promoted to timestamp
+    (midnight) and compared against the full literal."""
+    t = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "id long, d string").selectExpr("id", "cast(d as date) as d")
+
+    def run(q):
+        esc = q.replace('"', '\\"')
+        return sorted(r.id for r in esql(
+            spark, f'FROM t | WHERE KQL("{esc}") | KEEP id',
+            tables={"t": t}).collect())
+
+    # midnight of 01-01 is before 10:00, so 01-01 must be EXCLUDED
+    assert run('d > "2024-01-01 10:00"') == [2, 3]
+    assert run('d <= "2024-01-02 10:00"') == [1, 2]
+    # pure date literals keep date-typed comparison
+    assert run("d > 2024-01-01") == [2, 3]
+    assert run("d >= 2024-01-02") == [2, 3]

@@ -571,10 +571,14 @@ def test_substring_dedup_no_global_sort_no_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
-    # the duplicated-span aggregate and the join-back share the span
-    # hash-partitioning; the doc-side window is hash-partitioned too
-    assert "hashpartitioning(span" in plan
+    # the duplicated-span window partitions on (xxhash64(span), span):
+    # 8-byte-first sort comparisons; the doc-side island window is
+    # hash-partitioned too
+    assert "hashpartitioning(span_h" in plan
     assert "hashpartitioning(doc_id" in plan
+    # the O(M)-state doc-set window must never come back: the dup test
+    # is min/max over the span window, not collect_set
+    assert "collect_set" not in plan
 
 
 def test_substring_dedup_finds_shifted_boilerplate(spark, sf_dir):
@@ -624,4 +628,4 @@ def test_incremental_substring_dedup_single_span_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
-    assert "hashpartitioning(span" in plan
+    assert "hashpartitioning(span_h" in plan

@@ -33,3 +33,37 @@ def test_salted_join_left_outer(spark):
         .select("k", "payload", "dim")
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_substring_dedup_hot_span_skew(spark):
+    """One boilerplate span shared by 10% of documents: the duplicated-
+    span window must stay O(1)-state (min/max, never a per-row doc set)
+    and the report must stay exact — every hot-span doc flagged with the
+    full boilerplate run, unique docs absent."""
+    from elasticsearch_hbase_river_spark.operators.dedup import (
+        SUB_L,
+        substring_dup_report,
+    )
+
+    n = 2_000
+    boiler = " ".join(f"b{i}" for i in range(SUB_L + 5))  # 20-token span
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0,
+               F.concat(F.lit("u"), F.col("id"), F.lit(" x"), F.col("id"),
+                        F.lit(" " + boiler + " tail"), F.col("id")))
+        .otherwise(F.concat_ws(" ", *[
+            F.concat(F.lit(f"w{j}d"), F.col("id"))
+            for j in range(SUB_L + 2)])).alias("text"))
+
+    rows = {r.doc_id: r for r in substring_dup_report(docs).collect()}
+    hot = [d for d in range(n) if d % 10 == 0]
+    assert set(rows) == set(hot)
+    for d in hot:
+        # the shared region is exactly the boilerplate span
+        assert rows[d].max_run_tokens == SUB_L + 5
+        assert rows[d].dup_windows == 6  # (SUB_L+5) - SUB_L + 1
+
+    plan = substring_dup_report(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "collect_set" not in plan
