@@ -117,9 +117,15 @@ META = "_index_meta.json"
 #: dictionary (≤ PERC_SLOTS rows, corpus-derived and epoch-stable), so
 #: index-served percolation pays only the match join instead of a vocab
 #: pass + slot ranking per query.
+#: v8 registers the percolator's stored-query WORKLOAD at build time
+#: (``percqueries_k3`` / ``percsets_k3``): stored queries are written
+#: into the index ahead of serving — exactly ES's percolator model,
+#: where queries are indexed documents — so the per-query fixed stages
+#: (synthesis over the slot dictionary, set canonicalization, rarest-
+#: term ranking) run once per epoch instead of once per percolation.
 #: The version rides the index path fingerprint, so older directories are
 #: never served or appended.
-LAYOUT_VERSION = 7
+LAYOUT_VERSION = 8
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -223,6 +229,44 @@ def read_percslots(spark: SparkSession, path: str,
     if with_df:
         return p.select("sid", "token", "df")
     return p.select("sid", "token")
+
+
+def read_percqueries_k3(spark: SparkSession,
+                        path: str) -> tuple[DataFrame, DataFrame]:
+    """The registered k3 percolate workload (layout v8): ``qsets``
+    (query_id, terms, set_key) and ``rare`` (set_key, token, o1, o2) —
+    both constant-bounded single-file sidecars written at build time
+    (`esagg.percolate_k3_registry`)."""
+    qsets = spark.read.parquet(os.path.join(path, "percqueries_k3"))
+    rare = spark.read.parquet(os.path.join(path, "percsets_k3"))
+    return qsets, rare
+
+
+def _write_percquery_sidecars(spark: SparkSession, tmp: str) -> None:
+    """Derive + persist the percolator workload sidecars from the
+    ``percslots`` dictionary already landed in ``tmp`` (layout v8):
+    stored-query synthesis, set canonicalization and rarest-term
+    ranking move from per-percolation fixed cost to the one-time
+    build/refresh — the same amortization percslots itself got in v6/v7.
+    Rebuilt on every epoch because the synthesis is a function of the
+    slot dictionary, which epoch churn can change."""
+    from elasticsearch_hbase_river_spark.operators.esagg import (
+        PERC_K3_TERMS,
+        percolate_k3_registry,
+    )
+
+    sidx = spark.read.parquet(os.path.join(tmp, "percslots"))
+    if sidx.count() < PERC_K3_TERMS + 2:
+        # degenerate (test-sized) dictionary: the synthesis progression
+        # invariants need >= k+2 distinct slots. Skip the sidecar — the
+        # index itself is fine; percolation on such a corpus raises at
+        # read_percqueries_k3 (missing path) instead of mid-plan.
+        return
+    qsets, rare = percolate_k3_registry(spark, sidx)
+    (qsets.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(tmp, "percqueries_k3")))
+    (rare.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(tmp, "percsets_k3")))
 
 
 def read_vocab(spark: SparkSession, path: str,
@@ -398,6 +442,7 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str,
     (slot_dictionary(spark.read.parquet(os.path.join(tmp, "vocab"))
                      .select("token", "df")).coalesce(1)
      .write.mode("overwrite").parquet(os.path.join(tmp, "percslots")))
+    _write_percquery_sidecars(spark, tmp)
     # doclen comes from the CORPUS, not the postings: zero-token documents
     # (empty / punctuation-only text) have no postings rows but are still
     # indexed documents — they count toward N and avgdl, exactly as in ES
@@ -816,6 +861,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
                      .select("token", "df"))
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(tmp, "percslots")))
+    _write_percquery_sidecars(spark, tmp)
 
     from elasticsearch_hbase_river_spark.operators.multifield import (
         TITLE_LEN,
