@@ -368,8 +368,12 @@ def _sem_assign(emb: DataFrame, cent_rows: list) -> DataFrame:
     (janino chokes on the generated method) — measured, not assumed.
     Ties break on the first (smallest-k) minimum, the same rule as the
     oracle's ORDER BY dist, k."""
+    # single array-LITERAL node per centroid (F.lit(list)) — the
+    # F.array(*[F.lit(v)...]) form built 64 literal nodes per centroid
+    # and Catalyst analysis of the resulting tree dominated the query's
+    # wall time at fixture scale (the corpus is small; the plan wasn't)
     dists = [_sem_sqdist(F.col("embedding"),
-                         F.array(*[F.lit(float(v)) for v in c]))
+                         F.lit([float(v) for v in c]))
              for _k, c in cent_rows]
     arr = F.array(*dists)
     kpick = F.array(*[F.lit(int(k)) for k, _c in cent_rows])[
@@ -377,16 +381,92 @@ def _sem_assign(emb: DataFrame, cent_rows: list) -> DataFrame:
     return emb.select("vec_id", "embedding", kpick.cast("int").alias("k"))
 
 
-def _sem_centroids(assigned: DataFrame, dim: int) -> DataFrame:
-    """(k, centroid): per-cluster per-dimension means, rounded. One
-    partial-aggregated pass with ``dim`` SUM/AVG columns — no posexplode
-    (the exploded form shuffled corpus x dim rows per Lloyd iteration;
-    this shape shuffles K rows of dim aggregates)."""
-    avgs = [roundn_col(F.avg(F.element_at("embedding", i + 1)
-                             .cast("double")), 4)
-            for i in range(dim)]
-    return (assigned.groupBy("k")
-            .agg(F.array(*avgs).alias("centroid")))
+def _sem_centroid_rows(assigned: DataFrame,
+                       kcol: str = "k") -> list[tuple[int, list[float]]]:
+    """Per-cluster centroid components via posexplode + (k, pos) partial
+    aggregation, assembled DRIVER-side (K·dim rows, constant-bounded).
+    The exploded corpus collapses map-side onto K·dim groups before the
+    shuffle, so the wire carries K·dim·partitions rows regardless of
+    corpus size; the previous dim-wide column aggregate (64 rounded AVG
+    columns) was shuffle-optimal too but spent ~2 s PER Lloyd call in
+    codegen of the wide aggregate — the measured bottleneck, since every
+    caller collects the K-row result anyway."""
+    cv = roundn_col(F.avg(F.col("v").cast("double")), 4)
+    rows = (assigned
+            .select(F.col(kcol).alias("k"),
+                    F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("k", "pos").agg(cv.alias("cv")).collect())
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(int(r["k"]), {})[int(r["pos"])] = float(r["cv"])
+    return sorted((k, [d[p] for p in sorted(d)])
+                  for k, d in cents.items())
+
+
+def _sem_cents_1row(assigned_k: DataFrame) -> DataFrame:
+    """Lloyd re-estimation as a 1-ROW relation: from a (k, embedding)
+    assignment, per-(k, pos) rounded component means (posexplode +
+    partial agg — K·dim rows on the wire at any corpus size), assembled
+    into ``cents: array<struct<k, centroid, cnorm>>`` sorted by k.
+    Broadcast into the next assignment, this keeps the whole Lloyd tail
+    INSIDE one Spark action — no driver collect between iterations.
+    cnorm folds left-to-right over the pos-sorted components, the same
+    order the driver-side math.sqrt(sum()) used, so values are
+    bit-identical to the literal path."""
+    cv = roundn_col(F.avg(F.col("v").cast("double")), 4)
+    comp = (assigned_k
+            .select("k", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("k", "pos").agg(cv.alias("cv")))
+    cent = (comp.groupBy("k")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"]).alias("centroid")))
+    cn = F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0),
+                            lambda a, v: a + v * v))
+    return (cent.select(F.struct(F.col("k"), F.col("centroid"),
+                                 cn.alias("cnorm")).alias("c"))
+            .agg(F.array_sort(F.collect_list("c")).alias("cents")))
+
+
+def _sem_chosen(cents: Column) -> Column:
+    """Per-row nearest-centroid pick over the broadcast ``cents`` array:
+    min of (rounded dist, k, centroid, cnorm) structs — struct ordering
+    compares dist then k, exactly the smallest-k tie rule."""
+    return F.array_min(F.transform(cents, lambda c: F.struct(
+        _sem_sqdist(F.col("embedding"), c["centroid"]).alias("d"),
+        c["k"].alias("k"),
+        c["centroid"].alias("centroid"),
+        c["cnorm"].alias("cnorm"))))
+
+
+#: Above this K, assignment switches from the literal-argmin expression
+#: (K array literals inlined in the plan — Catalyst analysis grows with
+#: K and stops being viable around K~10³) to a broadcast 1-row cents
+#: relation with the SAME rounded-dist/smallest-k contract. SEM_K = 8 is
+#: fixture-sized; at real scale K grows with the corpus (the per-cluster
+#: ranking window partitions by k, so cluster count must track data
+#: volume) and the relation path is the one that survives.
+SEM_LITERAL_K_MAX = 64
+
+
+def _sem_assign_rel(spark: SparkSession, emb: DataFrame,
+                    cent_rows: list) -> DataFrame:
+    """(vec_id, embedding, k): the broadcast-relation twin of
+    :func:`_sem_assign` — centroids ride a K-row DataFrame aggregated to
+    a 1-row cents array (cnorm folded in-plan, the same left-to-right
+    order as everywhere else), argmin via :func:`_sem_chosen`. Identical
+    output to the literal path (pinned by test), viable at any K."""
+    cdf = spark.createDataFrame(
+        [(int(k), [float(v) for v in c]) for k, c in cent_rows],
+        "k int, centroid array<double>")
+    cn = F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0),
+                            lambda a, v: a + v * v))
+    rel = (cdf.select(F.struct("k", "centroid", cn.alias("cnorm"))
+                      .alias("c"))
+           .agg(F.array_sort(F.collect_list("c")).alias("cents")))
+    return (emb.crossJoin(F.broadcast(rel))
+            .select("vec_id", "embedding",
+                    _sem_chosen(F.col("cents"))["k"].alias("k")))
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,36 +477,74 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties on vec_id. Output: one row per duplicated vector with its
     cluster, centroid cosine and keep flag."""
     emb = _sem_aug(spark, sf_dir)
-    # init: the K smallest vec_ids' embeddings, cluster id = rank; the
-    # Lloyd loop is driver-coordinated — each iteration is ONE
-    # partial-aggregated job (dim avg columns) whose K-row result feeds
-    # the next assignment as literals
-    init = emb.orderBy("vec_id").limit(SEM_K).collect()
-    cent_rows = [(i, [float(v) for v in r["embedding"]])
-                 for i, r in enumerate(init)]
-    dim = len(cent_rows[0][1])
-    for _ in range(SEM_ITERS):
-        got = _sem_centroids(_sem_assign(emb, cent_rows), dim).collect()
-        cent_rows = sorted((int(r["k"]), list(r["centroid"])) for r in got)
-    assigned = _sem_assign(emb, cent_rows)
-    import math as _math
-
-    cmeta = [(k, _math.sqrt(sum(v * v for v in c)), c)
-             for k, c in cent_rows]
+    # Lloyd iteration 1 FUSED with centroid init (one driver job, was
+    # two): the K init centroids — the K smallest vec_ids' embeddings —
+    # ride a TakeOrdered broadcast into the assignment join, labeled by
+    # their OWN vec_id (the argmin struct's tie-break on the smaller
+    # cand vec_id is exactly the smaller-k rule, since k is the vec_id
+    # rank); the driver relabels k = rank after the K-row collect.
+    # This one fused pass shuffles N rows twice (vec_id argmin, then
+    # cluster re-estimation) where the literal-argmin form shuffles
+    # only K — but it saves a whole sequential job + its top-K scan;
+    # later iterations keep the zero-shuffle literal-argmin shape.
+    cand = (emb.orderBy("vec_id").limit(SEM_K)
+            .select(F.col("vec_id").alias("ck"),
+                    F.col("embedding").alias("cent")))
+    d = _sem_sqdist(F.col("embedding"), F.col("cent"))
+    best = (emb.crossJoin(F.broadcast(cand))
+            .select("vec_id", "embedding", d.alias("d"), "ck")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "ck")).alias("m"),
+                 F.any_value("embedding").alias("embedding")))
+    got = _sem_centroid_rows(best.select(F.col("m.ck").alias("k"),
+                                         "embedding"))
+    cent_rows = [(i, c) for i, (_ck, c) in enumerate(got)]
+    # Remaining Lloyd iterations run INSIDE the final action: each
+    # re-estimation is a 1-row cents relation (K·dim partial agg)
+    # broadcast into the next per-row argmin — no driver collect
+    # between iterations (the sequential iter-2 job was ~1.8 s of the
+    # query's wall, almost all fixed overhead at fixture scale). The
+    # first in-plan assignment still uses the literal argmin (cent_rows
+    # are driver literals from the fused job — no join needed) up to
+    # SEM_LITERAL_K_MAX; past it, the broadcast-relation twin.
+    if len(cent_rows) <= SEM_LITERAL_K_MAX:
+        assigned_k = _sem_assign(emb, cent_rows).select("k", "embedding")
+    else:
+        assigned_k = _sem_assign_rel(spark, emb, cent_rows) \
+            .select("k", "embedding")
+    for _ in range(SEM_ITERS - 2):
+        withc = emb.crossJoin(F.broadcast(_sem_cents_1row(assigned_k)))
+        assigned_k = withc.select(
+            _sem_chosen(F.col("cents"))["k"].alias("k"), "embedding")
+    cents_rel = _sem_cents_1row(assigned_k)
+    # final assignment + centroid cosine from the SAME broadcast pick;
+    # the chosen struct binds ONCE inside a 1-element transform lambda
+    # (the _let trick) so k and ccos don't each re-run the argmin
     nrm = _norm(F.col("embedding"))
-    ccos_by_k = None
-    for k, cn, c in cmeta:
-        val = roundn_col(
-            _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
-            / (nrm * F.lit(cn)))
-        ccos_by_k = (F.when(F.col("k") == k, val) if ccos_by_k is None
-                     else ccos_by_k.when(F.col("k") == k, val))
-    scored = assigned.select("vec_id", "embedding", "k",
-                             nrm.alias("enorm"), ccos_by_k.alias("ccos"))
-    # paper keep rule: survivors are LOW-centroid-cosine first
+    bound = F.element_at(
+        F.transform(F.array(_sem_chosen(F.col("cents"))), lambda ch:
+                    F.struct(
+                        ch["k"].alias("k"),
+                        roundn_col(
+                            _dot(F.col("embedding"), ch["centroid"])
+                            / (nrm * ch["cnorm"])).alias("ccos"))), 1)
+    scored = (emb.crossJoin(F.broadcast(cents_rel))
+              .select("vec_id", "embedding", nrm.alias("enorm"),
+                      bound.alias("b"))
+              .select("vec_id", "embedding", "enorm",
+                      F.col("b.k").alias("k"), F.col("b.ccos")
+                      .alias("ccos")))
+    # paper keep rule: survivors are LOW-centroid-cosine first.
+    # Both pair sides read `ranked`; serialized memory-first persist
+    # (the §9a/§10 discipline) instead of the old eager localCheckpoint,
+    # whose blocks shared eviction state with every earlier query's
+    # leftovers and survived clearCache() — the accumulated-session
+    # pressure class behind the 6 s in-bench vs ~2 s isolated gap.
+    from pyspark import StorageLevel
+
     wk = Window.partitionBy("k").orderBy("ccos", "vec_id")
     ranked = (scored.withColumn("r", F.row_number().over(wk))
-              .localCheckpoint(eager=True))  # both pair sides + output
+              .persist(StorageLevel.MEMORY_AND_DISK))
     keepers = (ranked.filter(F.col("r") <= EMB_BLOCK_CAP)
                .select("k", F.col("vec_id").alias("keep_id"),
                        F.col("embedding").alias("ke"),
