@@ -900,50 +900,42 @@ def _scalar_hash(args, raw):
 
 
 def _scalar_cidr_match(args, raw):
-    """ES|QL ``CIDR_MATCH(ip, "block", ...)``: true iff the dotted-quad
-    string falls in ANY of the literal CIDR blocks. The blocks are parsed
-    at compile time; the match is integer prefix comparison."""
+    """ES|QL ``CIDR_MATCH(ip, "block", ...)``: true iff the IP string —
+    IPv4 or IPv6 — falls in ANY of the literal CIDR blocks. The blocks
+    are parsed at compile time (stdlib ``ipaddress``); the match runs on
+    the 128-bit value as 32 lowercase nibbles with IPv4 mapped into
+    ``::ffff:0:0/96`` (the Lucene ``InetAddressPoint`` encoding ES's ip
+    CIDR queries use), so a test is a fixed-length string-prefix compare
+    plus an allowed-chars check for a non-nibble-aligned prefix.
+    Invalid/unparseable addresses are a NON-match, never an error."""
     if len(raw) < 2:
         raise ESQLError("CIDR_MATCH takes (ip, cidr_literal, ...)")
-    ip_long = None  # built per call from the column expression
+    from elasticsearch_hbase_river_spark.functions.ip import (
+        _let as _ip_let,
+        cidr_match_hex_conds,
+        ip_hex32_col,
+    )
 
-    def ip_to_int(s: str) -> int:
-        parts = s.split(".")
-        if len(parts) != 4 or not all(p.isdigit() and int(p) < 256
-                                      for p in parts):
-            raise ESQLError(f"bad IPv4 address {s!r} in CIDR block")
-        out = 0
-        for p in parts:
-            out = out * 256 + int(p)
-        return out
-
-    cond = None
+    blocks = []
     for blk in raw[1:]:
         if blk[0] != "lit" or not isinstance(blk[1], str):
             raise ESQLError("CIDR_MATCH blocks must be string literals")
-        cidr = blk[1]
-        net_s, slash, bits_s = cidr.partition("/")
-        if slash and not bits_s.isdigit():
-            raise ESQLError(f"bad prefix length in {cidr!r}")
-        bits = int(bits_s) if bits_s else 32
-        if not 0 <= bits <= 32:
-            raise ESQLError(f"bad prefix length in {cidr!r}")
-        net = ip_to_int(net_s) >> (32 - bits) if bits else 0
-        if ip_long is None:
-            ip_long = F.aggregate(
-                F.transform(F.split(args[0], r"\."),
-                            lambda x: x.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, o: acc * F.lit(256) + o)
-        shifted = (F.floor(ip_long / F.lit(2 ** (32 - bits)))
-                   if bits else F.lit(0))
-        this = shifted == F.lit(net)
-        cond = this if cond is None else (cond | this)
-    # an invalid dotted quad (octet > 255, wrong arity) must be a
-    # NON-match, never a false positive from the bare integer fold
-    octet = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
-    valid = args[0].rlike(f"^{octet}(\\.{octet}){{3}}$")
-    return valid & cond
+        try:
+            blocks.append(cidr_match_hex_conds(blk[1]))
+        except ValueError as e:
+            raise ESQLError(f"bad CIDR block {blk[1]!r}: {e}")
+
+    def match(h: Column) -> Column:
+        cond = None
+        for pref, nib, allowed in blocks:
+            this = (F.substring(h, 1, nib) == F.lit(pref)) if nib \
+                else F.lit(True)
+            if allowed:
+                this = this & F.substring(h, nib + 1, 1).isin(allowed)
+            cond = this if cond is None else (cond | this)
+        return h.isNotNull() & cond
+
+    return _ip_let(ip_hex32_col(args[0]), match)
 
 
 def _scalar_match(args, raw):

@@ -6,8 +6,17 @@ RFC 5952 canonical form (lowercase, leading zeros stripped, the leftmost
 longest run of >= 2 zero groups compressed to ``::``); unconvertible
 values fold to null, the ES|QL null-with-warning convention.
 
-Subset contract (documented in COVERAGE.md): pure-hex IPv6 only —
-IPv4-mapped forms (``::ffff:1.2.3.4``) and zone indices fold to null.
+Dotted-quad tails (RFC 4291 §2.2.3: ``::ffff:1.2.3.4``, ``::1.2.3.4``)
+parse as the last two hextets, and the IPv4-MAPPED prefix
+(``::ffff:0:0/96``) renders back as the dotted quad — exactly Java's
+``InetAddress`` / ES behavior, where a mapped address IS an IPv4
+address. Subset contract (COVERAGE.md): zone indices (``%eth0``) fold
+to null.
+
+``ip_hex32_col`` / ``ip_hex32_sql`` expose the 128-bit VALUE as 32
+lowercase nibbles with IPv4 mapped into ``::ffff:0:0/96`` — the
+Lucene ``InetAddressPoint`` encoding — so CIDR matching is one
+fixed-length string prefix compare for v4 and v6 alike.
 
 Both engines run the IDENTICAL algorithm: the 28-case leftmost-longest
 zero-run search over the 8 hextets is GENERATED once (``_RUNS``) and
@@ -56,10 +65,32 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+#: dotted-quad tail of an IPv6 string (strict octets, after a colon)
+_V4_TAIL_RE = f":({IPV4_OCTET}(\\.{IPV4_OCTET}){{3}})$"
+
+
+def _v4_tail_to_hex(lc: Column) -> Column:
+    """Rewrite a trailing dotted quad into its two hextets (RFC 4291
+    §2.2.3): ``::ffff:1.2.3.4`` → ``::ffff:102:304``. Strings without a
+    valid strict-octet quad tail pass through untouched (an INVALID quad
+    stays in place and fails the hextet check downstream → null)."""
+    quad = F.regexp_extract(lc, _V4_TAIL_RE, 1)
+    o = F.transform(F.split(quad, r"\."), lambda x: x.cast("long"))
+    hx = lambda v: F.lower(F.conv(v.cast("string"), 10, 16))  # noqa: E731
+    rewritten = F.concat(
+        F.regexp_replace(lc, _V4_TAIL_RE, ""), F.lit(":"),
+        hx(F.element_at(o, 1) * 256 + F.element_at(o, 2)), F.lit(":"),
+        hx(F.element_at(o, 3) * 256 + F.element_at(o, 4)))
+    return F.when(lc.contains(":") & (quad != ""), rewritten).otherwise(lc)
+
+
 def to_ip_col(c: Column) -> Column:
     """Canonical IP string (or null) from an arbitrary string column."""
 
-    def with_lc(lc: Column) -> Column:
+    def with_lc(lc0: Column) -> Column:
+        return _let(_v4_tail_to_hex(lc0), with_lc2)
+
+    def with_lc2(lc: Column) -> Column:
         return _let(F.split(lc, "::", -1),
                     lambda parts: with_parts(lc, parts))
 
@@ -90,14 +121,23 @@ def to_ip_col(c: Column) -> Column:
         return F.when(lc.rlike(IPV4_RE), lc).when(ok6, canon6)
 
     def with_hexs(h: Column) -> Column:
+        # IPv4-MAPPED value (::ffff:0:0/96): render as the dotted quad —
+        # Java's InetAddress / ES treat the mapped range AS IPv4
+        v7 = F.conv(F.element_at(h, 7), 16, 10).cast("long")
+        v8 = F.conv(F.element_at(h, 8), 16, 10).cast("long")
+        dotted = F.concat_ws(
+            ".", F.floor(v7 / 256).cast("long"), F.pmod(v7, 256),
+            F.floor(v8 / 256).cast("long"), F.pmod(v8, 256))
+        mapped = F.array_join(F.slice(h, 1, 6), ":") == "0:0:0:0:0:ffff"
         # leftmost-longest zero-run search over a 8-char '1'/'0' bitmap:
         # locate('1' * l, bitmap) is the leftmost start of a run >= l, so
         # scanning l from 8 down to 2 yields the RFC 5952 choice
         bitmap = F.array_join(
             F.transform(h, lambda x: F.when(x == "0", F.lit("1"))
                         .otherwise(F.lit("0"))), "")
-        return _let(bitmap, lambda b: _let(_best_run(b),
-                                           lambda bs: _render(h, bs)))
+        canon = _let(bitmap, lambda b: _let(_best_run(b),
+                                            lambda bs: _render(h, bs)))
+        return F.when(mapped, dotted).otherwise(canon)
 
     def _best_run(b: Column) -> Column:
         chain = None
@@ -134,7 +174,21 @@ def to_ip_sql(expr: str) -> str:
         conds.append(f"WHEN {zs} THEN {{'s': {s}, 'l': {l}}}")
     case = "CASE " + " ".join(conds) + " ELSE {'s': 0, 'l': 0} END"
     return f"""(
-WITH _i AS (SELECT lower(trim({expr})) AS lc),
+WITH _i0 AS (SELECT lower(trim({expr})) AS lc0),
+_iq AS (SELECT lc0, regexp_extract(lc0, '{_V4_TAIL_RE}', 1) AS quad
+        FROM _i0),
+_io AS (SELECT lc0, quad,
+          CASE WHEN quad <> ''
+               THEN list_transform(str_split(quad, '.'), x -> x::BIGINT)
+          END AS o
+        FROM _iq),
+_i AS (SELECT CASE WHEN contains(lc0, ':') AND quad <> ''
+         THEN regexp_replace(lc0, '{_V4_TAIL_RE}', '') || ':' ||
+              -- DuckDB to_hex is UPPERCASE (Spark conv too — both sides
+              -- lower() explicitly)
+              lower(to_hex(o[1] * 256 + o[2])) || ':' ||
+              lower(to_hex(o[3] * 256 + o[4]))
+         ELSE lc0 END AS lc FROM _io),
 _p AS (SELECT lc, str_split(lc, '::') AS parts FROM _i),
 _g AS (SELECT lc, len(parts) AS ndc,
          CASE WHEN parts[1] = '' THEN []
@@ -155,7 +209,13 @@ _h AS (SELECT lc,
        FROM _v),
 _r AS (SELECT lc, ok6, h, {case} AS b FROM _h),
 _o AS (SELECT lc, ok6,
-         CASE WHEN b.l >= 2 THEN
+         CASE WHEN h[1:6] = ['0', '0', '0', '0', '0', 'ffff'] THEN
+           -- IPv4-mapped value renders as the dotted quad (Java/ES)
+           (('0x' || h[7])::BIGINT // 256)::VARCHAR || '.' ||
+           (('0x' || h[7])::BIGINT % 256)::VARCHAR || '.' ||
+           (('0x' || h[8])::BIGINT // 256)::VARCHAR || '.' ||
+           (('0x' || h[8])::BIGINT % 256)::VARCHAR
+         WHEN b.l >= 2 THEN
            -- DuckDB array_to_string([]) is NULL, not '' — coalesce both
            -- flanks so '::1' / '1::' / '::' render
            coalesce(array_to_string(h[1:b.s - 1], ':'), '') || '::' ||
@@ -166,3 +226,145 @@ SELECT CASE
   WHEN regexp_matches(lc, '{IPV4_RE}') THEN lc
   WHEN ok6 THEN canon6
 END FROM _o)"""
+
+
+def ip_hex32_col(c: Column) -> Column:
+    """The 128-bit value of an IP string as 32 lowercase nibbles (or
+    null): IPv6 hextets lpad'ed to 4, IPv4 mapped into ``::ffff:0:0/96``
+    — the Lucene ``InetAddressPoint`` encoding ES's ip field/CIDR
+    queries run on. Fixed-length hex compares lexicographically ==
+    numerically, so a CIDR test is one string-prefix compare."""
+
+    def with_lc(lc0: Column) -> Column:
+        return _let(_v4_tail_to_hex(lc0), with_lc2)
+
+    def with_lc2(lc: Column) -> Column:
+        return _let(F.split(lc, "::", -1),
+                    lambda parts: with_parts(lc, parts))
+
+    def groups(part: Column) -> Column:
+        return F.when(part == "", F.array().cast("array<string>")) \
+                .otherwise(F.split(part, ":", -1))
+
+    def with_parts(lc: Column, parts: Column) -> Column:
+        ndc = F.size(parts)
+        left = groups(F.element_at(parts, 1))
+        right = F.when(ndc == 2, groups(F.element_at(parts, 2))) \
+                 .otherwise(F.array().cast("array<string>"))
+        return _let(F.struct(left.alias("lg"), right.alias("rg")),
+                    lambda g: with_groups(lc, ndc, g["lg"], g["rg"]))
+
+    def with_groups(lc, ndc, left, right) -> Column:
+        n = F.size(left) + F.size(right)
+        toks_ok = F.forall(F.concat(left, right),
+                           lambda x: x.rlike(_HEXTET_RE))
+        struct_ok = ((ndc == 1) & (n == 8)) | ((ndc == 2) & (n <= 7))
+        ok6 = lc.contains(":") & (ndc <= 2) & struct_ok & toks_ok
+        hex32 = F.array_join(F.transform(
+            F.concat(left,
+                     F.array_repeat(F.lit("0"), (F.lit(8) - n).cast("int")),
+                     right),
+            lambda x: F.lpad(x, 4, "0")), "")
+        # IPv4 → mapped: 20 zero nibbles + ffff + 8 v4 nibbles
+        o = F.transform(F.split(lc, r"\."), lambda x: x.cast("long"))
+        v4hex = F.concat(
+            F.lit("00000000000000000000ffff"),
+            F.lpad(F.lower(F.conv(
+                (F.element_at(o, 1) * 16777216 + F.element_at(o, 2) * 65536
+                 + F.element_at(o, 3) * 256 + F.element_at(o, 4))
+                .cast("string"), 10, 16)), 8, "0"))
+        return F.when(lc.rlike(IPV4_RE), v4hex).when(ok6, hex32)
+
+    return _let(F.lower(F.trim(c)), with_lc)
+
+
+def ip_hex32_sql(expr: str) -> str:
+    """DuckDB scalar subquery computing the identical 32-nibble
+    encoding of ``expr`` (v4 mapped), for CIDR oracle twins."""
+    return f"""(
+WITH _i0 AS (SELECT lower(trim({expr})) AS lc0),
+_iq AS (SELECT lc0, regexp_extract(lc0, '{_V4_TAIL_RE}', 1) AS quad
+        FROM _i0),
+_io AS (SELECT lc0, quad,
+          CASE WHEN quad <> ''
+               THEN list_transform(str_split(quad, '.'), x -> x::BIGINT)
+          END AS o
+        FROM _iq),
+_i AS (SELECT CASE WHEN contains(lc0, ':') AND quad <> ''
+         THEN regexp_replace(lc0, '{_V4_TAIL_RE}', '') || ':' ||
+              lower(to_hex(o[1] * 256 + o[2])) || ':' ||
+              lower(to_hex(o[3] * 256 + o[4]))
+         ELSE lc0 END AS lc FROM _io),
+_p AS (SELECT lc, str_split(lc, '::') AS parts FROM _i),
+_g AS (SELECT lc, len(parts) AS ndc,
+         CASE WHEN parts[1] = '' THEN []
+              ELSE str_split(parts[1], ':') END AS lg,
+         CASE WHEN len(parts) = 2 AND parts[2] <> ''
+              THEN str_split(parts[2], ':') ELSE [] END AS rg
+       FROM _p),
+_v AS (SELECT lc, ndc, lg, rg, len(lg) + len(rg) AS n FROM _g),
+_h AS (SELECT lc,
+         array_to_string(list_transform(
+           lg || list_transform(range(8 - n), x -> '0') || rg,
+           x -> lpad(x, 4, '0')), '') AS hex32,
+         (contains(lc, ':') AND ndc <= 2
+          AND ((ndc = 1 AND n = 8) OR (ndc = 2 AND n <= 7))
+          AND len(list_filter(lg || rg,
+                x -> NOT regexp_matches(x, '^[0-9a-f]{{1,4}}$'))) = 0)
+           AS ok6
+       FROM _v)
+SELECT CASE
+  WHEN regexp_matches(lc, '{IPV4_RE}') THEN
+    '00000000000000000000ffff' ||
+    lpad(lower(to_hex(
+      list_transform(str_split(lc, '.'), x -> x::BIGINT)[1] * 16777216
+      + list_transform(str_split(lc, '.'), x -> x::BIGINT)[2] * 65536
+      + list_transform(str_split(lc, '.'), x -> x::BIGINT)[3] * 256
+      + list_transform(str_split(lc, '.'), x -> x::BIGINT)[4])), 8, '0')
+  WHEN ok6 THEN hex32
+END FROM _h)"""
+
+
+def cidr_block_hex(cidr: str) -> tuple[str, int]:
+    """(network hex32, mapped prefix bits) of a CIDR literal — IPv4
+    blocks map into ``::ffff:0:0/96`` (prefix + 96), matching the
+    column encoding. Raises ValueError on malformed blocks."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    if isinstance(net, ipaddress.IPv4Network):
+        v4 = int(net.network_address)
+        return ("00000000000000000000ffff" + format(v4, "08x"),
+                net.prefixlen + 96)
+    return (format(int(net.network_address), "032x"), net.prefixlen)
+
+
+def cidr_match_hex_conds(cidr: str) -> tuple[str, int, list[str]]:
+    """Compile a CIDR block into (full-nibble prefix, nibble count,
+    allowed chars for the partial nibble — empty list when the prefix
+    ends on a nibble boundary). Shared by the Spark compiler and the
+    SQL twin generator so both engines run the identical test."""
+    net_hex, bits = cidr_block_hex(cidr)
+    nib, rem = divmod(bits, 4)
+    if rem == 0:
+        return net_hex[:nib], nib, []
+    want = int(net_hex[nib], 16) >> (4 - rem)
+    allowed = [d for d in "0123456789abcdef"
+               if int(d, 16) >> (4 - rem) == want]
+    return net_hex[:nib], nib, allowed
+
+
+def cidr_match_sql_cond(hcol: str, cidr: str) -> str:
+    """DuckDB boolean expression testing the hex32 column ``hcol``
+    against one CIDR block — generated from the SAME compiled prefix as
+    the Spark side (:func:`cidr_match_hex_conds`), no hand-translation."""
+    pref, nib, allowed = cidr_match_hex_conds(cidr)
+    parts = []
+    if nib:
+        parts.append(f"substr({hcol}, 1, {nib}) = '{pref}'")
+    if allowed:
+        opts = ", ".join(f"'{a}'" for a in allowed)
+        parts.append(f"substr({hcol}, {nib + 1}, 1) IN ({opts})")
+    if not parts:
+        parts = ["TRUE"]
+    return "(" + " AND ".join(parts) + ")"

@@ -679,6 +679,66 @@ ORACLES["q_esql_to_ip6"] = _to_ip6_oracle()
 
 
 _register(
+    "q_esql_cidr6",
+    """
+FROM events
+| EVAL ip = CASE(event_id % 3 == 0,
+                 CONCAT("2001:db8:", TO_STRING(user_id % 4), "::1"),
+                 event_id % 3 == 1,
+                 CONCAT("::ffff:10.", TO_STRING(user_id % 4), ".0.1"),
+                 CONCAT("10.", TO_STRING(user_id % 4), ".",
+                        TO_STRING(event_id % 2), ".9"))
+| EVAL in6 = CIDR_MATCH(ip, "2001:db8::/32"),
+       in4 = CIDR_MATCH(ip, "10.0.0.0/8", "fe80::/10")
+| WHERE in6 OR in4
+| EVAL canon = TO_IP(ip)
+| STATS n = COUNT(*) BY canon, in6
+| SORT n DESC, canon
+| LIMIT 30
+""",
+    None,  # twin generated below (shared CIDR prefix compilation)
+    "CIDR_MATCH across address families on the 128-bit value (Lucene "
+    "InetAddressPoint encoding): IPv6 blocks (2001:db8::/32, a "
+    "non-nibble-aligned fe80::/10), an IPv4 block that also catches "
+    "IPv4-MAPPED addresses (::ffff:10.x.0.1 ∈ 10.0.0.0/8 — the ES "
+    "mapped-range semantics), and TO_IP rendering mapped values back "
+    "to dotted quads. All compile-time prefixes, map-side compares.")
+
+
+def _cidr6_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.ip import (
+        cidr_match_sql_cond,
+        ip_hex32_sql,
+        to_ip_sql,
+    )
+    ip = ("CASE WHEN event_id % 3 = 0 "
+          "THEN '2001:db8:' || (user_id % 4) || '::1' "
+          "WHEN event_id % 3 = 1 "
+          "THEN '::ffff:10.' || (user_id % 4) || '.0.1' "
+          "ELSE '10.' || (user_id % 4) || '.' || (event_id % 2) || '.9' "
+          "END")
+    in6 = cidr_match_sql_cond("h", "2001:db8::/32")
+    in4a = cidr_match_sql_cond("h", "10.0.0.0/8")
+    in4b = cidr_match_sql_cond("h", "fe80::/10")
+    # pre-aggregate on the raw string (few distinct values) so the
+    # hex32/canonicalizer subqueries run once per distinct address
+    return f"""
+WITH src AS (SELECT {ip} AS ip, count(*) AS c FROM events GROUP BY 1),
+hx AS (SELECT ip, c, {ip_hex32_sql('ip')} AS h FROM src),
+m AS (SELECT ip, c,
+        (h IS NOT NULL AND {in6}) AS in6,
+        (h IS NOT NULL AND ({in4a} OR {in4b})) AS in4
+      FROM hx),
+cn AS (SELECT {to_ip_sql('ip')} AS canon, in6, c
+       FROM m WHERE in6 OR in4)
+SELECT canon, in6, CAST(sum(c) AS BIGINT) AS n
+FROM cn GROUP BY canon, in6 ORDER BY n DESC, canon LIMIT 30"""
+
+
+ORACLES["q_esql_cidr6"] = _cidr6_oracle()
+
+
+_register(
     "q_esql_mv_strings",
     """
 FROM documents

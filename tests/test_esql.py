@@ -525,7 +525,7 @@ def test_hash_unknown_alg(spark):
 
 
 def test_cidr_bad_block(spark):
-    with pytest.raises(ESQLError, match="bad IPv4"):
+    with pytest.raises(ESQLError, match="bad CIDR block"):
         esql(spark, 'ROW ip = "1.2.3.4" | EVAL m = CIDR_MATCH(ip, "300.0.0.0/8")')
 
 
@@ -657,7 +657,7 @@ def test_cidr_match_invalid_ip_is_nonmatch(spark):
 
 
 def test_cidr_bad_prefix_is_esql_error(spark):
-    with pytest.raises(ESQLError, match="bad prefix"):
+    with pytest.raises(ESQLError, match="bad CIDR block"):
         esql(spark, 'ROW ip = "1.2.3.4" | EVAL m = CIDR_MATCH(ip, "10.0.0.0/x")')
 
 
@@ -1676,8 +1676,9 @@ def test_kql_date_range_comparisons(spark):
 def test_to_ip_ipv6_rfc5952(spark):
     """TO_IP canonicalizes IPv6 per RFC 5952: lowercase, leading zeros
     stripped, the leftmost-longest run of >= 2 zero groups compressed;
-    single zero groups never compress; malformed / IPv4-mapped forms
-    fold to null (documented subset)."""
+    single zero groups never compress; dotted-quad tails parse per RFC
+    4291 §2.2.3 and IPv4-MAPPED values render AS the dotted quad (the
+    Java InetAddress / ES rule); malformed forms fold to null."""
     cases = [
         ("2001:0db8:0:0:0:0:2:1", "2001:db8::2:1"),
         ("1:0:0:2:0:0:0:3", "1:0:0:2::3"),        # longest wins
@@ -1691,7 +1692,16 @@ def test_to_ip_ipv6_rfc5952(spark):
         ("1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8"),
         ("10.1.2.3", "10.1.2.3"),
         ("1::2::3", None), ("12345::1", None), ("g::1", None),
-        ("1:2:3:4:5:6:7", None), ("::ffff:1.2.3.4", None),
+        ("1:2:3:4:5:6:7", None),
+        # v4-embedded tails + the mapped range (RFC 4291 / Java rules)
+        ("::ffff:1.2.3.4", "1.2.3.4"),
+        ("::FFFF:255.255.255.255", "255.255.255.255"),
+        ("::ffff:102:304", "1.2.3.4"),            # pure-hex mapped value
+        ("0:0:0:0:0:ffff:a00:1", "10.0.0.1"),
+        ("::1.2.3.4", "::102:304"),               # v4-COMPATIBLE: hex form
+        ("1:2:3:4:5:6:1.2.3.4", "1:2:3:4:5:6:102:304"),
+        ("::ffff:999.1.2.3", None), ("::ffff:01.2.3.4", None),
+        ("1:2:3:4:5:6:7:1.2.3.4", None),
     ]
     t = spark.createDataFrame([(c,) for c, _ in cases], "ip string")
     got = {r.ip: r.c for r in esql(
@@ -1814,3 +1824,63 @@ def test_kql_date_column_datetime_literal(spark):
     # pure date literals keep date-typed comparison
     assert run("d > 2024-01-01") == [2, 3]
     assert run("d >= 2024-01-02") == [2, 3]
+
+
+def test_cidr_match_cross_family(spark):
+    """CIDR_MATCH runs on the 128-bit value with IPv4 mapped into
+    ::ffff:0:0/96 (the Lucene InetAddressPoint encoding): v6 blocks,
+    non-nibble-aligned prefixes, and the ES rule that a v4 block
+    catches IPv4-mapped text forms. Invalid addresses never match."""
+    rows = [(1, "10.1.2.3"), (2, "::ffff:10.9.9.9"), (3, "11.0.0.1"),
+            (4, "2001:db8:1::5"), (5, "2001:db9::1"), (6, "fe80::1"),
+            (7, "febf::1"), (8, "fec0::1"), (9, "not-an-ip"),
+            (10, "10.999.1.1")]
+    t = spark.createDataFrame(rows, "id long, ip string")
+
+    def run(blocks):
+        blks = ", ".join(f'"{b}"' for b in blocks)
+        return sorted(r.id for r in esql(
+            spark, f'FROM d | WHERE CIDR_MATCH(ip, {blks}) | KEEP id',
+            tables={"d": t}).collect())
+
+    assert run(["10.0.0.0/8"]) == [1, 2]          # mapped form included
+    assert run(["2001:db8::/32"]) == [4]
+    assert run(["fe80::/10"]) == [6, 7]           # partial-nibble prefix
+    assert run(["10.0.0.0/8", "2001:db8::/32"]) == [1, 2, 4]
+    assert run(["::/0"]) == [1, 2, 3, 4, 5, 6, 7, 8]  # v6 whole space
+    with pytest.raises(ESQLError, match="bad CIDR block"):
+        run(["10.0.0.0/33"])
+
+
+def test_ip_hex32_spark_and_duckdb_twins_agree(spark):
+    """ip_hex32 (the CIDR encoding) agrees between the Spark column and
+    the generated DuckDB SQL on random v4/v6/mapped/garbage inputs."""
+    import random
+
+    import duckdb
+
+    from elasticsearch_hbase_river_spark.functions.ip import (
+        ip_hex32_col,
+        ip_hex32_sql,
+    )
+
+    rng = random.Random(77)
+    cases = ["10.1.2.3", "::ffff:1.2.3.4", "2001:db8::1", "junk",
+             "10.999.0.1", "::", "::1.2.3.4"]
+    for _ in range(80):
+        n = rng.randint(1, 8)
+        gs = ["%x" % rng.randint(0, 65535) for _ in range(n)]
+        if n == 8:
+            cases.append(":".join(gs))
+        else:
+            cut = rng.randint(0, n)
+            cases.append(":".join(gs[:cut]) + "::" + ":".join(gs[cut:]))
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got_spark = {r.ip: r.h for r in
+                 df.select("ip", ip_hex32_col(F.col("ip")).alias("h"))
+                 .collect()}
+    con = duckdb.connect()
+    for c in cases:
+        got_duck = con.execute(
+            "SELECT " + ip_hex32_sql("?"), [c]).fetchone()[0]
+        assert got_spark[c] == got_duck, (c, got_spark[c], got_duck)
