@@ -770,6 +770,23 @@ def _grid_floor(ts: Column, width_secs: int) -> Column:
     return F.timestamp_add("SECOND", grid, zero)
 
 
+#: calendar units as month multiples — non-uniform in seconds, exact in
+#: month arithmetic (ES's Rounding.Builder anchors these at the epoch
+#: month, 1970-01)
+_CAL_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _cal_grid_floor(ts: Column, months_n: int) -> Column:
+    """Epoch-anchored CALENDAR grid floor: months-since-1970-01 floored
+    to a multiple of ``months_n``, rendered as that month's first
+    instant. Non-uniform in seconds but exact — no DST/length-of-month
+    approximation — and tz-free like :func:`_grid_floor`."""
+    m = (F.year(ts) - 1970) * 12 + F.month(ts) - 1
+    fl = (m - F.pmod(m, F.lit(months_n))).cast("int")
+    return F.to_timestamp_ntz(
+        F.add_months(F.to_date(F.lit("1970-01-01")), fl))
+
+
 def _scalar_to_unsigned_long(args, raw):
     d = args[0].cast("decimal(38,10)")
     t = (d - (d % 1)).cast("decimal(20,0)")  # truncate toward zero
@@ -789,19 +806,23 @@ def _fn_date_trunc(args, raw):
             # multi-unit spans: uniform units truncate onto the same
             # epoch-anchored grid BUCKET uses (ES|QL's DATE_TRUNC(3 hour,
             # ts) is grid-floor, not calendar truncation); calendar units
-            # (month/year) are non-uniform and stay refused.
+            # (month/quarter/year) floor in exact MONTH arithmetic on the
+            # epoch-month grid — non-uniform in seconds, never
+            # approximated by a fixed width.
             unit, n = span[2], span[1]
-            if unit not in _SPAN_SECONDS:
-                raise ESQLError(
-                    f"multi-unit DATE_TRUNC spans need a uniform unit "
-                    f"({sorted(_SPAN_SECONDS)}); {n} {unit} is calendar-"
-                    "dependent")
             if float(n) != int(n):
                 raise ESQLError(
                     f"time-span quantity must be an integer, got {n}")
             n = int(n)
             if n <= 0:
                 raise ESQLError("DATE_TRUNC span count must be positive")
+            if unit in _CAL_MONTH_UNITS:
+                return _cal_grid_floor(args[1], n * _CAL_MONTH_UNITS[unit])
+            if unit not in _SPAN_SECONDS:
+                raise ESQLError(
+                    f"multi-unit DATE_TRUNC spans need a uniform or "
+                    f"calendar unit ({sorted(_SPAN_SECONDS)} / "
+                    f"{sorted(_CAL_MONTH_UNITS)}), got {n} {unit}")
             return _grid_floor(args[1], n * _SPAN_SECONDS[unit])
         unit = span[2]
     else:
@@ -1419,8 +1440,9 @@ def _fn_bucket(args, raw):
     1-unit time span (or unit string) → calendar truncation; N-unit
     UNIFORM spans (``15 minute``, ``6 hour``) → epoch-grid floor
     (``floor(epoch/w)*w`` in seconds, via the tz-free long↔timestamp_ntz
-    casts so no session-timezone conversion sneaks in). N-unit calendar
-    spans (months/years) are non-uniform and refused."""
+    casts so no session-timezone conversion sneaks in); N-unit CALENDAR
+    spans (``3 month``, ``2 quarter``) → exact epoch-month grid floor,
+    the same math as DATE_TRUNC's."""
     if len(raw) != 2:
         raise ESQLError("BUCKET takes (field, span)")
     span = raw[1]
@@ -1431,17 +1453,19 @@ def _fn_bucket(args, raw):
         return F.floor(args[0] / F.lit(w)) * F.lit(w)
     if (span[0] == "span" and span[1] != 1):
         unit, n = span[2], span[1]
-        if unit not in _SPAN_SECONDS:
-            raise ESQLError(
-                f"multi-unit BUCKET spans need a uniform unit "
-                f"({sorted(_SPAN_SECONDS)}); {n} {unit} is calendar-"
-                "dependent")
         if float(n) != int(n):
             raise ESQLError(
                 f"time-span quantity must be an integer, got {n}")
         n = int(n)
         if n <= 0:
             raise ESQLError("BUCKET span count must be positive")
+        if unit in _CAL_MONTH_UNITS:
+            return _cal_grid_floor(args[0], n * _CAL_MONTH_UNITS[unit])
+        if unit not in _SPAN_SECONDS:
+            raise ESQLError(
+                f"multi-unit BUCKET spans need a uniform or calendar "
+                f"unit ({sorted(_SPAN_SECONDS)} / "
+                f"{sorted(_CAL_MONTH_UNITS)}), got {n} {unit}")
         return _grid_floor(args[0], n * _SPAN_SECONDS[unit])
     return _fn_date_trunc([None, args[0]], [span, raw[0]])
 

@@ -739,6 +739,30 @@ ORACLES["q_esql_cidr6"] = _cidr6_oracle()
 
 
 _register(
+    "q_esql_cal_trunc",
+    """
+FROM events
+| EVAL q = DATE_TRUNC(3 month, ts), s = BUCKET(ts, 2 quarter)
+| STATS n = COUNT(*), v = ROUND(SUM(value), 4) BY q, s
+| SORT q, s
+""",
+    f"""
+WITH e AS (
+  SELECT (year(ts) - 1970) * 12 + month(ts) - 1 AS m, value FROM events),
+b AS (SELECT m - m % 3 AS f3, m - m % 6 AS f6, value FROM e)
+SELECT make_timestamp(1970 + f3 // 12, f3 % 12 + 1, 1, 0, 0, 0) AS q,
+       make_timestamp(1970 + f6 // 12, f6 % 12 + 1, 1, 0, 0, 0) AS s,
+       CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('sum(value)', 4)} AS v
+FROM b GROUP BY 1, 2 ORDER BY q, s""",
+    "Calendar multi-unit grids: DATE_TRUNC(3 month) and BUCKET(2 "
+    "quarter) floor in EXACT month arithmetic anchored at the epoch "
+    "month (ES Rounding semantics — never a fixed-width seconds "
+    "approximation); both engines run the identical integer month "
+    "math, one partial-agg shuffle.")
+
+
+_register(
     "q_esql_mv_strings",
     """
 FROM documents

@@ -548,11 +548,12 @@ def test_date_trunc_span_and_string(spark, sf_dir):
     assert a.collect() == b.collect()
 
 
-def test_date_trunc_multi_unit_span_refused(spark, sf_dir):
-    # uniform multi-unit spans are supported (grid-floor; see
-    # test_date_trunc_multi_unit_grid); calendar units stay refused
-    with pytest.raises(ESQLError, match="calendar"):
-        esql(spark, "FROM events | EVAL d = DATE_TRUNC(2 year, ts)", sf_dir)
+def test_date_trunc_unknown_multi_unit_refused(spark, sf_dir):
+    # uniform and calendar multi-unit spans are supported (grid-floor /
+    # month arithmetic); anything else is a positioned error
+    with pytest.raises(ESQLError, match="uniform or calendar"):
+        esql(spark, "FROM events | EVAL d = DATE_TRUNC(7 millisecond, ts)",
+             sf_dir)
 
 
 def test_span_outside_date_trunc_refused(spark):
@@ -1634,7 +1635,8 @@ def test_ts_delta_first_last_tie_deterministic(spark):
 
 def test_date_trunc_multi_unit_grid(spark):
     """Multi-unit uniform spans truncate onto the epoch-anchored grid
-    (same math as BUCKET); calendar multi-unit spans stay refused."""
+    (same math as BUCKET); calendar multi-unit spans floor in exact
+    month arithmetic on the epoch-month grid."""
     t = spark.createDataFrame(
         [("2024-01-01 07:45:00",), ("2024-01-01 14:10:00",)],
         "t string").selectExpr("cast(t as timestamp_ntz) as ts")
@@ -1646,8 +1648,34 @@ def test_date_trunc_multi_unit_grid(spark):
                       '| SORT ts', tables={"d": t}).collect()
     assert [str(r.b) for r in out] == [
         "2024-01-01 07:45:00", "2024-01-01 14:00:00"]
-    with pytest.raises(ESQLError, match="calendar"):
-        esql(spark, 'FROM d | EVAL b = DATE_TRUNC(3 month, ts)',
+
+
+def test_date_trunc_calendar_multi_unit(spark):
+    """DATE_TRUNC(3 month / 2 quarter / 5 year, ts): exact month
+    arithmetic anchored at 1970-01 (ES Rounding semantics) — February
+    in a 3-month grid lands on January, never a fixed-width
+    approximation; a 5-year grid anchored at 1970 lands 2024 on 2020."""
+    rows = [("2024-02-20 10:00:00",), ("2024-03-31 23:59:59",),
+            ("2024-04-01 00:00:00",), ("1969-12-31 23:00:00",)]
+    t = spark.createDataFrame(rows, "t string") \
+        .selectExpr("cast(t as timestamp_ntz) as ts")
+    got = [str(r.b) for r in esql(
+        spark, 'FROM d | EVAL b = DATE_TRUNC(3 month, ts) | SORT ts',
+        tables={"d": t}).collect()]
+    assert got == ["1969-10-01 00:00:00", "2024-01-01 00:00:00",
+                   "2024-01-01 00:00:00", "2024-04-01 00:00:00"]
+    got = [str(r.b) for r in esql(
+        spark, 'FROM d | EVAL b = DATE_TRUNC(2 quarter, ts) | SORT ts',
+        tables={"d": t}).collect()]
+    assert got == ["1969-07-01 00:00:00", "2024-01-01 00:00:00",
+                   "2024-01-01 00:00:00", "2024-01-01 00:00:00"]
+    got = [str(r.b) for r in esql(
+        spark, 'FROM d | EVAL b = DATE_TRUNC(5 year, ts) | SORT ts',
+        tables={"d": t}).collect()]
+    assert got == ["1965-01-01 00:00:00", "2020-01-01 00:00:00",
+                   "2020-01-01 00:00:00", "2020-01-01 00:00:00"]
+    with pytest.raises(ESQLError, match="positive"):
+        esql(spark, 'FROM d | EVAL b = DATE_TRUNC(0 month, ts)',
              tables={"d": t})
 
 
