@@ -2289,59 +2289,105 @@ class _Compiler:
                       pos: int) -> Column:
         """``QSTR("query string")`` — Lucene query-string syntax as a
         row-level predicate. Subset (documented; everything else raises):
-        whitespace-separated clauses ``[+|-]field:term``, where ``field``
-        must name a column and ``term`` is an analyzed token, optionally
-        with one trailing ``*`` wildcard. ``+`` clauses must all match,
-        ``-`` clauses must none match; bare clauses are Lucene *should* —
-        at least one must match only when no ``+`` clause exists
-        (with ``+`` present they are boost-only, and QSTR as a predicate
-        carries no score). Both sides run the standard analyzer, so
-        ``field:Spark,`` matches the token ``spark``."""
+        whitespace-separated clauses ``[+|-]field:value`` where ``field``
+        must name a column and ``value`` is one of
+
+        - a term (one analyzed token, optional trailing ``*`` wildcard),
+        - ``"a quoted phrase"`` — consecutive analyzed tokens, the
+          Lucene phrase query (compiled to the padded-token-string
+          adjacency test the KQL/MATCH phrase paths use),
+        - ``(t1 OR t2 ...)`` — a parenthesized OR group of terms, each
+          with the optional trailing ``*``.
+
+        ``+`` clauses must all match, ``-`` clauses must none match;
+        bare clauses are Lucene *should* — at least one must match only
+        when no ``+`` clause exists (with ``+`` present they are
+        boost-only, and QSTR as a predicate carries no score). Both
+        sides run the standard analyzer, so ``field:Spark,`` matches
+        the token ``spark``."""
         from elasticsearch_hbase_river_spark.functions.analyzer import (
             analyze_tokens,
         )
         if (len(raw_args) != 1 or raw_args[0][0] != "lit"
                 or not isinstance(raw_args[0][1], str)):
             raise ESQLError("QSTR takes one string literal", pos, self.text)
-        must, must_not, should = [], [], []
-        for clause in raw_args[0][1].split():
-            m = re.fullmatch(r"([+-]?)([A-Za-z_][A-Za-z0-9_.]*):(\S+)",
-                             clause)
-            if not m:
-                raise ESQLError(
-                    f"unsupported QSTR clause {clause!r} — the subset is "
-                    "[+|-]field:term with an optional trailing *",
-                    pos, self.text)
-            sign, fld, term = m.groups()
-            if fld not in columns:
-                raise ESQLError(f"QSTR: unknown column {fld!r}",
-                                pos, self.text)
-            # analyze the query term the way the analyzer would
-            toks = re.split("[^a-z0-9]+",
-                            term.rstrip("*").lower().strip())
-            toks = [x for x in toks if x]
-            if len(toks) != 1:
-                raise ESQLError(
-                    f"QSTR term {term!r} must analyze to one token",
-                    pos, self.text)
-            {"+": must, "-": must_not, "": should}[sign].append(
-                (fld, toks[0], term.endswith("*")))
+        qtext = raw_args[0][1]
 
-        def hit(fld: str, term: str, prefix: bool) -> Column:
+        def err(msg: str):
+            raise ESQLError(f"QSTR: {msg} in {qtext!r}", pos, self.text)
+
+        def one_token(term: str) -> tuple[str, bool]:
+            toks = [x for x in re.split("[^a-z0-9]+",
+                                        term.rstrip("*").lower().strip())
+                    if x]
+            if len(toks) != 1:
+                err(f"term {term!r} must analyze to one token")
+            return toks[0], term.endswith("*")
+
+        # value = quoted phrase | parenthesized group | bare term
+        clause_pat = re.compile(
+            r'\s*([+-]?)([A-Za-z_][A-Za-z0-9_.]*):'
+            r'("[^"]*"|\([^()]*\)|\S+)')
+        must, must_not, should = [], [], []
+        at = 0
+        while at < len(qtext) and qtext[at:].strip():
+            m = clause_pat.match(qtext, at)
+            if not m:
+                err(f"unsupported clause at {qtext[at:].strip()!r} — the "
+                    "subset is [+|-]field:term / field:\"phrase\" / "
+                    "field:(a OR b), optional trailing *")
+            at = m.end()
+            sign, fld, value = m.groups()
+            if fld not in columns:
+                err(f"unknown column {fld!r}")
+            if value.startswith('"'):
+                words = [x for x in re.split("[^a-z0-9]+",
+                                             value[1:-1].lower()) if x]
+                if not words:
+                    err("empty quoted phrase")
+                spec = ("phrase", words)
+            elif value.startswith("("):
+                parts = re.split(r"\s+OR\s+", value[1:-1].strip(),
+                                 flags=re.IGNORECASE)
+                if len(parts) < 2 or any(not p.strip() for p in parts):
+                    err(f"group {value!r} must be (term OR term ...)")
+                spec = ("or", [one_token(p.strip()) for p in parts])
+            else:
+                spec = ("term", one_token(value))
+            {"+": must, "-": must_not, "": should}[sign].append((fld, spec))
+
+        def term_hit(fld: str, term: str, prefix: bool) -> Column:
             toks = analyze_tokens(F.col(fld))
             if prefix:
                 return F.exists(toks, lambda x: x.startswith(term))
             return F.array_contains(toks, term)
 
+        def hit(fld: str, spec) -> Column:
+            kind, payload = spec
+            if kind == "term":
+                return term_hit(fld, *payload)
+            if kind == "or":
+                out = F.lit(False)
+                for tm, px in payload:
+                    out = out | term_hit(fld, tm, px)
+                return out
+            # phrase: consecutive analyzed tokens via the padded join —
+            # the same adjacency test the KQL phrase / MATCH_PHRASE
+            # paths run
+            pad = F.concat(F.lit(" "),
+                           F.array_join(analyze_tokens(F.col(fld)), " "),
+                           F.lit(" "))
+            return pad.contains(" " + " ".join(payload) + " ")
+
         pred = F.lit(True)
-        for f_, tm, px in must:
-            pred = pred & hit(f_, tm, px)
-        for f_, tm, px in must_not:
-            pred = pred & ~hit(f_, tm, px)
+        for f_, spec in must:
+            pred = pred & hit(f_, spec)
+        for f_, spec in must_not:
+            pred = pred & ~hit(f_, spec)
         if should and not must:
             any_ = F.lit(False)
-            for f_, tm, px in should:
-                any_ = any_ | hit(f_, tm, px)
+            for f_, spec in should:
+                any_ = any_ | hit(f_, spec)
             pred = pred & any_
         return pred
 

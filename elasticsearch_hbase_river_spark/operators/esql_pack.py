@@ -1600,6 +1600,32 @@ GROUP BY lang ORDER BY lang""",
 
 
 _register(
+    "q_esql_qstr2",
+    """
+FROM documents
+| WHERE QSTR("+text:(spark OR flink) -text:\\"slow query\\" text:fast*")
+| STATS n = COUNT(*), chars = SUM(n_chars) BY lang
+| SORT lang
+""",
+    """
+WITH t AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS toks
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM t
+WHERE (list_contains(toks, 'spark') OR list_contains(toks, 'flink'))
+  AND NOT contains(' ' || array_to_string(toks, ' ') || ' ',
+                   ' slow query ')
+GROUP BY lang ORDER BY lang""",
+    "QSTR widened syntax: parenthesized OR groups, quoted PHRASES "
+    "(consecutive analyzed tokens via the padded-join adjacency test) "
+    "and wildcard should-clauses composing with +/- semantics — all "
+    "one map-side predicate, one partial-agg shuffle.")
+
+
+_register(
     "q_esql_pseries",
     """
 FROM events

@@ -1064,7 +1064,7 @@ def test_qstr_clause_semantics(spark):
 def test_qstr_rejects_unknown_column_and_bad_clause(spark):
     with pytest.raises(ESQLError, match="unknown column"):
         esql(spark, 'ROW a = "x" | WHERE QSTR("b:term")')
-    with pytest.raises(ESQLError, match="unsupported QSTR clause"):
+    with pytest.raises(ESQLError, match="unsupported clause"):
         esql(spark, 'ROW a = "x" | WHERE QSTR("bare")')
     with pytest.raises(ESQLError, match="one string literal"):
         esql(spark, 'ROW a = "x" | WHERE QSTR(a)')
@@ -1496,7 +1496,7 @@ def test_kql_qstr_parser_totality_property(spark):
                               "doc_id long, text string, v double")
 
     @settings(max_examples=300, deadline=None)
-    @given(st.text(alphabet='abtextv: ()"*<>=ANDORNT-.0123', max_size=30))
+    @given(st.text(alphabet='abtextv: ()"*<>=ANDORNT+-.0123', max_size=30))
     def check(q):
         esc = q.replace("\\", "\\\\").replace('"', '\\"')
         for fn in ("KQL", "QSTR"):
@@ -1912,3 +1912,30 @@ def test_ip_hex32_spark_and_duckdb_twins_agree(spark):
         got_duck = con.execute(
             "SELECT " + ip_hex32_sql("?"), [c]).fetchone()[0]
         assert got_spark[c] == got_duck, (c, got_spark[c], got_duck)
+
+
+def test_qstr_phrases_and_or_groups(spark):
+    """QSTR widening: quoted phrases (consecutive analyzed tokens) and
+    parenthesized OR groups, composing with +/- and should semantics."""
+    rows = [(1, "the quick brown fox"), (2, "brown quick the fox"),
+            (3, "slow red fox"), (4, "quick dog")]
+    t = spark.createDataFrame(rows, "id long, text string")
+
+    def run(q):
+        esc = q.replace('"', '\\"')
+        return sorted(r.id for r in esql(
+            spark, f'FROM d | WHERE QSTR("{esc}") | KEEP id',
+            tables={"d": t}).collect())
+
+    assert run('text:"quick brown"') == [1]        # adjacency, not AND
+    assert run('+text:"quick brown fox"') == [1]
+    assert run("text:(red OR dog)") == [3, 4]
+    assert run("text:(bro* OR dog)") == [1, 2, 4]  # wildcard inside group
+    assert run('+text:fox -text:"slow red"') == [1, 2]
+    assert run('text:(quick OR slow) +text:fox') == [1, 2, 3]
+    with pytest.raises(ESQLError, match="one token"):
+        run("text:(quick brown OR fox)")
+    with pytest.raises(ESQLError, match="empty quoted phrase"):
+        run('text:""')
+    with pytest.raises(ESQLError, match="must be \\(term OR term"):
+        run("text:(quick)")
