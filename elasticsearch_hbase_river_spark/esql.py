@@ -1165,25 +1165,40 @@ def _scalar_to_ip(args, raw):
 
 def _scalar_ip_prefix(args, raw):
     """``IP_PREFIX(ip, v4_len, v6_len)``: zero the host bits and render
-    the network address (IPv4; v6 inputs fold to null like TO_IP)."""
+    the network address. The FAMILY of the stored value picks the
+    length — values in the IPv4-mapped range (every dotted-quad and
+    ``::ffff:x:y`` form) use ``v4_len`` over the v4 bits and render
+    dotted; other IPv6 values use ``v6_len`` over all 128 bits and
+    render RFC 5952 canonical. Runs on the hex32 encoding (mask =
+    substring + a compile-time translate map) with the canonicalizer
+    reused for rendering, so IP_PREFIX and TO_IP can never disagree.
+    Unparseable input folds to null."""
     if (len(raw) != 3 or raw[1][0] != "lit"
-            or not isinstance(raw[1][1], int)):
+            or not isinstance(raw[1][1], int)
+            or raw[2][0] != "lit" or not isinstance(raw[2][1], int)):
         raise ESQLError("IP_PREFIX takes (ip, literal v4 prefix length, "
                         "literal v6 prefix length)")
-    bits = raw[1][1]
-    if not 0 <= bits <= 32:
-        raise ESQLError(f"bad IPv4 prefix length {bits}")
-    ip_long = F.aggregate(
-        F.transform(F.split(args[0], r"\."), lambda x: x.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, o: acc * F.lit(256) + o)
-    keep = 2 ** (32 - bits)
-    masked = (F.floor(ip_long / F.lit(keep)) * F.lit(keep)
-              if bits < 32 else ip_long)
-    octs = [(F.floor(masked / F.lit(2 ** s)) % 256).cast("long")
-            for s in (24, 16, 8, 0)]
-    return F.when(args[0].rlike(_IPV4_RE),
-                  F.concat_ws(".", *[o.cast("string") for o in octs]))
+    v4len, v6len = raw[1][1], raw[2][1]
+    if not 0 <= v4len <= 32:
+        raise ESQLError(f"bad IPv4 prefix length {v4len}")
+    if not 0 <= v6len <= 128:
+        raise ESQLError(f"bad IPv6 prefix length {v6len}")
+    from elasticsearch_hbase_river_spark.functions.ip import (
+        MAPPED_PREFIX,
+        _let as _ip_let,
+        hex32_to_hextets_col,
+        ip_hex32_col,
+        mask_hex32_col,
+        to_ip_col,
+    )
+
+    def body(h: Column) -> Column:
+        is4 = F.substring(h, 1, 24) == F.lit(MAPPED_PREFIX)
+        masked = F.when(is4, mask_hex32_col(h, 96 + v4len)) \
+                  .otherwise(mask_hex32_col(h, v6len))
+        return to_ip_col(hex32_to_hextets_col(masked))
+
+    return _ip_let(ip_hex32_col(args[0]), body)
 
 
 _SCALARS["TO_IP"] = _scalar_to_ip

@@ -368,3 +368,72 @@ def cidr_match_sql_cond(hcol: str, cidr: str) -> str:
     if not parts:
         parts = ["TRUE"]
     return "(" + " AND ".join(parts) + ")"
+
+
+def mask_hex32_col(h: Column, bits: int) -> Column:
+    """hex32 with everything past the first ``bits`` bits zeroed:
+    compile-time nibble split, the partial nibble masked via a 16-char
+    ``translate`` map — all whole-stage-codegen string ops."""
+    nib, rem = divmod(bits, 4)
+    parts: list[Column] = []
+    if nib:
+        parts.append(F.substring(h, 1, nib))
+    used = nib
+    if rem:
+        mapped = "".join(
+            format((int(d, 16) >> (4 - rem)) << (4 - rem), "x")
+            for d in "0123456789abcdef")
+        parts.append(F.translate(F.substring(h, nib + 1, 1),
+                                 "0123456789abcdef", mapped))
+        used += 1
+    if used < 32:
+        parts.append(F.lit("0" * (32 - used)))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def mask_hex32_sql(hexpr: str, bits: int) -> str:
+    """DuckDB expression: the identical mask over a hex32 expression."""
+    nib, rem = divmod(bits, 4)
+    parts: list[str] = []
+    if nib:
+        parts.append(f"substr({hexpr}, 1, {nib})")
+    used = nib
+    if rem:
+        mapped = "".join(
+            format((int(d, 16) >> (4 - rem)) << (4 - rem), "x")
+            for d in "0123456789abcdef")
+        parts.append(f"translate(substr({hexpr}, {nib + 1}, 1), "
+                     f"'0123456789abcdef', '{mapped}')")
+        used += 1
+    if used < 32:
+        parts.append(f"'{'0' * (32 - used)}'")
+    return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"
+
+
+#: the 24-nibble prefix every IPv4-mapped hex32 value carries
+MAPPED_PREFIX = "00000000000000000000ffff"
+
+
+def hex32_to_hextets_col(h: Column) -> Column:
+    """hex32 → colon-joined 8×4 hextet text (feedable to to_ip_col for
+    canonical rendering, which also maps ::ffff:0:0/96 back to dots)."""
+    return F.concat_ws(":", *[F.substring(h, 1 + 4 * i, 4)
+                              for i in range(8)])
+
+
+def hex32_to_hextets_sql(hexpr: str) -> str:
+    return " || ':' || ".join(f"substr({hexpr}, {1 + 4 * i}, 4)"
+                              for i in range(8))
+
+
+def ip_prefix_sql(expr: str, v4len: int, v6len: int) -> str:
+    """DuckDB scalar subquery: the identical IP_PREFIX(ip, v4len,
+    v6len) — hex32, family-picked mask, canonical re-render."""
+    m4 = mask_hex32_sql("h", 96 + v4len)
+    m6 = mask_hex32_sql("h", v6len)
+    return f"""(
+WITH _hh AS (SELECT {ip_hex32_sql(expr)} AS h),
+_mm AS (SELECT CASE WHEN substr(h, 1, 24) = '{MAPPED_PREFIX}'
+                    THEN {m4} ELSE {m6} END AS m
+        FROM _hh WHERE h IS NOT NULL)
+SELECT {to_ip_sql(hex32_to_hextets_sql('m'))} FROM _mm)"""

@@ -739,6 +739,38 @@ ORACLES["q_esql_cidr6"] = _cidr6_oracle()
 
 
 _register(
+    "q_esql_ip6_prefix",
+    """
+FROM events
+| EVAL ip6 = CONCAT("2001:db8:", TO_STRING(user_id % 16), ":",
+                    TO_STRING(event_id % 4), "bc0::1")
+| EVAL net = IP_PREFIX(ip6, 24, 52)
+| STATS n = COUNT(*) BY net
+| SORT n DESC, net
+| LIMIT 20
+""",
+    None,  # twin generated below (shared hex32 mask + canonicalizer)
+    "IP_PREFIX over IPv6: non-nibble-aligned 52-bit network mask on "
+    "the hex32 encoding (substring + compile-time translate map) with "
+    "the RFC 5952 canonicalizer reused for rendering — IP_PREFIX and "
+    "TO_IP share one code path in both engines.")
+
+
+def _ip6_prefix_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.ip import ip_prefix_sql
+    ip6 = ("'2001:db8:' || (user_id % 16) || ':' || (event_id % 4) "
+           "|| 'bc0::1'")
+    return f"""
+WITH src AS (SELECT {ip6} AS ip6, count(*) AS c FROM events GROUP BY 1),
+pn AS (SELECT {ip_prefix_sql('ip6', 24, 52)} AS net, c FROM src)
+SELECT net, CAST(sum(c) AS BIGINT) AS n
+FROM pn GROUP BY net ORDER BY n DESC, net LIMIT 20"""
+
+
+ORACLES["q_esql_ip6_prefix"] = _ip6_prefix_oracle()
+
+
+_register(
     "q_esql_cal_trunc",
     """
 FROM events

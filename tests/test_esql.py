@@ -1000,9 +1000,10 @@ def test_bucket_multi_unit_span(spark):
                ).first()
     assert str(row.q) == "2024-03-01 13:45:00"
     assert str(row.h) == "2024-03-01 12:00:00"
-    with pytest.raises(ESQLError, match="calendar"):
-        esql(spark, 'ROW t = TO_DATETIME("2024-03-01 13:47:09") '
-                    '| EVAL m = BUCKET(t, 3 month)')
+    # calendar multi-unit: exact epoch-month grid (March -> January)
+    row = esql(spark, 'ROW t = TO_DATETIME("2024-03-01 13:47:09") '
+                      '| EVAL m = BUCKET(t, 3 month)').first()
+    assert str(row.m) == "2024-01-01 00:00:00"
 
 
 def test_round_to_points(spark):
