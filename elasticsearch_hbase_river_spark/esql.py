@@ -1266,11 +1266,13 @@ _SCALARS["ST_Y"] = lambda a, r: a[0]["lat"]
 
 
 def _shape_ring(raw_arg, what: str):
-    """A literal polygon passed as ``TO_GEOSHAPE("POLYGON ((..))")`` —
-    parsed driver-side (see functions/geoshape.py). Returns the closed
-    ring, or None if the argument is not a shape literal."""
+    """A literal shape passed as ``TO_GEOSHAPE("POLYGON ((..))")`` or
+    ``TO_GEOSHAPE("MULTIPOLYGON (((..)))")`` — parsed driver-side (see
+    functions/geoshape.py; holes and multi-parts ride the even-odd
+    rule). Returns the closed ring LIST, or None if the argument is not
+    a shape literal."""
     from elasticsearch_hbase_river_spark.functions.geoshape import (
-        parse_wkt_polygon,
+        parse_wkt_shape,
     )
     if not (raw_arg[0] == "call" and raw_arg[1] == "TO_GEOSHAPE"):
         return None
@@ -1279,7 +1281,7 @@ def _shape_ring(raw_arg, what: str):
             or not isinstance(inner[0][1], str)):
         raise ESQLError("TO_GEOSHAPE takes one WKT string literal")
     try:
-        return parse_wkt_polygon(inner[0][1])
+        return parse_wkt_shape(inner[0][1])
     except ValueError as ex:
         raise ESQLError(f"{what}: {ex}")
 
@@ -1287,9 +1289,10 @@ def _shape_ring(raw_arg, what: str):
 def _st_relation(name: str, point_first_only: bool,
                  shape_first_only: bool):
     """Build ST_INTERSECTS / ST_WITHIN / ST_CONTAINS / ST_DISJOINT for
-    the point-vs-literal-polygon subset: the even-odd ray cast of
-    functions/geoshape.py (division-free, bit-identical in both
-    engines). For a point against a polygon the three positive
+    the point-vs-literal-shape subset (POLYGON incl. holes,
+    MULTIPOLYGON): the even-odd ray cast of functions/geoshape.py
+    (division-free, bit-identical in both engines) XOR-combined over
+    the shape's rings. For a point against a shape the three positive
     relations coincide; the argument ORDER contract still mirrors ES
     (WITHIN wants the point first, CONTAINS the shape first)."""
     def rel(args, raw):
@@ -1309,12 +1312,12 @@ def _st_relation(name: str, point_first_only: bool,
             raise ESQLError(
                 f"{name} expects (point, shape) — a polygon is never "
                 "within a point")
-        ring = ring0 if ring0 is not None else ring1
+        rings = ring0 if ring0 is not None else ring1
         pt = args[1] if ring0 is not None else args[0]
         from elasticsearch_hbase_river_spark.functions.geoshape import (
-            point_in_ring_col,
+            point_in_rings_col,
         )
-        inside = point_in_ring_col(pt["lon"], pt["lat"], ring)
+        inside = point_in_rings_col(pt["lon"], pt["lat"], rings)
         return ~inside if name == "ST_DISJOINT" else inside
 
     return rel
@@ -1329,14 +1332,16 @@ _SCALARS["ST_CONTAINS"] = _st_relation("ST_CONTAINS", False, True)
 def _scalar_st_envelope(args, raw):
     """``ST_ENVELOPE(TO_GEOSHAPE(..))``: the literal shape's bounding
     box as a struct<xmin, xmax, ymin, ymax> of driver-side constants."""
-    from elasticsearch_hbase_river_spark.functions.geoshape import ring_bbox
+    from elasticsearch_hbase_river_spark.functions.geoshape import (
+        rings_bbox,
+    )
     if len(raw) != 1:
         raise ESQLError("ST_ENVELOPE takes one geometry")
-    ring = _shape_ring(raw[0], "ST_ENVELOPE")
-    if ring is None:
+    rings = _shape_ring(raw[0], "ST_ENVELOPE")
+    if rings is None:
         raise ESQLError("ST_ENVELOPE subset: the argument must be a "
                         "TO_GEOSHAPE polygon literal")
-    xmin, xmax, ymin, ymax = ring_bbox(ring)
+    xmin, xmax, ymin, ymax = rings_bbox(rings)
     return F.struct(F.lit(xmin).alias("xmin"), F.lit(xmax).alias("xmax"),
                     F.lit(ymin).alias("ymin"), F.lit(ymax).alias("ymax"))
 

@@ -113,3 +113,65 @@ def ring_bbox(ring: list[tuple[float, float]]
     xs = [p[0] for p in ring]
     ys = [p[1] for p in ring]
     return min(xs), max(xs), min(ys), max(ys)
+
+
+_WKT_SHAPE_RE = re.compile(
+    r"^\s*(POLYGON|MULTIPOLYGON)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def parse_wkt_shape(wkt: str) -> list[list[tuple[float, float]]]:
+    """``POLYGON ((outer), (hole), ...)`` / ``MULTIPOLYGON (((..)), ...)``
+    → list of closed rings. Under the even-odd rule the ring ROLES need
+    no bookkeeping: a point's parity over all rings' edges is inside-
+    outer XOR inside-hole — holes and disjoint parts fall out of the
+    same ray cast (overlapping parts cancel, the even-odd convention).
+    Each ring validates/auto-closes like :func:`parse_wkt_polygon`."""
+    m = _WKT_SHAPE_RE.match(wkt)
+    if not m:
+        raise ValueError(
+            f"unsupported WKT (subset: POLYGON / MULTIPOLYGON): {wkt!r}")
+    rings_txt = re.findall(r"\(([^()]+)\)", m.group(2))
+    if not rings_txt:
+        raise ValueError(f"no rings in WKT: {wkt!r}")
+    rings = []
+    for txt in rings_txt:
+        ring: list[tuple[float, float]] = []
+        for part in txt.split(","):
+            nums = part.split()
+            if len(nums) != 2:
+                raise ValueError(
+                    f"bad WKT vertex {part.strip()!r} in {wkt!r}")
+            ring.append((float(nums[0]), float(nums[1])))
+        if len(ring) < 3:
+            raise ValueError(f"polygon ring needs >= 3 vertices: {wkt!r}")
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        if len(ring) < 4:
+            raise ValueError(
+                f"polygon ring needs >= 3 distinct vertices: {wkt!r}")
+        rings.append(ring)
+    return rings
+
+
+def point_in_rings_col(px: Column, py: Column,
+                       rings: list[list[tuple[float, float]]]) -> Column:
+    """Even-odd parity over ALL rings' edges (holes/multi-parts free)."""
+    inside = F.lit(False)
+    for ring in rings:
+        inside = inside != point_in_ring_col(px, py, ring)
+    return inside
+
+
+def point_in_rings_sql(px: str, py: str,
+                       rings: list[list[tuple[float, float]]]) -> str:
+    out = "FALSE"
+    for ring in rings:
+        out = f"(({out}) <> ({point_in_ring_sql(px, py, ring)}))"
+    return out
+
+
+def rings_bbox(rings: list[list[tuple[float, float]]]
+               ) -> tuple[float, float, float, float]:
+    xs = [p[0] for r in rings for p in r]
+    ys = [p[1] for r in rings for p in r]
+    return min(xs), max(xs), min(ys), max(ys)

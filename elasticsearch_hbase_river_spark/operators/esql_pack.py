@@ -1838,21 +1838,25 @@ def q_esql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ES|QL:
     """ + ESQL_GEO_POLY_TEXT
+    return esql(spark, ESQL_GEO_POLY_TEXT,
+                tables={"geo_users": _geo_users_df(spark, sf_dir)})
+
+
+def _geo_users_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elasticsearch_hbase_river_spark.operators.esdsl3 import _h16_sql
     from elasticsearch_hbase_river_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
     lat16, lon16 = _h16_sql("lat", "instr"), _h16_sql("lon", "instr")
-    users = (ev.select("user_id").distinct()
-             .groupBy("user_id")
-             .agg(F.min(F.expr(lat16)).alias("h_lat"),
-                  F.min(F.expr(lon16)).alias("h_lon"))
-             .select("user_id",
-                     F.expr("-80e0 + 160e0 * (h_lat / 65536e0)")
-                     .alias("lat"),
-                     F.expr("-180e0 + 360e0 * (h_lon / 65536e0)")
-                     .alias("lon")))
-    return esql(spark, ESQL_GEO_POLY_TEXT, tables={"geo_users": users})
+    return (ev.select("user_id").distinct()
+            .groupBy("user_id")
+            .agg(F.min(F.expr(lat16)).alias("h_lat"),
+                 F.min(F.expr(lon16)).alias("h_lon"))
+            .select("user_id",
+                    F.expr("-80e0 + 160e0 * (h_lat / 65536e0)")
+                    .alias("lat"),
+                    F.expr("-180e0 + 360e0 * (h_lon / 65536e0)")
+                    .alias("lon")))
 
 
 def _esql_geo_poly_oracle() -> str:
@@ -1885,6 +1889,62 @@ FROM hits"""
 
 QUERIES["q_esql_geo_polygon"] = q_esql_geo_polygon
 ORACLES["q_esql_geo_polygon"] = _esql_geo_poly_oracle()
+
+
+#: The q_esql_geo_polygon triangle with a triangular HOLE cut out, plus
+#: a disjoint second part in the eastern hemisphere — exercising the
+#: even-odd multi-ring parity (hole members excluded, either part in).
+ESQL_GEO_MULTI_WKT = ("MULTIPOLYGON (((-150 60, -100 -50, 30 55, -150 60), "
+                      "(-80 20, -60 35, -40 20, -80 20)), "
+                      "((100 -40, 160 -40, 130 10, 100 -40)))")
+
+ESQL_GEO_MULTI_TEXT = f"""
+FROM geo_users
+| EVAL p = ST_POINT(lon, lat)
+| WHERE ST_INTERSECTS(p, TO_GEOSHAPE("{ESQL_GEO_MULTI_WKT}"))
+| STATS n = COUNT(*), e = ST_EXTENT_AGG(p)
+| EVAL xmin = ROUND(ST_XMIN(e), 4), xmax = ROUND(ST_XMAX(e), 4),
+       ymin = ROUND(ST_YMIN(e), 4), ymax = ROUND(ST_YMAX(e), 4)
+| KEEP n, xmin, xmax, ymin, ymax
+"""
+
+
+def q_esql_geo_multipoly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-vs-MULTIPOLYGON-with-hole: the even-odd ray cast XORs the
+    per-ring parities, so holes and disjoint parts need no role
+    bookkeeping and the predicate stays a division-free map-side
+    expression. Same geo_users derivation (hash pin above the dedup)
+    as q_esql_geo_polygon.
+
+    ES|QL:
+    """ + ESQL_GEO_MULTI_TEXT
+    return esql(spark, ESQL_GEO_MULTI_TEXT,
+                tables={"geo_users": _geo_users_df(spark, sf_dir)})
+
+
+def _esql_geo_multi_oracle() -> str:
+    from elasticsearch_hbase_river_spark.functions.geoshape import (
+        parse_wkt_shape,
+        point_in_rings_sql,
+    )
+    from elasticsearch_hbase_river_spark.operators.esdsl3 import (
+        _geo_users_sql,
+    )
+    inside = point_in_rings_sql("lon", "lat",
+                                parse_wkt_shape(ESQL_GEO_MULTI_WKT))
+    return f"""
+WITH geo_users AS ({_geo_users_sql("strpos")}),
+hits AS (SELECT lon, lat FROM geo_users WHERE {inside})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       {roundn_sql('min(lon)', 4)} AS xmin,
+       {roundn_sql('max(lon)', 4)} AS xmax,
+       {roundn_sql('min(lat)', 4)} AS ymin,
+       {roundn_sql('max(lat)', 4)} AS ymax
+FROM hits"""
+
+
+QUERIES["q_esql_geo_multipoly"] = q_esql_geo_multipoly
+ORACLES["q_esql_geo_multipoly"] = _esql_geo_multi_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -1225,7 +1225,7 @@ def test_spatial_envelope_and_validation(spark):
     with pytest.raises(ESQLError, match="exactly one argument"):
         esql(spark, 'ROW x = 1 | EVAL w = ST_WITHIN(ST_POINT(1.0, 1.0), '
                     'ST_POINT(2.0, 2.0))')
-    with pytest.raises(ESQLError, match="single-ring POLYGON"):
+    with pytest.raises(ESQLError, match="POLYGON / MULTIPOLYGON"):
         esql(spark, 'ROW x = 1 | EVAL w = ST_WITHIN(ST_POINT(1.0, 1.0), '
                     'TO_GEOSHAPE("LINESTRING (0 0, 1 1)"))')
 
@@ -1940,3 +1940,30 @@ def test_qstr_phrases_and_or_groups(spark):
         run('text:""')
     with pytest.raises(ESQLError, match="must be \\(term OR term"):
         run("text:(quick)")
+
+
+def test_spatial_holes_and_multipolygon(spark):
+    """Shape literals widen to POLYGON-with-holes and MULTIPOLYGON:
+    even-odd parity over all rings — a point in the hole is outside, a
+    point in either disjoint part is inside."""
+    donut = ('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), '
+             '(4 4, 6 4, 6 6, 4 6, 4 4))')
+    multi = 'MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))'
+    rows = [(1, 2.0, 2.0),   # in donut body
+            (2, 5.0, 5.0),   # in the hole -> outside donut, inside part 2
+            (3, 1.0, 1.0),   # in multi part 1 + donut body
+            (4, 11.0, 1.0)]  # outside everything
+    t = spark.createDataFrame(rows, "id long, lon double, lat double")
+
+    def run(shape):
+        return sorted(r.id for r in esql(
+            spark, f'FROM d | WHERE ST_INTERSECTS(ST_POINT(lon, lat), '
+                   f'TO_GEOSHAPE("{shape}")) | KEEP id',
+            tables={"d": t}).collect())
+
+    assert run(donut) == [1, 3]
+    assert run(multi) == [2, 3]
+    # envelope spans every ring/part
+    row = esql(spark, f'ROW x = 1 | EVAL e = ST_ENVELOPE(TO_GEOSHAPE("{multi}")) '
+                      '| EVAL xr = ST_XMAX(e), yl = ST_YMIN(e)').first()
+    assert row.xr == 7.0 and row.yl == 0.0
