@@ -258,6 +258,13 @@ _ALLOWED_SINGLE_PARTITION = {
                               # bucket-count-sized (thousands of rows at
                               # 100 TB), the corpus only pays the keyed
                               # partial-agg shuffle below it
+    "q_esql_geo_multipoly",   # same 1-row global STATS shape as
+                              # q_esql_geo_polygon (count + extent over
+                              # the map-side ray-cast filter)
+    "q_semdedup",             # 1-row cents assembly over the K-row
+                              # centroid relation (constant-bounded);
+                              # the corpus pays only keyed partial-agg
+                              # shuffles and the per-k ranking window
     "q_esql_geo_polygon",     # 1-row global STATS (count + centroid +
                               # extent) merging map-side partials; the
                               # polygon filter and per-user hashing run
