@@ -114,10 +114,11 @@ Scalar functions
   struct<lon, lat>, WKT "POINT (lon lat)"; ST_DISTANCE returns
   great-circle meters on the same sphere as the DSL geo pack)
   ST_INTERSECTS ST_WITHIN ST_CONTAINS ST_DISJOINT (point vs literal
-  TO_GEOSHAPE("POLYGON ((..))"): even-odd ray cast, division-free —
-  the literal polygon folds each edge's slope sign at compile time, so
-  the predicate is multiply/subtract only and bit-identical across
-  engines; see functions/geoshape.py)
+  TO_GEOSHAPE POLYGON — incl. holes — or MULTIPOLYGON: even-odd ray
+  cast XOR-combined over rings, division-free — the literal shape
+  folds each edge's slope sign at compile time, so the predicate is
+  multiply/subtract only and bit-identical across engines; see
+  functions/geoshape.py)
   ST_ENVELOPE ST_XMIN ST_XMAX ST_YMIN ST_YMAX (literal-shape bounding
   box as struct<xmin, xmax, ymin, ymax>)
   CATEGORIZE (log-line grouping by alphabetic skeleton — deterministic
@@ -129,7 +130,9 @@ Scalar functions
   TERM (exact term against the analyzed field, query side verbatim)
   MATCH_PHRASE (consecutive analyzed-token containment)
   QSTR (Lucene query-string subset: ``[+|-]field:term`` clauses,
-  trailing ``*`` wildcard; should-clauses are boost-only beside a must)
+  trailing ``*`` wildcard, quoted phrases ``field:"a b"``,
+  parenthesized OR groups ``field:(a OR b*)``; should-clauses are
+  boost-only beside a must)
   KQL (Kibana Query Language subset: ``field:value`` term/prefix/phrase
   match, numeric ranges, ``AND OR NOT`` with parentheses)
   NOW (the query-start instant, constant per query; injectable via
