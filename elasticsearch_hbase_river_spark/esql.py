@@ -923,21 +923,14 @@ def _scalar_hash(args, raw):
                     "(md5, sha1, sha256)")
 
 
-def _scalar_cidr_match(args, raw):
-    """ES|QL ``CIDR_MATCH(ip, "block", ...)``: true iff the IP string —
-    IPv4 or IPv6 — falls in ANY of the literal CIDR blocks. The blocks
-    are parsed at compile time (stdlib ``ipaddress``); the match runs on
-    the 128-bit value as 32 lowercase nibbles with IPv4 mapped into
-    ``::ffff:0:0/96`` (the Lucene ``InetAddressPoint`` encoding ES's ip
-    CIDR queries use), so a test is a fixed-length string-prefix compare
-    plus an allowed-chars check for a non-nibble-aligned prefix.
-    Invalid/unparseable addresses are a NON-match, never an error."""
+def _compile_cidr_blocks(raw) -> list[tuple[str, int, list[str]]]:
+    """Validate + compile CIDR_MATCH's literal block args (shared by the
+    Column scalar and the staged EVAL/WHERE path so arity/literal errors
+    stay identical between the two)."""
     if len(raw) < 2:
         raise ESQLError("CIDR_MATCH takes (ip, cidr_literal, ...)")
     from elasticsearch_hbase_river_spark.functions.ip import (
-        _let as _ip_let,
         cidr_match_hex_conds,
-        ip_hex32_col,
     )
 
     blocks = []
@@ -948,18 +941,27 @@ def _scalar_cidr_match(args, raw):
             blocks.append(cidr_match_hex_conds(blk[1]))
         except ValueError as e:
             raise ESQLError(f"bad CIDR block {blk[1]!r}: {e}")
+    return blocks
 
-    def match(h: Column) -> Column:
-        cond = None
-        for pref, nib, allowed in blocks:
-            this = (F.substring(h, 1, nib) == F.lit(pref)) if nib \
-                else F.lit(True)
-            if allowed:
-                this = this & F.substring(h, nib + 1, 1).isin(allowed)
-            cond = this if cond is None else (cond | this)
-        return h.isNotNull() & cond
 
-    return _ip_let(ip_hex32_col(args[0]), match)
+def _scalar_cidr_match(args, raw):
+    """ES|QL ``CIDR_MATCH(ip, "block", ...)``: true iff the IP string —
+    IPv4 or IPv6 — falls in ANY of the literal CIDR blocks. The blocks
+    are parsed at compile time (stdlib ``ipaddress``); the match runs on
+    the 128-bit value as 32 lowercase nibbles with IPv4 mapped into
+    ``::ffff:0:0/96`` (the Lucene ``InetAddressPoint`` encoding ES's ip
+    CIDR queries use), so a test is a fixed-length string-prefix compare
+    plus an allowed-chars check for a non-nibble-aligned prefix.
+    Invalid/unparseable addresses are a NON-match, never an error."""
+    blocks = _compile_cidr_blocks(raw)
+    from elasticsearch_hbase_river_spark.functions.ip import (
+        _let as _ip_let,
+        cidr_match_on_hex,
+        ip_hex32_col,
+    )
+
+    return _ip_let(ip_hex32_col(args[0]),
+                   lambda h: cidr_match_on_hex(h, blocks))
 
 
 def _scalar_match(args, raw):
@@ -1166,16 +1168,9 @@ def _scalar_to_ip(args, raw):
     return to_ip_col(args[0])
 
 
-def _scalar_ip_prefix(args, raw):
-    """``IP_PREFIX(ip, v4_len, v6_len)``: zero the host bits and render
-    the network address. The FAMILY of the stored value picks the
-    length — values in the IPv4-mapped range (every dotted-quad and
-    ``::ffff:x:y`` form) use ``v4_len`` over the v4 bits and render
-    dotted; other IPv6 values use ``v6_len`` over all 128 bits and
-    render RFC 5952 canonical. Runs on the hex32 encoding (mask =
-    substring + a compile-time translate map) with the canonicalizer
-    reused for rendering, so IP_PREFIX and TO_IP can never disagree.
-    Unparseable input folds to null."""
+def _ip_prefix_lens(raw) -> tuple[int, int]:
+    """Validate IP_PREFIX's literal length args (shared by the Column
+    scalar and the staged EVAL/WHERE path)."""
     if (len(raw) != 3 or raw[1][0] != "lit"
             or not isinstance(raw[1][1], int)
             or raw[2][0] != "lit" or not isinstance(raw[2][1], int)):
@@ -1186,22 +1181,23 @@ def _scalar_ip_prefix(args, raw):
         raise ESQLError(f"bad IPv4 prefix length {v4len}")
     if not 0 <= v6len <= 128:
         raise ESQLError(f"bad IPv6 prefix length {v6len}")
-    from elasticsearch_hbase_river_spark.functions.ip import (
-        MAPPED_PREFIX,
-        _let as _ip_let,
-        hex32_to_hextets_col,
-        ip_hex32_col,
-        mask_hex32_col,
-        to_ip_col,
-    )
+    return v4len, v6len
 
-    def body(h: Column) -> Column:
-        is4 = F.substring(h, 1, 24) == F.lit(MAPPED_PREFIX)
-        masked = F.when(is4, mask_hex32_col(h, 96 + v4len)) \
-                  .otherwise(mask_hex32_col(h, v6len))
-        return to_ip_col(hex32_to_hextets_col(masked))
 
-    return _ip_let(ip_hex32_col(args[0]), body)
+def _scalar_ip_prefix(args, raw):
+    """``IP_PREFIX(ip, v4_len, v6_len)``: zero the host bits and render
+    the network address. The FAMILY of the stored value picks the
+    length — values in the IPv4-mapped range (every dotted-quad and
+    ``::ffff:x:y`` form) use ``v4_len`` over the v4 bits and render
+    dotted; other IPv6 values use ``v6_len`` over all 128 bits and
+    render RFC 5952 canonical. Runs on the hex32 encoding (mask =
+    substring + a compile-time translate map) with the canonicalizer
+    reused for rendering, so IP_PREFIX and TO_IP can never disagree.
+    Unparseable input folds to null."""
+    v4len, v6len = _ip_prefix_lens(raw)
+    from elasticsearch_hbase_river_spark.functions.ip import ip_prefix_col
+
+    return ip_prefix_col(args[0], v4len, v6len)
 
 
 _SCALARS["TO_IP"] = _scalar_to_ip
@@ -2941,6 +2937,142 @@ class _Compiler:
             df = self.apply(df, c)
         return df
 
+    # -- IP-family staging (r11 optimization): TO_IP / CIDR_MATCH /
+    # IP_PREFIX compile to ~15-stage string pipelines. As plain Column
+    # expressions those bind intermediates via ``_let`` (HOF lambdas are
+    # CodegenFallback, so the WHOLE pipeline runs interpreted — measured
+    # ~18 µs/row); in EVAL/WHERE position the calls are instead
+    # extracted into chained helper-column projections: zero HOFs, the
+    # pipeline runs in whole-stage codegen, and every call on the same
+    # input expression SHARES one staged parse (q_esql_cidr6's two
+    # CIDR_MATCH + one TO_IP ran three interpreted parses; now one
+    # codegen'd one). Helper columns are dropped before the command
+    # returns, so downstream commands and the output schema never see
+    # them. Non-EVAL/WHERE positions keep the Column fallback.
+
+    _IP_CALLS = ("TO_IP", "CIDR_MATCH", "IP_PREFIX")
+
+    @staticmethod
+    def _ast_key(ast):
+        """Position-independent structural key of an expression AST, so
+        two IP calls on the same input share one staged parse."""
+        if isinstance(ast, tuple):
+            if ast and ast[0] == "call":
+                return ("call", ast[1],
+                        _Compiler._ast_key(list(ast[2])))
+            return tuple(_Compiler._ast_key(x) for x in ast)
+        if isinstance(ast, list):
+            return tuple(_Compiler._ast_key(x) for x in ast)
+        return ast
+
+    @staticmethod
+    def _ast_fields(ast, out: set) -> set:
+        """Field names referenced by an AST (for staged-parse cache
+        invalidation when EVAL reassigns a column)."""
+        if isinstance(ast, tuple):
+            if ast and ast[0] == "field":
+                out.add(ast[1])
+            for x in ast:
+                _Compiler._ast_fields(x, out)
+        elif isinstance(ast, list):
+            for x in ast:
+                _Compiler._ast_fields(x, out)
+        return out
+
+    def _stage_ip_calls(self, df: DataFrame, ast, st: dict):
+        """Rewrite ``ast``, extracting every IP-family call into staged
+        helper columns on ``df``; returns (df, rewritten_ast). ``st``
+        carries the per-command cache {parse/render keys -> staged
+        names} and the temp-column list across calls."""
+        from elasticsearch_hbase_river_spark.functions.ip import (
+            cidr_match_on_hex,
+            stage_ip_prefix,
+            stage_parse,
+            stage_to_ip,
+        )
+
+        if isinstance(ast, list):
+            out = []
+            for x in ast:
+                df, x2 = self._stage_ip_calls(df, x, st)
+                out.append(x2)
+            return df, out
+        if not isinstance(ast, tuple):
+            return df, ast
+        if not (ast and ast[0] == "call" and ast[1] in self._IP_CALLS):
+            out = []
+            for x in ast:
+                df, x2 = self._stage_ip_calls(df, x, st)
+                out.append(x2)
+            return df, tuple(out)
+
+        name, raw = ast[1], ast[2]
+        # nested IP calls inside the input argument stage first
+        df, raw = self._stage_ip_calls(df, list(raw), st)
+        if not raw:
+            raise ESQLError(f"{name} takes at least one argument")
+        src_ast = raw[0]
+        pkey = ("parse", self._ast_key(src_ast))
+        if pkey not in st["cache"]:
+            n = st["n"] = st["n"] + 1
+            prefix = f"__ip{n}_"
+            src = self.col(src_ast, df.columns)
+            df, env, added = stage_parse(df, src, prefix)
+            st["cache"][pkey] = (env, prefix,
+                                 self._ast_fields(src_ast, set()))
+            st["temps"] += added
+        env, prefix, _deps = st["cache"][pkey]
+
+        if name == "CIDR_MATCH":
+            blocks = _compile_cidr_blocks(raw)
+            out = cidr_match_on_hex(F.col(env["h"]), blocks)
+        elif name == "TO_IP":
+            rkey = ("toip", pkey)
+            if rkey not in st["cache"]:
+                df, out, added = stage_to_ip(df, env, prefix)
+                st["cache"][rkey] = out
+                st["temps"] += added
+            out = st["cache"][rkey]
+        else:  # IP_PREFIX
+            v4len, v6len = _ip_prefix_lens(raw)
+            rkey = ("prefix", pkey, v4len, v6len)
+            if rkey not in st["cache"]:
+                df, out, added = stage_ip_prefix(df, env, v4len, v6len,
+                                                 prefix)
+                st["cache"][rkey] = out
+                st["temps"] += added
+            out = st["cache"][rkey]
+
+        cn = f"__ipout{len(st['temps'])}_{name.lower()}"
+        # Non-deterministic identity wrap (monotonically_increasing_id()
+        # >= 0 is always true, values unchanged): PushPredicateThroughNonJoin
+        # refuses to push any filter below a projection with a
+        # non-deterministic item, so no predicate ever descends into the
+        # staged chain. Without the wrap, pushdown substitutes every
+        # helper alias into the condition (trimAliases), and the stage
+        # graph's fan-out makes that substitution EXPONENTIAL — measured
+        # optimizer OOM on a 16 GB driver. mono_id, not rand(): Spark 4's
+        # OptimizeRand knows rand's [0,1) range and constant-folds any
+        # always-true rand comparison, silently erasing the wrap (found
+        # the hard way). Nothing real is lost: a predicate over this
+        # output depends on the whole staged chain and could never reach
+        # the scan anyway.
+        df = df.withColumn(
+            cn, F.when(F.monotonically_increasing_id() >= 0, out))
+        st["temps"].append(cn)
+        return df, ("field", cn)
+
+    def _ip_invalidate(self, st: dict, assigned: str) -> None:
+        """Drop cached parses whose input referenced a column that an
+        EVAL just reassigned (`EVAL x = .., y = TO_IP(x), x = ..`)."""
+        stale = [k for k, v in st["cache"].items()
+                 if k[0] == "parse" and assigned in v[2]]
+        for k in stale:
+            st["cache"] = {
+                k2: v2 for k2, v2 in st["cache"].items()
+                if k2 != k and not (isinstance(k2, tuple)
+                                    and len(k2) >= 2 and k2[1] == k)}
+
     def apply(self, df: DataFrame, c: dict) -> DataFrame:
         k = c["cmd"]
         cols = df.columns
@@ -2967,15 +3099,29 @@ class _Compiler:
                     "stages — each adds its contribution to _score); "
                     "scored MATCH_PHRASE is outside the subset, use MATCH",
                     c["pos"], self.text)
+            if self._contains_call(e, self._IP_CALLS):
+                st = {"n": 0, "cache": {}, "temps": []}
+                df, e = self._stage_ip_calls(df, e, st)
+                return df.filter(self.col(e, df.columns)) \
+                    .drop(*st["temps"])
             return df.filter(self.col(e, cols))
         if k == "EVAL":
+            ip_st = None
             for name, e in c["cols"]:
                 if e[0] == "call" and e[1] == "TEXT_EMBEDDING":
                     df = self._apply_text_embedding(df, name, e, c["pos"])
                 elif e[0] == "call" and e[1] == "CHUNK_TEXT":
                     df = self._apply_chunk_text(df, name, e, c["pos"])
                 else:
+                    if self._contains_call(e, self._IP_CALLS):
+                        if ip_st is None:
+                            ip_st = {"n": 0, "cache": {}, "temps": []}
+                        df, e = self._stage_ip_calls(df, e, ip_st)
                     df = df.withColumn(name, self.col(e, df.columns))
+                if ip_st is not None:
+                    self._ip_invalidate(ip_st, name)
+            if ip_st is not None and ip_st["temps"]:
+                df = df.drop(*ip_st["temps"])
             return df
         if k == "STATS" and self.ts_spec is not None:
             return self._apply_ts_stats(df, c)

@@ -20,38 +20,60 @@ fixed-length string prefix compare for v4 and v6 alike.
 
 Both engines run the IDENTICAL algorithm: the 28-case leftmost-longest
 zero-run search over the 8 hextets is GENERATED once (``_RUNS``) and
-emitted as a Spark ``when``-chain and as a SQL ``CASE`` from the same
-list, so there is no hand-translation to drift.
+emitted for DuckDB as a SQL ``CASE`` from the same list, so there is no
+hand-translation to drift.
 
-Everything is JVM-side column expressions (split / filter / transform /
-regexp) — no UDF; TO_IP stays inside whole-stage codegen.
+Execution design (r11 optimization round): the Spark side is ONE
+algorithm — the ``_parse_pipe`` / ``_render_pipe`` stage lists — bound
+two ways:
+
+- **staged** (the ES|QL compiler's EVAL/WHERE path,
+  :func:`stage_parse` etc.): every intermediate lands as a real helper
+  column in a chained projection. No higher-order functions anywhere,
+  so the whole pipeline runs in WHOLE-STAGE CODEGEN, and Catalyst's
+  CollapseProject keeps multiply-referenced stages materialized instead
+  of re-inlining them (it refuses to duplicate non-cheap expressions).
+  Measured ~8x per-row vs the interpreted form, and one parse is shared
+  by every TO_IP/CIDR_MATCH/IP_PREFIX call on the same input.
+- **let-bound** (:func:`to_ip_col` / :func:`ip_hex32_col`, the
+  standalone Column API and non-EVAL/WHERE scalar positions): the SAME
+  stage list bound via nested ``_let`` lambda variables. Interpreted,
+  but each stage still evaluates once per row. The two modes share
+  every builder, so the cross-engine property tests that drive the
+  Column API pin the staged path's algebra too.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: strict dotted-quad octet (leading zeros rejected, the ES TO_IP default)
 IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
 IPV4_RE = f"^{IPV4_OCTET}(\\.{IPV4_OCTET}){{3}}$"
 
-_HEXTET_RE = "^[0-9a-f]{1,4}$"
+_HEX_GRP = "[0-9a-f]{1,4}"
+#: one anchored regex validates a whole colon-joined side (vs the old
+#: per-hextet ``forall`` — one regex pass instead of eight)
+_SIDE_RE = f"^{_HEX_GRP}(:{_HEX_GRP})*$"
 
 #: (start, length) of every compressible zero run over 8 hextets, in RFC
 #: 5952 priority order: longest first, leftmost on ties. 1-based starts.
+#: Consumed by the DuckDB twin generator (the Spark side finds the same
+#: run via a locate() chain over a zero-group bitmap).
 _RUNS: list[tuple[int, int]] = [
     (s, l)
     for l in range(8, 1, -1)
     for s in range(1, 8 - l + 2)
 ]
 
+#: the 24-nibble prefix every IPv4-mapped hex32 value carries
+MAPPED_PREFIX = "00000000000000000000ffff"
 
-def _strip0(x: Column) -> Column:
-    # left-pad to 4 then strip exactly up to 3 leading zeros: '0' and
-    # '0000' both land on '0', '00ab' on 'ab' (a bare ^0+ strip would
-    # turn a lone '0' into the empty string)
-    return F.regexp_replace(F.lpad(x, 4, "0"), "^0{1,3}", "")
+#: dotted-quad tail of an IPv6 string (strict octets, after a colon)
+_V4_TAIL_RE = f":({IPV4_OCTET}(\\.{IPV4_OCTET}){{3}})$"
 
 
 def _let(value: Column, body) -> Column:
@@ -60,107 +82,307 @@ def _let(value: Column, body) -> Column:
     ``body``. Without this every reference to a subexpression INLINES
     its whole tree — the naive 28-case run search duplicated the parse
     tree ~200x and took Catalyst >60 s to analyze; with bindings the
-    tree is linear and analysis is milliseconds. Runtime cost: a
-    1-element array ``transform``, still whole-stage codegen."""
+    tree is linear. Cost: the binding itself is a 1-element array
+    ``transform`` — a CodegenFallback node, so everything under a _let
+    runs INTERPRETED; the staged pipeline below exists because of
+    exactly that."""
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-#: dotted-quad tail of an IPv6 string (strict octets, after a colon)
-_V4_TAIL_RE = f":({IPV4_OCTET}(\\.{IPV4_OCTET}){{3}})$"
+def _strip0_4(p: Column) -> Column:
+    """Leading-zero strip of an exactly-4-char hex group — the plain
+    substring CASE form of ``regexp_replace(p, '^0{1,3}', '')``: no
+    regex, whole-stage codegen, identical output ('0000' -> '0')."""
+    return (F.when(F.substring(p, 1, 3) == "000", F.substring(p, 4, 1))
+            .when(F.substring(p, 1, 2) == "00", F.substring(p, 3, 2))
+            .when(F.substring(p, 1, 1) == "0", F.substring(p, 2, 3))
+            .otherwise(p))
 
 
-def _v4_tail_to_hex(lc: Column) -> Column:
-    """Rewrite a trailing dotted quad into its two hextets (RFC 4291
-    §2.2.3): ``::ffff:1.2.3.4`` → ``::ffff:102:304``. Strings without a
-    valid strict-octet quad tail pass through untouched (an INVALID quad
-    stays in place and fails the hextet check downstream → null)."""
-    quad = F.regexp_extract(lc, _V4_TAIL_RE, 1)
-    o = F.transform(F.split(quad, r"\."), lambda x: x.cast("long"))
-    hx = lambda v: F.lower(F.conv(v.cast("string"), 10, 16))  # noqa: E731
-    rewritten = F.concat(
-        F.regexp_replace(lc, _V4_TAIL_RE, ""), F.lit(":"),
-        hx(F.element_at(o, 1) * 256 + F.element_at(o, 2)), F.lit(":"),
-        hx(F.element_at(o, 3) * 256 + F.element_at(o, 4)))
-    return F.when(lc.contains(":") & (quad != ""), rewritten).otherwise(lc)
+#: accessor type: stage name -> Column (attribute or lambda variable)
+_Ref = Callable[[str], Column]
+
+
+def _raw_group(r: _Ref, i: int) -> Column:
+    """Hextet ``i`` (1..8) of the '::'-expanded address: left groups,
+    then implicit zeros, then right groups — the unrolled twin of the
+    old ``concat(left, array_repeat('0', 8-n), right)[i]``."""
+    return (F.when(F.lit(i) <= r("nl"), F.element_at(r("lg"), i))
+            .when(F.lit(i) > F.lit(8) - r("nr"),
+                  F.element_at(r("rg"),
+                               (F.lit(i) - (F.lit(8) - r("nr")))
+                               .cast("int")))
+            .otherwise(F.lit("0")))
+
+
+def _parse_pipe(src: Column) -> list[tuple[str, Callable[[_Ref], Column]]]:
+    """The shared parse stages: string -> validity flags + hex32 value.
+
+    Null/invalid propagation mirrors the original expression exactly:
+    ``ok6``/``is4`` are false-or-null off the happy path, and ``h`` is
+    null unless the input is a strict dotted quad or a valid IPv6 form.
+    Stages gate their regex work on cheap ``contains`` probes (a pure
+    dotted quad never runs the v6 splits; a pure v6 string never runs
+    the big IPv4 alternation)."""
+    hx = (lambda v: F.lower(F.conv(v.cast("string"), 10, 16)))
+
+    def lc_builder(r: _Ref) -> Column:
+        # rewrite a trailing dotted quad into its two hextets (RFC 4291
+        # §2.2.3): '::ffff:1.2.3.4' -> '::ffff:102:304'; invalid quads
+        # stay in place and fail the hextet check downstream -> null
+        o = (lambda i: F.element_at(r("qsp"), i).cast("long"))
+        rewritten = F.concat(
+            F.regexp_replace(r("lc0"), _V4_TAIL_RE, ""), F.lit(":"),
+            hx(o(1) * 256 + o(2)), F.lit(":"), hx(o(3) * 256 + o(4)))
+        return F.when(r("quad") != "", rewritten).otherwise(r("lc0"))
+
+    def ok6_builder(r: _Ref) -> Column:
+        n = r("nl") + r("nr")
+        toks_ok = (((r("ls") == "") | r("ls").rlike(_SIDE_RE))
+                   & ((r("rs") == "") | r("rs").rlike(_SIDE_RE)))
+        struct_ok = (((r("ndc") == 1) & (n == 8))
+                     | ((r("ndc") == 2) & (n <= 7)))
+        return (r("lc").contains(":") & (r("ndc") <= 2)
+                & struct_ok & toks_ok)
+
+    def h_builder(r: _Ref) -> Column:
+        o4 = (lambda i: F.element_at(r("sp4"), i).cast("long"))
+        v4hex = F.concat(
+            F.lit(MAPPED_PREFIX),
+            F.lpad(F.lower(F.conv(
+                (o4(1) * 16777216 + o4(2) * 65536 + o4(3) * 256 + o4(4))
+                .cast("string"), 10, 16)), 8, "0"))
+        hex6 = F.concat(*[F.lpad(_raw_group(r, i), 4, "0")
+                          for i in range(1, 9)])
+        return F.when(r("is4"), v4hex).when(r("ok6"), hex6)
+
+    return [
+        ("lc0", lambda r: F.lower(F.trim(src))),
+        ("quad", lambda r: F.when(
+            r("lc0").contains(":") & r("lc0").contains("."),
+            F.regexp_extract(r("lc0"), _V4_TAIL_RE, 1)).otherwise(F.lit(""))),
+        ("qsp", lambda r: F.when(r("quad") != "",
+                                 F.split(r("quad"), r"\."))),
+        ("lc", lc_builder),
+        ("parts", lambda r: F.when(r("lc").contains(":"),
+                                   F.split(r("lc"), "::", -1))),
+        ("ndc", lambda r: F.size(r("parts"))),
+        ("ls", lambda r: F.element_at(r("parts"), 1)),
+        ("rs", lambda r: F.when(r("ndc") == 2, F.element_at(r("parts"), 2))
+                          .otherwise(F.lit(""))),
+        ("lg", lambda r: F.split(r("ls"), ":", -1)),
+        ("rg", lambda r: F.split(r("rs"), ":", -1)),
+        ("nl", lambda r: F.when(r("ls") == "", F.lit(0))
+                          .otherwise(F.size(r("lg")))),
+        ("nr", lambda r: F.when(r("rs") == "", F.lit(0))
+                          .otherwise(F.size(r("rg")))),
+        ("ok6", ok6_builder),
+        ("sp4", lambda r: F.when(
+            r("lc").contains(".") & ~r("lc").contains(":"),
+            F.split(r("lc"), r"\."))),
+        ("is4", lambda r: r("lc").contains(".") & ~r("lc").contains(":")
+                          & r("lc").rlike(IPV4_RE)),
+        ("h", h_builder),
+    ]
+
+
+def _best_run(b: Column) -> Column:
+    """Leftmost-longest zero-run over an 8-char '1'/'0' zero-group
+    bitmap: locate('1'*l) is the leftmost start of a run >= l, so
+    scanning l from 8 down to 2 yields the RFC 5952 choice."""
+    chain = None
+    for l in range(8, 1, -1):
+        pos = F.locate("1" * l, b)
+        hit = F.struct(pos.alias("s"), F.lit(l).alias("l"))
+        chain = (F.when(pos > 0, hit) if chain is None
+                 else chain.when(pos > 0, hit))
+    return chain.otherwise(
+        F.struct(F.lit(0).alias("s"), F.lit(0).alias("l")))
+
+
+def _render_pipe(hname: str) -> list[tuple[str, Callable[[_Ref], Column]]]:
+    """Canonical-rendering stages over a hex32 stage ``hname``: the
+    stripped hextet array, the zero-group bitmap (read directly off the
+    padded nibbles — group i is zero iff its 4 nibbles are '0000'), and
+    the chosen compression run."""
+    return [
+        ("harr", lambda r: F.array(*[
+            _strip0_4(F.substring(r(hname), 1 + 4 * i, 4))
+            for i in range(8)])),
+        ("bitmap", lambda r: F.concat(*[
+            F.when(F.substring(r(hname), 1 + 4 * i, 4) == "0000",
+                   F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)])),
+        ("bs", lambda r: _best_run(r("bitmap"))),
+    ]
+
+
+def _render_out(r: _Ref, hname: str) -> Column:
+    """RFC 5952 canonical text of the hex32 stage ``hname`` (mapped
+    values render as the dotted quad — the Java InetAddress / ES rule)."""
+    h, harr, bs = r(hname), r("harr"), r("bs")
+    mapped = F.substring(h, 1, 24) == MAPPED_PREFIX
+    v7 = F.conv(F.substring(h, 25, 4), 16, 10).cast("long")
+    v8 = F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+    dotted = F.concat_ws(
+        ".", F.floor(v7 / 256).cast("long"), F.pmod(v7, 256),
+        F.floor(v8 / 256).cast("long"), F.pmod(v8, 256))
+    s_, l_ = bs["s"], bs["l"]
+    compressed = F.concat(
+        F.array_join(F.slice(harr, 1, s_ - 1), ":"),
+        F.lit("::"),
+        F.array_join(
+            F.slice(F.concat(harr, F.array(F.lit(""))),  # start > size guard
+                    s_ + l_, F.lit(9) - s_ - l_), ":"))
+    canon = F.when(l_ >= 2, compressed).otherwise(F.array_join(harr, ":"))
+    return F.when(mapped, dotted).otherwise(canon)
+
+
+def _to_ip_final(r: _Ref) -> Column:
+    """Canonical IP string (or null): strict dotted quads pass through,
+    valid IPv6 renders canonically, everything else folds to null."""
+    return F.when(r("is4"), r("lc")).when(r("ok6"), _render_out(r, "h"))
+
+
+# ---------------------------------------------------------------------------
+# Binding mode 1: nested _let (standalone Column API; interpreted).
+
+def _run_let(pipe: list, final: Callable[[_Ref], Column]) -> Column:
+    env: dict[str, Column] = {}
+
+    def make_body(name: str, nxt: int):
+        # factory closure, NOT a default-arg lambda: F.transform passes
+        # (element, index) to any TWO-parameter function, so a
+        # `lambda v, name=name:` would bind the element index to name
+        def body(v: Column) -> Column:
+            env[name] = v
+            return go(nxt)
+
+        return body
+
+    def go(i: int) -> Column:
+        if i == len(pipe):
+            return final(lambda n: env[n])
+        name, fn = pipe[i]
+        return _let(fn(lambda n: env[n]), make_body(name, i + 1))
+
+    return go(0)
 
 
 def to_ip_col(c: Column) -> Column:
     """Canonical IP string (or null) from an arbitrary string column."""
+    return _run_let(_parse_pipe(c) + _render_pipe("h"), _to_ip_final)
 
-    def with_lc(lc0: Column) -> Column:
-        return _let(_v4_tail_to_hex(lc0), with_lc2)
 
-    def with_lc2(lc: Column) -> Column:
-        return _let(F.split(lc, "::", -1),
-                    lambda parts: with_parts(lc, parts))
+def ip_hex32_col(c: Column) -> Column:
+    """The 128-bit value of an IP string as 32 lowercase nibbles (or
+    null): IPv6 hextets lpad'ed to 4, IPv4 mapped into ``::ffff:0:0/96``
+    — the Lucene ``InetAddressPoint`` encoding ES's ip field/CIDR
+    queries run on. Fixed-length hex compares lexicographically ==
+    numerically, so a CIDR test is one string-prefix compare."""
+    return _run_let(_parse_pipe(c), lambda r: r("h"))
 
-    def groups(part: Column) -> Column:
-        return F.when(part == "", F.array().cast("array<string>")) \
-                .otherwise(F.split(part, ":", -1))
 
-    def with_parts(lc: Column, parts: Column) -> Column:
-        ndc = F.size(parts)
-        left = groups(F.element_at(parts, 1))
-        right = F.when(ndc == 2, groups(F.element_at(parts, 2))) \
-                 .otherwise(F.array().cast("array<string>"))
-        return _let(F.struct(left.alias("lg"), right.alias("rg")),
-                    lambda g: with_groups(lc, ndc, g["lg"], g["rg"]))
+def _mask_pick_stage(v4len: int, v6len: int) -> tuple[str,
+                                                      Callable[[_Ref], Column]]:
+    """The family-picked mask stage: values in the IPv4-mapped range use
+    ``v4len`` over the v4 bits, other IPv6 values ``v6len`` over all 128."""
+    name = f"mh{v4len}_{v6len}"
 
-    def with_groups(lc, ndc, left, right) -> Column:
-        n = F.size(left) + F.size(right)
-        toks_ok = F.forall(F.concat(left, right),
-                           lambda x: x.rlike(_HEXTET_RE))
-        struct_ok = ((ndc == 1) & (n == 8)) | ((ndc == 2) & (n <= 7))
-        ok6 = lc.contains(":") & (ndc <= 2) & struct_ok & toks_ok
-        hexs = F.transform(
-            F.concat(left,
-                     F.array_repeat(F.lit("0"), (F.lit(8) - n).cast("int")),
-                     right),
-            _strip0)
-        canon6 = _let(hexs, with_hexs)
-        return F.when(lc.rlike(IPV4_RE), lc).when(ok6, canon6)
+    def fn(r: _Ref) -> Column:
+        return F.when(
+            F.substring(r("h"), 1, 24) == MAPPED_PREFIX,
+            mask_hex32_col(r("h"), 96 + v4len)) \
+            .otherwise(mask_hex32_col(r("h"), v6len))
 
-    def with_hexs(h: Column) -> Column:
-        # IPv4-MAPPED value (::ffff:0:0/96): render as the dotted quad —
-        # Java's InetAddress / ES treat the mapped range AS IPv4
-        v7 = F.conv(F.element_at(h, 7), 16, 10).cast("long")
-        v8 = F.conv(F.element_at(h, 8), 16, 10).cast("long")
-        dotted = F.concat_ws(
-            ".", F.floor(v7 / 256).cast("long"), F.pmod(v7, 256),
-            F.floor(v8 / 256).cast("long"), F.pmod(v8, 256))
-        mapped = F.array_join(F.slice(h, 1, 6), ":") == "0:0:0:0:0:ffff"
-        # leftmost-longest zero-run search over a 8-char '1'/'0' bitmap:
-        # locate('1' * l, bitmap) is the leftmost start of a run >= l, so
-        # scanning l from 8 down to 2 yields the RFC 5952 choice
-        bitmap = F.array_join(
-            F.transform(h, lambda x: F.when(x == "0", F.lit("1"))
-                        .otherwise(F.lit("0"))), "")
-        canon = _let(bitmap, lambda b: _let(_best_run(b),
-                                            lambda bs: _render(h, bs)))
-        return F.when(mapped, dotted).otherwise(canon)
+    return name, fn
 
-    def _best_run(b: Column) -> Column:
-        chain = None
-        for l in range(8, 1, -1):
-            pos = F.locate("1" * l, b)
-            hit = F.struct(pos.alias("s"), F.lit(l).alias("l"))
-            chain = (F.when(pos > 0, hit) if chain is None
-                     else chain.when(pos > 0, hit))
-        return chain.otherwise(
-            F.struct(F.lit(0).alias("s"), F.lit(0).alias("l")))
 
-    def _render(h: Column, bs: Column) -> Column:
-        s_, l_ = bs["s"], bs["l"]
-        compressed = F.concat(
-            F.array_join(F.slice(h, 1, s_ - 1), ":"),
-            F.lit("::"),
-            F.array_join(
-                F.slice(F.concat(h, F.array(F.lit(""))),  # start > size guard
-                        s_ + l_, F.lit(9) - s_ - l_), ":"))
-        return F.when(l_ >= 2, compressed).otherwise(F.array_join(h, ":"))
+def ip_prefix_col(c: Column, v4len: int, v6len: int) -> Column:
+    """``IP_PREFIX(ip, v4_len, v6_len)`` as a standalone Column: parse to
+    hex32, family-picked mask, shared canonical renderer on the masked
+    nibbles (valid by construction — no re-parse). Unparseable input
+    folds to null."""
+    mh, fn = _mask_pick_stage(v4len, v6len)
+    pipe = _parse_pipe(c) + [(mh, fn)] + _render_pipe(mh)
+    return _run_let(pipe, lambda r: F.when(r("h").isNotNull(),
+                                           _render_out(r, mh)))
 
-    return _let(F.lower(F.trim(c)), with_lc)
 
+# ---------------------------------------------------------------------------
+# Binding mode 2: staged helper columns (the ES|QL compiler's EVAL/WHERE
+# path; whole-stage codegen, one parse shared across calls).
+
+def _run_staged(df: DataFrame, pipe: list, prefix: str,
+                env: dict[str, str]) -> tuple[DataFrame, list[str]]:
+    """Append one helper column per stage; ``env`` maps stage name ->
+    column name (shared with previously staged pipes on the same df)."""
+    added: list[str] = []
+
+    def r(n: str) -> Column:
+        return F.col(env[n])
+
+    for name, fn in pipe:
+        cn = prefix + name
+        df = df.withColumn(cn, fn(r))
+        env[name] = cn
+        added.append(cn)
+    return df, added
+
+
+def stage_parse(df: DataFrame, src: Column,
+                prefix: str) -> tuple[DataFrame, dict[str, str], list[str]]:
+    """Stage the parse pipeline (through the ``h`` hex32 stage) for
+    ``src``. Returns (df, stage-name -> column-name, temp columns)."""
+    env: dict[str, str] = {}
+    df, added = _run_staged(df, _parse_pipe(src), prefix, env)
+    return df, env, added
+
+
+def stage_to_ip(df: DataFrame, env: dict[str, str],
+                prefix: str) -> tuple[DataFrame, Column, list[str]]:
+    """Canonical-rendering stages over an already-staged parse; returns
+    the TO_IP output Column (not yet projected)."""
+    df, added = _run_staged(df, _render_pipe("h"), prefix, env)
+    return df, _to_ip_final(lambda n: F.col(env[n])), added
+
+
+def stage_ip_prefix(df: DataFrame, env: dict[str, str], v4len: int,
+                    v6len: int,
+                    prefix: str) -> tuple[DataFrame, Column, list[str]]:
+    """IP_PREFIX over an already-staged parse: family-picked mask on the
+    hex32 value, then the shared canonical renderer on the masked
+    nibbles (no re-parse — the masked value is valid by construction)."""
+    mh, fn = _mask_pick_stage(v4len, v6len)
+    pipe = [(mh, fn)] + _render_pipe(mh)
+    # fresh env copy: the render stages (harr/bitmap/bs) are PER masked
+    # value — they must not collide with a TO_IP render on the raw h
+    env2 = dict(env)
+    df, added = _run_staged(df, pipe, prefix, env2)
+    out = F.when(F.col(env2["h"]).isNotNull(),
+                 _render_out(lambda n: F.col(env2[n]), mh))
+    return df, out, added
+
+
+def cidr_match_on_hex(h: Column,
+                      blocks: list[tuple[str, int, list[str]]]) -> Column:
+    """The CIDR membership test over a hex32 Column: per block a
+    fixed-length prefix compare plus an allowed-chars probe for a
+    non-nibble-aligned prefix; invalid (null) addresses never match."""
+    cond = None
+    for pref, nib, allowed in blocks:
+        this = (F.substring(h, 1, nib) == F.lit(pref)) if nib \
+            else F.lit(True)
+        if allowed:
+            this = this & F.substring(h, nib + 1, 1).isin(allowed)
+        cond = this if cond is None else (cond | this)
+    return h.isNotNull() & cond
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (unchanged by the r11 Spark-side rebinding: the SQL is
+# still generated from the same _RUNS list / constants, and the
+# cross-engine property tests pin the two engines together).
 
 def to_ip_sql(expr: str) -> str:
     """DuckDB SQL computing the identical canonicalization of ``expr``.
@@ -226,56 +448,6 @@ SELECT CASE
   WHEN regexp_matches(lc, '{IPV4_RE}') THEN lc
   WHEN ok6 THEN canon6
 END FROM _o)"""
-
-
-def ip_hex32_col(c: Column) -> Column:
-    """The 128-bit value of an IP string as 32 lowercase nibbles (or
-    null): IPv6 hextets lpad'ed to 4, IPv4 mapped into ``::ffff:0:0/96``
-    — the Lucene ``InetAddressPoint`` encoding ES's ip field/CIDR
-    queries run on. Fixed-length hex compares lexicographically ==
-    numerically, so a CIDR test is one string-prefix compare."""
-
-    def with_lc(lc0: Column) -> Column:
-        return _let(_v4_tail_to_hex(lc0), with_lc2)
-
-    def with_lc2(lc: Column) -> Column:
-        return _let(F.split(lc, "::", -1),
-                    lambda parts: with_parts(lc, parts))
-
-    def groups(part: Column) -> Column:
-        return F.when(part == "", F.array().cast("array<string>")) \
-                .otherwise(F.split(part, ":", -1))
-
-    def with_parts(lc: Column, parts: Column) -> Column:
-        ndc = F.size(parts)
-        left = groups(F.element_at(parts, 1))
-        right = F.when(ndc == 2, groups(F.element_at(parts, 2))) \
-                 .otherwise(F.array().cast("array<string>"))
-        return _let(F.struct(left.alias("lg"), right.alias("rg")),
-                    lambda g: with_groups(lc, ndc, g["lg"], g["rg"]))
-
-    def with_groups(lc, ndc, left, right) -> Column:
-        n = F.size(left) + F.size(right)
-        toks_ok = F.forall(F.concat(left, right),
-                           lambda x: x.rlike(_HEXTET_RE))
-        struct_ok = ((ndc == 1) & (n == 8)) | ((ndc == 2) & (n <= 7))
-        ok6 = lc.contains(":") & (ndc <= 2) & struct_ok & toks_ok
-        hex32 = F.array_join(F.transform(
-            F.concat(left,
-                     F.array_repeat(F.lit("0"), (F.lit(8) - n).cast("int")),
-                     right),
-            lambda x: F.lpad(x, 4, "0")), "")
-        # IPv4 → mapped: 20 zero nibbles + ffff + 8 v4 nibbles
-        o = F.transform(F.split(lc, r"\."), lambda x: x.cast("long"))
-        v4hex = F.concat(
-            F.lit("00000000000000000000ffff"),
-            F.lpad(F.lower(F.conv(
-                (F.element_at(o, 1) * 16777216 + F.element_at(o, 2) * 65536
-                 + F.element_at(o, 3) * 256 + F.element_at(o, 4))
-                .cast("string"), 10, 16)), 8, "0"))
-        return F.when(lc.rlike(IPV4_RE), v4hex).when(ok6, hex32)
-
-    return _let(F.lower(F.trim(c)), with_lc)
 
 
 def ip_hex32_sql(expr: str) -> str:
@@ -408,10 +580,6 @@ def mask_hex32_sql(hexpr: str, bits: int) -> str:
     if used < 32:
         parts.append(f"'{'0' * (32 - used)}'")
     return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"
-
-
-#: the 24-nibble prefix every IPv4-mapped hex32 value carries
-MAPPED_PREFIX = "00000000000000000000ffff"
 
 
 def hex32_to_hextets_col(h: Column) -> Column:
