@@ -207,6 +207,11 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # whole-stage-codegen fallback aligned with HotSpot's 8000-byte
+        # JIT ceiling (-XX:DontCompileHugeMethods): giant fused methods
+        # otherwise run in the bytecode interpreter. JVM property, not a
+        # scale knob; see sources/tables.py:_tune_session for the A/B.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
