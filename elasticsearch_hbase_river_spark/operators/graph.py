@@ -82,14 +82,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # default-memory driver, the edge-list broadcast build OOMs, and at
         # 100 TB it would be wrong even when it fits.
         prop = (labels.hint("merge").join(sym, labels.doc_id == sym.src)
-                      .select(F.col("dst").alias("doc_id"), "comp"))
-        new = (labels.unionByName(prop)
-                     .groupBy("doc_id").agg(F.min("comp").alias("comp"))
+                      .select(F.col("dst").alias("doc_id"), "comp",
+                              F.lit(None).cast("long").alias("oldc")))
+        # The convergence check rides the SAME aggregation (r11): each
+        # doc has exactly one labels row, so min(oldc) recovers its
+        # previous comp next to the new min(comp) — the old separate
+        # new⋈labels sort-merge join per round (one full shuffle of the
+        # label table) existed only to compute `changed`.
+        new = (labels.select("doc_id", "comp",
+                             F.col("comp").alias("oldc"))
+                     .unionByName(prop)
+                     .groupBy("doc_id").agg(F.min("comp").alias("comp"),
+                                            F.min("oldc").alias("oldc"))
                      .localCheckpoint(eager=True))
-        changed = (new.alias("n").hint("merge")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new
+        changed = new.filter(F.col("comp") != F.col("oldc")).count()
+        labels = new.select("doc_id", "comp")
         if changed == 0:
             break
 

@@ -496,22 +496,26 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.min(F.struct("d", "ck")).alias("m"),
                  F.any_value("embedding").alias("embedding")))
-    got = _sem_centroid_rows(best.select(F.col("m.ck").alias("k"),
-                                         "embedding"))
-    cent_rows = [(i, c) for i, (_ck, c) in enumerate(got)]
-    # Remaining Lloyd iterations run INSIDE the final action: each
-    # re-estimation is a 1-row cents relation (K·dim partial agg)
-    # broadcast into the next per-row argmin — no driver collect
-    # between iterations (the sequential iter-2 job was ~1.8 s of the
-    # query's wall, almost all fixed overhead at fixture scale). The
-    # first in-plan assignment still uses the literal argmin (cent_rows
-    # are driver literals from the fused job — no join needed) up to
-    # SEM_LITERAL_K_MAX; past it, the broadcast-relation twin.
-    if len(cent_rows) <= SEM_LITERAL_K_MAX:
-        assigned_k = _sem_assign(emb, cent_rows).select("k", "embedding")
-    else:
-        assigned_k = _sem_assign_rel(spark, emb, cent_rows) \
-            .select("k", "embedding")
+    # EVERY Lloyd stage runs INSIDE the final action (r11: was one
+    # driver collect + a literal-argmin rebuild — a full sequential job
+    # + 8x64 literal nodes of py4j/analysis per build; now zero driver
+    # round-trips, so the whole query is ONE action): the fused first
+    # pass's re-estimation is a 1-row cents relation keyed by the init
+    # candidates' OWN vec_ids, relabeled in-plan to k = rank (the
+    # struct's position in the k-sorted cents array — exactly the
+    # enumerate() the driver used to do), then broadcast into the next
+    # per-row argmin. The literal-argmin helpers stay for the pinned
+    # K-scaling A/B tests.
+    cents1 = (_sem_cents_1row(best.select(F.col("m.ck").alias("k"),
+                                          "embedding"))
+              .select(F.transform(
+                  F.col("cents"), lambda c, i: F.struct(
+                      i.cast("int").alias("k"),
+                      c["centroid"].alias("centroid"),
+                      c["cnorm"].alias("cnorm"))).alias("cents")))
+    assigned_k = (emb.crossJoin(F.broadcast(cents1))
+                  .select(_sem_chosen(F.col("cents"))["k"].alias("k"),
+                          "embedding"))
     for _ in range(SEM_ITERS - 2):
         withc = emb.crossJoin(F.broadcast(_sem_cents_1row(assigned_k)))
         assigned_k = withc.select(
