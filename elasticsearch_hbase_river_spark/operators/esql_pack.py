@@ -980,9 +980,15 @@ def ensure_esql_stream_state(spark: SparkSession, sf_dir: str) -> str:
         return root
     tmp = f"{root}.tmp-{uuid.uuid4().hex}"
     src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    # 2 source files -> 2 real micro-batch epochs: the multi-epoch merge
+    # this fixture exists to exercise needs >=2 (asserted below), and
+    # each extra micro-batch costs a full foreachBatch tick of fixed
+    # streaming-engine overhead at any data size (r11: 4 -> 2 epochs,
+    # drain ~1 s cheaper, identical merged result — the partials are
+    # exact).
     (load_table(spark, sf_dir, "events")
      .select("event_id", "event_type", "value")
-     .repartition(4).write.parquet(src))
+     .repartition(2).write.parquet(src))
     sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
            .option("maxFilesPerTrigger", "1").parquet(src))
     q = start_esql_stream(spark, ESQL_STREAM_TEXT, sdf, state,
@@ -1466,7 +1472,7 @@ FROM events GROUP BY tb ORDER BY tb""",
 # ---------------------------------------------------------------------------
 # Streaming TS: the continuous hypertable rollup. Per-epoch INNER partials
 # per (series, bucket) — a series' bucket spans micro-batches in this
-# fixture by construction (repartition(4) is not time-partitioned) — must
+# fixture by construction (the repartition is not time-partitioned) — must
 # merge to exactly the batch GROUP BY answer. The registered query uses
 # only association-exact aggregates (MAX / COUNT) so the oracle hash is
 # deterministic; the AVG/FIRST/LAST merge semantics are pinned by
@@ -1504,9 +1510,13 @@ def ensure_esql_stream_ts_state(spark: SparkSession, sf_dir: str) -> str:
         return root
     tmp = f"{root}.tmp-{uuid.uuid4().hex}"
     src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    # 2 files -> 2 epochs (same rationale as ensure_esql_stream_state:
+    # >=2 is what the merge demonstration needs; per-epoch tick overhead
+    # is fixed cost). Still not time-partitioned, so a series' bucket
+    # spans both micro-batches.
     (load_table(spark, sf_dir, "events")
      .select("event_id", "ts", "user_id", "event_type", "value")
-     .repartition(4).write.parquet(src))
+     .repartition(2).write.parquet(src))
     sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
            .option("maxFilesPerTrigger", "1").parquet(src))
     q = start_esql_stream(
