@@ -115,8 +115,12 @@ def _raw_group(r: _Ref, i: int) -> Column:
             .otherwise(F.lit("0")))
 
 
-def _parse_pipe(src: Column) -> list[tuple[str, Callable[[_Ref], Column]]]:
+def _parse_pipe() -> list[tuple[str, Callable[[_Ref], Column]]]:
     """The shared parse stages: string -> validity flags + hex32 value.
+    The source string is referenced as the ``src`` stage (pre-seeded by
+    the binder), so the stage list itself is input-independent — which
+    is what lets the staged binder CACHE the built Column objects per
+    process (see ``_cached_stage_cols``).
 
     Null/invalid propagation mirrors the original expression exactly:
     ``ok6``/``is4`` are false-or-null off the happy path, and ``h`` is
@@ -157,7 +161,7 @@ def _parse_pipe(src: Column) -> list[tuple[str, Callable[[_Ref], Column]]]:
         return F.when(r("is4"), v4hex).when(r("ok6"), hex6)
 
     return [
-        ("lc0", lambda r: F.lower(F.trim(src))),
+        ("lc0", lambda r: F.lower(F.trim(r("src")))),
         ("quad", lambda r: F.when(
             r("lc0").contains(":") & r("lc0").contains("."),
             F.regexp_extract(r("lc0"), _V4_TAIL_RE, 1)).otherwise(F.lit(""))),
@@ -247,8 +251,11 @@ def _to_ip_final(r: _Ref) -> Column:
 # ---------------------------------------------------------------------------
 # Binding mode 1: nested _let (standalone Column API; interpreted).
 
-def _run_let(pipe: list, final: Callable[[_Ref], Column]) -> Column:
-    env: dict[str, Column] = {}
+def _run_let(pipe: list, final: Callable[[_Ref], Column],
+             src: Column) -> Column:
+    # src is referenced exactly once (by the lc0 stage), so it is seeded
+    # directly instead of _let-bound — no tree duplication possible.
+    env: dict[str, Column] = {"src": src}
 
     def make_body(name: str, nxt: int):
         # factory closure, NOT a default-arg lambda: F.transform passes
@@ -271,7 +278,7 @@ def _run_let(pipe: list, final: Callable[[_Ref], Column]) -> Column:
 
 def to_ip_col(c: Column) -> Column:
     """Canonical IP string (or null) from an arbitrary string column."""
-    return _run_let(_parse_pipe(c) + _render_pipe("h"), _to_ip_final)
+    return _run_let(_parse_pipe() + _render_pipe("h"), _to_ip_final, c)
 
 
 def ip_hex32_col(c: Column) -> Column:
@@ -280,7 +287,7 @@ def ip_hex32_col(c: Column) -> Column:
     — the Lucene ``InetAddressPoint`` encoding ES's ip field/CIDR
     queries run on. Fixed-length hex compares lexicographically ==
     numerically, so a CIDR test is one string-prefix compare."""
-    return _run_let(_parse_pipe(c), lambda r: r("h"))
+    return _run_let(_parse_pipe(), lambda r: r("h"), c)
 
 
 def _mask_pick_stage(v4len: int, v6len: int) -> tuple[str,
@@ -304,27 +311,52 @@ def ip_prefix_col(c: Column, v4len: int, v6len: int) -> Column:
     nibbles (valid by construction — no re-parse). Unparseable input
     folds to null."""
     mh, fn = _mask_pick_stage(v4len, v6len)
-    pipe = _parse_pipe(c) + [(mh, fn)] + _render_pipe(mh)
+    pipe = _parse_pipe() + [(mh, fn)] + _render_pipe(mh)
     return _run_let(pipe, lambda r: F.when(r("h").isNotNull(),
-                                           _render_out(r, mh)))
+                                           _render_out(r, mh)), c)
 
 
 # ---------------------------------------------------------------------------
 # Binding mode 2: staged helper columns (the ES|QL compiler's EVAL/WHERE
 # path; whole-stage codegen, one parse shared across calls).
 
-def _run_staged(df: DataFrame, pipe: list, prefix: str,
-                env: dict[str, str]) -> tuple[DataFrame, list[str]]:
-    """Append one helper column per stage; ``env`` maps stage name ->
-    column name (shared with previously staged pipes on the same df)."""
+#: process-lifetime cache of BUILT stage Column objects, keyed by
+#: (pipeline kind, prefix, params). Every stage reference is by COLUMN
+#: NAME (``prefix + stage``), and prefixes are allocated deterministically
+#: by the compiler (``__ip1_``, ``__ip2_``, ...), so the same Column
+#: objects bind correctly on any DataFrame that carries the helper
+#: columns. This caches unresolved EXPRESSION TREES, never data or
+#: results: building the ~16-stage pipeline costs ~10k py4j round-trips
+#: (measured 2-4 s per query at bench time, the dominant cost of the IP
+#: query family at sf0.1); with the cache the second and later IP
+#: queries in a process reuse the trees for ~40 round-trips.
+_STAGE_COL_CACHE: dict[tuple, list[tuple[str, str, Column]]] = {}
+
+
+def _fixed_ref(prefix: str) -> _Ref:
+    return lambda n: F.col(prefix + n)
+
+
+def _cached_stage_cols(key: tuple, make_pipe: Callable[[], list],
+                       prefix: str) -> list[tuple[str, str, Column]]:
+    """[(stage name, column name, built Column)] for ``make_pipe()`` with
+    every stage reference bound to ``prefix + stage``; built once per
+    process per key."""
+    got = _STAGE_COL_CACHE.get(key)
+    if got is None:
+        r = _fixed_ref(prefix)
+        got = [(name, prefix + name, fn(r)) for name, fn in make_pipe()]
+        _STAGE_COL_CACHE[key] = got
+    return got
+
+
+def _apply_staged(df: DataFrame, cols: list[tuple[str, str, Column]],
+                  env: dict[str, str]) -> tuple[DataFrame, list[str]]:
+    """Append one helper column per cached stage; ``env`` maps stage
+    name -> column name (shared with previously staged pipes)."""
     added: list[str] = []
-
-    def r(n: str) -> Column:
-        return F.col(env[n])
-
-    for name, fn in pipe:
-        cn = prefix + name
-        df = df.withColumn(cn, fn(r))
+    for name, cn, col in cols:
+        df = df.withColumn(cn, col)
         env[name] = cn
         added.append(cn)
     return df, added
@@ -333,18 +365,30 @@ def _run_staged(df: DataFrame, pipe: list, prefix: str,
 def stage_parse(df: DataFrame, src: Column,
                 prefix: str) -> tuple[DataFrame, dict[str, str], list[str]]:
     """Stage the parse pipeline (through the ``h`` hex32 stage) for
-    ``src``. Returns (df, stage-name -> column-name, temp columns)."""
-    env: dict[str, str] = {}
-    df, added = _run_staged(df, _parse_pipe(src), prefix, env)
-    return df, env, added
+    ``src``. Returns (df, stage-name -> column-name, temp columns).
+    ``src`` is materialized as the ``<prefix>src`` helper column so the
+    rest of the pipeline is input-independent and cacheable."""
+    sn = prefix + "src"
+    df = df.withColumn(sn, src)
+    env: dict[str, str] = {"src": sn}
+    cols = _cached_stage_cols(("parse", prefix), _parse_pipe, prefix)
+    df, added = _apply_staged(df, cols, env)
+    return df, env, [sn] + added
 
 
 def stage_to_ip(df: DataFrame, env: dict[str, str],
                 prefix: str) -> tuple[DataFrame, Column, list[str]]:
     """Canonical-rendering stages over an already-staged parse; returns
     the TO_IP output Column (not yet projected)."""
-    df, added = _run_staged(df, _render_pipe("h"), prefix, env)
-    return df, _to_ip_final(lambda n: F.col(env[n])), added
+    cols = _cached_stage_cols(("toip", prefix),
+                              lambda: _render_pipe("h"), prefix)
+    df, added = _apply_staged(df, cols, env)
+    key = ("toip_out", prefix)
+    out = _STAGE_COL_CACHE.get(key)
+    if out is None:
+        out = _to_ip_final(_fixed_ref(prefix))
+        _STAGE_COL_CACHE[key] = out
+    return df, out, added
 
 
 def stage_ip_prefix(df: DataFrame, env: dict[str, str], v4len: int,
@@ -354,13 +398,21 @@ def stage_ip_prefix(df: DataFrame, env: dict[str, str], v4len: int,
     hex32 value, then the shared canonical renderer on the masked
     nibbles (no re-parse — the masked value is valid by construction)."""
     mh, fn = _mask_pick_stage(v4len, v6len)
-    pipe = [(mh, fn)] + _render_pipe(mh)
     # fresh env copy: the render stages (harr/bitmap/bs) are PER masked
-    # value — they must not collide with a TO_IP render on the raw h
+    # value — they must not collide with a TO_IP render on the raw h.
+    # The column NAMES collide by design (prefix+harr twice is fine:
+    # withColumn shadows, and each consumer was resolved against the
+    # projection level below it), but the env must keep them separate.
     env2 = dict(env)
-    df, added = _run_staged(df, pipe, prefix, env2)
-    out = F.when(F.col(env2["h"]).isNotNull(),
-                 _render_out(lambda n: F.col(env2[n]), mh))
+    cols = _cached_stage_cols(("prefix", prefix, v4len, v6len),
+                              lambda: [(mh, fn)] + _render_pipe(mh), prefix)
+    df, added = _apply_staged(df, cols, env2)
+    key = ("prefix_out", prefix, v4len, v6len)
+    out = _STAGE_COL_CACHE.get(key)
+    if out is None:
+        r = _fixed_ref(prefix)
+        out = F.when(r("h").isNotNull(), _render_out(r, mh))
+        _STAGE_COL_CACHE[key] = out
     return df, out, added
 
 
