@@ -30,4 +30,12 @@ partial-aggregable, and nothing collects to the driver.
 
 __version__ = "0.1.0"
 
+# Process-level Py4J resolution caching (see py4j_cache module docstring):
+# installed at package import so every entry point (driver, bench, tools,
+# tests) builds DataFrame plans without re-reflecting immutable JVM
+# structure on each F.*/Column call.
+from elasticsearch_hbase_river_spark import py4j_cache as _py4j_cache
+
+_py4j_cache.install()
+
 from elasticsearch_hbase_river_spark.config import RiverConfig  # noqa: F401
