@@ -579,17 +579,16 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast swaps for a hash join on token."""
     from elasticsearch_hbase_river_spark.operators.indexed_search import (
         ensure_index,
-        read_percslots,
+        read_percstored,
         read_postings,
     )
 
     idx = ensure_index(spark, sf_dir)
-    # |Q|·k rows, consumed THREE times (term collect, match join, terms
-    # output) — checkpoint eagerly so percslots + synthesis run once,
-    # not per consumer (the fixed cost this query exists to shave).
-    stored = _pin_small(spark, _stored_queries_from_sidx(
-        spark, read_percslots(spark, idx), PERC_N_QUERIES,
-        PERC_TERMS_PER_QUERY))
+    # Registered at build time (layout v9): the |Q|·k stored relation is
+    # a single-file sidecar — the per-query synthesis (+ the _pin_small
+    # driver round-trip that kept it from re-running per consumer) is
+    # gone from the serving path.
+    stored = read_percstored(spark, idx)
     # |Q|·k is a small constant here (24 terms): collecting them enables
     # bucket-literal pruning of the postings read — the bounded-literal
     # pattern the ANN probe path established.
@@ -676,24 +675,20 @@ def q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gone; the registration-scale claims below are unchanged.
     from elasticsearch_hbase_river_spark.operators.indexed_search import (
         ensure_index,
-        read_percslots,
+        read_percqueries_k2,
         read_postings,
     )
 
     idx = ensure_index(spark, sf_dir)
     posts = read_postings(spark, idx).select("doc_id", "token")
-    stored = _stored_queries_from_sidx(
-        spark, read_percslots(spark, idx), PERC_IDX_N_QUERIES,
-        PERC_TERMS_PER_QUERY)
-    # canonical term sets: the percolation unit. The INTERNAL set key is a
-    # 64-bit hash (long group keys shuffle ~40% cheaper than md5 strings
-    # here); only (query_id, terms, count) ever leaves the query, so the
-    # oracle is free to key sets its own way.
-    qsets = (stored.groupBy("query_id")
-             .agg(F.array_join(F.array_sort(F.collect_list("token")), ",")
-                  .alias("terms"))
-             .withColumn("set_key", F.xxhash64("terms"))
-             .localCheckpoint(eager=True))  # read twice: postings + fan-back
+    # Registered at build time (layout v9): the canonical term sets are a
+    # single-file sidecar — the synthesis + canonicalization (and the
+    # eager localCheckpoint that kept them from re-running per consumer)
+    # are gone from the serving path. The INTERNAL set key is a 64-bit
+    # hash (long group keys shuffle ~40% cheaper than md5 strings here);
+    # only (query_id, terms, count) ever leaves the query, so the oracle
+    # is free to key sets its own way.
+    qsets = read_percqueries_k2(spark, idx)
     # AND-matching WITHOUT a corpus-sized join: per document, build the
     # set of its tokens that any stored query registers (semi-join against
     # the broadcast query vocabulary, one shuffle keyed on doc_id), expand
@@ -1038,6 +1033,33 @@ def percolate_k3_registry(spark: SparkSession,
                     F.col("others").getItem(0).alias("o1"),
                     F.col("others").getItem(1).alias("o2")))
     return qsets, rare
+
+
+def percolate_k2_registry(spark: SparkSession,
+                          sidx: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build-time registration of the two k2 percolate workloads (layout
+    v9, same ES percolator model as :func:`percolate_k3_registry`):
+
+    - ``qsets`` (query_id, terms, set_key): the {PERC_IDX_N_QUERIES}
+      registration-scale queries of ``q_percolate_indexed``, canonical
+      sorted term list + term-SET key;
+    - ``stored`` (query_id, token): the {PERC_N_QUERIES}-query workload
+      of ``q_percolate``.
+
+    Both are constant-bounded (|Q|·k rows). Serving previously re-ran
+    the synthesis + canonicalization (an eager localCheckpoint) per
+    percolation — measured ~2-4 s of fixed cost per query at bench
+    time."""
+    sid_tok = sidx.select("sid", "token")
+    big = _stored_queries_from_sidx(
+        spark, sid_tok, PERC_IDX_N_QUERIES, PERC_TERMS_PER_QUERY)
+    qsets = (big.groupBy("query_id")
+             .agg(F.array_join(F.array_sort(
+                 F.collect_list("token")), ",").alias("terms"))
+             .withColumn("set_key", F.xxhash64("terms")))
+    stored = _stored_queries_from_sidx(
+        spark, sid_tok, PERC_N_QUERIES, PERC_TERMS_PER_QUERY)
+    return qsets, stored
 
 
 def q_percolate_k3(spark: SparkSession, sf_dir: str) -> DataFrame:

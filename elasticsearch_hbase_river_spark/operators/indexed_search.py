@@ -123,9 +123,13 @@ META = "_index_meta.json"
 #: where queries are indexed documents — so the per-query fixed stages
 #: (synthesis over the slot dictionary, set canonicalization, rarest-
 #: term ranking) run once per epoch instead of once per percolation.
+#: v9 registers the two k2 workloads the same way (``percqueries_k2``
+#: for q_percolate_indexed's 10k registration-scale queries,
+#: ``percstored`` for q_percolate's 12-query demo): their synthesis +
+#: canonicalization was still ~2-4 s of per-percolation fixed cost.
 #: The version rides the index path fingerprint, so older directories are
 #: never served or appended.
-LAYOUT_VERSION = 8
+LAYOUT_VERSION = 9
 
 #: Root for on-demand index builds (override with RIVER_INDEX_ROOT).
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_search_index")
@@ -242,6 +246,19 @@ def read_percqueries_k3(spark: SparkSession,
     return qsets, rare
 
 
+def read_percqueries_k2(spark: SparkSession, path: str) -> DataFrame:
+    """The registered registration-scale k2 workload (layout v9):
+    ``qsets`` (query_id, terms, set_key) — a constant-bounded
+    single-file sidecar (`esagg.percolate_k2_registry`)."""
+    return spark.read.parquet(os.path.join(path, "percqueries_k2"))
+
+
+def read_percstored(spark: SparkSession, path: str) -> DataFrame:
+    """The registered 12-query demo workload (layout v9): ``stored``
+    (query_id, token)."""
+    return spark.read.parquet(os.path.join(path, "percstored"))
+
+
 def _write_percquery_sidecars(spark: SparkSession, tmp: str) -> None:
     """Derive + persist the percolator workload sidecars from the
     ``percslots`` dictionary already landed in ``tmp`` (layout v8):
@@ -252,15 +269,24 @@ def _write_percquery_sidecars(spark: SparkSession, tmp: str) -> None:
     slot dictionary, which epoch churn can change."""
     from elasticsearch_hbase_river_spark.operators.esagg import (
         PERC_K3_TERMS,
+        PERC_TERMS_PER_QUERY,
+        percolate_k2_registry,
         percolate_k3_registry,
     )
 
     sidx = spark.read.parquet(os.path.join(tmp, "percslots"))
-    if sidx.count() < PERC_K3_TERMS + 2:
-        # degenerate (test-sized) dictionary: the synthesis progression
-        # invariants need >= k+2 distinct slots. Skip the sidecar — the
-        # index itself is fine; percolation on such a corpus raises at
-        # read_percqueries_k3 (missing path) instead of mid-plan.
+    n_slots = sidx.count()
+    # degenerate (test-sized) dictionaries: the synthesis progression
+    # invariants need >= k+2 distinct slots. Skip the affected sidecars —
+    # the index itself is fine; percolation on such a corpus raises at
+    # the sidecar read (missing path) instead of mid-plan.
+    if n_slots >= PERC_TERMS_PER_QUERY + 2:  # k2 workloads (layout v9)
+        qsets2, stored2 = percolate_k2_registry(spark, sidx)
+        (qsets2.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(tmp, "percqueries_k2")))
+        (stored2.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(tmp, "percstored")))
+    if n_slots < PERC_K3_TERMS + 2:
         return
     qsets, rare = percolate_k3_registry(spark, sidx)
     (qsets.coalesce(1).write.mode("overwrite")
