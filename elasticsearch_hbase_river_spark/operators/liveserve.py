@@ -46,7 +46,6 @@ from elasticsearch_hbase_river_spark.functions.determinism import (
     roundn_sql,
 )
 from elasticsearch_hbase_river_spark.operators.indexed_search import (
-    changed_dbuckets,
     ensure_index,
     index_path_for,
     index_stats,
@@ -156,17 +155,29 @@ def bm25_live(spark: SparkSession, base_path: str, epochs_dir: str,
     fresh_all = read_inverted_index(spark, epochs_dir) \
         .localCheckpoint(eager=True)
     changed = fresh_docs.select("doc_id")
-    # bounded-collect + saturation-to-full-scan guard (indexed_search.py)
-    dbuckets = changed_dbuckets(changed)
 
     st = index_stats(base_path)
+    # ONE driver job over the (checkpointed, delta-sized) epoch manifest
+    # computes the added-doc moments AND the touched dbuckets (r11: the
+    # separate changed_dbuckets collect was a second sequential job).
+    # collect_set over the bucket column is executor-side distinct first,
+    # so the driver row holds at most N_BUCKETS ids — same epoch-storm
+    # bound as changed_dbuckets, same saturation-to-full-scan guard.
+    from elasticsearch_hbase_river_spark.operators.indexed_search import (
+        N_BUCKETS,
+        _dbucket,
+    )
+
+    added = fresh_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+        F.collect_set(_dbucket(F.col("doc_id"))).alias("bs")).first()
+    bs = sorted(added["bs"])
+    dbuckets = None if len(bs) >= N_BUCKETS else bs
     removed = (read_doclen(spark, base_path, dbuckets)
                .join(F.broadcast(changed), "doc_id", "left_semi")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first())
-    added = fresh_docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("dl")).first()
     n_docs = int(st["n_docs"]) - removed["n"] + added["n"]
     avgdl = (int(st["sum_dl"]) - removed["dl"] + added["dl"]) / n_docs
 
