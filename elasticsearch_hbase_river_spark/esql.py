@@ -3014,6 +3014,21 @@ class _Compiler:
         src_ast = raw[0]
         pkey = ("parse", self._ast_key(src_ast))
         if pkey not in st["cache"]:
+            # Scale-adaptive fanout (r11, guide §2.5 input skew): the
+            # staged parse is CPU-heavy per-row map work, and the bench
+            # fixtures are single-row-group parquet — ONE scan task does
+            # all the regex work regardless of cores. When the input's
+            # scan parallelism is below the session's, round-robin it
+            # out once per query (the repartition moves ~bytes of a
+            # small input; at real scale the scan already has >= cores
+            # partitions and the gate is false, so no exchange is ever
+            # added). Streaming relations skip the gate (no .rdd).
+            if not getattr(self, "_ip_fanout_checked", False):
+                self._ip_fanout_checked = True
+                if not df.isStreaming:
+                    par = self.spark.sparkContext.defaultParallelism
+                    if df.rdd.getNumPartitions() < par:
+                        df = df.repartition(par)
             n = st["n"] = st["n"] + 1
             prefix = f"__ip{n}_"
             src = self.col(src_ast, df.columns)
