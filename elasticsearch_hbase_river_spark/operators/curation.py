@@ -103,7 +103,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id. No model state on executors beyond the (broadcast)
     weight derivation; at 100 TB this is the same plan as the exact-dedup
     pass."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout: the tokenize → n-gram → hash explode is the CPU cost and the
+    # fixtures are single-row-group parquet (one scan task regardless of
+    # cores) — measured 23-36 s first-run / 2-5 s warm pinned to one core
+    # at sf0.1 (guide §2.5 input skew: repartition right after the read)
+    docs = (load_table(spark, sf_dir, "documents", fanout=True)
+            .select("doc_id", "text"))
     # Materialize the token array as an ATTRIBUTE before the lambda: a
     # computed split() captured inside transform() is re-evaluated per
     # element (the SPARK-36715 pathology class — measured 20× at sf1);

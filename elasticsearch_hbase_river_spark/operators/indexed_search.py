@@ -60,10 +60,12 @@ import os
 import shutil
 import tempfile
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_hbase_river_spark.functions.concurrency import run_jobs
 from elasticsearch_hbase_river_spark.functions.determinism import roundn_col
 from elasticsearch_hbase_river_spark.functions.xxh64 import pmod_bucket
 from elasticsearch_hbase_river_spark.operators.esagg import (
@@ -276,23 +278,24 @@ def _write_percquery_sidecars(spark: SparkSession, tmp: str) -> None:
 
     sidx = spark.read.parquet(os.path.join(tmp, "percslots"))
     n_slots = sidx.count()
+
+    def _w(df: DataFrame, name: str) -> Callable[[], None]:
+        return lambda: (df.coalesce(1).write.mode("overwrite")
+                        .parquet(os.path.join(tmp, name)))
+
     # degenerate (test-sized) dictionaries: the synthesis progression
     # invariants need >= k+2 distinct slots. Skip the affected sidecars —
     # the index itself is fine; percolation on such a corpus raises at
     # the sidecar read (missing path) instead of mid-plan.
+    writes: list[Callable[[], None]] = []
     if n_slots >= PERC_TERMS_PER_QUERY + 2:  # k2 workloads (layout v9)
         qsets2, stored2 = percolate_k2_registry(spark, sidx)
-        (qsets2.coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(tmp, "percqueries_k2")))
-        (stored2.coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(tmp, "percstored")))
-    if n_slots < PERC_K3_TERMS + 2:
-        return
-    qsets, rare = percolate_k3_registry(spark, sidx)
-    (qsets.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(tmp, "percqueries_k3")))
-    (rare.coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(tmp, "percsets_k3")))
+        writes += [_w(qsets2, "percqueries_k2"), _w(stored2, "percstored")]
+    if n_slots >= PERC_K3_TERMS + 2:
+        qsets, rare = percolate_k3_registry(spark, sidx)
+        writes += [_w(qsets, "percqueries_k3"), _w(rare, "percsets_k3")]
+    if writes:
+        run_jobs(*writes)
 
 
 def read_vocab(spark: SparkSession, path: str,
@@ -443,32 +446,16 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str,
     assert_analyzable_corpus(docs, mode=mode)
     preexisting = os.path.exists(os.path.join(path, META))
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    landed = _write_postings_tables(spark, inverted_postings(docs, mode),
-                                    tmp)
-    _write_vocab(
-        landed.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"),
-             F.sum("tf").cast("long").alias("freq"),
-             F.sum(F.when(F.col("tf_title") > 0, 1).otherwise(0))
-             .cast("long").alias("df_title"),
-             F.sum(F.when(F.col("tf") > F.col("tf_title"), 1).otherwise(0))
-             .cast("long").alias("df_body")), tmp)
-    vocab_tokens = (spark.read.parquet(os.path.join(tmp, "vocab"))
-                    .select("token"))
-    _write_vkeys(_vkeys_rel(vocab_tokens), tmp)
-    # Percolator slot dictionary (layout v6; v7 adds the slot token's df
-    # so rarest-term ranking never re-counts postings): corpus-derived
-    # and epoch-stable, so persisting it here moves the percolate
-    # queries' fixed synthesis stage (one vocab pass + the slot
-    # row_number, ~1 s/query measured at sf1 in round 7) into the
-    # one-time build.
-    from elasticsearch_hbase_river_spark.operators.esagg import (
-        slot_dictionary,
-    )
-    (slot_dictionary(spark.read.parquet(os.path.join(tmp, "vocab"))
-                     .select("token", "df")).coalesce(1)
-     .write.mode("overwrite").parquet(os.path.join(tmp, "percslots")))
-    _write_percquery_sidecars(spark, tmp)
+
+    # The build is a DAG of independent parquet writes; overlapping the
+    # independent branches lets one write's tasks back-fill executors
+    # freed by another's stragglers (guide §2.6). Dependencies honored:
+    # postings → {tvectors, vocab}; vocab → {vkeys, percslots → percquery
+    # sidecars}; doclen → stats; the doclen chain depends only on the
+    # corpus, so it overlaps the whole postings chain.
+    post = inverted_postings(docs, mode)
+    if "tf_title" not in post.columns:
+        post = post.withColumn("tf_title", _tf_title_col())
     # doclen comes from the CORPUS, not the postings: zero-token documents
     # (empty / punctuation-only text) have no postings rows but are still
     # indexed documents — they count toward N and avgdl, exactly as in ES
@@ -477,8 +464,64 @@ def build_index(spark: SparkSession, docs: DataFrame, path: str,
         "doc_id",
         F.size(tokens_for_mode(F.col("text"), mode)).cast("long")
         .alias("dl"))
-    _write_doclen(doclen, tmp)
-    _write_stats_from_doclen(spark, doclen, tmp)
+
+    def _doclen_chain() -> None:
+        _write_doclen(doclen, tmp)
+        # stats aggregates the LANDED doclen (doc_id, dl rows are
+        # identical to the pre-write relation) instead of re-tokenizing
+        # the corpus a second time.
+        _write_stats_from_doclen(
+            spark, spark.read.parquet(os.path.join(tmp, "doclen")), tmp)
+
+    def _postings_land() -> None:
+        (post.withColumn("tbucket", _tbucket(F.col("token")))
+             .repartition(N_BUCKETS, "tbucket")
+             .write.mode("overwrite").partitionBy("tbucket")
+             .parquet(os.path.join(tmp, "postings")))
+
+    run_jobs(_postings_land, _doclen_chain)
+    landed = spark.read.parquet(os.path.join(tmp, "postings"))
+
+    def _tvectors() -> None:
+        (landed.select(_dbucket(F.col("doc_id")).alias("dbucket"),
+                       "doc_id", "token", "tf", "tf_title")
+               .repartition(N_BUCKETS, "dbucket")
+               .write.mode("overwrite").partitionBy("dbucket")
+               .parquet(os.path.join(tmp, "tvectors")))
+
+    def _vocab_chain() -> None:
+        _write_vocab(
+            landed.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.sum("tf").cast("long").alias("freq"),
+                 F.sum(F.when(F.col("tf_title") > 0, 1).otherwise(0))
+                 .cast("long").alias("df_title"),
+                 F.sum(F.when(F.col("tf") > F.col("tf_title"), 1)
+                       .otherwise(0))
+                 .cast("long").alias("df_body")), tmp)
+        vocab = spark.read.parquet(os.path.join(tmp, "vocab"))
+
+        def _vkeys_job() -> None:
+            _write_vkeys(_vkeys_rel(vocab.select("token")), tmp)
+
+        def _percslots_chain() -> None:
+            # Percolator slot dictionary (layout v6; v7 adds the slot
+            # token's df so rarest-term ranking never re-counts
+            # postings): corpus-derived and epoch-stable, so persisting
+            # it here moves the percolate queries' fixed synthesis stage
+            # (one vocab pass + the slot row_number, ~1 s/query measured
+            # at sf1 in round 7) into the one-time build.
+            from elasticsearch_hbase_river_spark.operators.esagg import (
+                slot_dictionary,
+            )
+            (slot_dictionary(vocab.select("token", "df")).coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(tmp,
+                                                           "percslots")))
+            _write_percquery_sidecars(spark, tmp)
+
+        run_jobs(_vkeys_job, _percslots_chain)
+
+    run_jobs(_tvectors, _vocab_chain)
     _publish(tmp, path, preexisting, mode=mode)
 
 
@@ -511,26 +554,6 @@ def _write_stats_from_doclen(spark: SparkSession, doclen: DataFrame,
              "n_title", "sum_title", "n_body", "sum_body")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(tmp, "stats")))
-
-
-def _write_postings_tables(spark: SparkSession, post: DataFrame,
-                           tmp: str) -> DataFrame:
-    """Land the postings (token-bucketed) and the forward index
-    (doc-bucketed) — the two corpus-sized serving tables — and return the
-    landed postings for derived-table aggregation."""
-    if "tf_title" not in post.columns:
-        post = post.withColumn("tf_title", _tf_title_col())
-    (post.withColumn("tbucket", _tbucket(F.col("token")))
-         .repartition(N_BUCKETS, "tbucket")
-         .write.mode("overwrite").partitionBy("tbucket")
-         .parquet(os.path.join(tmp, "postings")))
-    landed = spark.read.parquet(os.path.join(tmp, "postings"))
-    (landed.select(_dbucket(F.col("doc_id")).alias("dbucket"),
-                   "doc_id", "token", "tf", "tf_title")
-           .repartition(N_BUCKETS, "dbucket")
-           .write.mode("overwrite").partitionBy("dbucket")
-           .parquet(os.path.join(tmp, "tvectors")))
-    return landed
 
 
 def _write_vocab(vocab: DataFrame, tmp: str) -> None:

@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_hbase_river_spark.functions.concurrency import run_jobs
 from elasticsearch_hbase_river_spark.functions.determinism import (
     roundn_col,
     roundn_sql,
@@ -258,12 +259,16 @@ def ensure_live_epochs(spark: SparkSession, sf_dir: str) -> str:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     churned = _churned_docs(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    (inverted_postings(churned)
-     .write.mode("overwrite").parquet(f"{tmp}/postings/epoch=0"))
-    (churned.select(
-        "doc_id",
-        F.size(analyze_tokens(F.col("text"))).cast("long").alias("dl"))
-     .write.mode("overwrite").parquet(f"{tmp}/docs/epoch=0"))
+    # two independent writes from the same churned relation — overlapped
+    # (guide §2.6)
+    run_jobs(
+        lambda: (inverted_postings(churned)
+                 .write.mode("overwrite")
+                 .parquet(f"{tmp}/postings/epoch=0")),
+        lambda: (churned.select(
+            "doc_id",
+            F.size(analyze_tokens(F.col("text"))).cast("long").alias("dl"))
+            .write.mode("overwrite").parquet(f"{tmp}/docs/epoch=0")))
     _stamp_epochs_layout(tmp)
     try:
         os.rename(tmp, path)

@@ -70,6 +70,7 @@ from elasticsearch_hbase_river_spark.functions.analyzer import (
     analyze_tokens,
     analyze_toks_sql,
 )
+from elasticsearch_hbase_river_spark.functions.concurrency import run_jobs
 from elasticsearch_hbase_river_spark.functions.determinism import (
     roundn_col,
     roundn_sql,
@@ -426,51 +427,71 @@ def build_nested_index(spark: SparkSession, fcells: DataFrame,
     lookups. Fully distributed; the only driver work is the atomic
     publish rename."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    if assembled is not None:
+
+    # Independent parquet writes overlapped per optimization guide §2.6:
+    # docstore / fpostings / fdoclen derive only from their inputs and
+    # run concurrently; fvocab (from landed fpostings) and fstats (from
+    # landed fdoclen + fcells) follow in a second overlapped pair.
+    def _docstore() -> None:
         (assembled
          .withColumn("dbucket", _tbucket(F.col("doc_id")))
          .repartition(N_FBUCKETS, "dbucket")
          .write.mode("overwrite").partitionBy("dbucket")
          .parquet(os.path.join(tmp, "docstore")))
-    p = _fpostings(fcells)
-    (p.withColumn("tbucket", _tbucket(F.col("token")))
-     .repartition(N_FBUCKETS, "tbucket")
-     .write.mode("overwrite").partitionBy("tbucket")
-     .parquet(os.path.join(tmp, "fpostings")))
-    landed = spark.read.parquet(os.path.join(tmp, "fpostings"))
-    (landed.groupBy("field", "token")
-     .agg(F.count(F.lit(1)).cast("long").alias("df"))
-     .withColumn("tbucket", _tbucket(F.col("token")))
-     .repartition(N_FBUCKETS, "tbucket")
-     .write.mode("overwrite").partitionBy("tbucket")
-     .parquet(os.path.join(tmp, "fvocab")))
+
+    def _fpostings_land() -> None:
+        (_fpostings(fcells)
+         .withColumn("tbucket", _tbucket(F.col("token")))
+         .repartition(N_FBUCKETS, "tbucket")
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(tmp, "fpostings")))
+
     # per-(doc, field) lengths come map-side from the fielded melt (one
     # row each — a projection), NOT from a distinct over the corpus-sized
     # postings table; persisted as the fdoclen sidecar (dbucket-pruned
     # reads power the live-serving stat corrections)
-    fdl = _field_dl(fcells)
-    (fdl.withColumn("dbucket", _tbucket(F.col("doc_id")))
-     .repartition(N_FBUCKETS, "dbucket")
-     .write.mode("overwrite").partitionBy("dbucket")
-     .parquet(os.path.join(tmp, "fdoclen")))
-    stats = (spark.read.parquet(os.path.join(tmp, "fdoclen"))
-             .groupBy("field")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                  F.sum("dl").cast("long").alias("sum_dl"),
-                  (F.sum("dl").cast("double") / F.count(F.lit(1)))
-                  .alias("avgdl")))
-    exists = (fcells.filter(F.col("value").isNotNull()
-                            & (F.col("value") != ""))
-              .groupBy("field")
-              .agg(F.count(F.lit(1)).cast("long").alias("n_exists")))
-    (stats.join(exists, "field", "full_outer")
-     .select("field",
-             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
-             F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
-             F.coalesce("avgdl", F.lit(0.0)).alias("avgdl"),
-             F.coalesce("n_exists", F.lit(0)).alias("n_exists"))
-     .coalesce(1)
-     .write.mode("overwrite").parquet(os.path.join(tmp, "fstats")))
+    def _fdoclen() -> None:
+        (_field_dl(fcells)
+         .withColumn("dbucket", _tbucket(F.col("doc_id")))
+         .repartition(N_FBUCKETS, "dbucket")
+         .write.mode("overwrite").partitionBy("dbucket")
+         .parquet(os.path.join(tmp, "fdoclen")))
+
+    stage1 = [_fpostings_land, _fdoclen]
+    if assembled is not None:
+        stage1.append(_docstore)
+    run_jobs(*stage1)
+
+    def _fvocab() -> None:
+        (spark.read.parquet(os.path.join(tmp, "fpostings"))
+         .groupBy("field", "token")
+         .agg(F.count(F.lit(1)).cast("long").alias("df"))
+         .withColumn("tbucket", _tbucket(F.col("token")))
+         .repartition(N_FBUCKETS, "tbucket")
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(tmp, "fvocab")))
+
+    def _fstats() -> None:
+        stats = (spark.read.parquet(os.path.join(tmp, "fdoclen"))
+                 .groupBy("field")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                      F.sum("dl").cast("long").alias("sum_dl"),
+                      (F.sum("dl").cast("double") / F.count(F.lit(1)))
+                      .alias("avgdl")))
+        exists = (fcells.filter(F.col("value").isNotNull()
+                                & (F.col("value") != ""))
+                  .groupBy("field")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_exists")))
+        (stats.join(exists, "field", "full_outer")
+         .select("field",
+                 F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                 F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
+                 F.coalesce("avgdl", F.lit(0.0)).alias("avgdl"),
+                 F.coalesce("n_exists", F.lit(0)).alias("n_exists"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(tmp, "fstats")))
+
+    run_jobs(_fvocab, _fstats)
     with open(os.path.join(tmp, _META), "w") as f:
         json.dump({"layout": NESTED_LAYOUT_VERSION,
                    "n_buckets": N_FBUCKETS}, f)
@@ -843,11 +864,17 @@ def ensure_nested_live_epochs(spark: SparkSession, sf_dir: str) -> str:
                .filter(_nlive_churn_sel())
                .withColumn("value", F.col("value") + NLIVE_VALUE_BUMP))
     fc = fielded_cells_from(sparse_melt(churned))
-    (_fpostings(fc).write.mode("overwrite")
-     .parquet(f"{tmp}/fpostings/epoch=0"))
-    (_field_dl(fc).write.mode("overwrite").parquet(f"{tmp}/fdl/epoch=0"))
-    (churned.select(F.col("event_id").cast("string").alias("doc_id"))
-     .distinct().write.mode("overwrite").parquet(f"{tmp}/docs/epoch=0"))
+    # three independent writes from the same churned relation —
+    # overlapped (guide §2.6)
+    run_jobs(
+        lambda: (_fpostings(fc).write.mode("overwrite")
+                 .parquet(f"{tmp}/fpostings/epoch=0")),
+        lambda: (_field_dl(fc).write.mode("overwrite")
+                 .parquet(f"{tmp}/fdl/epoch=0")),
+        lambda: (churned.select(
+            F.col("event_id").cast("string").alias("doc_id"))
+            .distinct().write.mode("overwrite")
+            .parquet(f"{tmp}/docs/epoch=0")))
     # length-stats sidecar: the serve path reads these tiny sums instead
     # of re-deriving the base removal per query
     write_nested_epoch_stats_sidecar(
