@@ -98,7 +98,10 @@ from elasticsearch_hbase_river_spark.operators.search import (
 from elasticsearch_hbase_river_spark.operators.search import (
     ORACLES as _SEARCH_ORACLES,
 )
-from elasticsearch_hbase_river_spark.sources.tables import load_table
+from elasticsearch_hbase_river_spark.sources.tables import (
+    load_table,
+    read_immutable,
+)
 
 N_BUCKETS = 32
 META = "_index_meta.json"
@@ -209,7 +212,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 def read_postings(spark: SparkSession, path: str,
                   terms: tuple[str, ...] | None = None,
                   fields: bool = False) -> DataFrame:
-    p = spark.read.parquet(os.path.join(path, "postings"))
+    p = read_immutable(spark, os.path.join(path, "postings"))
     if terms:
         p = p.filter(F.col("tbucket").isin(_terms_buckets(terms))
                      & F.col("token").isin(*terms))
@@ -221,7 +224,7 @@ def read_postings(spark: SparkSession, path: str,
 
 def read_tvectors(spark: SparkSession, path: str,
                   dbuckets: list[int] | None = None) -> DataFrame:
-    tv = spark.read.parquet(os.path.join(path, "tvectors"))
+    tv = read_immutable(spark, os.path.join(path, "tvectors"))
     if dbuckets is not None:
         tv = tv.filter(F.col("dbucket").isin(dbuckets))
     return tv.select("doc_id", "token", "tf", "tf_title")
@@ -231,7 +234,7 @@ def read_percslots(spark: SparkSession, path: str,
                    with_df: bool = False) -> DataFrame:
     """The persisted percolator slot dictionary (sid, token[, df]) — ≤
     PERC_SLOTS rows, written at build time (layout v6; df since v7)."""
-    p = spark.read.parquet(os.path.join(path, "percslots"))
+    p = read_immutable(spark, os.path.join(path, "percslots"))
     if with_df:
         return p.select("sid", "token", "df")
     return p.select("sid", "token")
@@ -243,8 +246,8 @@ def read_percqueries_k3(spark: SparkSession,
     (query_id, terms, set_key) and ``rare`` (set_key, token, o1, o2) —
     both constant-bounded single-file sidecars written at build time
     (`esagg.percolate_k3_registry`)."""
-    qsets = spark.read.parquet(os.path.join(path, "percqueries_k3"))
-    rare = spark.read.parquet(os.path.join(path, "percsets_k3"))
+    qsets = read_immutable(spark, os.path.join(path, "percqueries_k3"))
+    rare = read_immutable(spark, os.path.join(path, "percsets_k3"))
     return qsets, rare
 
 
@@ -252,13 +255,13 @@ def read_percqueries_k2(spark: SparkSession, path: str) -> DataFrame:
     """The registered registration-scale k2 workload (layout v9):
     ``qsets`` (query_id, terms, set_key) — a constant-bounded
     single-file sidecar (`esagg.percolate_k2_registry`)."""
-    return spark.read.parquet(os.path.join(path, "percqueries_k2"))
+    return read_immutable(spark, os.path.join(path, "percqueries_k2"))
 
 
 def read_percstored(spark: SparkSession, path: str) -> DataFrame:
     """The registered 12-query demo workload (layout v9): ``stored``
     (query_id, token)."""
-    return spark.read.parquet(os.path.join(path, "percstored"))
+    return read_immutable(spark, os.path.join(path, "percstored"))
 
 
 def _write_percquery_sidecars(spark: SparkSession, tmp: str) -> None:
@@ -301,7 +304,7 @@ def _write_percquery_sidecars(spark: SparkSession, tmp: str) -> None:
 def read_vocab(spark: SparkSession, path: str,
                terms: tuple[str, ...] | None = None,
                fields: bool = False) -> DataFrame:
-    v = spark.read.parquet(os.path.join(path, "vocab"))
+    v = read_immutable(spark, os.path.join(path, "vocab"))
     if terms:
         v = v.filter(F.col("tbucket").isin(_terms_buckets(terms))
                      & F.col("token").isin(*terms))
@@ -313,7 +316,7 @@ def read_vocab(spark: SparkSession, path: str,
 
 def read_doclen(spark: SparkSession, path: str,
                 dbuckets: list[int] | None = None) -> DataFrame:
-    d = spark.read.parquet(os.path.join(path, "doclen"))
+    d = read_immutable(spark, os.path.join(path, "doclen"))
     if dbuckets is not None:
         d = d.filter(F.col("dbucket").isin(dbuckets))
     return d.select("doc_id", "dl")
@@ -363,7 +366,7 @@ def read_vkeys(spark: SparkSession, path: str,
     prunes to the keys' kbucket directories (bucket ids computed
     driver-side with the xxh64 twin) — the bounded-slice read the fuzzy
     rewrite needs."""
-    vk = spark.read.parquet(os.path.join(path, "vkeys"))
+    vk = read_immutable(spark, os.path.join(path, "vkeys"))
     if keys is not None:
         kb = sorted({pmod_bucket(k, N_BUCKETS) for k in keys})
         vk = vk.filter(F.col("kbucket").isin(kb)
@@ -372,7 +375,7 @@ def read_vkeys(spark: SparkSession, path: str,
 
 
 def read_stats(spark: SparkSession, path: str) -> DataFrame:
-    return (spark.read.parquet(os.path.join(path, "stats"))
+    return (read_immutable(spark, os.path.join(path, "stats"))
             .select("n_docs", "sum_dl", "avgdl"))
 
 
@@ -876,7 +879,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
     # by delta size per epoch); rebuild_index compacts when it matters.
     pcols = ["token", "doc_id", "tf", "first_pos", "positions", "dl",
              "tf_title"]
-    base_p = (spark.read.parquet(os.path.join(base_path, "postings"))
+    base_p = (read_immutable(spark, os.path.join(base_path, "postings"))
               .join(F.broadcast(changed), "doc_id", "left_anti")
               .select(*pcols, F.col("tbucket").cast("int").alias("tbucket")))
     fresh_p = (fresh.withColumn("tf_title", _tf_title_col())
@@ -885,7 +888,7 @@ def apply_epoch_deltas(spark: SparkSession, base_path: str,
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(os.path.join(tmp, "postings")))
     tvcols = ["doc_id", "token", "tf", "tf_title"]
-    base_tv = (spark.read.parquet(os.path.join(base_path, "tvectors"))
+    base_tv = (read_immutable(spark, os.path.join(base_path, "tvectors"))
                .join(F.broadcast(changed), "doc_id", "left_anti")
                .select(*tvcols, F.col("dbucket").cast("int").alias("dbucket")))
     fresh_tv = (fresh_p.select(*tvcols,

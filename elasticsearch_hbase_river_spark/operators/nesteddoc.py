@@ -79,6 +79,7 @@ from elasticsearch_hbase_river_spark.functions.xxh64 import pmod_bucket
 from elasticsearch_hbase_river_spark.operators.search import BM25_B, BM25_K1
 from elasticsearch_hbase_river_spark.sources.tables import (
     load_table,
+    read_immutable,
     ts_ms_col,
 )
 
@@ -528,7 +529,7 @@ def ensure_nested_index(spark: SparkSession, sf_dir: str) -> str:
 def read_fpostings(spark: SparkSession, path: str,
                    terms: tuple[str, ...]) -> DataFrame:
     buckets = sorted({pmod_bucket(t, N_FBUCKETS) for t in terms})
-    return (spark.read.parquet(os.path.join(path, "fpostings"))
+    return (read_immutable(spark, os.path.join(path, "fpostings"))
             .filter(F.col("tbucket").isin(buckets)
                     & F.col("token").isin(*terms))
             .select("doc_id", "field", "token", "tf", "dl"))
@@ -537,20 +538,20 @@ def read_fpostings(spark: SparkSession, path: str,
 def read_fvocab(spark: SparkSession, path: str,
                 terms: tuple[str, ...]) -> DataFrame:
     buckets = sorted({pmod_bucket(t, N_FBUCKETS) for t in terms})
-    return (spark.read.parquet(os.path.join(path, "fvocab"))
+    return (read_immutable(spark, os.path.join(path, "fvocab"))
             .filter(F.col("tbucket").isin(buckets)
                     & F.col("token").isin(*terms))
             .select("field", "token", "df"))
 
 
 def read_fstats(spark: SparkSession, path: str) -> DataFrame:
-    return (spark.read.parquet(os.path.join(path, "fstats"))
+    return (read_immutable(spark, os.path.join(path, "fstats"))
             .select("field", "n_docs", "sum_dl", "avgdl", "n_exists"))
 
 
 def read_fdoclen(spark: SparkSession, path: str,
                  dbuckets: list[int] | None = None) -> DataFrame:
-    d = spark.read.parquet(os.path.join(path, "fdoclen"))
+    d = read_immutable(spark, os.path.join(path, "fdoclen"))
     if dbuckets is not None:
         d = d.filter(F.col("dbucket").isin(dbuckets))
     return d.select("doc_id", "field", "dl")
@@ -580,7 +581,7 @@ def q_ids_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_ids`` by the shared oracle."""
     idx = ensure_nested_index(spark, sf_dir)
     buckets = sorted({pmod_bucket(i, N_FBUCKETS) for i in IDS_LIST})
-    return (spark.read.parquet(os.path.join(idx, "docstore"))
+    return (read_immutable(spark, os.path.join(idx, "docstore"))
             .filter(F.col("dbucket").isin(buckets)
                     & F.col("doc_id").isin(*IDS_LIST))
             .select("doc_id", "doc_ts_ms", "doc_json"))

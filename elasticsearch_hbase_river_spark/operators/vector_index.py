@@ -58,7 +58,10 @@ from elasticsearch_hbase_river_spark.operators.similarity import (
 from elasticsearch_hbase_river_spark.operators.similarity import (
     ORACLES as _SIM_ORACLES,
 )
-from elasticsearch_hbase_river_spark.sources.tables import load_table
+from elasticsearch_hbase_river_spark.sources.tables import (
+    load_table,
+    read_immutable,
+)
 
 META = "_vindex_meta.json"
 _DEFAULT_ROOT = os.path.join(tempfile.gettempdir(), "river_vector_index")
@@ -150,14 +153,14 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
 
 def read_cells(spark: SparkSession, path: str,
                cells: list[int] | None = None) -> DataFrame:
-    c = spark.read.parquet(os.path.join(path, "cells"))
+    c = read_immutable(spark, os.path.join(path, "cells"))
     if cells is not None:
         c = c.filter(F.col("cell").isin(cells))
     return c.select("cell", "vec_id", "embedding", "enorm")
 
 
 def read_centroids(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "centroids"))
+    return read_immutable(spark, os.path.join(path, "centroids"))
 
 
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

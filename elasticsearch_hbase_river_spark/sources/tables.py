@@ -28,6 +28,8 @@ inherit the sandbox's timezone.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,6 +151,20 @@ def ts_watermark_pred(ev: DataFrame, min_ts_ms_exclusive: int) -> Column:
     return F.col("ts") >= F.expr(f"timestamp_millis({wm1})")
 
 
+#: Per-session cache of the LAZY base relations, keyed (sf_dir, name).
+#: ``spark.read.parquet`` on a bare path builds a fresh InMemoryFileIndex
+#: and re-reads the parquet footer for schema inference on EVERY call —
+#: measured 140-400 ms each, and one full registry construction makes ~390
+#: ``load_table`` calls (≈60-100 s of pure repeated metadata work per
+#: bench). Caching the resulting DataFrame caches ONLY the unresolved
+#: relation — file listing + schema, the same metadata Spark itself caches
+#: for catalog tables (guide §6 file-listing cache); no data, no results,
+#: every action still computes from the parquet files. WeakKeyDictionary:
+#: entries die with their session, so a stopped session never serves a
+#: stale JVM handle.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                fanout: bool = False) -> DataFrame:
     """Read one fixture table; column pruning/pushdown stays with Catalyst.
@@ -162,19 +178,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     exchange + sort-before-repartition adds more than it buys), so it is
     OFF by default and opt-in per operator.
     """
-    _tune_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    expected = EXPECTED_COLUMNS.get(name, set())
-    missing = expected - set(df.columns)
-    if missing:
-        raise TypeError(
-            f"fixture table {name!r} at {sf_dir} is missing expected "
-            f"column(s) {sorted(missing)} (found {sorted(df.columns)}) — "
-            "the fixture was likely regenerated with a new schema "
-            "(sources/tables.py:EXPECTED_COLUMNS)."
-        )
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    df = per_session.get((sf_dir, name))
+    if df is None:
+        _tune_session(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        expected = EXPECTED_COLUMNS.get(name, set())
+        missing = expected - set(df.columns)
+        if missing:
+            raise TypeError(
+                f"fixture table {name!r} at {sf_dir} is missing expected "
+                f"column(s) {sorted(missing)} (found {sorted(df.columns)}) "
+                "— the fixture was likely regenerated with a new schema "
+                "(sources/tables.py:EXPECTED_COLUMNS)."
+            )
+        per_session[(sf_dir, name)] = df
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+#: Per-session cache of lazy relations over PUBLISHED index directories.
+#: Same metadata-only rationale as :data:`_TABLE_CACHE` (file listing +
+#: schema, never data); the extra contract here is IMMUTABILITY — index
+#: layouts publish via tmp + atomic rename and are never appended to, so
+#: a cached listing can never go stale. Epochs/stream directories GAIN
+#: files between reads and must never go through this (their readers in
+#: river_stream.py/nesteddoc.py call spark.read.parquet directly).
+_IMMUTABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def read_immutable(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` for a published, immutable index dataset,
+    cached per (session, path). A bare-path read re-lists the directory
+    and re-reads footers for schema inference on every call (~80-140 ms
+    for the 32-bucket sidecar layouts); indexed queries make 2-4 such
+    reads each, ~100 queries per bench."""
+    per_session = _IMMUTABLE_CACHE.setdefault(spark, {})
+    df = per_session.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        per_session[path] = df
     return df
 
 
