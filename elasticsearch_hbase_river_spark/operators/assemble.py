@@ -70,7 +70,11 @@ def q_doc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elasticsearch_hbase_river_spark.config import RiverConfig
     from elasticsearch_hbase_river_spark.plans.pipeline import assemble_documents
 
-    cells = cells_from_events(spark, sf_dir)
+    # fanout (scale-adaptive, guide §2.5): the melt + JSON assembly is
+    # map-side string work feeding one shuffle; behind the fixtures'
+    # single-row-group scan it ran in ONE task (r11 A/B: warm 1.1 →
+    # 0.8-1.0 s, first-run 2.3 → 1.4 s at sf0.1; no-op at real scale).
+    cells = cells_from_events(spark, sf_dir, fanout=True)
     cfg = RiverConfig(table="events", index="river", type_name="doc",
                       column_separator=None, normalize_fields=False)
     return assemble_documents(cells, cfg).select(
@@ -82,7 +86,11 @@ def q_qualifier_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifier -> normalized path array (dynamic nesting depth as a path, not
     per-row structs — SURVEY.md §1.4). Exercises separator split, the
     empty-trailing-sub-qualifier collapse, and normalization."""
-    cells = cells_from_events(spark, sf_dir)
+    # fanout (scale-adaptive, guide §2.5): per-element regex normalization
+    # over 4x-melted cells is the CPU cost and ran in the fixture's ONE
+    # scan task (r11 A/B: warm 1.7-1.8 → 0.8 s, first-run 5.4 → 1.4 s at
+    # sf0.1; the gate adds no exchange at real scan parallelism).
+    cells = cells_from_events(spark, sf_dir, fanout=True)
     q2 = F.when(F.col("qualifier") == "props",
                 F.concat(F.lit("Data::"), F.upper("qualifier"), F.lit("::"))) \
          .otherwise(F.concat(F.lit("data::"), F.col("qualifier")))

@@ -45,7 +45,8 @@ stack(4,
 
 
 def cells_from_events(spark: SparkSession, sf_dir: str,
-                      min_ts_ms_exclusive: int | None = None) -> DataFrame:
+                      min_ts_ms_exclusive: int | None = None,
+                      fanout: bool = False) -> DataFrame:
     """Melt ``events`` into the canonical ``cells`` relation.
 
     ``min_ts_ms_exclusive`` is the incremental-scan watermark
@@ -54,8 +55,13 @@ def cells_from_events(spark: SparkSession, sf_dir: str,
     cannot be pushed into the parquet scan, so at scale it would read every
     row group; the equivalent raw predicate against a foldable literal
     (``ts_watermark_pred``, schema-adaptive) pushes down (and prunes
-    partitions on a date-partitioned cells table)."""
-    ev = load_table(spark, sf_dir, "events")
+    partitions on a date-partitioned cells table).
+
+    ``fanout=True`` passes through to :func:`load_table` (scale-adaptive
+    round-robin) for CPU-heavy per-cell consumers — the melt multiplies
+    rows 4x and string/regex work on the melted cells otherwise runs in
+    the fixture's single scan task."""
+    ev = load_table(spark, sf_dir, "events", fanout=fanout)
     if min_ts_ms_exclusive is not None:
         ev = ev.filter(ts_watermark_pred(ev, min_ts_ms_exclusive))
     return ev.select(

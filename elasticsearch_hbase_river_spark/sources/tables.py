@@ -177,6 +177,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     scan→partial-agg queries (their cost is planning/codegen, and the extra
     exchange + sort-before-repartition adds more than it buys), so it is
     OFF by default and opt-in per operator.
+
+    The fanout is SCALE-ADAPTIVE (r11, guide §2.5 input skew — same gate
+    as the ES|QL compiler's IP-parse fanout): the repartition is added
+    only when the scan's own parallelism is below the session's, i.e.
+    exactly the single-row-group-fixture case it exists for. At real
+    scale the scan already has >= cores partitions and NO exchange is
+    added — the old unconditional form would have SHRUNK a 1000-split
+    scan to the local core count. The partition count is plan-time
+    metadata (no job), cached per session next to the relation.
     """
     per_session = _TABLE_CACHE.setdefault(spark, {})
     df = per_session.get((sf_dir, name))
@@ -194,7 +203,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             )
         per_session[(sf_dir, name)] = df
     if fanout:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        par = spark.sparkContext.defaultParallelism
+        nparts = per_session.get((sf_dir, name, "nparts"))
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            per_session[(sf_dir, name, "nparts")] = nparts
+        if nparts < par:
+            df = df.repartition(par)
     return df
 
 
