@@ -293,14 +293,30 @@ def q_nested_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{NFS_TOP}. Scale shape (the multifield.py discipline, sf10-swept):
     the term filter sits below the only token-level shuffle (query-term
     occurrences only); field lengths are a map-side projection; stats and
-    df are field-count-sized broadcasts."""
+    df are field-count-sized broadcasts.
+
+    The tokenized fielded melt is computed ONCE behind a serialized
+    persist (r11, guide §2.4/§5): the four consumers (tf, fdl, fstats,
+    dfr) previously each re-evaluated the whole melt + JSON-leaf
+    expansion + tokenize — four corpus passes, two of them inside
+    BroadcastExchange builds, and Catalyst's size estimate chose to
+    BROADCAST the corpus-sized fdl relation (a driver/executor memory
+    hazard at any real scale; also the source of 7-15 s GC-pressure
+    cliffs at sf0.1). fdl is merge-pinned — the indexed twin keeps the
+    broadcast because ITS fdl is the query-pruned postings slice."""
     fc = fielded_cells(spark, sf_dir)
-    occ = fc.select("doc_id", "field",
-                    F.explode(analyze_tokens(F.col("value"))).alias("token"))
+    from pyspark import StorageLevel
+    toks = (fc.select("doc_id", "field",
+                      analyze_tokens(F.col("value")).alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select("doc_id", "field",
+                    F.size("toks").cast("long").alias("dl"), "toks")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    occ = toks.select("doc_id", "field", F.explode("toks").alias("token"))
     tf = (occ.filter(F.col("token").isin(*NFS_TERMS))
           .groupBy("doc_id", "field", "token")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    fdl = _field_dl(fc)
+    fdl = toks.select("doc_id", "field", "dl").hint("merge")
     fstats = (fdl.groupBy("field")
               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                    (F.sum("dl").cast("double") / F.count(F.lit(1)))
