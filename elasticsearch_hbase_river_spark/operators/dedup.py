@@ -333,15 +333,23 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: candidates from band-bucket
     collisions (shuffle keyed on (band_idx, band_hash) — never all-pairs),
-    scored by the fraction of matching MinHashes."""
-    # Signatures are tiny relative to the corpus (k hashes/doc) — persist
-    # them: bands + both verify joins reuse one computation. At 100 TB the
-    # signature relation is a materialized table, same idea.
-    sig = q_minhash_signature(spark, sf_dir)
-    sig = sig.withColumn("mh", F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)]))
-    sig = sig.persist()
-    bands = sig.select(
+    scored by the fraction of matching MinHashes.
+
+    The full signature rides the band rows (r11, guide §2.4 — the
+    ``doc_bands``/``near_dup_decisions`` shape this query predated): a
+    colliding pair verifies from the two ``mh`` arrays already ON the
+    join row, so the two post-candidate signature sort-merge joins (and
+    the signature persist that fed them) are gone — one band-key shuffle
+    plus the pair distinct is the whole plan. The wider band row costs
+    ~N_HASHES ints, far less than re-shuffling the candidate set twice."""
+    aug = _augmented_docs(spark, sf_dir, exact=False)
+    sig = minhash_signature(_gram_hash_df(aug))
+    withb = sig.select(
         "doc_id",
+        F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)]).alias("mh"),
+        *[_band_col(b).alias(f"band{b}") for b in range(N_BANDS)])
+    bands = withb.select(
+        "doc_id", "mh",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
         .alias("band_idx", "band_hash"),
     )
@@ -366,25 +374,20 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized band relation on both sides: pin sort-merge (unhinted,
     # Catalyst auto-broadcasts whichever side its estimate says fits — OK
     # at sf0.1, driver/task OOM at 10x, wrong at any real scale)
-    cand = (
+    scored = (
         reps.alias("x").hint("merge")
         .join(bands.alias("y"),
               (F.col("x.band_idx") == F.col("y.band_idx"))
               & (F.col("x.band_hash") == F.col("y.band_hash"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+                F.size(F.filter(F.zip_with(F.col("x.mh"), F.col("y.mh"),
+                                           lambda x, y: x == y),
+                                lambda eq: eq)).cast("long")
+                .alias("n_shared_minhash"))
+        # n_shared is a pure function of the pair, so the distinct's
+        # cardinality is exactly the old distinct-on-(doc_a, doc_b)
         .distinct()
-    )
-    m = sig.select("doc_id", "mh")
-    scored = (
-        cand.join(m.alias("ma").hint("merge"), F.col("doc_a") == F.col("ma.doc_id"))
-        .join(m.alias("mb").hint("merge"), F.col("doc_b") == F.col("mb.doc_id"))
-        .select(
-            "doc_a", "doc_b",
-            F.size(F.filter(F.zip_with(F.col("ma.mh"), F.col("mb.mh"),
-                                       lambda x, y: x == y),
-                            lambda eq: eq)).cast("long").alias("n_shared_minhash"),
-        )
     )
     return scored.withColumn(
         "est_jaccard", roundn_col(F.col("n_shared_minhash") / F.lit(float(N_HASHES))))
