@@ -66,14 +66,26 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components by iterative min-label
-    propagation; cluster id = min doc_id in the component."""
+    propagation; cluster id = min doc_id in the component.
+
+    The propagation loop runs on the EDGE-INDUCED subgraph only (r11,
+    guide §2.3 shuffle fewer bytes): a doc with no near-dup edge can
+    never change its label (no ``src`` row matches it, and its own row
+    contributes ``min(comp) = doc_id``), so shuffling the whole corpus's
+    label table every round carried dead weight — the edge-incident node
+    set is what propagates. Untouched docs are attached once after the
+    loop as their own singleton components (coalesce on a left join),
+    exactly the labels they would have converged to. On a dup-rich
+    corpus the touched set approaches the corpus and the loop costs what
+    it used to; it is never larger."""
     nodes = _augmented_docs(spark, sf_dir, exact=False).select("doc_id")
     edges = _near_dup_edges(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("comp"))
+    touched = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("comp"))
     for _ in range(CC_MAX_ROUNDS):
         # Both sides are corpus-sized (labels = every doc, sym = the dup
         # edge list, which a dup-rich corpus makes large): pin the
@@ -99,6 +111,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.select("doc_id", "comp")
         if changed == 0:
             break
+
+    # Re-attach the untouched (edge-free) docs as singleton components.
+    labels = (nodes.join(labels, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp")))
 
     size_w = Window.partitionBy("cluster_id")
     return (labels.select("doc_id", F.col("comp").alias("cluster_id"))

@@ -636,3 +636,26 @@ def test_incremental_substring_dedup_single_span_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(span_h" in plan
+
+
+def test_dedup_clusters_edge_free_docs_are_singletons(spark, sf_dir):
+    """The CC loop propagates on the edge-induced subgraph only (r11);
+    docs with no near-dup edge must still come out as their own singleton
+    component — the labels the full-corpus loop converged to for them."""
+    from elasticsearch_hbase_river_spark.operators.dedup import _augmented_docs
+    from elasticsearch_hbase_river_spark.operators.graph import (
+        _near_dup_edges,
+        q_dedup_clusters,
+    )
+
+    res = q_dedup_clusters(spark, sf_dir).collect()
+    edges = _near_dup_edges(spark, sf_dir).collect()
+    touched = {r.src for r in edges} | {r.dst for r in edges}
+    n_docs = _augmented_docs(spark, sf_dir, exact=False).count()
+    assert len(res) == n_docs
+    assert any(r.doc_id not in touched for r in res)  # fixture has singletons
+    for r in res:
+        if r.doc_id not in touched:
+            assert r.cluster_id == r.doc_id
+            assert r.cluster_size == 1
+            assert r.is_keeper
