@@ -65,15 +65,27 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
 
 
-def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query set, scan the corpus
-    once, rank per query. The baseline every ANN variant is judged against."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding",
-                        _norm(F.col("embedding")).alias("enorm"))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+def _norm_corpus(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, enorm): the corpus projection every ANN
+    variant scans. Factored out (r11) so ``q_ann_recall`` can compute it
+    ONCE behind a persist and share it across its three branches — the
+    queries side derives from the same relation (its ``qnorm`` IS the
+    row's ``enorm``, the identical fold), so no branch re-norms the
+    corpus."""
+    return emb.select("vec_id", "label", "embedding",
+                      _norm(F.col("embedding")).alias("enorm"))
+
+
+def _ann_queries(corpus: DataFrame) -> DataFrame:
+    """The broadcast query set (vec_id < N_QUERIES) from a normed corpus."""
+    return corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qnorm"))
+        F.col("enorm").alias("qnorm"))
+
+
+def _knn_ranked(corpus: DataFrame) -> DataFrame:
+    """Brute-force cosine top-k over a normed corpus (q_knn_cosine body)."""
+    queries = _ann_queries(corpus)
     cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
                      / (F.col("qnorm") * F.col("enorm")))
     scored = (
@@ -85,6 +97,13 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= TOP_K))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, scan the corpus
+    once, rank per query. The baseline every ANN variant is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _knn_ranked(_norm_corpus(emb))
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,9 +189,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2) each query probes its N_PROBE nearest cells and reranks exactly
     inside them. At scale: centroids broadcast; stage-2 join hits only
     ~N_PROBE/N_CELLS of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivf_ranked(_norm_corpus(emb))
+
+
+def _ivf_ranked(corpus: DataFrame) -> DataFrame:
+    """IVF probe + exact rerank over a normed corpus (q_ann_ivf body)."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = corpus
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -182,9 +207,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lambda s: s.cv).alias("centroid"))
         .select("label", "centroid", _norm(F.col("centroid")).alias("cnorm"))
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qnorm"))
+    queries = _ann_queries(corpus)
     ccos = roundn_col(_dot(F.col("qe"), F.col("centroid"))
                       / (F.col("qnorm") * F.col("cnorm")))
     wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("label"))
@@ -195,8 +218,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= N_PROBE)
         .select("qid", "qe", "qnorm", "label")
     )
-    corpus = emb.select("vec_id", "label", "embedding",
-                        _norm(F.col("embedding")).alias("enorm"))
     cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
                      / (F.col("qnorm") * F.col("enorm")))
     wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -276,15 +297,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries bucket by the 8-bit SRP signature; exact cosine rerank happens
     only inside the query's bucket — an equi-join on the bucket key, ~1/256
     of the corpus per query, never a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _lsh_ranked(_norm_corpus(emb))
+
+
+def _lsh_ranked(ncorpus: DataFrame) -> DataFrame:
+    """SRP-bucketed rerank over a normed corpus (q_ann_lsh body)."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding", _srp_bucket_col().alias("bucket"),
-                        _norm(F.col("embedding")).alias("enorm"))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    corpus = ncorpus.select("vec_id", "embedding",
+                            _srp_bucket_col().alias("bucket"), "enorm")
+    queries = ncorpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
         _srp_bucket_col().alias("bucket"),
-        _norm(F.col("embedding")).alias("qnorm"))
+        F.col("enorm").alias("qnorm"))
     cos = roundn_col(_dot(F.col("qe"), F.col("embedding"))
                      / (F.col("qnorm") * F.col("enorm")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -305,18 +331,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement that justifies shipping an approximate index at scale
     (run it on a sample; if recall holds, the 100 TB corpus gets the
     candidate-bounded path). Tiny relation algebra on the already-ranked
-    outputs; one row per (method, query)."""
-    exact = (q_knn_cosine(spark, sf_dir)
+    outputs; one row per (method, query).
+
+    The three branches share ONE persisted corpus projection (r11, guide
+    §2.4/§5.4 cache a reused intermediate): each previously re-scanned
+    the embeddings table and re-folded the per-vector norm — three
+    corpus passes of interpreted HOF arithmetic for one query."""
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shared = _norm_corpus(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    exact = (_knn_ranked(shared)
              .filter(F.col("rank") <= RECALL_K).select("qid", "vec_id"))
     approx = (
-        q_ann_ivf(spark, sf_dir).select("qid", "vec_id")
+        _ivf_ranked(shared).select("qid", "vec_id")
         .withColumn("method", F.lit("ivf"))
-        .unionByName(q_ann_lsh(spark, sf_dir).select("qid", "vec_id")
+        .unionByName(_lsh_ranked(shared).select("qid", "vec_id")
                      .withColumn("method", F.lit("lsh"))))
     hits = (approx.join(exact, ["qid", "vec_id"])
             .groupBy("method", "qid").agg(F.count(F.lit(1)).alias("n_hits")))
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = (emb.filter(F.col("vec_id") < N_QUERIES)
+    base = (shared.filter(F.col("vec_id") < N_QUERIES)
             .select(F.col("vec_id").alias("qid"))
             .crossJoin(F.broadcast(
                 spark.createDataFrame([("ivf",), ("lsh",)], "method string"))))
