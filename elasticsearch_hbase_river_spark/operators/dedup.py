@@ -50,9 +50,18 @@ N_BANDS = 4            # LSH bands (2 rows per band)
 LSH_BUCKET_CAP = 64
 
 
-def _augmented_docs(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
-    """documents ∪ synthetic copies (exact, or truncated near-dups)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _augmented_docs(spark: SparkSession, sf_dir: str, exact: bool,
+                    fanout: bool = False) -> DataFrame:
+    """documents ∪ synthetic copies (exact, or truncated near-dups).
+
+    ``fanout`` passes through to :func:`load_table` (scale-adaptive
+    round-robin) — OPT-IN per consumer: measured a clear win only for
+    the shingle+md5-heavy map sides (q_simhash_dedup 2.3-6.5 → 1.5-2.2 s,
+    q_minhash_signature 0.6 → 0.3 s at sf0.1) and a loss for cheap
+    consumers (q_exact_dedup 0.17 → 0.53 s, q_ngram_jaccard 0.18 → 1.1 s,
+    whose shared-shingle checkpoint makes the extra exchange pure cost)."""
+    docs = load_table(spark, sf_dir, "documents",
+                      fanout=fanout).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
         (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
         F.col("text") if exact else F.array_join(
@@ -324,7 +333,9 @@ def _band_col(b: int) -> Column:
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature + LSH band keys (2 rows/band)."""
-    aug = _augmented_docs(spark, sf_dir, exact=False)
+    # fanout: pure map-side shingle+permutation work, no downstream
+    # shuffle to amortize the single scan task (A/B in _augmented_docs)
+    aug = _augmented_docs(spark, sf_dir, exact=False, fanout=True)
     sig = minhash_signature(_gram_hash_df(aug))
     bands = [_band_col(b).alias(f"band{b}") for b in range(N_BANDS)]
     return sig.select("doc_id", *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands)
@@ -490,7 +501,9 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 32-bit signature from per-shingle md5 hex
     digits (majority vote per bit position), 8-bit band candidate buckets,
     Hamming-distance verify via bit_count(xor)."""
-    aug = _augmented_docs(spark, sf_dir, exact=False)
+    # fanout: the per-shingle md5 + nibble votes are the query's CPU cost
+    # and ran in the fixture's one scan task (A/B in _augmented_docs)
+    aug = _augmented_docs(spark, sf_dir, exact=False, fanout=True)
     # Features are 3-gram shingles, not unigrams: with a small shared
     # vocabulary unigram simhashes cluster (everything looks near-dup);
     # shingles carry word order.
@@ -597,7 +610,10 @@ def _substring_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted-boilerplate copies: every COPY_MOD-th doc's
     middle SUB_MID_LEN tokens re-appear inside an otherwise-new text, at
     a DIFFERENT token offset — invisible to exact/passage dedup."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout: the window explode over every token position is map-side
+    # CPU ahead of the one span shuffle (sf0.1 A/B 1.1-1.7 → ~1.0 s)
+    docs = load_table(spark, sf_dir, "documents",
+                      fanout=True).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     mid = F.array_join(F.slice(toks, SUB_MID_OFF, SUB_MID_LEN), " ")
     copies = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
