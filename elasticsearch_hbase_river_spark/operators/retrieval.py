@@ -228,8 +228,13 @@ def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gram hashing is one md5 per TOKEN (hex prefix -> int mod M), then a
     Horner polynomial per k-gram — pure multiply-add inside codegen, ~3x
-    the throughput of hashing every k-gram's concatenated string."""
-    docs = load_table(spark, sf_dir, "documents")
+    the throughput of hashing every k-gram's concatenated string.
+
+    fanout (scale-adaptive, guide §2.5): the per-token md5 + Horner
+    chain is the CPU cost and ran in the fixture's one scan task —
+    sf0.1 A/B: q_winnow_fingerprint exec 0.5-0.6 → ~0.2 s,
+    q_winnow_overlap first-run 5.2 → 1.3 s, warm neutral."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split(F.col("text"), " ")
     th = F.transform(
         toks,
