@@ -222,7 +222,8 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fingerprints"))
 
 
-def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_sets(spark: SparkSession, sf_dir: str,
+                 fanout: bool = False) -> DataFrame:
     """(doc_id, n_grams, fps): the distinct sorted winnowing fingerprint
     set per document — shared by the per-doc query and the overlap join.
 
@@ -230,11 +231,14 @@ def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Horner polynomial per k-gram — pure multiply-add inside codegen, ~3x
     the throughput of hashing every k-gram's concatenated string.
 
-    fanout (scale-adaptive, guide §2.5): the per-token md5 + Horner
-    chain is the CPU cost and ran in the fixture's one scan task —
-    sf0.1 A/B: q_winnow_fingerprint exec 0.5-0.6 → ~0.2 s,
-    q_winnow_overlap first-run 5.2 → 1.3 s, warm neutral."""
-    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    ``fanout`` (scale-adaptive, guide §2.5) is OPT-IN by caller:
+    q_winnow_overlap fans the Horner hash chain out of the fixture's one
+    scan task (sf0.1 A/B: first-run 5.2 → 1.3 s, warm neutral — its
+    checkpoint shuffles anyway); q_winnow_fingerprint stays a PURE
+    zero-exchange projection pipelining behind the scan (the operator's
+    plan contract, pinned by test_winnow_and_highlight_are_shuffle_free;
+    the ~0.3 s fixture-scale fanout win there is forgone to keep it)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=fanout)
     toks = F.split(F.col("text"), " ")
     th = F.transform(
         toks,
@@ -454,7 +458,7 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is never the right plan), the multi-pass trade measured on
     `candidate_pairs`. Containment uses the discriminative (kept)
     fingerprint sets on both sides."""
-    sets = (_winnow_sets(spark, sf_dir)
+    sets = (_winnow_sets(spark, sf_dir, fanout=True)
             .select("doc_id", F.explode("fps").alias("fp")))
     rare = (sets.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))
