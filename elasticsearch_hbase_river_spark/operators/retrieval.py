@@ -457,16 +457,23 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once before the self-join (sort-merge pinned — a corpus
     broadcast is never the right plan), the multi-pass trade measured on
     `candidate_pairs`. Containment uses the discriminative (kept)
-    fingerprint sets on both sides."""
+    fingerprint sets on both sides.
+
+    df and nf ride WINDOWS over the two shuffles the relation needs
+    anyway (r12, guide §2.4 — operations keyed the same way share one
+    exchange): the old groupBy(fp)+join-back and groupBy(doc_id)+join-back
+    each added an aggregate plus a corpus-sized sort-merge join purely to
+    re-attach a count the window computes in place. fps are distinct per
+    doc, so count-over-partition equals the joined-back group count
+    exactly; 2 aggregates + 2 SMJs removed, same rows."""
     sets = (_winnow_sets(spark, sf_dir, fanout=True)
             .select("doc_id", F.explode("fps").alias("fp")))
-    rare = (sets.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= WINNOW_MAX_DF)
-            .select("fp"))
-    kept = sets.hint("merge").join(rare, "fp")
-    nf = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
-    keptn = (kept.hint("merge").join(nf, "doc_id")
+    wdf = Window.partitionBy("fp")
+    wnf = Window.partitionBy("doc_id")
+    keptn = (sets.withColumn("df", F.count(F.lit(1)).over(wdf))
+             .filter(F.col("df") <= WINNOW_MAX_DF)
+             .withColumn("nf", F.count(F.lit(1)).over(wnf))
+             .select("doc_id", "fp", "nf")
              .localCheckpoint(eager=True))
     a, b = keptn.alias("a"), keptn.alias("b")
     return (
@@ -500,8 +507,14 @@ def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the window is a ≤k-row broadcast; the secondary scorer's
     postings are filtered to the phrase terms AND semi-joined to the
     window's doc_ids BEFORE the adjacency join, so its cost is
-    O(window · phrase frequency), independent of corpus size."""
-    base = q_bm25(spark, sf_dir).select("doc_id", "score")
+    O(window · phrase frequency), independent of corpus size.
+
+    The ≤{BM25_TOP}-row primary window is checkpointed ONCE (r12): it
+    feeds both the semi-join's id list and the final rescore join, and
+    uncheckpointed the corpus-sized BM25 subtree executed twice — once
+    building the id broadcast, once again in the final action."""
+    base = (q_bm25(spark, sf_dir).select("doc_id", "score")
+            .localCheckpoint(eager=True))
     base_ids = base.select("doc_id")
     # ONE postings pass for both phrase terms (two separate filters over
     # _postings make Catalyst tokenize the corpus twice); the branch split
