@@ -295,35 +295,49 @@ def q_nested_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences only); field lengths are a map-side projection; stats and
     df are field-count-sized broadcasts.
 
-    The tokenized fielded melt is computed ONCE behind a serialized
-    persist (r11, guide §2.4/§5): the four consumers (tf, fdl, fstats,
-    dfr) previously each re-evaluated the whole melt + JSON-leaf
-    expansion + tokenize — four corpus passes, two of them inside
-    BroadcastExchange builds, and Catalyst's size estimate chose to
-    BROADCAST the corpus-sized fdl relation (a driver/executor memory
-    hazard at any real scale; also the source of 7-15 s GC-pressure
-    cliffs at sf0.1). fdl is merge-pinned — the indexed twin keeps the
-    broadcast because ITS fdl is the query-pruned postings slice."""
+    The tokenized fielded melt is computed ONCE behind a persist (r11,
+    guide §2.4/§5): the consumers previously each re-evaluated the whole
+    melt + JSON-leaf expansion + tokenize — four corpus passes, two of
+    them inside BroadcastExchange builds, and Catalyst's size estimate
+    chose to BROADCAST the corpus-sized fdl relation (a driver/executor
+    memory hazard at any real scale).
+
+    r12 (guide §2.3 shuffle fewer bytes / §2.4 remove shuffles): each
+    (doc, field) appears ONCE in the melt, so per-term tf is an IN-ROW
+    occurrence count — computed map-side into a tiny struct array next
+    to dl. That removes the token explode + (doc, field, token) shuffle
+    AND the tf⋈fdl sort-merge join (dl now rides the tf rows — the
+    `_score_fielded_inline_dl` shape the index-served twin already
+    uses), and the persisted payload drops the corpus token arrays
+    (their columnar encode alone measured ~0.8 s at sf0.1; warm exec
+    ~2.6 → ~1.1 s, first-run ~4.8 → ~2.3 s)."""
     fc = fielded_cells(spark, sf_dir)
     from pyspark import StorageLevel
-    toks = (fc.select("doc_id", "field",
-                      analyze_tokens(F.col("value")).alias("toks"))
-            .filter(F.size("toks") > 0)
-            .select("doc_id", "field",
-                    F.size("toks").cast("long").alias("dl"), "toks")
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    occ = toks.select("doc_id", "field", F.explode("toks").alias("token"))
-    tf = (occ.filter(F.col("token").isin(*NFS_TERMS))
-          .groupBy("doc_id", "field", "token")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    fdl = toks.select("doc_id", "field", "dl").hint("merge")
-    fstats = (fdl.groupBy("field")
+    toks = analyze_tokens(F.col("value"))
+    terms = F.array(*[F.lit(t) for t in NFS_TERMS])
+    tfarr = F.filter(
+        F.transform(terms, lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long")
+            .alias("tf"))),
+        lambda s: s["tf"] > 0)
+    pers = (fc.select("doc_id", "field",
+                      F.size(toks).cast("long").alias("dl"),
+                      tfarr.alias("tfs"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            .filter(F.col("dl") > 0))
+    tf = (pers.select("doc_id", "field", "dl",
+                      F.explode("tfs").alias("s"))
+          .select("doc_id", "field", "dl",
+                  F.col("s.token").alias("token"),
+                  F.col("s.tf").alias("tf")))
+    fstats = (pers.groupBy("field")
               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                    (F.sum("dl").cast("double") / F.count(F.lit(1)))
                    .alias("avgdl")))
     dfr = (tf.groupBy("field", "token")
            .agg(F.count(F.lit(1)).cast("long").alias("df")))
-    return _score_fielded(tf, fdl, fstats, dfr)
+    return _score_fielded_inline_dl(tf, fstats, dfr)
 
 
 def q_nested_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -524,7 +524,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOWEST cosine to its cluster centroid survives (preserves diversity),
     ties on vec_id. Output: one row per duplicated vector with its
     cluster, centroid cosine and keep flag."""
-    emb = _sem_aug(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # The augmented corpus is scanned by EVERY Lloyd stage (init
+    # candidates, fused pass 1, each later assignment, final scoring) —
+    # seven scans of the union-of-two-parquet-reads subtree inside one
+    # action. Persist it once (r12, guide §5.4 cache a reused
+    # intermediate; interleaved A/B at sf0.1: exec ~2.6 -> ~2.3 s,
+    # first-run 6.9 -> 2.6 s); the per-pass HOF math is unchanged.
+    emb = _sem_aug(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     # Lloyd iteration 1 FUSED with centroid init (one driver job, was
     # two): the K init centroids — the K smallest vec_ids' embeddings —
     # ride a TakeOrdered broadcast into the assignment join, labeled by
@@ -592,8 +600,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose blocks shared eviction state with every earlier query's
     # leftovers and survived clearCache() — the accumulated-session
     # pressure class behind the 6 s in-bench vs ~2 s isolated gap.
-    from pyspark import StorageLevel
-
     wk = Window.partitionBy("k").orderBy("ccos", "vec_id")
     ranked = (scored.withColumn("r", F.row_number().over(wk))
               .persist(StorageLevel.MEMORY_AND_DISK))

@@ -61,15 +61,18 @@ def main():
             t0 = time.time()
             df = fn(spark, SF_DIR)
             t1 = time.time()
+            if explain and r == 0:
+                # capture BEFORE the noop: clearCache() below unpersists
+                # registered caches, so a post-run explain re-plans
+                # without the InMemoryRelations the real run used
+                with open(f"/tmp/{name}_explain.txt", "w") as f:
+                    f.write(df._sc._jvm.PythonSQLUtils.explainString(
+                        df._jdf.queryExecution(), "formatted"))
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
             rows.append((round(t1 - t0, 3), round(t2 - t1, 3)))
             spark.catalog.clearCache()
             gc.collect()
-            if explain and r == 0:
-                with open(f"/tmp/{name}_explain.txt", "w") as f:
-                    f.write(df._sc._jvm.PythonSQLUtils.explainString(
-                        df._jdf.queryExecution(), "formatted"))
         out[name] = rows
         if phase:
             print(name, "build/exec per rep:", rows, flush=True)
