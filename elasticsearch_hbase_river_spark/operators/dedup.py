@@ -527,24 +527,29 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench at ~34 s), parse the hex into four 32-bit chunks with conv()
     # (4 string ops per row) and extract each nibble's high bit with
     # shiftright/& — integer ops that stay inside whole-stage codegen.
+    # The 32 vote aggregates and the 32-term signature fold are built as
+    # SQL expression STRINGS (r12): each F.expr is ONE gateway round trip
+    # that parses JVM-side into the identical expression tree, where the
+    # Column-method form made ~7 py4j calls per vote (~500 total, ~1 s of
+    # pure construction per bench at the sandbox's ~2 ms round trip).
     chunks = hashed.select("doc_id", *[
-        F.conv(F.substring("h", 1 + 8 * c, 8), 16, 10).cast("long").alias(f"c{c}")
+        F.expr(f"cast(conv(substring(h, {1 + 8 * c}, 8), 16, 10) as bigint)")
+        .alias(f"c{c}")
         for c in range(4)
     ])
 
-    def vote(p: int) -> Column:
+    def vote_sql(p: int) -> str:
         c, o = (p - 1) // 8, (p - 1) % 8  # chunk, nibble offset within chunk
-        bit = F.shiftright(F.col(f"c{c}"), 4 * (7 - o) + 3).bitwiseAND(F.lit(1))
-        return (bit * 2 - 1).cast("long")
+        shift = 4 * (7 - o) + 3
+        return (f"sum(cast((shiftright(c{c}, {shift}) & 1) * 2 - 1"
+                f" as bigint))")
 
     votes = chunks.groupBy("doc_id").agg(*[
-        F.sum(vote(p)).alias(f"v{p}") for p in range(1, 33)
+        F.expr(vote_sql(p)).alias(f"v{p}") for p in range(1, 33)
     ])
-    simhash = sum(
-        (F.when(F.col(f"v{p}") > 0, F.lit(1 << (p - 1)).cast("long"))
-          .otherwise(F.lit(0).cast("long")) for p in range(1, 33)),
-        start=F.lit(0).cast("long"),
-    )
+    simhash = F.expr("cast(0 as bigint) + " + " + ".join(
+        f"(case when v{p} > 0 then cast({1 << (p - 1)} as bigint)"
+        f" else cast(0 as bigint) end)" for p in range(1, 33)))
     sh = votes.select("doc_id", simhash.alias("simhash")).persist()
     bands = sh.select(
         "doc_id", "simhash",

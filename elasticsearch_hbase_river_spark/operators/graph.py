@@ -161,29 +161,64 @@ def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
                       best["c"].alias("cluster"), best["d"].alias("dist"))
 
 
+def _km_argmin(cents: F.Column) -> F.Column:
+    """Nearest-centroid pick over a broadcast ``cents`` array of
+    struct<c, cen>: min of (dist, c) structs — the exact (d, then lower
+    cluster id) tie rule of the literal-argmin form."""
+    return F.array_min(F.transform(cents, lambda s: F.struct(
+        _sq_dist(F.col("e"), s["cen"]).alias("d"), s["c"].alias("c"))))
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled Lloyd iterations on the embedding table, k=8, centroids
-    initialized from the first k vectors (deterministic seed)."""
+    initialized from the first k vectors (deterministic seed).
+
+    The whole Lloyd tail runs INSIDE one Spark action (r12, guide §5.1 —
+    the same restructure q_semdedup got in r11): centroids ride 1-row
+    ``cents: array<struct<c, cen>>`` relations broadcast into each
+    assignment instead of a driver ``collect()`` + a K×dim literal
+    rebuild per iteration (512 ``F.lit`` py4j calls and a full
+    sequential job before the final plan even existed). Centroid
+    components are the identical per-(cluster, pos) avg aggregates —
+    same doubles, no Python round trip — and the argmin keeps the
+    (dist, lower cluster id) struct-min tie rule, so results are
+    bit-identical to the literal path (oracle-pinned)."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id",
                    F.transform("embedding",
                                lambda x: x.cast("double")).alias("e")))
-    init = {int(r["vec_id"]): list(r["e"])
-            for r in emb.filter(F.col("vec_id") < K_CLUSTERS).collect()}
+    # init cents: the K smallest vec_ids' vectors, cluster id = vec_id —
+    # K-row agg, sorted by cluster id exactly like sorted(init.items())
+    cents = (emb.filter(F.col("vec_id") < K_CLUSTERS)
+             .select(F.struct(F.col("vec_id").cast("int").alias("c"),
+                              F.col("e").alias("cen")).alias("s"))
+             .agg(F.array_sort(F.collect_list("s")).alias("cents")))
 
-    centroids = init
     for _ in range(KMEANS_ITERS - 1):
-        assigned = _assign(emb, centroids)
-        means = (assigned.select("cluster", F.posexplode("e").alias("pos", "v"))
-                 .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
-                 .collect())
-        centroids = {}
-        for r in means:
-            centroids.setdefault(int(r["cluster"]), [0.0] * DIM)[int(r["pos"])] = r["m"]
+        assigned = (emb.crossJoin(F.broadcast(cents))
+                    .select("vec_id", "e",
+                            _km_argmin(F.col("cents"))["c"].alias("cluster")))
+        comp = (assigned
+                .select("cluster", F.posexplode("e").alias("pos", "v"))
+                .groupBy("cluster", "pos").agg(F.avg("v").alias("m")))
+        cent = (comp.groupBy("cluster")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"]).alias("cen")))
+        cents = (cent.select(F.struct(F.col("cluster").alias("c"),
+                                      F.col("cen")).alias("s"))
+                 .agg(F.array_sort(F.collect_list("s")).alias("cents")))
 
-    return (_assign(emb, centroids)
-            .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
-                    roundn_col(F.col("dist"), 4).alias("sq_dist")))
+    # final assignment: bind the argmin struct ONCE inside a 1-element
+    # transform (the _let trick) so cluster and dist don't each re-run it
+    bound = F.element_at(
+        F.transform(F.array(_km_argmin(F.col("cents"))), lambda b:
+                    F.struct(b["c"].alias("cluster"), b["d"].alias("d"))),
+        1)
+    return (emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", bound.alias("b"))
+            .select("vec_id", F.col("b.cluster").cast("long").alias("cluster"),
+                    roundn_col(F.col("b.d"), 4).alias("sq_dist")))
 
 
 QUERIES = {
