@@ -203,9 +203,16 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic pretraining filter shape: one explode→count pass builds the LM
     (vocab-sized, broadcast back), one pass scores — the fact table
     shuffles only on doc_id for the mean."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # the LM is VOCAB-sized (distinct tokens) — persist it so the 1-row
+    # totals aggregate reads it back instead of re-tokenizing the whole
+    # corpus (r12: 3 tokenize passes -> 2; same bounded-relation class
+    # as the broadcast the scoring join already ships)
+    freq = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     totals = freq.agg(F.sum("cnt").alias("total"),
                       F.count(F.lit(1)).alias("vocab"))
     logp = F.log((F.col("cnt") + 1.0)
@@ -261,19 +268,32 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(F.sequence(F.lit(0), F.size(toks) - 1),
                         lambda i: F.struct(F.get(toks, i).alias("w1"),
                                            F.get(toks, i + 1).alias("w2")))
-    # read four times (ufreq, vocab, bfreq, scoring join), recomputed
-    # each time — see the docstring for why this beats checkpointing
+    # The CORPUS-sized grams relation is still recomputed per consumer,
+    # not checkpointed — see the docstring — but r12 cut the consumers
+    # from four tokenize passes to TWO (guide §2.4): the bigram count
+    # attaches as a count() WINDOW riding the (w1, w2) shuffle the
+    # scoring join needed anyway (the old corpus-sized bfreq aggregate +
+    # join-back recomputed the grams a third time just to re-attach a
+    # group count — count-over-partition is identical, O(1) window
+    # state); and the VOCAB-sized ufreq persists so the 1-row vocab
+    # total reads it back instead of re-tokenizing the corpus a fourth
+    # time (bounded relation — the scoring join broadcasts it anyway).
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     occ = (toked.select("doc_id", F.explode(grams).alias("bg"))
            .select("doc_id", F.col("bg.w1").alias("w1"),
                    F.col("bg.w2").alias("w2")))
-    ufreq = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("ucnt"))
+    ufreq = (occ.groupBy("w1").agg(F.count(F.lit(1)).alias("ucnt"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     vocab = ufreq.agg(F.count(F.lit(1)).alias("vocab"))
     pairs = occ.filter(F.col("w2").isNotNull())
-    bfreq = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    wbg = Window.partitionBy("w1", "w2")
+    counted = pairs.withColumn("bcnt", F.count(F.lit(1)).over(wbg))
     logp = F.log((F.col("bcnt") + 1.0)
                  / (F.col("ucnt") + F.col("vocab")).cast("double"))
     return (
-        pairs.join(bfreq, ["w1", "w2"])
+        counted
         .join(F.broadcast(ufreq), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
