@@ -352,18 +352,13 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join row, so the two post-candidate signature sort-merge joins (and
     the signature persist that fed them) are gone — one band-key shuffle
     plus the pair distinct is the whole plan. The wider band row costs
-    ~N_HASHES ints, far less than re-shuffling the candidate set twice."""
+    ~N_HASHES ints, far less than re-shuffling the candidate set twice.
+
+    The band relation is built by :func:`doc_bands` — the SAME
+    implementation the persistent band table and the incremental path
+    use (r12, ADVICE: the inlined twin risked batch/incremental drift)."""
     aug = _augmented_docs(spark, sf_dir, exact=False)
-    sig = minhash_signature(_gram_hash_df(aug))
-    withb = sig.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)]).alias("mh"),
-        *[_band_col(b).alias(f"band{b}") for b in range(N_BANDS)])
-    bands = withb.select(
-        "doc_id", "mh",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
-        .alias("band_idx", "band_hash"),
-    )
+    bands = doc_bands(aug)
     # Bucket-occupancy cap, batch twin of the streaming operator's
     # MAX_BUCKET_OCCUPANCY and the winnowing df-cap: the bucket self-join
     # emits O(occupancy²) pairs per bucket, and a dup-rich corpus (the
@@ -392,9 +387,7 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("x.band_hash") == F.col("y.band_hash"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
-                F.size(F.filter(F.zip_with(F.col("x.mh"), F.col("y.mh"),
-                                           lambda x, y: x == y),
-                                lambda eq: eq)).cast("long")
+                _shared_minhash(F.col("x.mh"), F.col("y.mh"))
                 .alias("n_shared_minhash"))
         # n_shared is a pure function of the pair, so the distinct's
         # cardinality is exactly the old distinct-on-(doc_a, doc_b)

@@ -336,7 +336,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three branches share ONE persisted corpus projection (r11, guide
     §2.4/§5.4 cache a reused intermediate): each previously re-scanned
     the embeddings table and re-folded the per-vector norm — three
-    corpus passes of interpreted HOF arithmetic for one query."""
+    corpus passes of interpreted HOF arithmetic for one query.
+
+    Persist lifetime (ADVICE r11): the query is ONE action, so the
+    blocks cannot be dropped before the caller materializes it; every
+    harness that runs multiple queries per session (bench.py,
+    tools/iso_bench.py, the verify sweep via toPandas-per-query) clears
+    the cache between queries (``spark.catalog.clearCache()`` + gc), so
+    persisted blocks never accumulate across queries."""
     from pyspark import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")

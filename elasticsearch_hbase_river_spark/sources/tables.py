@@ -206,6 +206,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         par = spark.sparkContext.defaultParallelism
         nparts = per_session.get((sf_dir, name, "nparts"))
         if nparts is None:
+            # NOT free: getNumPartitions on a DataFrame RDD triggers full
+            # physical planning plus a javaToPython conversion (~100 ms,
+            # no job) — hence the per-table cache. The cached count can
+            # go stale if split-packing conf (maxPartitionBytes /
+            # openCostInBytes) changes mid-session; acceptable because
+            # the engine never changes those at runtime and the gate
+            # only decides whether to ADD parallelism (a stale "1" adds
+            # a redundant-but-harmless exchange, never drops one).
             nparts = df.rdd.getNumPartitions()
             per_session[(sf_dir, name, "nparts")] = nparts
         if nparts < par:
