@@ -738,8 +738,15 @@ def q_incremental_substring_dedup(spark: SparkSession,
     windows against the history's distinct-span relation; at production
     scale the history side is a PRECOMPUTED span store maintained by the
     ingest pipeline (append new accepted docs' windows per tick), so the
-    per-batch cost is O(batch windows), never a history re-scan."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per-batch cost is O(batch windows), never a history re-scan.
+
+    fanout: the history-side window explode is the same per-token-position
+    map CPU `_substring_aug` fans out (r11) and ran in the fixture's one
+    scan task here too — r12 interleaved A/B at sf0.1/32: warm ~2.0 →
+    ~1.5 s, first-run 7.1 → 2.3 s; scale-adaptive, no-op on real
+    multi-split inputs."""
+    docs = load_table(spark, sf_dir, "documents",
+                      fanout=True).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     mid = F.array_join(F.slice(toks, SUB_MID_OFF, SUB_MID_LEN), " ")
     shifted = docs.filter(F.col("doc_id") % COPY_MOD == 0).select(
