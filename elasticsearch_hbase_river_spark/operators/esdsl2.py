@@ -246,40 +246,50 @@ def q_bm25_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal + S-stemming, `functions/analyzer.py`): ES's most common
     text-field configuration. Stopword removal changes every document
     length (and so every score) relative to ``q_bm25`` — the analyzer is
-    load-bearing here, not a pass-through. Same scale shape as the
-    standard-analyzer BM25: term filter below the shuffle, broadcast
-    df/stats, distributed top-k."""
+    load-bearing here, not a pass-through. JOIN-FREE shape (r12, the
+    bm25_scores/q_bm25_unicode discipline): fixed query terms mean
+    per-doc tf is an in-row array count on ONE english-analyzer pass —
+    the old shape ran the stopword+stemmer chain twice (tf explode +
+    stats aggregate); the per-doc row persists as doc_id + a few longs
+    and the scan fans out of the single fixture row group."""
+    from pyspark import StorageLevel
+
     from elasticsearch_hbase_river_spark.functions.analyzer import (
         analyze_tokens_en,
     )
     from elasticsearch_hbase_river_spark.operators.search import BM25_TERMS
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = analyze_tokens_en(F.col("text"))
-    dl = F.size(toks).cast("long")
-    # Analyze ONCE into a named column before exploding — a sibling
-    # size(analyze(..)) in the explode's select re-evaluates the whole
-    # english chain (stopwords + stemmer) per exploded row (the q_tfidf
-    # Generate-projection pathology).
-    arr = docs.select("doc_id", toks.alias("toks"))
-    occ = (arr.select("doc_id", F.size("toks").cast("long").alias("dl"),
-                      F.explode("toks").alias("token"))
-           .filter(F.col("token").isin(*BM25_TERMS)))
-    tf = occ.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = docs.select(dl.alias("dl")).agg(
+    tf_cols = [
+        F.size(F.filter("toks", lambda t: t == F.lit(term)))
+        .cast("long").alias(f"tf{i}")
+        for i, term in enumerate(BM25_TERMS)]
+    row = (docs.select("doc_id", toks.alias("toks"))
+           .select("doc_id", F.size("toks").cast("long").alias("dl"),
+                   *tf_cols)
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = row.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"))
-    idf = F.log(F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    scored = (tf.join(F.broadcast(df_), "token")
-              .crossJoin(F.broadcast(stats))
-              .select("doc_id", (idf * tf_norm).alias("contrib"))
-              .groupBy("doc_id")
-              .agg(roundn_col(F.sum("contrib")).alias("score")))
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long")
+          .alias(f"df{i}") for i in range(len(BM25_TERMS))])
+
+    def contrib(i: int):
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        tf = F.col(f"tf{i}")
+        tf_norm = (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1 - BM25_B
+                            + BM25_B * F.col("dl") / F.col("avgdl")))
+        return F.when(tf > 0, idf * tf_norm).otherwise(F.lit(0.0))
+
+    score = roundn_col(sum(contrib(i) for i in range(len(BM25_TERMS))))
+    scored = (row.crossJoin(F.broadcast(stats))
+              .filter(sum(F.col(f"tf{i}")
+                          for i in range(len(BM25_TERMS))) > 0)
+              .select("doc_id", score.alias("score")))
     top = scored.orderBy(F.col("score").desc(), "doc_id").limit(EN_TOP)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))

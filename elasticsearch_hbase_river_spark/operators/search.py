@@ -134,35 +134,51 @@ def _corpus_stats(docs: DataFrame) -> DataFrame:
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full (doc_id, score) BM25-scored relation for the fixed query —
-    shared by the top-k query and keyset pagination (retrieval.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", _dl_col().alias("dl"))
-    tf = (
-        _postings(docs)
-        .filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    # stats aggregate over the dl RELATION, not a third corpus scan —
-    # `_corpus_stats(docs)` would re-run the analyzer over every document
-    # a third time (the postings explode and the dl join already each pay
-    # one tokenization; measured part of the round-5 analyzer regression).
-    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    scored = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    return (
-        scored.select("doc_id", (idf * tf_norm).alias("contrib"))
-        .groupBy("doc_id")
-        .agg(roundn_col(F.sum("contrib")).alias("score"))
-    )
+    shared by the top-k query and keyset pagination (retrieval.py).
+
+    JOIN-FREE shape (r12, the q_bm25_unicode discipline): the query has a
+    FIXED handful of terms, so per-doc tf is an in-row array count on ONE
+    tokenization pass — no postings explode, no (doc, token) shuffle, no
+    corpus-sized dl join (the old shape tokenized the corpus three times:
+    the tf explode, the dl join side, and the stats aggregate). The
+    per-doc row is doc_id + {1 + len(BM25_TERMS)} longs (~32 bytes/doc at
+    ANY corpus size — guide §8's narrow-proxy class), persisted so
+    df/N/avgdl and the scoring read the same single pass; the scan is
+    fanned (scale-adaptive) out of the fixture's one row group. Scores
+    are identical: same tf/df/dl/N/avgdl values into the same formula,
+    rounded at the same 6 dp (oracle-pinned)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = analyze_tokens(F.col("text"))
+    tf_cols = [
+        F.size(F.filter("toks", lambda t: t == F.lit(term)))
+        .cast("long").alias(f"tf{i}")
+        for i, term in enumerate(BM25_TERMS)]
+    row = (docs.select("doc_id", toks.alias("toks"))
+           .select("doc_id", F.size("toks").cast("long").alias("dl"),
+                   *tf_cols)
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = row.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long")
+          .alias(f"df{i}") for i in range(len(BM25_TERMS))])
+
+    def contrib(i: int) -> Column:
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        tf = F.col(f"tf{i}")
+        tf_norm = (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        return F.when(tf > 0, idf * tf_norm).otherwise(F.lit(0.0))
+
+    score = roundn_col(sum(contrib(i) for i in range(len(BM25_TERMS))))
+    return (row.crossJoin(F.broadcast(stats))
+            .filter(sum(F.col(f"tf{i}")
+                        for i in range(len(BM25_TERMS))) > 0)
+            .select("doc_id", score.alias("score")))
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

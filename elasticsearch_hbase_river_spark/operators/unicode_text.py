@@ -135,13 +135,21 @@ def q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak OOM'd a 1 GB session at the 100x fixture under accumulated
     block pressure; this shape's only non-map stages are the 1-row
     stats aggregate and the top-k). df/N/avgdl broadcast from that
-    single row; everything else is whole-stage codegen."""
+    single row; everything else is whole-stage codegen.
+
+    r12: the per-doc row relation feeds BOTH the stats aggregate and the
+    scoring pass — two full unicode tokenizations of the corpus, each in
+    the fixture's one scan task. Fan the scan out (scale-adaptive) and
+    persist the row relation: it is doc_id + three longs (~32 bytes/doc
+    at ANY corpus size — the narrow-proxy class of guide §8), so the
+    tokenize runs once and the second pass reads integers."""
     from elasticsearch_hbase_river_spark.functions.determinism import (
         roundn_col,
     )
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = analyze_tokens_unicode(unicode_corpus_col())
     tf_cols = [
         F.size(F.filter("toks", lambda t: t == F.lit(term)))
@@ -149,7 +157,8 @@ def q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, term in enumerate(UNI_BM25_TERMS)]
     row = docs.select(
         "doc_id", toks.alias("toks")
-    ).select("doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols)
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     stats = row.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

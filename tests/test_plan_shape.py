@@ -265,6 +265,10 @@ _ALLOWED_SINGLE_PARTITION = {
                               # centroid relation (constant-bounded);
                               # the corpus pays only keyed partial-agg
                               # shuffles and the per-k ranking window
+    "q_kmeans",               # same 1-row cents assembly (r12 in-plan
+                              # Lloyd — replaces the driver collect the
+                              # old form hid these aggregates behind);
+                              # K·dim partial rows, constant-bounded
     "q_esql_geo_polygon",     # 1-row global STATS (count + centroid +
                               # extent) merging map-side partials; the
                               # polygon filter and per-user hashing run
@@ -343,16 +347,23 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 def test_bm25_is_two_phase_topk_with_broadcast_stats(spark, sf_dir):
     """BM25 must (a) keep corpus stats/df on broadcast sides, (b) run the
     ranking as TakeOrderedAndProject with the survivor-rank window above
-    it — a per-query corpus-wide global sort would be the scale-killer."""
+    it — a per-query corpus-wide global sort would be the scale-killer.
+
+    r12 join-free shape: df/N/avgdl all ride ONE broadcast 1-row stats
+    relation (per-doc tf is an in-row array count — no postings explode,
+    no corpus-sized dl join), so the plan must show the stats broadcast
+    and NO join against a corpus-sized side at all."""
     from elasticsearch_hbase_river_spark.operators.search import q_bm25
 
     plan = _plan(q_bm25(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan          # the 1-row stats side
+    assert "SortMergeJoin" not in plan          # nothing corpus-sized joins
+    assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     # the only SinglePartition exchanges permitted are the 1-row corpus
     # stats aggregate and the survivor-rank window (<=k rows) — i.e. the
-    # corpus-sized relations (postings, tf) must all hash-partition
+    # corpus-sized relations must all stay map-side or hash-partition
     assert plan.count("Exchange SinglePartition") <= 2
 
 
