@@ -295,12 +295,30 @@ def _geo_users_sql(instr: str) -> str:
 
 
 def _geo_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users with their synthetic point.
+
+    Plan note (r12, generalizing the fix q_geo_polygon carried locally):
+    deriving lat/lon as a plain projection ABOVE the ``distinct`` lets
+    Catalyst substitute the md5-heavy coordinate expressions into any
+    downstream filter and push it BELOW the dedup, evaluating it once
+    per EVENT instead of once per USER (q_geo_distance's ring filter
+    ran 60x too often at sf0.1; q_geo_polygon measured 12.6 s at sf1).
+    Computing the two 16-bit hash halves as ``min()`` AGGREGATE outputs
+    of a second aggregate over the deduped users pins every consumer's
+    predicate above the dedup (filters on aggregate results are not
+    pushable) while the hash is still evaluated once per user; the
+    second groupBy reuses the distinct's partitioning, so it adds no
+    Exchange. min() over the single row per user is that row's value —
+    results are bit-identical for every consumer."""
     ev = load_table(spark, sf_dir, "events")
     lat16, lon16 = _h16_sql("lat", "instr"), _h16_sql("lon", "instr")
-    return ev.select("user_id").distinct().select(
-        "user_id",
-        F.expr(f"-80e0 + 160e0 * ({lat16} / 65536e0)").alias("lat"),
-        F.expr(f"-180e0 + 360e0 * ({lon16} / 65536e0)").alias("lon"))
+    return (ev.select("user_id").distinct()
+            .groupBy("user_id")
+            .agg(F.min(F.expr(lat16)).alias("h_lat"),
+                 F.min(F.expr(lon16)).alias("h_lon"))
+            .select("user_id",
+                    F.expr("-80e0 + 160e0 * (h_lat / 65536e0)").alias("lat"),
+                    F.expr("-180e0 + 360e0 * (h_lon / 65536e0)").alias("lon")))
 
 
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:

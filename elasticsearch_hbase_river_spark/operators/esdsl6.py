@@ -346,25 +346,11 @@ def q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winding's sign) — multiply/subtract only, so both engines
     evaluate it bit-identically; no trigonometry, no libm.
 
-    Plan note: deriving the points ABOVE a plain ``distinct`` lets
-    Catalyst push the (md5-heavy) polygon predicate below the dedup and
-    evaluate it once per EVENT — measured 12.6 s at sf1 for a 15k-user
-    relation. Computing the two 16-bit hash halves as ``min()``
-    AGGREGATE outputs of a SECOND aggregate over the deduped users pins
-    the predicate above (filters on aggregate results are not pushable)
-    while the hash is still evaluated once per USER; the second groupBy
-    reuses the distinct's partitioning, so it adds no Exchange.
-    Measured at sf1: 12.6 s → 1.8 s warm (7.0 s cold), same rows,
-    same oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    lat16, lon16 = _h16_sql("lat", "instr"), _h16_sql("lon", "instr")
-    users = (ev.select("user_id").distinct()
-             .groupBy("user_id")
-             .agg(F.min(F.expr(lat16)).alias("h_lat"),
-                  F.min(F.expr(lon16)).alias("h_lon"))
-             .select("user_id",
-                     F.expr("-80e0 + 160e0 * (h_lat / 65536e0)").alias("lat"),
-                     F.expr("-180e0 + 360e0 * (h_lon / 65536e0)").alias("lon")))
+    Plan note: the min()-aggregate pushdown barrier this query measured
+    (12.6 s → 1.8 s warm at sf1 — the md5-heavy predicate otherwise ran
+    once per EVENT) moved into the shared ``_geo_users`` in r12, so the
+    whole geo family inherits it."""
+    users = _geo_users(spark, sf_dir)
     return (users.filter(F.expr(_in_triangle_sql()))
             .select("user_id", roundn_col(F.col("lat")).alias("lat"),
                     roundn_col(F.col("lon")).alias("lon")))
