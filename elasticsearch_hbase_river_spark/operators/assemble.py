@@ -47,8 +47,12 @@ _ESC_SQL = r"""replace(replace({v}, '\', '\\'), '"', '\"')"""
 def q_row_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group cells back into rows (scan batches arrive row-grouped,
     HBaseParser.java:101-110): one shuffle on row_key, all aggregates
-    partial-aggregable."""
-    cells = cells_from_events(spark, sf_dir)
+    partial-aggregable.
+
+    fanout (scale-adaptive, guide §2.5): the melt + partial aggregation
+    (collect_list + concat_ws per cell) otherwise runs in the fixture's
+    single scan task; no-op at real scan parallelism."""
+    cells = cells_from_events(spark, sf_dir, fanout=True)
     key = F.concat_ws(":", "family", "qualifier")
     return cells.groupBy("row_key").agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -113,7 +117,11 @@ def q_qualifier_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """normalizeField (HBaseRiver.java:314-326) over synthesized dirty names:
-    pure ``lower`` + ``regexp_replace`` — JVM-side, codegen-friendly."""
+    pure ``lower`` + ``regexp_replace`` — JVM-side, codegen-friendly.
+
+    fanout measured a wash-to-loss here (interleaved A/B r12: ~0.9 s
+    both, fanned slightly worse — the projection isn't scan-task-bound),
+    so the melt stays unfanned deliberately."""
     cells = cells_from_events(spark, sf_dir)
     raw = F.concat(F.lit("A_"), F.col("qualifier"), F.lit("&*"),
                    F.col("family"), F.lit("::X"))
