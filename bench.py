@@ -212,6 +212,20 @@ def main() -> None:
         # otherwise run in the bytecode interpreter. JVM property, not a
         # scale knob; see sources/tables.py:_tune_session for the A/B.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # ~330 distinct generated plans in one JVM: the default 240 MB
+        # reserved code cache saturates its profiled-nmethods segment
+        # mid-run (measured 81/118 MB 3 minutes in), after which the
+        # sweeper flushes still-warm methods and the JIT re-profiles —
+        # and the default 100-entry generated-class cache thrashes
+        # across queries that share stage shapes (same scans, melts,
+        # scorers). Both are JVM/workload-cardinality properties, not
+        # data-scale knobs (static confs, so they must be set here, not
+        # in _tune_session). Measured A/B pairs at sf0.1/32: totals
+        # 190.9/182.8 s -> 176.9/167.4 s (~8%), the 1-2 s band
+        # shrinking from 41/54.7 s to 26-29 queries/34-39 s.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -43,6 +43,9 @@ def main():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
