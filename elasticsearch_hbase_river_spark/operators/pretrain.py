@@ -78,7 +78,11 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation; the result relation holds only colliding
     hashes (tiny). The same relation is what a passage-level dedup pass
     would anti-join back onto the corpus."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout: the per-passage md5 melt is single-task at fixture layout
+    # (guide §2.5 input skew); no-op when the scan already has >= cores
+    # partitions.
+    docs = load_table(spark, sf_dir, "documents",
+                      fanout=True).select("doc_id", "text")
     t = docs.select("doc_id", _toks().alias("toks"))
     n_pass = F.ceil(F.size("toks") / PASSAGE_TOKENS).cast("int")
     passages = t.select(
@@ -106,7 +110,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram hash set broadcasts; the corpus side explodes to (doc, hash) and
     the join + per-doc count is one shuffle on doc_id. Output one row per
     contaminated training doc."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout: per-token md5 + the 8-term rolling-gram fold is the
+    # registry's heaviest map side and ran in ONE scan task at fixture
+    # layout (guide §2.5); scale-adaptive — no exchange added once the
+    # scan has >= cores partitions.
+    docs = load_table(spark, sf_dir, "documents",
+                      fanout=True).select("doc_id", "text")
     th = F.transform(
         _toks(),
         lambda tk: F.conv(F.substring(F.md5(tk), 1, 8), 16, 10)
