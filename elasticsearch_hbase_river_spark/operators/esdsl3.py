@@ -31,9 +31,9 @@ a table that ships true coordinates.
 Scale shapes:
 - matrix_stats: one partial-aggregated corpus scan down to a single row
   of decimal moment sums; the pair matrix expands from that row map-side.
-- terms_set: the query's term set broadcasts into a semi-filter on the
-  postings; matching is one doc_id-keyed partial agg (count of distinct
-  matched terms vs the per-doc threshold, which is map-side column math).
+- terms_set: the fixed term set is matched IN-ROW (array_intersect over
+  one analyzer pass) — zero shuffles, zero joins at any corpus size; the
+  per-doc threshold is map-side column math.
 - diversified_sampler: the per-value cap is a hash-ordered row_number
   inside the diversity key's own shuffle partition; the global sample is
   a bounded top-N (TakeOrdered — never a corpus-wide single partition),
@@ -57,6 +57,7 @@ from elasticsearch_hbase_river_spark.functions.determinism import (
     roundn_col,
     roundn_sql,
 )
+from elasticsearch_hbase_river_spark.functions.analyzer import analyze_tokens
 from elasticsearch_hbase_river_spark.operators.search import (
     _POSTINGS_SQL,
     _postings,
@@ -82,7 +83,10 @@ _MS_COLS = {"quantity": "l_quantity", "discount": "l_discount",
 
 
 def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # fanout: the 10 decimal multiply-accumulate moment sums ran in the
+    # fixture's single lineitem scan task (guide §2.5); scale-adaptive —
+    # no exchange once the scan has >= cores splits.
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     d = {f: F.col(c).cast("decimal(12,2)") for f, c in _MS_COLS.items()}
     aggs = [F.count(F.lit(1)).alias("n")]
     for f in MS_FIELDS:
@@ -173,19 +177,24 @@ def _ts_msm_col() -> F.Column:
 
 
 def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The term set is a FIXED handful, so the match is an in-row
+    # array_intersect over one analyzer pass (r12, guide §2.4 — same
+    # fixed-term argument as the BM25 single-pass scorers): no postings
+    # explode, no corpus-wide (doc_id, token) distinct shuffle, no join.
+    # array_intersect returns the distinct matched terms, exactly what
+    # the old distinct + collect_list pair produced; docs with zero
+    # matches fall to the msm filter (msm >= 2), matching the old inner
+    # join's drop of match-less docs.
     docs = load_table(spark, sf_dir, "documents")
-    terms = spark.createDataFrame([(t,) for t in TS_TERMS], ["token"])
-    doc_tok = _postings(docs).select("doc_id", "token").distinct()
-    matched = (doc_tok.join(F.broadcast(terms), "token")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_matched"),
-                    F.array_join(F.array_sort(F.collect_list("token")), ",")
-                    .alias("matched_terms")))
-    return (docs.select("doc_id", _ts_msm_col().alias("msm"))
-            .join(matched, "doc_id")
+    matched = F.array_sort(F.array_intersect(
+        analyze_tokens(F.col("text")),
+        F.array(*[F.lit(t) for t in TS_TERMS])))
+    return (docs.select("doc_id", _ts_msm_col().alias("msm"),
+                        matched.alias("ma"))
+            .withColumn("n_matched", F.size("ma").cast("long"))
             .filter(F.col("n_matched") >= F.col("msm"))
-            .select("doc_id", "msm", F.col("n_matched").cast("long"),
-                    "matched_terms"))
+            .select("doc_id", "msm", "n_matched",
+                    F.array_join("ma", ",").alias("matched_terms")))
 
 
 QUERIES["q_terms_set"] = q_terms_set
