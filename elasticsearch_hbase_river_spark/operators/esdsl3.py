@@ -83,10 +83,11 @@ _MS_COLS = {"quantity": "l_quantity", "discount": "l_discount",
 
 
 def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fanout: the 10 decimal multiply-accumulate moment sums ran in the
-    # fixture's single lineitem scan task (guide §2.5); scale-adaptive —
-    # no exchange once the scan has >= cores splits.
-    li = load_table(spark, sf_dir, "lineitem", fanout=True)
+    # NOT fanned: a dedicated-session A/B measured the scan fanout a wash
+    # (exec [2.88, 0.96, 1.33, 0.84] vs [2.61, 1.17, 0.84, 0.85] at
+    # sf0.1/32) — the lineitem scan+decode dominates, not the decimal
+    # agg CPU, so the extra exchange buys nothing (r12).
+    li = load_table(spark, sf_dir, "lineitem")
     d = {f: F.col(c).cast("decimal(12,2)") for f, c in _MS_COLS.items()}
     aggs = [F.count(F.lit(1)).alias("n")]
     for f in MS_FIELDS:
